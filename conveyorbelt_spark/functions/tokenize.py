@@ -1,0 +1,72 @@
+"""Vectorized tokenize kernels: documents → (doc_id, term, tf, dl) tuples.
+
+This is the "ES analyzer" half the reference delegates
+(src/ConveyorBelt.Tooling/NestBatchPusher.cs pushes raw docs; ES tokenizes).
+Here it's an Arrow-batched pandas kernel over mapInPandas — no per-row
+Python UDFs (input_hint mandate).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F  # noqa: N812
+
+from ..textutils import TOKEN_RE
+
+TOKENS_SCHEMA = "doc_id long, term string, tf long, dl long"
+
+
+def _tokenize_batch(pdf: pd.DataFrame, id_col: str, text_col: str) -> pd.DataFrame:
+    """One Arrow batch: explode tokens, count (doc, term) pairs, attach dl."""
+    toks = pdf[text_col].str.lower().str.findall(TOKEN_RE)
+    dl = toks.str.len().astype("int64")
+    ex = pd.DataFrame({"doc_id": pdf[id_col].to_numpy(), "dl": dl.to_numpy(), "term": toks})
+    ex = ex.explode("term", ignore_index=True)
+    ex = ex.dropna(subset=["term"])
+    grouped = (
+        ex.groupby(["doc_id", "dl", "term"], sort=False).size().rename("tf").reset_index()
+    )
+    return grouped[["doc_id", "term", "tf", "dl"]].astype(
+        {"doc_id": "int64", "tf": "int64", "dl": "int64"}
+    )
+
+
+def tokenize_to_postings(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """documents(id, text) → (doc_id, term, tf, dl), one row per (doc, term).
+
+    ``dl`` (document length in tokens) is denormalized onto every tuple so
+    the scorer never needs a doc-length join (SURVEY §2.6 J3: denormalized
+    preferred)."""
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield _tokenize_batch(pdf, id_col, text_col)
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=TOKENS_SCHEMA)
+
+
+def with_doc_id(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Deterministic non-negative docID = xxhash64(url) >>> 1.
+
+    Stable across runs and cluster sizes (SURVEY §1.4); the unsigned shift
+    keeps ids in [0, 2^63) so signed ordering == unsigned ordering, which
+    lets the index use the top bits as *range* buckets."""
+    return df.withColumn("doc_id", F.shiftrightunsigned(F.xxhash64(F.col(url_col)), 1))
+
+
+def extract_text_df(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """Pinned HTML→text as a vectorized kernel (parity with textutils.extract_text)."""
+    from ..textutils import extract_text
+
+    def run(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["extracted_text"] = pdf[html_col].map(
+                lambda b: extract_text(bytes(b)) if b is not None else None
+            )
+            yield pdf
+
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    return df.mapInPandas(run, schema=out_schema + ", extracted_text string")

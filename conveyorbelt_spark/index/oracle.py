@@ -1,0 +1,64 @@
+"""Pure-Python BM25 oracle — no Spark, no numpy in the scoring loop.
+
+Ground truth for rank-identity tests (BASELINE.json north_rule: top-k docIDs
+and scores rank-identical). Formulas and accumulation order are pinned to
+match the engine bit-for-bit:
+
+- idf   = ln(1 + (N - df + 0.5) / (df + 0.5))
+- w     = tf*(k1+1) / (tf + k1*(1 - b + b*(dl/avgdl)))
+- score = Σ over query terms in ASCENDING TERM ORDER of idf*w, float64,
+  starting from 0.0 — the same pairwise addition sequence the engine's
+  kernel performs.
+- rank  = (score desc, doc_id asc)
+"""
+
+from __future__ import annotations
+
+import math
+
+from ..textutils import BM25_B, BM25_K1, tokenize
+
+
+class BM25Oracle:
+    def __init__(self, docs: list[tuple[int, str]], k1: float = BM25_K1, b: float = BM25_B):
+        """docs: list of (doc_id, text) with doc_id already assigned
+        (xxhash64(url) >>> 1 — collected from the Spark side so identity
+        matches)."""
+        self.k1, self.b = k1, b
+        self.postings: dict[str, dict[int, int]] = {}
+        self.dl: dict[int, int] = {}
+        seen = set()
+        for doc_id, text in docs:
+            if doc_id in seen:
+                continue
+            seen.add(doc_id)
+            toks = tokenize(text)
+            self.dl[doc_id] = len(toks)
+            counts: dict[str, int] = {}
+            for t in toks:
+                counts[t] = counts.get(t, 0) + 1
+            for t, tf in counts.items():
+                self.postings.setdefault(t, {})[doc_id] = tf
+        self.n_docs = len(self.dl)
+        self.avgdl = sum(self.dl.values()) / self.n_docs if self.n_docs else 0.0
+
+    def idf(self, term: str) -> float:
+        df = len(self.postings.get(term, {}))
+        return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
+
+    def search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
+        terms = sorted(set(tokenize(query)))
+        terms = [t for t in terms if t in self.postings]
+        if not terms:
+            return []
+        scores: dict[int, float] = {}
+        for t in terms:  # ascending term order — pinned
+            ti = self.idf(t)
+            for doc_id, tf in self.postings[t].items():
+                dl = self.dl[doc_id]
+                w = (tf * (self.k1 + 1.0)) / (
+                    tf + self.k1 * (1.0 - self.b + self.b * (dl / self.avgdl))
+                )
+                scores[doc_id] = scores.get(doc_id, 0.0) + ti * w
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]
