@@ -21,11 +21,16 @@ def _tokenize_batch(pdf: pd.DataFrame, id_col: str, text_col: str) -> pd.DataFra
     """One Arrow batch: explode tokens, count (doc, term) pairs, attach dl."""
     toks = pdf[text_col].str.lower().str.findall(TOKEN_RE)
     dl = toks.str.len().astype("int64")
-    ex = pd.DataFrame({"doc_id": pdf[id_col].to_numpy(), "dl": dl.to_numpy(), "term": toks})
+    # group by input ROW (the reset index), not doc_id — two rows with the
+    # same doc_id in one batch (dup urls) must not merge their tfs here;
+    # duplicate docs are dropped later in the sorted block builder.
+    ex = pd.DataFrame(
+        {"doc_id": pdf[id_col].to_numpy(), "dl": dl.to_numpy(), "term": toks}
+    ).reset_index(names="_row")
     ex = ex.explode("term", ignore_index=True)
     ex = ex.dropna(subset=["term"])
     grouped = (
-        ex.groupby(["doc_id", "dl", "term"], sort=False).size().rename("tf").reset_index()
+        ex.groupby(["_row", "doc_id", "dl", "term"], sort=False).size().rename("tf").reset_index()
     )
     return grouped[["doc_id", "term", "tf", "dl"]].astype(
         {"doc_id": "int64", "tf": "int64", "dl": "int64"}

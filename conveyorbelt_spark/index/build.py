@@ -84,6 +84,19 @@ def _make_block_builder(avgdl: float, k1: float, b: float, block_size: int):
         terms = pdf["term"].to_numpy()
         buckets = pdf["bucket"].to_numpy()
 
+        # drop duplicate doc_ids within a (term,bucket) run (dup urls):
+        # rows are sorted, so dups are adjacent — keep the first (lowest
+        # tf/dl, deterministic via the sort key). This replaces a full-text
+        # dropDuplicates shuffle upstream.
+        first = np.ones(len(pdf), dtype=bool)
+        first[1:] = (
+            (terms[1:] != terms[:-1]) | (buckets[1:] != buckets[:-1]) | (docs[1:] != docs[:-1])
+        )
+        if not first.all():
+            docs, tfs, dls = docs[first], tfs[first], dls[first]
+            terms, buckets = terms[first], buckets[first]
+            pdf = pdf[first]
+
         # group starts where (term, bucket) changes
         new_grp = np.ones(len(pdf), dtype=bool)
         new_grp[1:] = (terms[1:] != terms[:-1]) | (buckets[1:] != buckets[:-1])
@@ -193,9 +206,12 @@ def build_index(
     manifest rows already exist — re-running a killed build yields identical
     segments (tested in tests/test_resume.py).
     """
-    docs = with_doc_id(docs, url_col).select(
-        "doc_id", F.col(text_col).alias("text")
-    ).dropDuplicates(["doc_id"])
+    # NO dropDuplicates here: a global dedup would shuffle the full text
+    # twice. Duplicate urls are removed where they're already adjacent —
+    # doclens via a (doc_id → min dl) agg, postings inside the sorted block
+    # builder — so the only wide shuffle over text-derived data is the
+    # (term, bucket) tokenize shuffle itself.
+    docs = with_doc_id(docs, url_col).select("doc_id", F.col(text_col).alias("text"))
 
     seg_dir = os.path.join(out_dir, "segments")
     man_dir = os.path.join(out_dir, "manifest")
@@ -210,8 +226,14 @@ def build_index(
 
                 shutil.rmtree(p)
 
-    # ---- pass 1: doc lengths + corpus stats (narrow; no shuffle besides agg)
-    doclens = docs.mapInPandas(_doclens_kernel, schema="doc_id long, dl long")
+    # ---- pass 1: doc lengths + corpus stats (the only shuffle is (long,
+    # long) pairs for the dedup agg — min(dl) keeps the first duplicate,
+    # matching the block builder's keep-first rule)
+    doclens = (
+        docs.mapInPandas(_doclens_kernel, schema="doc_id long, dl long")
+        .groupBy("doc_id")
+        .agg(F.min("dl").alias("dl"))
+    )
     doclens.write.mode("overwrite").parquet(os.path.join(out_dir, "doclens"))
     row = spark.read.parquet(os.path.join(out_dir, "doclens")).agg(
         F.count("*").alias("n"), F.sum("dl").alias("total")
@@ -253,14 +275,24 @@ def build_index(
             .mapInPandas(builder, schema=BLOCKS_SCHEMA)
             .withColumn("tb", F.pmod(F.xxhash64("term"), F.lit(n_term_buckets)).cast("int"))
         )
+        # Second (small) shuffle of the already-compressed blocks so each
+        # term-hash dir gets one file instead of one per upstream task —
+        # shuffle volume = compressed index size, a fraction of the raw
+        # tokenize shuffle; buys query-side partition pruning over few files.
+        blocks = blocks.repartition(n_term_buckets, "tb").sortWithinPartitions(
+            "term", "bucket", "blk"
+        )  # term-sorted row groups → parquet min/max stats prune term lookups
         blocks.write.mode("append").partitionBy("tb").parquet(seg_dir)
-        # manifest AFTER segment write (commit ordering)
+        # manifest AFTER segment write (commit ordering); checksum over block
+        # METADATA only — no re-read of the binary posting columns
         seg = spark.read.parquet(seg_dir).where(F.col("bucket").isin(group))
         man = seg.groupBy("bucket").agg(
             F.countDistinct("term").alias("n_terms"),
             F.count("*").alias("n_blocks"),
             F.sum("n").alias("n_postings"),
-            F.sum(F.crc32(F.col("docs"))).alias("checksum"),
+            F.sum(
+                F.crc32(F.concat_ws("|", "term", "blk", "n", "min_doc", "max_doc"))
+            ).alias("checksum"),
         ).withColumn("committed_at", F.lit(time.time()).cast("timestamp"))
         man.write.mode("append").parquet(man_dir)
 
@@ -271,7 +303,9 @@ def build_index(
         F.sum("sum_tf").alias("cf"),
         F.count("*").alias("n_blocks"),
     )
-    dictionary.write.mode("overwrite").parquet(os.path.join(out_dir, "dictionary"))
+    dictionary.repartition(n_term_buckets, "tb").sortWithinPartitions("term").write.mode(
+        "overwrite"
+    ).partitionBy("tb").parquet(os.path.join(out_dir, "dictionary"))
     return stats
 
 

@@ -38,13 +38,22 @@ def idf(n_docs: int, df: int) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
 
-def _lookup_terms(spark: SparkSession, out_dir: str, terms: list[str]) -> list[dict]:
-    """Driver-side dictionary probe (J1: tiny side — broadcast by value)."""
+def _lookup_terms(
+    spark: SparkSession, out_dir: str, terms: list[str], n_term_buckets: int
+) -> list[dict]:
+    """Driver-side dictionary probe (J1: tiny side — broadcast by value).
+
+    Term buckets are computed with the pure-Python xxh64 twin, so the
+    dictionary read is partition-pruned (tb=...) before any job runs, and
+    rows come from term-sorted row groups (min/max pushdown on term)."""
+    from ..functions.hashing import term_bucket
+
     if not terms:
         return []
+    tbs = sorted({term_bucket(t, n_term_buckets) for t in terms})
     d = (
         spark.read.parquet(f"{out_dir}/dictionary")
-        .where(F.col("term").isin(terms))
+        .where(F.col("tb").isin(tbs) & F.col("term").isin(terms))
         .collect()
     )
     return [r.asDict() for r in d]
@@ -100,7 +109,7 @@ def bm25_topk(spark: SparkSession, out_dir: str, query: str, k: int = 10) -> Dat
     """Top-k (doc_id, score) for ``query``, ranked by (score desc, doc_id asc)."""
     stats = load_stats(out_dir)
     terms = sorted(set(tokenize(query)))
-    entries = _lookup_terms(spark, out_dir, terms)
+    entries = _lookup_terms(spark, out_dir, terms, stats["n_term_buckets"])
     empty = spark.createDataFrame([], "doc_id long, score double")
     if not entries:
         return empty
@@ -125,7 +134,7 @@ def bm25_topk_sql(spark: SparkSession, out_dir: str, query: str, k: int = 10) ->
     """Oracle-mode scoring via exploded postings + joins (J2/J3 analogue)."""
     stats = load_stats(out_dir)
     terms = sorted(set(tokenize(query)))
-    entries = _lookup_terms(spark, out_dir, terms)
+    entries = _lookup_terms(spark, out_dir, terms, stats["n_term_buckets"])
     if not entries:
         return spark.createDataFrame([], "doc_id long, score double")
     term_idf = {e["term"]: idf(stats["n_docs"], int(e["df"])) for e in entries}

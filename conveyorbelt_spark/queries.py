@@ -1,0 +1,483 @@
+"""Operator-parity query registry: Spark implementation + DuckDB oracle SQL.
+
+Each entry exercises one operator family from SURVEY.md §2 against the
+driver-provided tables (region nation customer supplier part orders lineitem
+events documents embeddings). Spark and SQL alias every computed column to
+the same name; float aggregates are rounded identically on both sides so the
+driver's order-insensitive value hash matches.
+
+Conventions:
+- timestamps are rendered to 'yyyy-MM-dd HH:mm:ss' strings before returning
+  (engine-neutral value compare)
+- double aggregates: round(x, 4)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F  # noqa: N812
+from pyspark.sql import Window as W  # noqa: N817
+
+TOKEN_SPLIT = "[^a-z0-9]+"  # complement of textutils.TOKEN_RE — same token stream
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _tokens(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, term), JVM-side (codegen'd split+explode)."""
+    return (
+        docs.select("doc_id", F.explode(F.split(F.lower("text"), TOKEN_SPLIT)).alias("term"))
+        .where(F.col("term") != "")
+    )
+
+
+_TOKENS_SQL = (
+    "SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term "
+    "FROM documents"
+)
+
+
+# --------------------------------------------------------------------------
+# Relational core (scans S1, filters F1/F2, aggregations A1/A3, joins J1-J3,
+# sorts/limits O1/O2, windows)
+# --------------------------------------------------------------------------
+
+def q01_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan + filter pushdown + hash agg (SURVEY §2.5)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q02_revenue_by_nation(spark, sf_dir):
+    """3-way equi-join (broadcast dims J1) + agg + sort."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("n_name")
+    )
+
+
+Q02_SQL = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+ORDER BY n_name
+"""
+
+
+def q03_minute_metrics(spark, sf_dir):
+    """A1: per-(minute, type) count/sum/min/max/avg quintet — the
+    InsightMetrics shape computed natively (InsightMetricsParser.cs:45-58)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("minute", "ts"), "yyyy-MM-dd HH:mm:ss").alias("minute"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("value"), 4).alias("total"),
+            F.round(F.min("value"), 4).alias("minimum"),
+            F.round(F.max("value"), 4).alias("maximum"),
+            F.round(F.avg("value"), 4).alias("average"),
+        )
+        .orderBy("minute", "event_type")
+    )
+
+
+Q03_SQL = """
+SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:%S') AS minute, event_type,
+       count(*) AS cnt,
+       round(sum(value), 4) AS total,
+       round(min(value), 4) AS minimum,
+       round(max(value), 4) AS maximum,
+       round(avg(value), 4) AS average
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+def q04_sessionize(spark, sf_dir):
+    """X3 analogue: stitch rows into sessions by 30-min inactivity gap
+    (running-sum-over-window sessionization, SitecoreLogParser.cs:44-91)."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    sess = F.sum(F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)).over(w)
+    return (
+        ev.withColumn("session_id", sess)
+        .groupBy("user_id")
+        .agg(
+            F.max("session_id").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+Q04_SQL = """
+WITH gaps AS (
+  SELECT user_id, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), sess AS (
+  SELECT user_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM gaps
+)
+SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+FROM sess GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q05_filter_expr(spark, sf_dir):
+    """F1 SimpleFilter semantics via Catalyst F.expr (SimpleFilter.cs:76-166
+    compiles the same thing by hand)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.where(F.expr("value >= 50.0 AND event_type != 'view'"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .orderBy("event_type")
+    )
+
+
+Q05_SQL = """
+SELECT event_type, count(*) AS n, round(avg(value), 4) AS avg_value
+FROM events
+WHERE value >= 50.0 AND event_type != 'view'
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q06_topk_per_group(spark, sf_dir):
+    """O4 analogue at relational level: bounded top-k per group via window."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "o_orderpriority",
+            "rnk",
+            "o_orderkey",
+            F.round("o_totalprice", 4).alias("totalprice"),
+        )
+        .orderBy("o_orderpriority", "rnk")
+    )
+
+
+Q06_SQL = """
+SELECT o_orderpriority, rnk, o_orderkey, round(o_totalprice, 4) AS totalprice
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+  FROM orders
+)
+WHERE rnk <= 3
+ORDER BY o_orderpriority, rnk
+"""
+
+
+def q07_minute_shards(spark, sf_dir):
+    """P1 minute planner: enumerate shard keys from min(ts) to max(ts)-grace
+    (MinuteTableShardScheduler.cs:20-46; grace = 5 min, W1)."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("minute", F.min("ts")).alias("lo"),
+        F.date_trunc("minute", F.max("ts")).alias("hi"),
+    )
+    return (
+        bounds.select(
+            F.explode(
+                F.sequence(
+                    F.col("lo"),
+                    F.col("hi") - F.expr("INTERVAL 5 MINUTES"),
+                    F.expr("INTERVAL 1 MINUTE"),
+                )
+            ).alias("m")
+        )
+        .select(F.date_format("m", "yyyy-MM-dd HH:mm:ss").alias("shard_key"))
+        .orderBy("shard_key")
+    )
+
+
+Q07_SQL = """
+WITH b AS (
+  SELECT date_trunc('minute', min(ts)) AS lo, date_trunc('minute', max(ts)) AS hi
+  FROM events
+)
+SELECT strftime(unnest(generate_series(lo, hi - INTERVAL 5 MINUTE, INTERVAL 1 MINUTE)),
+                '%Y-%m-%d %H:%M:%S') AS shard_key
+FROM b
+ORDER BY shard_key
+"""
+
+
+# --------------------------------------------------------------------------
+# Text / index operators over `documents`
+# --------------------------------------------------------------------------
+
+def q08_term_freq(spark, sf_dir):
+    """Tokenize + term-frequency agg — the (term, df, cf) dictionary shape
+    (SURVEY A5)."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        _tokens(docs)
+        .groupBy("term")
+        .agg(F.count("*").alias("cf"), F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.desc("cf"), F.asc("term"))
+        .limit(50)
+    )
+
+
+Q08_SQL = f"""
+SELECT term, count(*) AS cf, count(DISTINCT doc_id) AS df
+FROM ({_TOKENS_SQL}) WHERE term != ''
+GROUP BY term ORDER BY cf DESC, term ASC LIMIT 50
+"""
+
+
+def q09_doc_stats(spark, sf_dir):
+    """Doc-length table (dl + distinct terms) — the doclens sidecar."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        _tokens(docs)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("dl"), F.countDistinct("term").alias("n_terms"))
+        .orderBy("doc_id")
+    )
+
+
+Q09_SQL = f"""
+SELECT doc_id, count(*) AS dl, count(DISTINCT term) AS n_terms
+FROM ({_TOKENS_SQL}) WHERE term != ''
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+BM25_QUERY_TERMS = ["spark", "join", "window"]
+
+
+def q10_bm25_topk(spark, sf_dir):
+    """Flagship: BM25 top-10 over documents, pure DataFrame ops
+    (k1=1.2, b=0.75, ES idf; north_rule query semantics)."""
+    docs = _t(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    tf = _tokens(docs).groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    total = dl.agg(F.sum("dl")).collect()[0][0]
+    avgdl = float(total) / n_docs
+    qterms = spark.createDataFrame([(t,) for t in BM25_QUERY_TERMS], "term string")
+    df_ = tf.join(F.broadcast(qterms), "term").groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(df_), "term")
+        .withColumn("idf", F.log(1.0 + (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5)))
+        .join(dl, "doc_id")
+        .withColumn(
+            "s",
+            F.col("idf")
+            * (F.col("tf") * 2.2)
+            / (F.col("tf") + 1.2 * (1.0 - 0.75 + 0.75 * (F.col("dl") / F.lit(avgdl)))),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("s"), 4).alias("score"))
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(10)
+
+
+Q10_SQL = f"""
+WITH toks AS ({_TOKENS_SQL}),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks WHERE term != '' GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+q AS (SELECT unnest({BM25_QUERY_TERMS!r}) AS term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf WHERE term IN (SELECT term FROM q) GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl)))) AS raw
+  FROM tf
+  JOIN df ON tf.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(raw, 4) AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+def q11_dedup_exact(spark, sf_dir):
+    """Exact dedup by content hash (training-pipeline op; md5 portable
+    across engines). Returns the keeper (min doc_id) per distinct text."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("text_hash", F.md5("text"))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_dups"))
+        .orderBy("text_hash")
+    )
+
+
+Q11_SQL = """
+SELECT md5(text) AS text_hash, min(doc_id) AS keeper, count(*) AS n_dups
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+def q12_ann_cosine(spark, sf_dir):
+    """Brute-force cosine top-10 vs vec_id 0 (ANN baseline; double math)."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "v", F.col("embedding").cast("array<double>")
+    )
+    qrow = emb.where(F.col("vec_id") == 0).select("v").collect()[0][0]
+    qlit = F.array(*[F.lit(float(x)) for x in qrow])
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), qlit, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm_v = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0), lambda acc, x: acc + x * x))
+    qnorm = float(sum(x * x for x in qrow)) ** 0.5
+    return (
+        emb.where(F.col("vec_id") != 0)
+        .select("vec_id", F.round(dot / (norm_v * F.lit(qnorm)), 4).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+Q12_SQL = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(list_dot_product(embedding::DOUBLE[], q.qv)
+             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * sqrt(list_dot_product(q.qv, q.qv))), 4) AS cos_sim
+FROM embeddings, q
+WHERE vec_id != 0
+ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+"""
+
+
+def q13_lang_quality(spark, sf_dir):
+    """Text-quality scoring per lang: token counts + mean token length
+    (training-pipeline quality gate)."""
+    docs = _t(spark, sf_dir, "documents")
+    per_doc = _tokens(docs).groupBy("doc_id").agg(
+        F.count("*").alias("dl"), F.round(F.avg(F.length("term")), 4).alias("avg_tok_len")
+    )
+    return (
+        docs.join(per_doc, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("dl"), 4).alias("avg_dl"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+Q13_SQL = f"""
+WITH per_doc AS (
+  SELECT doc_id, count(*) AS dl, round(avg(length(term)), 4) AS avg_tok_len
+  FROM ({_TOKENS_SQL}) WHERE term != '' GROUP BY doc_id
+)
+SELECT lang, count(*) AS n_docs, round(avg(dl), 4) AS avg_dl,
+       round(avg(n_chars), 4) AS avg_chars
+FROM documents LEFT JOIN per_doc USING (doc_id)
+GROUP BY lang ORDER BY lang
+"""
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_revenue_by_nation": q02_revenue_by_nation,
+    "q03_minute_metrics": q03_minute_metrics,
+    "q04_sessionize": q04_sessionize,
+    "q05_filter_expr": q05_filter_expr,
+    "q06_topk_per_group": q06_topk_per_group,
+    "q07_minute_shards": q07_minute_shards,
+    "q08_term_freq": q08_term_freq,
+    "q09_doc_stats": q09_doc_stats,
+    "q10_bm25_topk": q10_bm25_topk,
+    "q11_dedup_exact": q11_dedup_exact,
+    "q12_ann_cosine": q12_ann_cosine,
+    "q13_lang_quality": q13_lang_quality,
+}
+
+ORACLES: dict[str, str] = {
+    "q01_pricing_summary": Q01_SQL,
+    "q02_revenue_by_nation": Q02_SQL,
+    "q03_minute_metrics": Q03_SQL,
+    "q04_sessionize": Q04_SQL,
+    "q05_filter_expr": Q05_SQL,
+    "q06_topk_per_group": Q06_SQL,
+    "q07_minute_shards": Q07_SQL,
+    "q08_term_freq": Q08_SQL,
+    "q09_doc_stats": Q09_SQL,
+    "q10_bm25_topk": Q10_SQL,
+    "q11_dedup_exact": Q11_SQL,
+    "q12_ann_cosine": Q12_SQL,
+    "q13_lang_quality": Q13_SQL,
+}
