@@ -1,0 +1,93 @@
+"""Text-analysis operators: language ID, quality scoring, token counting,
+document fingerprinting — all JVM-side (pyspark.sql.functions only) so they
+run inside whole-stage codegen and have exact DuckDB-SQL twins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F  # noqa: N812
+
+# deterministic stopword marker sets (heuristic n-gram/lexicon language ID)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "that", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "dans", "pour"],
+    "es": ["el", "los", "las", "es", "en", "por", "para"],
+}
+
+TOKEN_SPLIT = "[^a-z0-9]+"
+BPE_ISH_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"  # word / number / punct pieces
+
+
+def _tokens_col(text_col):
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.filter(F.split(F.lower(c), TOKEN_SPLIT), lambda t: t != "")
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """→ (id, lang_pred, lang_hits): argmax of marker-token hits per
+    language; ties and zero hits → 'und'. Deterministic tie-break by
+    language code ascending."""
+    toks = _tokens_col(text_col)
+    out = df.select(id_col, toks.alias("toks"))
+    langs = sorted(LANG_MARKERS)
+    hit_cols = []
+    for idx, lang in enumerate(langs):
+        arr = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+        hits = F.size(F.filter(F.col("toks"), lambda t: F.array_contains(arr, t)))
+        # inv_rank makes max() break hit-ties toward the ASCENDING language
+        hit_cols.append(
+            F.struct(
+                hits.alias("hits"),
+                F.lit(len(langs) - 1 - idx).alias("inv_rank"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.array_max(F.array(*hit_cols))
+    return out.select(
+        id_col,
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_pred"),
+        best["hits"].alias("lang_hits"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """→ per-doc quality features + composite score in [0,1]:
+    n_tokens, mean token length, stopword ratio, alnum ratio. The composite
+    is a pinned linear blend — a quality gate for training-data filtering."""
+    toks = _tokens_col(text_col)
+    en = F.array(*[F.lit(m) for m in LANG_MARKERS["en"]])
+    c = F.col(text_col)
+    out = df.select(
+        id_col,
+        F.size(toks).alias("n_tokens"),
+        F.length(c).alias("n_chars_m"),
+        (F.length(F.regexp_replace(F.lower(c), "[^a-z0-9]", "")) / F.greatest(F.length(c), F.lit(1))).alias("alnum_ratio"),
+        (F.size(F.filter(toks, lambda t: F.array_contains(en, t))) / F.greatest(F.size(toks), F.lit(1))).alias("stopword_ratio"),
+        (F.length(F.concat_ws("", toks)) / F.greatest(F.size(toks), F.lit(1))).alias("mean_tok_len"),
+    )
+    score = (
+        F.least(F.col("n_tokens") / 100.0, F.lit(1.0)) * 0.4
+        + F.least(F.col("stopword_ratio") * 4.0, F.lit(1.0)) * 0.3
+        + F.col("alnum_ratio") * 0.3
+    )
+    return out.withColumn("quality", score)
+
+
+def token_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """→ (id, ws_tokens, word_tokens, bpe_ish_tokens): whitespace count,
+    alnum-token count, and a BPE-ish regex piece count (training-cost
+    estimation)."""
+    c = F.col(text_col)
+    ws = F.size(F.filter(F.split(c, "\\s+"), lambda t: t != ""))
+    words = F.size(_tokens_col(text_col))
+    bpe = F.size(F.regexp_extract_all(F.lower(c), F.lit(BPE_ISH_RE), 0))
+    return df.select(id_col, ws.alias("ws_tokens"), words.alias("word_tokens"), bpe.alias("bpe_ish_tokens"))
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """→ (id, fp): md5 of whitespace-normalized lowercase text — the exact
+    content fingerprint used for dedup/idempotent ids."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "))
+    return df.select(id_col, F.md5(norm).alias("fp"))

@@ -450,6 +450,322 @@ GROUP BY lang ORDER BY lang
 """
 
 
+# --------------------------------------------------------------------------
+# Training-pipeline operators (dedup / fingerprints / text analysis) —
+# Spark impls live in operators/ and functions/; oracles are exact because
+# every hash is md5→60-bit-int (portable) and permutations are integer
+# universal hashes (conveyorbelt_spark/operators/dedup.py)
+# --------------------------------------------------------------------------
+
+from .functions.textstats import lang_id as _lang_id  # noqa: E402
+from .functions.textstats import fingerprint as _fingerprint  # noqa: E402
+from .functions.textstats import quality_score as _quality  # noqa: E402
+from .functions.textstats import token_counts as _tok_counts  # noqa: E402
+from .operators.dedup import (  # noqa: E402
+    exact_dedup as _exact_dedup,
+    minhash_jaccard_estimate as _mh_est,
+    minhash_lsh_pairs as _mh_pairs,
+    minhash_signatures as _mh_sigs,
+    simhash as _simhash,
+)
+from .sources.planner import simple_filter as _simple_filter  # noqa: E402
+
+_MH_PARAMS = [
+    (327741617, 1152936666), (976413893, 68334472), (1202242075, 2146978983),
+    (1369975287, 119248870), (1882953285, 769786948), (2053951701, 1583990192),
+    (959775641, 1304549247), (1956722281, 1420943751), (2052949341, 1636129708),
+    (1322904763, 1687674368), (165338511, 283194443), (1133316633, 748743479),
+    (4812361, 1237575930), (372560219, 740097030), (309457263, 1759190803),
+    (1801189931, 833359292),
+]  # = operators.dedup.perm_params(16, seed=7), pinned
+_M31 = 2147483647
+
+_SHINGLES_SQL = """
+  SELECT doc_id,
+         unnest(CASE WHEN len(arr) >= 3 THEN
+                  list_distinct(list_transform(range(1, len(arr) - 1),
+                    i -> arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]))
+                WHEN len(arr) > 0 THEN [array_to_string(arr, ' ')]
+                ELSE [] END) AS shingle
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           t -> t != '') AS arr
+        FROM documents)
+"""
+
+_MH_SIG_SQL = f"""
+  WITH sh AS ({_SHINGLES_SQL}),
+  h AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::UBIGINT::BIGINT % {_M31} AS hv
+        FROM sh),
+  perms AS (SELECT * FROM (VALUES {", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(_MH_PARAMS))}) t(perm, a, b)),
+  raw AS (SELECT h.doc_id, p.perm, min((p.a * h.hv + p.b) % {_M31}) AS minh
+          FROM h CROSS JOIN perms p GROUP BY h.doc_id, p.perm),
+  sig AS (SELECT d.doc_id, p.perm, coalesce(r.minh, {_M31}) AS minh
+          FROM documents d CROSS JOIN perms p
+          LEFT JOIN raw r ON r.doc_id = d.doc_id AND r.perm = p.perm)
+"""
+
+
+def q14_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidates with estimated Jaccard (16 perms,
+    4 bands) — the shingle→minhash→band→bucket-join dedup pipeline."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = _mh_sigs(docs, num_perm=16)
+    pairs = _mh_pairs(sigs, bands=4)
+    return (
+        _mh_est(sigs, pairs)
+        .select("doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+Q14_SQL = f"""
+{_MH_SIG_SQL},
+banded AS (
+  SELECT doc_id, perm // 4 AS band,
+         md5(string_agg(minh::VARCHAR, ',' ORDER BY perm)) AS bucket
+  FROM sig GROUP BY doc_id, band
+),
+sized AS (
+  SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz FROM banded
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sized a JOIN sized b ON a.band = b.band AND a.bucket = b.bucket
+  WHERE a.doc_id < b.doc_id AND a.bsz <= 50 AND b.bsz <= 50
+)
+SELECT p.doc_a, p.doc_b,
+       round(sum(CASE WHEN sa.minh = sb.minh THEN 1 ELSE 0 END) / 16.0, 6) AS est_jaccard
+FROM pairs p
+JOIN sig sa ON sa.doc_id = p.doc_a
+JOIN sig sb ON sb.doc_id = p.doc_b AND sb.perm = sa.perm
+GROUP BY p.doc_a, p.doc_b
+ORDER BY p.doc_a, p.doc_b
+"""
+
+
+def q15_simhash(spark, sf_dir):
+    """Per-doc 32-bit SimHash fingerprints (tf-weighted token-hash bits)."""
+    docs = _t(spark, sf_dir, "documents")
+    return _simhash(docs).orderBy("doc_id")
+
+
+Q15_SQL = """
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+        FROM documents)
+  WHERE term != '' GROUP BY doc_id, term
+),
+h AS (
+  SELECT doc_id, tf,
+         ('0x' || substr(md5(term), 1, 15))::UBIGINT::BIGINT % 4294967296 AS hv
+  FROM tf
+),
+bits AS (
+  SELECT doc_id, j.j, sum(tf * (2 * ((hv >> j.j) & 1) - 1)) AS s
+  FROM h CROSS JOIN (SELECT unnest(range(0, 32)) AS j) j
+  GROUP BY doc_id, j.j
+),
+sh AS (
+  SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(sh.simhash, 0) AS simhash
+FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def q16_lang_id(spark, sf_dir):
+    """Heuristic language ID (marker-lexicon argmax, tie → 'und'/asc)."""
+    docs = _t(spark, sf_dir, "documents")
+    return _lang_id(docs).orderBy("doc_id")
+
+
+def _markers_sql():
+    from .functions.textstats import LANG_MARKERS
+
+    rows = []
+    for lang in sorted(LANG_MARKERS):
+        for m in LANG_MARKERS[lang]:
+            rows.append(f"('{lang}', '{m}')")
+    return ", ".join(rows)
+
+
+Q16_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+  FROM documents
+),
+markers(lang, term) AS (VALUES {_markers_sql()}),
+hits AS (
+  SELECT t.doc_id, m.lang, count(*) AS hits
+  FROM toks t JOIN markers m ON t.term = m.term AND t.term != ''
+  GROUP BY t.doc_id, m.lang
+),
+all_hits AS (
+  SELECT d.doc_id, l.lang, coalesce(h.hits, 0) AS hits
+  FROM documents d
+  CROSS JOIN (SELECT DISTINCT lang FROM markers) l
+  LEFT JOIN hits h ON h.doc_id = d.doc_id AND h.lang = l.lang
+),
+best AS (
+  SELECT doc_id, lang, hits,
+         row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang ASC) AS rn
+  FROM all_hits
+)
+SELECT doc_id,
+       CASE WHEN hits > 0 THEN lang ELSE 'und' END AS lang_pred,
+       hits AS lang_hits
+FROM best WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+def q17_quality(spark, sf_dir):
+    """Quality-gate features + composite score per doc."""
+    docs = _t(spark, sf_dir, "documents")
+    q = _quality(docs)
+    return q.select(
+        "doc_id", "n_tokens",
+        F.round("alnum_ratio", 6).alias("alnum_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("mean_tok_len", 6).alias("mean_tok_len"),
+        # floor, not round: identical doubles on both engines make floor
+        # deterministic; round() differs in HALF_UP vs HALF_EVEN at .5
+        (F.floor(F.col("quality") * 10000) / 10000).alias("quality"),
+    ).orderBy("doc_id")
+
+
+Q17_SQL = """
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t != '') AS arr
+  FROM documents
+),
+feats AS (
+  SELECT doc_id,
+         len(arr) AS n_tokens,
+         length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+           / greatest(length(text), 1) AS alnum_ratio,
+         len(list_filter(arr, t -> list_contains(['the','and','of','to','is','that','with'], t)))
+           / greatest(len(arr), 1) AS stopword_ratio,
+         length(array_to_string(arr, '')) / greatest(len(arr), 1) AS mean_tok_len
+  FROM base
+)
+SELECT doc_id, n_tokens,
+       round(alnum_ratio, 6) AS alnum_ratio,
+       round(stopword_ratio, 6) AS stopword_ratio,
+       round(mean_tok_len, 6) AS mean_tok_len,
+       floor((least(n_tokens / 100.0, 1.0) * 0.4
+              + least(stopword_ratio * 4.0, 1.0) * 0.3
+              + alnum_ratio * 0.3) * 10000) / 10000 AS quality
+FROM feats ORDER BY doc_id
+"""
+
+
+def q18_token_counts(spark, sf_dir):
+    """Token counting: whitespace, alnum words, BPE-ish pieces."""
+    docs = _t(spark, sf_dir, "documents")
+    return _tok_counts(docs).orderBy("doc_id")
+
+
+Q18_SQL = r"""
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(text, '\s+'), t -> t != '')) AS ws_tokens,
+       len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t != '')) AS word_tokens,
+       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS bpe_ish_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+def q19_fingerprint(spark, sf_dir):
+    """Exact content fingerprint (md5 of normalized text)."""
+    docs = _t(spark, sf_dir, "documents")
+    return _fingerprint(docs).orderBy("doc_id")
+
+
+Q19_SQL = r"""
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+FROM documents ORDER BY doc_id
+"""
+
+
+def q20_exact_dedup(spark, sf_dir):
+    """Exact dedup keepers (one survivor per distinct text, min doc_id)."""
+    docs = _t(spark, sf_dir, "documents")
+    return _exact_dedup(docs).select("doc_id").orderBy("doc_id")
+
+
+Q20_SQL = """
+SELECT doc_id FROM documents
+WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+ORDER BY doc_id
+"""
+
+
+def q21_salted_shards(spark, sf_dir):
+    """P2 salted shard keys: 10 pre-salt keys per elapsed minute
+    ('{salt:D19}___{ticks:D19}', Modulo10MinuteTableShardScheduler.cs:13-28)
+    computed as DataFrame ops over the events time range."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("minute", F.min("ts")).alias("lo"),
+        F.date_trunc("minute", F.max("ts")).alias("hi"),
+    )
+    minutes = bounds.select(
+        F.explode(
+            F.sequence(F.col("lo"), F.col("hi") - F.expr("INTERVAL 5 MINUTES"), F.expr("INTERVAL 1 MINUTE"))
+        ).alias("m")
+    )
+    ticks = (F.unix_seconds(F.col("m").cast("timestamp")) * F.lit(10000000) + F.lit(621355968000000000))
+    return (
+        minutes.select(
+            F.explode(F.sequence(F.lit(0), F.lit(9))).alias("salt"),
+            ticks.alias("ticks"),
+        )
+        .select(
+            F.concat(
+                F.lpad(F.col("salt").cast("string"), 19, "0"),
+                F.lit("___"),
+                F.lpad(F.col("ticks").cast("string"), 19, "0"),
+            ).alias("shard_key")
+        )
+        .orderBy("shard_key")
+    )
+
+
+Q21_SQL = """
+WITH b AS (
+  SELECT date_trunc('minute', min(ts)) AS lo, date_trunc('minute', max(ts)) AS hi FROM events
+),
+m AS (
+  SELECT unnest(generate_series(lo, hi - INTERVAL 5 MINUTE, INTERVAL 1 MINUTE)) AS m FROM b
+),
+s AS (SELECT unnest(range(0, 10)) AS salt)
+SELECT lpad(salt::VARCHAR, 19, '0') || '___' ||
+       lpad((epoch(m.m)::BIGINT * 10000000 + 621355968000000000)::VARCHAR, 19, '0') AS shard_key
+FROM m CROSS JOIN s
+ORDER BY shard_key
+"""
+
+
+def q22_simple_filter(spark, sf_dir):
+    """F1 SimpleFilter compiled to Catalyst (missing-property-passes
+    semantics; SimpleFilter.cs:20-166) — via the actual operator."""
+    ev = _t(spark, sf_dir, "events")
+    pred = _simple_filter("value >= 50.0") & _simple_filter("event_type != view")
+    return (
+        ev.where(pred)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .orderBy("event_type")
+    )
+
+
+Q22_SQL = Q05_SQL  # same semantics, different Spark construction path
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -464,6 +780,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q11_dedup_exact": q11_dedup_exact,
     "q12_ann_cosine": q12_ann_cosine,
     "q13_lang_quality": q13_lang_quality,
+    "q14_minhash_lsh": q14_minhash_lsh,
+    "q15_simhash": q15_simhash,
+    "q16_lang_id": q16_lang_id,
+    "q17_quality": q17_quality,
+    "q18_token_counts": q18_token_counts,
+    "q19_fingerprint": q19_fingerprint,
+    "q20_exact_dedup": q20_exact_dedup,
+    "q21_salted_shards": q21_salted_shards,
+    "q22_simple_filter": q22_simple_filter,
 }
 
 ORACLES: dict[str, str] = {
@@ -480,4 +805,13 @@ ORACLES: dict[str, str] = {
     "q11_dedup_exact": Q11_SQL,
     "q12_ann_cosine": Q12_SQL,
     "q13_lang_quality": Q13_SQL,
+    "q14_minhash_lsh": Q14_SQL,
+    "q15_simhash": Q15_SQL,
+    "q16_lang_id": Q16_SQL,
+    "q17_quality": Q17_SQL,
+    "q18_token_counts": Q18_SQL,
+    "q19_fingerprint": Q19_SQL,
+    "q20_exact_dedup": Q20_SQL,
+    "q21_salted_shards": Q21_SQL,
+    "q22_simple_filter": Q22_SQL,
 }

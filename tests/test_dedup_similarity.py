@@ -1,0 +1,148 @@
+"""Dedup + similarity + text-stats operator tests (training-pipeline ops)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F  # noqa: N812
+
+from conveyorbelt_spark.functions.textstats import fingerprint, lang_id, quality_score, token_counts
+from conveyorbelt_spark.operators.dedup import (
+    embedding_near_dups,
+    exact_dedup,
+    minhash_jaccard_estimate,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard,
+    simhash,
+    simhash_near_pairs,
+)
+from conveyorbelt_spark.operators.similarity import (
+    cosine_topk,
+    cosine_topk_batch,
+    hyperplanes,
+    lsh_index,
+    lsh_topk,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and runs through the green field "
+    "towards the old farm house near the river bank"
+)
+NEAR = BASE.replace("green", "wide")  # one token changed
+FAR = "completely different content about database engines and query optimization with spark"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(1, BASE), (2, NEAR), (3, FAR), (4, BASE), (5, "")]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    kept = sorted(r.doc_id for r in exact_dedup(docs).collect())
+    assert kept == [1, 2, 3, 5]  # 4 is an exact dup of 1
+
+
+def test_minhash_lsh_finds_near_dup(spark, docs):
+    sigs = minhash_signatures(docs, num_perm=16)
+    pairs = minhash_lsh_pairs(sigs).collect()
+    got = {(r.doc_a, r.doc_b) for r in pairs}
+    assert (1, 4) in got  # exact dup always collides
+    assert (1, 2) in got  # near dup shares bands
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_minhash_jaccard_estimate(spark, docs):
+    sigs = minhash_signatures(docs, num_perm=16)
+    pairs = minhash_lsh_pairs(sigs)
+    est = {(r.doc_a, r.doc_b): r.est_jaccard for r in minhash_jaccard_estimate(sigs, pairs).collect()}
+    assert est[(1, 4)] == 1.0
+    assert est[(1, 2)] > 0.5
+
+
+def test_ngram_jaccard_exact(spark, docs):
+    pairs = spark.createDataFrame([(1, 2), (1, 4), (1, 3)], "doc_a long, doc_b long")
+    j = {(r.doc_a, r.doc_b): r.jaccard for r in ngram_jaccard(docs, pairs).collect()}
+    assert j[(1, 4)] == 1.0
+    assert 0.5 < j[(1, 2)] < 1.0
+    assert j[(1, 3)] == 0.0
+
+
+def test_simhash_near_pairs(spark, docs):
+    sh = simhash(docs)
+    vals = {r.doc_id: r.simhash for r in sh.collect()}
+    assert vals[1] == vals[4]
+    # near-dup hamming small, far doc large
+    ham12 = bin(vals[1] ^ vals[2]).count("1")
+    ham13 = bin(vals[1] ^ vals[3]).count("1")
+    assert ham12 < ham13
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in simhash_near_pairs(sh, max_hamming=3).collect()}
+    assert pairs[(1, 4)] == 0
+
+
+def test_embedding_near_dups(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.99, 0.01, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r.doc_a, r.doc_b) for r in embedding_near_dups(emb, threshold=0.9).collect()}
+    assert got == {(1, 2)}
+
+
+def test_cosine_topk_and_lsh(spark):
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(200, 16)
+    emb = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    q = vecs[7].tolist()
+    exact = [r.vec_id for r in cosine_topk(emb, q, 5).collect()]
+    assert exact[0] == 7  # self is nearest
+
+    planes = hyperplanes(16, n_planes=4, seed=11)
+    idx = lsh_index(emb, planes)
+    approx = [r.vec_id for r in lsh_topk(idx, q, planes, 5, multiprobe=2).collect()]
+    assert approx[0] == 7  # self lands in its own bucket
+    # recall sanity: LSH top-5 overlaps exact top-5
+    assert len(set(exact) & set(approx)) >= 2
+
+
+def test_cosine_topk_batch_matches_single(spark):
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(100, 8)
+    emb = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    ).repartition(4)
+    queries = [(0, vecs[3].tolist()), (1, vecs[50].tolist())]
+    batch = cosine_topk_batch(emb, queries, k=5).collect()
+    for qid, qv in queries:
+        single = [r.vec_id for r in cosine_topk(emb, qv, 5).collect()]
+        got = [r.vec_id for r in batch if r.query_id == qid]
+        assert got == single
+
+
+def test_lang_id(spark):
+    rows = [
+        (1, "the cat and the dog is with that mouse"),
+        (2, "der hund und die katze ist nicht mit"),
+        (3, "le chien et la maison dans les champs pour"),
+        (4, "xyz qqq zzz"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.lang_pred for r in lang_id(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "und"}
+
+
+def test_quality_and_tokens_and_fp(spark, docs):
+    q = {r.doc_id: r for r in quality_score(docs).collect()}
+    assert q[1].quality > q[5].quality  # empty doc scores worst
+    assert 0.0 <= q[1].quality <= 1.0
+    t = {r.doc_id: r for r in token_counts(docs).collect()}
+    assert t[1].ws_tokens == len(BASE.split())
+    assert t[1].word_tokens == len(BASE.split())
+    assert t[5].ws_tokens == 0
+    fp = {r.doc_id: r.fp for r in fingerprint(docs).collect()}
+    assert fp[1] == fp[4] != fp[2]
