@@ -85,14 +85,16 @@ def generate_corpus(n_docs: int, seed: int = 42, part: int = 0) -> pd.DataFrame:
     )
 
 
-def corpus_spark_df(spark, n_docs: int, seed: int = 42, n_parts: int = 1):
+def corpus_spark_df(spark, n_docs: int, seed: int = 42, n_parts: int = 1, part_offset: int = 0):
     """Distributed corpus as a Spark DataFrame — each partition generated
-    independently on executors via mapInPandas (no driver-side materialize)."""
+    independently on executors via mapInPandas (no driver-side materialize).
+    ``part_offset`` shifts the doc-id space (disjoint urls across calls —
+    needed when simulating multiple ingestion batches)."""
     from pyspark.sql import functions as F  # noqa: N812
 
     schema = "url string, warc_ts timestamp, html binary, text string, lang string"
     per_part = n_docs // n_parts
-    parts = spark.range(n_parts).select(F.col("id").alias("part"))
+    parts = spark.range(part_offset, part_offset + n_parts).select(F.col("id").alias("part"))
 
     def gen(batches):
         for pdf in batches:

@@ -196,6 +196,7 @@ def build_index(
     b: float = BM25_B,
     commit_groups: int = 1,
     resume: bool = False,
+    run_id: str = "full",
 ) -> dict:
     """Build the full index under ``out_dir``. Returns the stats dict.
 
@@ -293,11 +294,19 @@ def build_index(
             F.sum(
                 F.crc32(F.concat_ws("|", "term", "blk", "n", "min_doc", "max_doc"))
             ).alias("checksum"),
-        ).withColumn("committed_at", F.lit(time.time()).cast("timestamp"))
+        ).withColumn("committed_at", F.lit(time.time()).cast("timestamp")).withColumn(
+            "run_id", F.lit(run_id)
+        )
         man.write.mode("append").parquet(man_dir)
 
-    # ---- dictionary: metadata-only aggregation over segments
-    seg = spark.read.parquet(seg_dir)
+    refresh_dictionary(spark, out_dir, n_term_buckets)
+    return stats
+
+
+def refresh_dictionary(spark: SparkSession, out_dir: str, n_term_buckets: int) -> None:
+    """(Re)derive the term dictionary from segment block metadata —
+    metadata-only columns, the binary posting columns are pruned away."""
+    seg = spark.read.parquet(os.path.join(out_dir, "segments"))
     dictionary = seg.groupBy("term", "tb").agg(
         F.sum("n").alias("df"),
         F.sum("sum_tf").alias("cf"),
@@ -306,7 +315,6 @@ def build_index(
     dictionary.repartition(n_term_buckets, "tb").sortWithinPartitions("term").write.mode(
         "overwrite"
     ).partitionBy("tb").parquet(os.path.join(out_dir, "dictionary"))
-    return stats
 
 
 def load_stats(out_dir: str) -> dict:

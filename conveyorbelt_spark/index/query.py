@@ -82,7 +82,15 @@ def _score_kernel(term_idf: dict[str, float], k: int):
                 tf = varint_decode(tb, int(n)).astype(np.float64)
                 dl = varint_decode(db, int(n)).astype(np.float64)
                 w_parts.append((tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * (dl / avgdl))))
-            per_term[term] = (docs.astype(np.int64), np.concatenate(w_parts))
+            w_all = np.concatenate(w_parts)
+            docs = docs.astype(np.int64)
+            # incremental indexes may carry a re-ingested doc in a delta
+            # segment — count each (term, doc) once (first block wins)
+            if len(docs) > 1:
+                uniq, first_idx = np.unique(docs, return_index=True)
+                if len(uniq) != len(docs):
+                    docs, w_all = uniq, w_all[first_idx]
+            per_term[term] = (docs, w_all)
         if not per_term:
             return pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")})
         all_docs = np.unique(np.concatenate([d for d, _ in per_term.values()]))
