@@ -59,62 +59,168 @@ def _lookup_terms(
     return [r.asDict() for r in d]
 
 
-def _score_kernel(term_idf: dict[str, float], k: int):
-    """Per-bucket kernel: decode blocks, accumulate scores term-major in
-    ascending-term order, return the bucket-local top-k."""
+class _TermPostings:
+    """Decoded-on-demand posting blocks of one term within one bucket."""
+
+    __slots__ = ("docs", "blk_bounds", "blk_maxw", "tf_bufs", "dl_bufs", "blk_n", "_w")
+
+    def __init__(self, grp: pd.DataFrame):
+        grp = grp.sort_values("blk")
+        n_arr = grp["n"].to_numpy()
+        self.docs = np.concatenate(
+            [np.cumsum(varint_decode(bb, int(n))) for bb, n in zip(grp["docs"], n_arr)]
+        ).astype(np.int64)
+        ends = np.cumsum(n_arr)
+        self.blk_bounds = np.concatenate(([0], ends))
+        self.blk_maxw = grp["max_w"].to_numpy(dtype=np.float64)
+        self.tf_bufs = list(grp["tfs"])
+        self.dl_bufs = list(grp["dls"])
+        self.blk_n = n_arr
+        self._w: np.ndarray | None = None
+
+    def upper_bounds(self) -> np.ndarray:
+        """Per-posting score-weight upper bound = its block's max_w."""
+        return np.repeat(self.blk_maxw, self.blk_n)
+
+    def weights(self, k1: float, b: float, avgdl: float, blocks: np.ndarray | None = None) -> np.ndarray:
+        """Exact per-posting w; decodes tf/dl only for the requested blocks
+        (None = all). Returns the full-length array with NaN for undecoded
+        positions when ``blocks`` is given."""
+        if blocks is None:
+            blocks = np.arange(len(self.blk_n))
+        w = np.full(len(self.docs), np.nan)
+        for bi in blocks:
+            tf = varint_decode(self.tf_bufs[bi], int(self.blk_n[bi])).astype(np.float64)
+            dl = varint_decode(self.dl_bufs[bi], int(self.blk_n[bi])).astype(np.float64)
+            w[self.blk_bounds[bi] : self.blk_bounds[bi + 1]] = (tf * (k1 + 1.0)) / (
+                tf + k1 * (1.0 - b + b * (dl / avgdl))
+            )
+        return w
+
+
+def _score_kernel(term_idf: dict[str, float], k: int, prune: bool = True):
+    """Per-bucket kernel: block-max WAND pruning + exact rescoring.
+
+    Phase 1 — θ seed: exact single-term scores from the highest-idf (rarest)
+    term; θ = its k-th best. A single-term score is a LOWER bound of the
+    full score, so θ ≤ the true k-th score.
+    Phase 2 — upper bounds: per-doc Σ idf·block_max_w (block-max metadata
+    only, no tf/dl decode). Docs with ub < θ can't reach the top-k → pruned.
+    Phase 3 — exact scoring of survivors, decoding only blocks that contain
+    a survivor, accumulating per-doc in ascending-term order in float64
+    (bit-identical to oracle.py).
+    Results are provably identical to exhaustive scoring."""
     terms_sorted = sorted(term_idf)
 
     def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        per_term: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+        empty = pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")}
+        )
+        k1, b, avgdl = score_bucket.k1, score_bucket.b, score_bucket.avgdl
+        per_term: dict[str, _TermPostings] = {}
         for term, grp in pdf.groupby("term", sort=True):
-            grp = grp.sort_values("blk")
-            docs = np.concatenate(
-                [
-                    np.cumsum(varint_decode(bb, int(n)))
-                    for bb, n in zip(grp["docs"], grp["n"])
-                ]
-            )
-            w_parts = []
-            k1 = score_bucket.k1
-            b = score_bucket.b
-            avgdl = score_bucket.avgdl
-            for tb, db, n in zip(grp["tfs"], grp["dls"], grp["n"]):
-                tf = varint_decode(tb, int(n)).astype(np.float64)
-                dl = varint_decode(db, int(n)).astype(np.float64)
-                w_parts.append((tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * (dl / avgdl))))
-            w_all = np.concatenate(w_parts)
-            docs = docs.astype(np.int64)
-            # incremental indexes may carry a re-ingested doc in a delta
-            # segment — count each (term, doc) once (first block wins)
-            if len(docs) > 1:
-                uniq, first_idx = np.unique(docs, return_index=True)
-                if len(uniq) != len(docs):
-                    docs, w_all = uniq, w_all[first_idx]
-            per_term[term] = (docs, w_all)
+            tp = _TermPostings(grp)
+            # incremental indexes may re-ingest a doc in a delta segment —
+            # dedup disables block pruning for that term (block bookkeeping
+            # no longer aligns), so fall back to exhaustive in that case
+            if len(np.unique(tp.docs)) != len(tp.docs):
+                return _exhaustive(pdf, term_idf, terms_sorted, k, k1, b, avgdl)
+            per_term[term] = tp
         if not per_term:
-            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")})
-        all_docs = np.unique(np.concatenate([d for d, _ in per_term.values()]))
-        scores = np.zeros(all_docs.shape, dtype=np.float64)
+            return empty
+
+        all_docs = np.unique(np.concatenate([tp.docs for tp in per_term.values()]))
+
+        survivors = all_docs
+        if prune and len(all_docs) > 4 * k:
+            # phase 1: θ from the rarest present term's exact scores
+            seed_term = max(per_term, key=lambda t: term_idf[t])
+            tp = per_term[seed_term]
+            seed_scores = term_idf[seed_term] * tp.weights(k1, b, avgdl)
+            if len(seed_scores) >= k:
+                theta = np.partition(seed_scores, len(seed_scores) - k)[len(seed_scores) - k]
+            else:
+                theta = 0.0
+            if theta > 0:
+                # phase 2: block-max upper bounds per doc
+                ub = np.zeros(all_docs.shape, dtype=np.float64)
+                for term, tp2 in per_term.items():
+                    pos = np.searchsorted(all_docs, tp2.docs)
+                    ub[pos] += term_idf[term] * tp2.upper_bounds()
+                survivors = all_docs[ub >= theta]
+
+        # phase 3: exact scores for survivors only
+        scores = np.zeros(survivors.shape, dtype=np.float64)
         for term in terms_sorted:
-            if term not in per_term:
+            tp = per_term.get(term)
+            if tp is None:
                 continue
-            docs, w = per_term[term]
-            pos = np.searchsorted(all_docs, docs)
-            scores[pos] += term_idf[term] * w
-        if len(all_docs) > k:
-            # bounded top-k: partial select then exact sort of the head
+            if survivors is all_docs:
+                blocks = None
+            else:
+                # blocks overlapping any survivor (min/max doc range test)
+                lo = tp.docs[tp.blk_bounds[:-1]]
+                hi = tp.docs[tp.blk_bounds[1:] - 1]
+                has = np.searchsorted(survivors, lo) != np.searchsorted(
+                    survivors, hi, side="right"
+                )
+                blocks = np.flatnonzero(has)
+            w = tp.weights(k1, b, avgdl, blocks)
+            pos = np.searchsorted(survivors, tp.docs)
+            ok = (pos < len(survivors)) & ~np.isnan(w)
+            pos_ok = pos[ok]
+            member = survivors[np.clip(pos_ok, 0, len(survivors) - 1)] == tp.docs[ok]
+            idxs = pos_ok[member]
+            scores[idxs] += term_idf[term] * w[ok][member]
+
+        if len(survivors) > k:
             idx = np.argpartition(-scores, k - 1)[:k]
         else:
-            idx = np.arange(len(all_docs))
-        order = np.lexsort((all_docs[idx], -scores[idx]))
+            idx = np.arange(len(survivors))
+        order = np.lexsort((survivors[idx], -scores[idx]))
         idx = idx[order]
-        return pd.DataFrame({"doc_id": all_docs[idx], "score": scores[idx]})
+        return pd.DataFrame({"doc_id": survivors[idx], "score": scores[idx]})
 
     return score_bucket
 
 
-def bm25_topk(spark: SparkSession, out_dir: str, query: str, k: int = 10) -> DataFrame:
-    """Top-k (doc_id, score) for ``query``, ranked by (score desc, doc_id asc)."""
+def _exhaustive(pdf, term_idf, terms_sorted, k, k1, b, avgdl) -> pd.DataFrame:
+    """Fallback exhaustive scorer (handles duplicate doc_ids from deltas)."""
+    per_term: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    for term, grp in pdf.groupby("term", sort=True):
+        tp = _TermPostings(grp)
+        w = tp.weights(k1, b, avgdl)
+        docs = tp.docs
+        if len(docs) > 1:
+            uniq, first_idx = np.unique(docs, return_index=True)
+            if len(uniq) != len(docs):
+                docs, w = uniq, w[first_idx]
+        per_term[term] = (docs, w)
+    if not per_term:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")})
+    all_docs = np.unique(np.concatenate([d for d, _ in per_term.values()]))
+    scores = np.zeros(all_docs.shape, dtype=np.float64)
+    for term in terms_sorted:
+        if term not in per_term:
+            continue
+        docs, w = per_term[term]
+        pos = np.searchsorted(all_docs, docs)
+        scores[pos] += term_idf[term] * w
+    if len(all_docs) > k:
+        idx = np.argpartition(-scores, k - 1)[:k]
+    else:
+        idx = np.arange(len(all_docs))
+    order = np.lexsort((all_docs[idx], -scores[idx]))
+    idx = idx[order]
+    return pd.DataFrame({"doc_id": all_docs[idx], "score": scores[idx]})
+
+
+def bm25_topk(
+    spark: SparkSession, out_dir: str, query: str, k: int = 10, prune: bool = True
+) -> DataFrame:
+    """Top-k (doc_id, score) for ``query``, ranked by (score desc, doc_id
+    asc). ``prune=False`` disables block-max WAND (identical results —
+    asserted in tests; pruning only skips work)."""
     stats = load_stats(out_dir)
     terms = sorted(set(tokenize(query)))
     entries = _lookup_terms(spark, out_dir, terms, stats["n_term_buckets"])
@@ -128,9 +234,9 @@ def bm25_topk(spark: SparkSession, out_dir: str, query: str, k: int = 10) -> Dat
     seg = (
         spark.read.parquet(f"{out_dir}/segments")
         .where(F.col("tb").isin(tbs) & F.col("term").isin(present))
-        .select("bucket", "term", "blk", "n", "docs", "tfs", "dls")
+        .select("bucket", "term", "blk", "n", "max_w", "docs", "tfs", "dls")
     )
-    kern = _score_kernel(term_idf, k)
+    kern = _score_kernel(term_idf, k, prune=prune)
     kern.k1 = stats["k1"]
     kern.b = stats["b"]
     kern.avgdl = stats["avgdl"]

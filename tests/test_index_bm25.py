@@ -86,3 +86,16 @@ def test_sql_mode_agrees(spark, index_dir, oracle):
 
 def test_absent_term_empty(spark, index_dir):
     assert bm25_topk(spark, index_dir, "zzzmissing", 10).count() == 0
+
+
+@pytest.mark.parametrize(
+    "case",
+    [{"q": "term00000 term05000", "k": 10}, {"q": "term00001", "k": 10},
+     {"q": "term00000 term00001 term00123", "k": 100}],
+    ids=lambda c: f"wand:{c['q']}@{c['k']}",
+)
+def test_wand_pruning_identical(spark, index_dir, case):
+    """Block-max WAND must change the work, never the answer."""
+    pruned = [(r.doc_id, r.score) for r in bm25_topk(spark, index_dir, case["q"], case["k"], prune=True).collect()]
+    full = [(r.doc_id, r.score) for r in bm25_topk(spark, index_dir, case["q"], case["k"], prune=False).collect()]
+    assert pruned == full
