@@ -54,17 +54,16 @@ def generate_corpus(n_docs: int, seed: int = 42, part: int = 0) -> pd.DataFrame:
     flat_terms = vocab[rng.choice(len(vocab), size=total, p=probs)]
     langs = _LANGS[rng.choice(len(_LANGS), size=n_docs, p=_LANG_P)]
 
+    # vectorized doc assembly: paragraph-ize the flat term stream with
+    # joins over precomputed offsets (no per-token Python)
+    offs = np.concatenate(([0], np.cumsum(doc_lens)))
     urls, stamps, htmls, texts = [], [], [], []
-    off = 0
     for i in range(n_docs):
         gi = base + i
-        terms = flat_terms[off : off + doc_lens[i]]
-        off += doc_lens[i]
+        terms = flat_terms[offs[i] : offs[i + 1]]
         title = " ".join(terms[:5])
-        # paragraphs of ~40 terms
-        body = "".join(
-            "<p>" + " ".join(terms[j : j + 40]) + "</p>" for j in range(0, len(terms), 40)
-        )
+        paras = [" ".join(terms[j : j + 40]) for j in range(0, len(terms), 40)]
+        body = "<p>" + "</p><p>".join(paras) + "</p>"
         html = (
             f"<html><head><title>{title}</title>"
             f"<script>var x = 1 &amp;&amp; 2;</script></head>"
@@ -73,7 +72,11 @@ def generate_corpus(n_docs: int, seed: int = 42, part: int = 0) -> pd.DataFrame:
         urls.append(f"https://site{gi % 1000}.example/{gi * 2654435761 % 2**32:08x}/page{gi}")
         stamps.append(EPOCH + dt.timedelta(seconds=gi))
         htmls.append(html.encode("utf-8"))
-        texts.append(extract_text(html))
+        # text derived from html by the PINNED extractor semantics (script
+        # content is stripped); for the synthetic html shape the result is
+        # exactly this concatenation — asserted byte-identical against
+        # extract_text in tests
+        texts.append(title + " " + " ".join(paras))
     return pd.DataFrame(
         {
             "url": urls,

@@ -46,7 +46,7 @@ from ..textutils import BM25_B, BM25_K1, TOKEN_RE
 
 BLOCKS_SCHEMA = (
     "term string, bucket int, blk int, n int, min_doc long, max_doc long, "
-    "sum_tf long, max_w double, docs binary, tfs binary, dls binary"
+    "sum_tf long, max_tf long, min_dl long, docs binary, tfs binary, dls binary"
 )
 DEFAULT_N_BUCKETS = 16
 DEFAULT_BLOCK_SIZE = 128
@@ -69,12 +69,18 @@ def _doclens_kernel(batches):
         )
 
 
-def _make_block_builder(avgdl: float, k1: float, b: float, block_size: int):
+def _make_block_builder(block_size: int):
     """Kernel: sorted (term,bucket,doc_id) runs → compressed posting blocks.
 
     Receives Arrow batches in partition-sort order; a (term,bucket) group may
     span batches, so the tail group is carried between batches — memory is
     bounded by one group's bucket slice, which the range bucketing bounds.
+
+    Block-max metadata is (max_tf, min_dl), NOT a precomputed score: the
+    BM25 weight is monotone increasing in tf and decreasing in dl, so
+    w(max_tf, min_dl, avgdl) evaluated at QUERY time is a valid per-block
+    upper bound — which means the build needs no corpus-stats pre-pass at
+    all (avgdl is derived after the fact from dictionary cf totals).
     """
 
     def encode_groups(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -123,12 +129,8 @@ def _make_block_builder(avgdl: float, k1: float, b: float, block_size: int):
         tf_buf, tf_len = varint_encode_ex(tfs)
         dl_buf, dl_len = varint_encode_ex(dls)
 
-        # per-posting BM25 weight (idf applied at query time); float64,
-        # expression pinned to match oracle.py bit-for-bit
-        w = (tfs.astype(np.float64) * (k1 + 1.0)) / (
-            tfs.astype(np.float64) + k1 * (1.0 - b + b * (dls.astype(np.float64) / avgdl))
-        )
-        max_w = np.maximum.reduceat(w, blk_starts)
+        max_tf = np.maximum.reduceat(tfs.astype(np.int64), blk_starts)
+        min_dl = np.minimum.reduceat(dls.astype(np.int64), blk_starts)
         sum_tf = np.add.reduceat(tfs.astype(np.int64), blk_starts)
 
         doc_off = np.concatenate(([0], np.cumsum(doc_len)))
@@ -146,7 +148,8 @@ def _make_block_builder(avgdl: float, k1: float, b: float, block_size: int):
             "min_doc": docs[blk_starts].astype("int64"),
             "max_doc": docs[blk_ends].astype("int64"),
             "sum_tf": sum_tf,
-            "max_w": max_w,
+            "max_tf": max_tf,
+            "min_dl": min_dl,
             "docs": [
                 doc_bytes_all[doc_off[s] : doc_off[e + 1]]
                 for s, e in zip(blk_starts, blk_ends)
@@ -227,34 +230,20 @@ def build_index(
 
                 shutil.rmtree(p)
 
-    # ---- pass 1: doc lengths + corpus stats (the only shuffle is (long,
-    # long) pairs for the dedup agg — min(dl) keeps the first duplicate,
-    # matching the block builder's keep-first rule)
-    doclens = (
-        docs.mapInPandas(_doclens_kernel, schema="doc_id long, dl long")
-        .groupBy("doc_id")
-        .agg(F.min("dl").alias("dl"))
-    )
-    doclens.write.mode("overwrite").parquet(os.path.join(out_dir, "doclens"))
-    row = spark.read.parquet(os.path.join(out_dir, "doclens")).agg(
-        F.count("*").alias("n"), F.sum("dl").alias("total")
-    ).collect()[0]
-    n_docs, total_tokens = int(row["n"]), int(row["total"] or 0)
-    avgdl = total_tokens / n_docs if n_docs else 0.0
+    verbose = os.environ.get("CB_BUILD_VERBOSE")
+    t_last = time.time()
 
-    stats = {
-        "n_docs": n_docs,
-        "total_tokens": total_tokens,
-        "avgdl": avgdl,
-        "k1": k1,
-        "b": b,
-        "n_buckets": n_buckets,
-        "block_size": block_size,
-        "n_term_buckets": n_term_buckets,
-    }
-    os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, "stats.json"), "w") as f:
-        json.dump(stats, f, indent=2)
+    def _mark(phase: str) -> None:
+        nonlocal t_last
+        if verbose:
+            print(f"[build_index] {phase}: {time.time() - t_last:.1f}s", flush=True)
+        t_last = time.time()
+
+    # ---- pass 1 is just N: a JVM-only distinct count over doc ids (no
+    # tokenize pre-pass — avgdl falls out of the dictionary's cf totals
+    # after the build, because block-max metadata is (max_tf, min_dl))
+    n_docs = docs.select("doc_id").distinct().count()
+    _mark("pass1 n_docs")
 
     # ---- pass 2: postings → blocks, committed bucket-group at a time
     all_buckets = [bkt for bkt in range(n_buckets) if bkt not in done]
@@ -263,7 +252,7 @@ def build_index(
     ] if commit_groups > 1 else [all_buckets]
     groups = [g for g in groups if g]
 
-    builder = _make_block_builder(avgdl, k1, b, block_size)
+    builder = _make_block_builder(block_size)
     for group in groups:
         tokens = tokenize_to_postings(docs, "doc_id", "text").withColumn(
             "bucket", _bucket_col(n_buckets)
@@ -284,6 +273,7 @@ def build_index(
             "term", "bucket", "blk"
         )  # term-sorted row groups → parquet min/max stats prune term lookups
         blocks.write.mode("append").partitionBy("tb").parquet(seg_dir)
+        _mark("pass2 segments")
         # manifest AFTER segment write (commit ordering); checksum over block
         # METADATA only — no re-read of the binary posting columns
         seg = spark.read.parquet(seg_dir).where(F.col("bucket").isin(group))
@@ -300,7 +290,45 @@ def build_index(
         man.write.mode("append").parquet(man_dir)
 
     refresh_dictionary(spark, out_dir, n_term_buckets)
+    _mark("dictionary")
+
+    # ---- corpus stats from the dictionary (total tokens = Σ cf) — exact,
+    # no extra scan of the raw corpus
+    total_tokens = int(
+        spark.read.parquet(os.path.join(out_dir, "dictionary"))
+        .agg(F.sum("cf"))
+        .collect()[0][0]
+        or 0
+    )
+    stats = {
+        "n_docs": n_docs,
+        "total_tokens": total_tokens,
+        "avgdl": total_tokens / n_docs if n_docs else 0.0,
+        "k1": k1,
+        "b": b,
+        "n_buckets": n_buckets,
+        "block_size": block_size,
+        "n_term_buckets": n_term_buckets,
+    }
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "stats.json"), "w") as f:
+        json.dump(stats, f, indent=2)
+    _mark("stats")
     return stats
+
+
+def write_doclens(spark: SparkSession, docs: DataFrame, out_dir: str,
+                  url_col: str = "url", text_col: str = "text") -> None:
+    """Optional (doc_id, dl) sidecar — not needed by the query path (dl is
+    denormalized into the postings); useful for debugging/analytics."""
+    d = with_doc_id(docs, url_col).select("doc_id", F.col(text_col).alias("text"))
+    (
+        d.mapInPandas(_doclens_kernel, schema="doc_id long, dl long")
+        .groupBy("doc_id")
+        .agg(F.min("dl").alias("dl"))
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "doclens"))
+    )
 
 
 def refresh_dictionary(spark: SparkSession, out_dir: str, n_term_buckets: int) -> None:

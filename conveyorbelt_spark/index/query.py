@@ -62,7 +62,7 @@ def _lookup_terms(
 class _TermPostings:
     """Decoded-on-demand posting blocks of one term within one bucket."""
 
-    __slots__ = ("docs", "blk_bounds", "blk_maxw", "tf_bufs", "dl_bufs", "blk_n", "_w")
+    __slots__ = ("docs", "blk_bounds", "blk_max_tf", "blk_min_dl", "tf_bufs", "dl_bufs", "blk_n")
 
     def __init__(self, grp: pd.DataFrame):
         grp = grp.sort_values("blk")
@@ -72,15 +72,19 @@ class _TermPostings:
         ).astype(np.int64)
         ends = np.cumsum(n_arr)
         self.blk_bounds = np.concatenate(([0], ends))
-        self.blk_maxw = grp["max_w"].to_numpy(dtype=np.float64)
+        self.blk_max_tf = grp["max_tf"].to_numpy(dtype=np.float64)
+        self.blk_min_dl = grp["min_dl"].to_numpy(dtype=np.float64)
         self.tf_bufs = list(grp["tfs"])
         self.dl_bufs = list(grp["dls"])
         self.blk_n = n_arr
-        self._w: np.ndarray | None = None
 
-    def upper_bounds(self) -> np.ndarray:
-        """Per-posting score-weight upper bound = its block's max_w."""
-        return np.repeat(self.blk_maxw, self.blk_n)
+    def upper_bounds(self, k1: float, b: float, avgdl: float) -> np.ndarray:
+        """Per-posting weight upper bound from block (max_tf, min_dl):
+        w is monotone ↑tf and ↓dl, so w(max_tf, min_dl) bounds the block."""
+        ub_blk = (self.blk_max_tf * (k1 + 1.0)) / (
+            self.blk_max_tf + k1 * (1.0 - b + b * (self.blk_min_dl / avgdl))
+        )
+        return np.repeat(ub_blk, self.blk_n)
 
     def weights(self, k1: float, b: float, avgdl: float, blocks: np.ndarray | None = None) -> np.ndarray:
         """Exact per-posting w; decodes tf/dl only for the requested blocks
@@ -146,7 +150,7 @@ def _score_kernel(term_idf: dict[str, float], k: int, prune: bool = True):
                 ub = np.zeros(all_docs.shape, dtype=np.float64)
                 for term, tp2 in per_term.items():
                     pos = np.searchsorted(all_docs, tp2.docs)
-                    ub[pos] += term_idf[term] * tp2.upper_bounds()
+                    ub[pos] += term_idf[term] * tp2.upper_bounds(k1, b, avgdl)
                 survivors = all_docs[ub >= theta]
 
         # phase 3: exact scores for survivors only
@@ -234,7 +238,7 @@ def bm25_topk(
     seg = (
         spark.read.parquet(f"{out_dir}/segments")
         .where(F.col("tb").isin(tbs) & F.col("term").isin(present))
-        .select("bucket", "term", "blk", "n", "max_w", "docs", "tfs", "dls")
+        .select("bucket", "term", "blk", "n", "max_tf", "min_dl", "docs", "tfs", "dls")
     )
     kern = _score_kernel(term_idf, k, prune=prune)
     kern.k1 = stats["k1"]

@@ -106,7 +106,7 @@ def index_batch(
     tokens = tokenize_to_postings(docs, "doc_id", "text").withColumn(
         "bucket", _bucket_col(stats["n_buckets"])
     )
-    builder = _make_block_builder(stats["avgdl"], stats["k1"], stats["b"], stats["block_size"])
+    builder = _make_block_builder(stats["block_size"])
     blocks = (
         tokens.repartition("term", "bucket")
         .sortWithinPartitions("term", "bucket", "doc_id")

@@ -40,6 +40,10 @@ def test_stats_match_oracle(index_dir, oracle):
 
 
 def test_doclens_match(spark, index_dir, oracle):
+    from conveyorbelt_spark.index.build import write_doclens
+
+    docs = corpus_spark_df(spark, N_DOCS, seed=42, n_parts=4)
+    write_doclens(spark, docs, index_dir)
     rows = spark.read.parquet(f"{index_dir}/doclens").collect()
     assert {r.doc_id: r.dl for r in rows} == oracle.dl
 
