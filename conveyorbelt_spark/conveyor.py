@@ -1,0 +1,191 @@
+"""The conveyor: source registry + end-to-end scheduled ingest→parse→filter→
+index runs — the user-facing surface a reference operator would switch to.
+
+Reference analogues:
+- DiagnosticsSource config row (Configuration/DiagnosticsSource.cs:9-196,
+  README.md:55-68)                        → ``SourceSpec``
+- TableStorageConfigurationSource (S8)    → ``SourceRegistry`` (JSON file)
+- MasterScheduler.ScheduleSourcesAsync    → ``run_sources`` (driver is the
+  sole planner; no leases/queues needed — SURVEY §2.2 P5)
+- FactoryHelper parser-by-name reflection (Internal/FactoryHelper.cs:13-28)
+  → ``PARSER_REGISTRY``
+- per-source Filter (SimpleFilter)        → planner.simple_filter
+- NestBatchPusher → ES                    → index_batch delta segments
+- LastOffsetPoint advance after push      → offset updated after commit
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import asdict, dataclass, field
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F  # noqa: N812
+
+from .sources.parsers import (
+    parse_akamai_logs,
+    parse_generic_json,
+    parse_iis_logs,
+    parse_insight_metrics,
+    parse_sitecore_logs,
+)
+from .sources.planner import minute_shard_keys, shard_key_time, simple_filter
+from .streaming.incremental import index_batch
+
+# name-resolved parser registry (default IisLogParser — BlobFileActor.cs:72)
+PARSER_REGISTRY = {
+    "IisLogParser": parse_iis_logs,
+    "AkamaiLogParser": parse_akamai_logs,
+    "SitecoreLogParser": parse_sitecore_logs,
+    "GenericJsonParser": parse_generic_json,
+    "InsightMetricsParser": parse_insight_metrics,
+}
+
+
+@dataclass
+class SourceSpec:
+    """One registered source (the DiagnosticsSource row, Spark-shaped)."""
+
+    partition_key: str
+    row_key: str
+    table_path: str  # parquet path of the raw table (lines / docs / pages)
+    scheduler_type: str = "MinuteTableShardScheduler"
+    parser: str | None = None  # PARSER_REGISTRY key; None = already-typed docs
+    filter: str | None = None  # SimpleFilter expression ('|' = OR)
+    ts_col: str = "warc_ts"
+    last_offset_point: str | None = None  # ISO, seconds zero
+    stop_offset_point: str | None = None
+    grace_period_minutes: int = 3
+    max_items_in_a_schedule_run: int = 100000
+    is_active: bool = True
+    custom: dict = field(default_factory=dict)
+
+    @property
+    def key(self) -> str:
+        return f"{self.partition_key}_{self.row_key}"
+
+
+class SourceRegistry:
+    """JSON-file-backed source table (S8: TableStorageConfigurationSource)."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def get_sources(self) -> list[SourceSpec]:
+        if not os.path.exists(self.path):
+            return []
+        with open(self.path) as f:
+            return [SourceSpec(**row) for row in json.load(f)]
+
+    def save(self, sources: list[SourceSpec]) -> None:
+        with open(self.path, "w") as f:
+            json.dump([asdict(s) for s in sources], f, indent=2, default=str)
+
+    def update(self, spec: SourceSpec) -> None:
+        sources = [s for s in self.get_sources() if s.key != spec.key]
+        sources.append(spec)
+        self.save(sources)
+
+
+def plan_source(spec: SourceSpec, now: datetime) -> tuple[list[str], datetime | None]:
+    """One scheduling pass: minute shard keys past grace, capped
+    (MinuteTableShardScheduler.cs:20-46 + BaseScheduler guards)."""
+    if not spec.is_active or spec.last_offset_point is None:
+        return [], None
+    last = datetime.fromisoformat(spec.last_offset_point)
+    if spec.stop_offset_point and spec.last_offset_point >= spec.stop_offset_point:
+        return [], None  # string-order stop check (BaseScheduler.cs:28)
+    salted = spec.scheduler_type.startswith("Modulo10")
+    keys, new_last = minute_shard_keys(
+        last,
+        now,
+        grace_minutes=spec.grace_period_minutes,
+        max_items=spec.max_items_in_a_schedule_run,
+        key_style="salted" if salted else "d19",
+    )
+    return keys, new_last
+
+
+def run_source(
+    spark: SparkSession,
+    spec: SourceSpec,
+    index_dir: str,
+    registry: SourceRegistry | None = None,
+    now: datetime | None = None,
+) -> int:
+    """One conveyor cycle for one source: plan shards → pruned scan →
+    parse → filter → index delta segment → advance offset (AFTER the
+    commit — MinuteTableShardScheduler.cs:44 ordering). Returns rows
+    ingested."""
+    now = now or datetime.now(timezone.utc)
+    keys, new_last = plan_source(spec, now)
+    if not keys:
+        return 0
+    lo = shard_key_time(keys[0]).replace(tzinfo=None)
+    hi = shard_key_time(keys[-1]).replace(tzinfo=None)
+
+    raw = spark.read.parquet(spec.table_path)
+    # shard keys become ONE pruned range predicate (the scheduler's N point
+    # scans collapse into a partition-pruned scan — SURVEY §2.2 P1)
+    raw = raw.where(
+        (F.col(spec.ts_col) >= F.lit(lo))
+        & (F.col(spec.ts_col) < F.lit(hi) + F.expr("INTERVAL 1 MINUTE"))
+    )
+    if spec.parser:
+        parsed = PARSER_REGISTRY[spec.parser](raw)
+    else:
+        parsed = raw
+    if spec.filter:
+        parsed = parsed.where(simple_filter(spec.filter))
+
+    # index the batch as a delta segment keyed by the schedule window
+    run_id = f"{spec.key}_{keys[-1]}"
+    if "url" not in parsed.columns:
+        parsed = parsed.withColumn("url", F.col("RowKey"))
+    # W6/A3 telemetry: (min event time, rows) per shard batch + delay
+    # warning threshold (ShardKeyActor.cs:69-101, warn ≥120 s at :76-83)
+    tcol = spec.ts_col if spec.ts_col in parsed.columns else None
+    if tcol:
+        m = parsed.agg(
+            F.count("*").alias("n"), F.min(tcol).alias("min_ts"), F.max(tcol).alias("max_ts")
+        ).collect()[0]
+        n = int(m["n"])
+        if n and m["max_ts"] is not None:
+            delay = (now.replace(tzinfo=None) - m["max_ts"]).total_seconds()
+            if delay >= 120:
+                print(f"[conveyor] WARN {spec.key}: shard delay {delay:.0f}s >= 120s", flush=True)
+    else:
+        n = parsed.count()
+    if n:
+        index_batch(spark, parsed, index_dir, run_id, url_col="url",
+                    text_col=spec.custom.get("text_col", "text"))
+    # offset advances ONLY after the segment+manifest commit
+    spec.last_offset_point = new_last.isoformat()
+    if registry is not None:
+        registry.update(spec)
+    return n
+
+
+def scheduling_stopped(index_dir: str) -> bool:
+    """W7 kill-switch: a ``stop_scheduling`` marker file pauses the conveyor
+    between cycles (MasterScheduler.cs:53-56 / WorkerRole.cs:172-187)."""
+    return os.path.exists(os.path.join(index_dir, "stop_scheduling"))
+
+
+def run_sources(
+    spark: SparkSession,
+    registry: SourceRegistry,
+    index_dir: str,
+    now: datetime | None = None,
+) -> dict[str, int]:
+    """The master loop body (MasterScheduler.ScheduleSourcesAsync): one pass
+    over every active source. Call from a 30 s loop or a scheduler.
+    Honors the ``stop_scheduling`` marker (W7)."""
+    if scheduling_stopped(index_dir):
+        return {}
+    out = {}
+    for spec in registry.get_sources():
+        out[spec.key] = run_source(spark, spec, index_dir, registry, now)
+    return out

@@ -220,11 +220,18 @@ def _exhaustive(pdf, term_idf, terms_sorted, k, k1, b, avgdl) -> pd.DataFrame:
 
 
 def bm25_topk(
-    spark: SparkSession, out_dir: str, query: str, k: int = 10, prune: bool = True
+    spark: SparkSession,
+    out_dir: str,
+    query: str,
+    k: int = 10,
+    prune: bool = True,
+    must_not: str | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, score) for ``query``, ranked by (score desc, doc_id
     asc). ``prune=False`` disables block-max WAND (identical results —
-    asserted in tests; pruning only skips work)."""
+    asserted in tests; pruning only skips work). ``must_not`` excludes any
+    doc containing one of those terms (J4: the ES bool MUST_NOT analogue,
+    a left_anti join on the excluded terms' postings)."""
     stats = load_stats(out_dir)
     terms = sorted(set(tokenize(query)))
     entries = _lookup_terms(spark, out_dir, terms, stats["n_term_buckets"])
@@ -245,7 +252,39 @@ def bm25_topk(
     kern.b = stats["b"]
     kern.avgdl = stats["avgdl"]
     local = seg.groupBy("bucket").applyInPandas(kern, schema="doc_id long, score double")
+    if must_not:
+        excluded = posting_docs(spark, out_dir, must_not)
+        local = local.join(excluded, "doc_id", "left_anti")
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def posting_docs(spark: SparkSession, out_dir: str, terms_query: str) -> DataFrame:
+    """All doc_ids containing ANY of the query's terms (pruned scan +
+    decode-docs-only kernel) — the candidate generator for MUST_NOT (J4)
+    and for boolean set ops."""
+    stats = load_stats(out_dir)
+    terms = sorted(set(tokenize(terms_query)))
+    entries = _lookup_terms(spark, out_dir, terms, stats["n_term_buckets"])
+    if not entries:
+        return spark.createDataFrame([], "doc_id long")
+    tbs = sorted({int(e["tb"]) for e in entries})
+    present = sorted({e["term"] for e in entries})
+    seg = (
+        spark.read.parquet(f"{out_dir}/segments")
+        .where(F.col("tb").isin(tbs) & F.col("term").isin(present))
+        .select("n", "docs")
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            outs = [
+                np.cumsum(varint_decode(bb, int(n))).astype(np.int64)
+                for bb, n in zip(pdf["docs"], pdf["n"])
+            ]
+            if outs:
+                yield pd.DataFrame({"doc_id": np.unique(np.concatenate(outs))})
+
+    return seg.mapInPandas(decode, schema="doc_id long").distinct()
 
 
 def bm25_topk_sql(spark: SparkSession, out_dir: str, query: str, k: int = 10) -> DataFrame:

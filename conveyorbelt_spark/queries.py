@@ -766,6 +766,194 @@ def q22_simple_filter(spark, sf_dir):
 Q22_SQL = Q05_SQL  # same semantics, different Spark construction path
 
 
+# --------------------------------------------------------------------------
+# Parser round-trips: synthesize raw log/JSON payloads FROM the events table
+# inside the query, run them through the real parser operators, and check
+# against an oracle that computes the expected rows directly from events.
+# This exercises X1/X4/X5 through the driver's correctness gate.
+# --------------------------------------------------------------------------
+
+_IIS_HDR = "#Fields: date time c-ip cs-method sc-status time-taken"
+
+
+def q23_iis_roundtrip(spark, sf_dir):
+    """X1: events → W3C IIS log lines → parse_iis_logs → typed rows."""
+    from .sources.parsers import parse_iis_logs
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 200)
+    line = F.concat_ws(
+        " ",
+        F.date_format("ts", "yyyy-MM-dd"),
+        F.date_format("ts", "HH:mm:ss"),
+        F.concat(F.lit("10.0.0."), (F.col("user_id") % 200).cast("string")),
+        F.upper("event_type"),
+        (F.lit(200) + F.col("event_id") % 5).cast("int").cast("string"),
+        F.when(F.col("value") < 1, F.lit("-")).otherwise(
+            F.round("value", 0).cast("int").cast("string")
+        ),
+    )
+    w = W.orderBy("event_id")
+    lines = (
+        ev.select(F.col("event_id"), line.alias("line"))
+        .withColumn("line_no", F.row_number().over(w) + 1)
+        .withColumn(
+            "byte_offset",
+            F.lit(len(_IIS_HDR) + 1)
+            + F.coalesce(
+                F.sum(F.length("line") + 1).over(
+                    w.rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select(F.lit("logs/i1/u_ex.log").alias("file"), "line_no", "byte_offset", "line")
+    )
+    hdr = spark.createDataFrame(
+        [("logs/i1/u_ex.log", 1, 0, _IIS_HDR)],
+        "file string, line_no long, byte_offset long, line string",
+    )
+    parsed = parse_iis_logs(hdr.unionByName(lines))
+    return parsed.select(
+        "RowKey",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("event_ts"),
+        "c_ip",
+        "cs_method",
+        "sc_status",
+        "time_taken",
+    ).orderBy("RowKey")
+
+
+Q23_SQL = f"""
+WITH ev AS (SELECT * FROM events WHERE event_id < 200),
+lines AS (
+  SELECT event_id,
+         strftime(ts, '%Y-%m-%d') || ' ' || strftime(ts, '%H:%M:%S')
+           || ' 10.0.0.' || (user_id % 200)
+           || ' ' || upper(event_type)
+           || ' ' || (200 + event_id % 5)
+           || ' ' || CASE WHEN value < 1 THEN '-' ELSE round(value)::INT::VARCHAR END
+           AS line
+  FROM ev
+),
+offs AS (
+  SELECT event_id, line,
+         {len(_IIS_HDR) + 1} + coalesce(sum(length(line) + 1) OVER (
+             ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + length(line) + 1 AS end_off
+  FROM lines
+)
+SELECT 'u_ex_' || o.end_off AS RowKey,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+       '10.0.0.' || (e.user_id % 200) AS c_ip,
+       upper(e.event_type) AS cs_method,
+       200 + e.event_id % 5 AS sc_status,
+       CASE WHEN e.value < 1 THEN NULL ELSE round(e.value)::BIGINT END AS time_taken
+FROM ev e JOIN offs o USING (event_id)
+ORDER BY RowKey
+"""
+
+
+def q24_insight_roundtrip(spark, sf_dir):
+    """X5: per-(minute, type) aggregates → '{"records":[...]}' blobs →
+    parse_insight_metrics → PK/RK recipe checked end to end."""
+    from .sources.parsers import parse_insight_metrics
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 2000)
+    agg = ev.groupBy(
+        F.date_trunc("minute", "ts").alias("minute"), "event_type"
+    ).agg(
+        F.count("*").alias("cnt"),
+        F.round(F.sum("value"), 0).cast("long").alias("tot"),
+        F.round(F.min("value"), 0).cast("long").alias("mn"),
+        F.round(F.max("value"), 0).cast("long").alias("mx"),
+    )
+    rid = F.concat(
+        F.lit("/SUBSCRIPTIONS/9614FC94-0000-0000-0000-000000000000/RESOURCEGROUPS/RG/PROVIDERS/P/T/N-"),
+        F.upper("event_type"),
+    )
+    frag = F.concat(
+        F.lit('{"count":'), F.col("cnt").cast("string"),
+        F.lit(',"total":'), F.col("tot").cast("string"),
+        F.lit(',"minimum":'), F.col("mn").cast("string"),
+        F.lit(',"maximum":'), F.col("mx").cast("string"),
+        F.lit(',"average":0,"resourceId":"'), rid,
+        F.lit('","time":"'), F.date_format("minute", "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        F.lit('","metricName":"'), F.col("event_type"),
+        F.lit('","timeGrain":"PT1M"}'),
+    )
+    blob = agg.agg(
+        F.concat(F.lit('{"records":['), F.concat_ws(",", F.collect_list(frag)), F.lit("]}")).alias(
+            "records"
+        )
+    )
+    parsed = parse_insight_metrics(blob)
+    return parsed.select(
+        "PartitionKey", "RowKey", "metricName",
+        F.col("count").alias("cnt"),
+        F.col("total").cast("long").alias("tot"),
+        F.col("minimum").cast("long").alias("mn"),
+        F.col("maximum").cast("long").alias("mx"),
+        "timeGrain",
+    ).orderBy("PartitionKey", "RowKey")
+
+
+Q24_SQL = """
+WITH agg AS (
+  SELECT date_trunc('minute', ts) AS minute, event_type,
+         count(*) AS cnt,
+         round(sum(value))::BIGINT AS tot,
+         round(min(value))::BIGINT AS mn,
+         round(max(value))::BIGINT AS mx
+  FROM events WHERE event_id < 2000
+  GROUP BY 1, 2
+)
+SELECT '9614FC94_N-' || upper(event_type) || '_T_P_' || event_type AS PartitionKey,
+       strftime(minute, '%Y%m%d%H%M%S') AS RowKey,
+       event_type AS metricName,
+       cnt, tot, mn, mx,
+       'PT1M' AS timeGrain
+FROM agg
+ORDER BY PartitionKey, RowKey
+"""
+
+
+def q25_json_roundtrip(spark, sf_dir):
+    """X4: events → JSON object docs → parse_generic_json → timestamp
+    heuristic + deterministic id synthesis checked via md5 twin in SQL."""
+    from .sources.parsers import parse_generic_json
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 300)
+    doc = F.concat(
+        F.lit('{"EventDate": "'),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        F.lit('", "user": '), F.col("user_id").cast("string"),
+        F.lit(', "kind": "'), F.col("event_type"), F.lit('"}'),
+    )
+    parsed = parse_generic_json(ev.select(doc.alias("doc")))
+    return parsed.select(
+        "RowKey",
+        F.substring("ts", 1, 19).alias("event_ts"),
+        F.col("doc")["user"].alias("user"),
+        F.col("doc")["kind"].alias("kind"),
+    ).orderBy("RowKey")
+
+
+Q25_SQL = """
+WITH docs AS (
+  SELECT '{"EventDate": "' || strftime(ts, '%Y-%m-%dT%H:%M:%S') || 'Z", "user": '
+         || user_id || ', "kind": "' || event_type || '"}' AS doc,
+         ts, user_id, event_type
+  FROM events WHERE event_id < 300
+)
+SELECT md5(doc || '#0') AS RowKey,
+       strftime(ts, '%Y-%m-%dT%H:%M:%S') AS event_ts,
+       user_id::VARCHAR AS user,
+       event_type AS kind
+FROM docs
+ORDER BY RowKey
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -789,6 +977,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q20_exact_dedup": q20_exact_dedup,
     "q21_salted_shards": q21_salted_shards,
     "q22_simple_filter": q22_simple_filter,
+    "q23_iis_roundtrip": q23_iis_roundtrip,
+    "q24_insight_roundtrip": q24_insight_roundtrip,
+    "q25_json_roundtrip": q25_json_roundtrip,
 }
 
 ORACLES: dict[str, str] = {
@@ -814,4 +1005,7 @@ ORACLES: dict[str, str] = {
     "q20_exact_dedup": Q20_SQL,
     "q21_salted_shards": Q21_SQL,
     "q22_simple_filter": Q22_SQL,
+    "q23_iis_roundtrip": Q23_SQL,
+    "q24_insight_roundtrip": Q24_SQL,
+    "q25_json_roundtrip": Q25_SQL,
 }

@@ -32,9 +32,14 @@ def _norm(rows, cols):
         for c in cols:
             v = r[c] if not isinstance(r, (tuple, list)) else r[cols.index(c)]
             if isinstance(v, float):
-                v = round(v, 6)
+                # pandas renders nullable ints as float64 (NaN for NULL) —
+                # canonicalize so 131.0 == 131 and NaN == None
                 if math.isnan(v):
-                    v = "nan"
+                    v = None
+                else:
+                    v = round(v, 6)
+                    if v == int(v):
+                        v = int(v)
             vals.append(v)
         out.append(tuple(vals))
     return sorted(out, key=repr)
