@@ -24,7 +24,6 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from conveyorbelt_spark.corpus import corpus_spark_df, reference_query_set
 from conveyorbelt_spark.index.build import build_index
-from conveyorbelt_spark.index.query import bm25_topk
 from conveyorbelt_spark.queries import QUERIES
 from conveyorbelt_spark.session import get_spark
 
@@ -56,10 +55,13 @@ def main() -> None:
         docs_per_sec = n_docs / build_sec
 
         # --- BM25 p50 latency over the reference query set ----------------
+        from conveyorbelt_spark.index.query import Searcher
+
+        searcher = Searcher(spark, idx_dir)
         lat = []
         for case in reference_query_set():
             t0 = time.time()
-            bm25_topk(spark, idx_dir, case["q"], case["k"]).collect()
+            searcher.search(case["q"], case["k"]).collect()
             lat.append(time.time() - t0)
         lat.sort()
         p50 = lat[len(lat) // 2]

@@ -22,6 +22,7 @@ buckets (partition pruning on ``tb``) and only matching ``term`` row groups
 from __future__ import annotations
 
 import math
+import os
 
 import numpy as np
 import pandas as pd
@@ -43,16 +44,41 @@ def _lookup_terms(
 ) -> list[dict]:
     """Driver-side dictionary probe (J1: tiny side — broadcast by value).
 
-    Term buckets are computed with the pure-Python xxh64 twin, so the
-    dictionary read is partition-pruned (tb=...) before any job runs, and
-    rows come from term-sorted row groups (min/max pushdown on term)."""
+    Term buckets are computed with the pure-Python xxh64 twin, so the probe
+    is partition-pruned (tb=...) before anything runs. For local/posix paths
+    the pruned files are read directly with pyarrow on the driver — ZERO
+    Spark jobs per query; non-posix paths fall back to a pruned Spark read
+    (term-sorted row groups → min/max pushdown)."""
+    import glob
+
     from ..functions.hashing import term_bucket
 
     if not terms:
         return []
-    tbs = sorted({term_bucket(t, n_term_buckets) for t in terms})
+    by_tb: dict[int, list[str]] = {}
+    for t in terms:
+        by_tb.setdefault(term_bucket(t, n_term_buckets), []).append(t)
+
+    dict_dir = f"{out_dir}/dictionary"
+    if os.path.isdir(dict_dir):
+        import pyarrow.dataset as ds
+
+        out: list[dict] = []
+        for tb, tb_terms in sorted(by_tb.items()):
+            files = glob.glob(f"{dict_dir}/tb={tb}/*.parquet")
+            if not files:
+                continue
+            tbl = ds.dataset(files, format="parquet").to_table(
+                filter=ds.field("term").isin(tb_terms)
+            )
+            for row in tbl.to_pylist():
+                row["tb"] = tb
+                out.append(row)
+        return out
+
+    tbs = sorted(by_tb)
     d = (
-        spark.read.parquet(f"{out_dir}/dictionary")
+        spark.read.parquet(dict_dir)
         .where(F.col("tb").isin(tbs) & F.col("term").isin(terms))
         .collect()
     )
@@ -333,3 +359,41 @@ def bm25_topk_sql(spark: SparkSession, out_dir: str, query: str, k: int = 10) ->
         .agg(F.sum("s").alias("score"))
     )
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+class Searcher:
+    """Reusable query handle: caches stats + dictionary probes so repeated
+    queries pay only the single pruned segment-scan job."""
+
+    def __init__(self, spark: SparkSession, out_dir: str):
+        self.spark = spark
+        self.out_dir = out_dir
+        self.stats = load_stats(out_dir)
+        self._term_cache: dict[str, dict | None] = {}
+
+    def _entries(self, terms: list[str]) -> list[dict]:
+        missing = [t for t in terms if t not in self._term_cache]
+        if missing:
+            found = {e["term"]: e for e in _lookup_terms(
+                self.spark, self.out_dir, missing, self.stats["n_term_buckets"]
+            )}
+            for t in missing:
+                self._term_cache[t] = found.get(t)
+        return [self._term_cache[t] for t in terms if self._term_cache[t] is not None]
+
+    def search(self, query: str, k: int = 10, prune: bool = True) -> DataFrame:
+        terms = sorted(set(tokenize(query)))
+        entries = self._entries(terms)
+        if not entries:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        term_idf = {e["term"]: idf(self.stats["n_docs"], int(e["df"])) for e in entries}
+        tbs = sorted({int(e["tb"]) for e in entries})
+        seg = (
+            self.spark.read.parquet(f"{self.out_dir}/segments")
+            .where(F.col("tb").isin(tbs) & F.col("term").isin(sorted(term_idf)))
+            .select("bucket", "term", "blk", "n", "max_tf", "min_dl", "docs", "tfs", "dls")
+        )
+        kern = _score_kernel(term_idf, k, prune=prune)
+        kern.k1, kern.b, kern.avgdl = self.stats["k1"], self.stats["b"], self.stats["avgdl"]
+        local = seg.groupBy("bucket").applyInPandas(kern, schema="doc_id long, score double")
+        return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
