@@ -348,3 +348,128 @@ def refresh_dictionary(spark: SparkSession, out_dir: str, n_term_buckets: int) -
 def load_stats(out_dir: str) -> dict:
     with open(os.path.join(out_dir, "stats.json")) as f:
         return json.load(f)
+
+
+def compact_segments(
+    spark: SparkSession,
+    out_dir: str,
+    *,
+    block_size: int | None = None,
+) -> dict:
+    """Hierarchical merge: defragment delta segments into full-size blocks.
+
+    After many incremental batches a (term, bucket) group accumulates many
+    short tail blocks (one per batch). Compaction re-sorts each group's
+    postings, drops duplicate doc_ids (keep-first, same rule as the
+    builder), and re-encodes into dense ``block_size`` blocks — the
+    LSM/Lucene segment-merge step. Because per-(term,bucket) runs are
+    disjoint docID ranges, the merge never crosses buckets; the shuffle
+    moves only compressed blocks.
+
+    Atomic swap: new segments land in ``segments_compacting`` and replace
+    ``segments`` only after a successful write (commit ordering), then the
+    dictionary is refreshed and the manifest gains a ``compact_*`` row set.
+    Returns {"blocks_before": .., "blocks_after": ..}.
+    """
+    import shutil
+
+    stats = load_stats(out_dir)
+    block_size = block_size or stats["block_size"]
+    seg_dir = os.path.join(out_dir, "segments")
+    tmp_dir = os.path.join(out_dir, "segments_compacting")
+    if os.path.isdir(tmp_dir):
+        shutil.rmtree(tmp_dir)
+
+    seg = spark.read.parquet(seg_dir)
+    blocks_before = seg.count()
+
+    def recode(batches):
+        """Decode (term,bucket) groups and re-encode densely. Delta segments
+        interleave same-(term,bucket) blocks with colliding blk numbers and
+        a group may span Arrow batches, so: decode preserving group
+        contiguity, hold back the boundary group, sort each run of COMPLETE
+        groups by (term,bucket,doc_id,tf,dl) (the build's dedup sort key),
+        and feed the block builder one continuous sorted stream."""
+        from ..functions.codecs import varint_decode
+
+        builder = _make_block_builder(block_size)
+
+        def decode_rows(pdf: pd.DataFrame) -> pd.DataFrame:
+            outs = []
+            for term, bucket, n, docs_b, tfs_b, dls_b in zip(
+                pdf["term"], pdf["bucket"], pdf["n"], pdf["docs"], pdf["tfs"], pdf["dls"]
+            ):
+                d = np.cumsum(varint_decode(docs_b, int(n))).astype(np.int64)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "term": term,
+                            "bucket": bucket,
+                            "doc_id": d,
+                            "tf": varint_decode(tfs_b, int(n)).astype(np.int64),
+                            "dl": varint_decode(dls_b, int(n)).astype(np.int64),
+                        }
+                    )
+                )
+            return (
+                pd.concat(outs, ignore_index=True)
+                if outs
+                else pd.DataFrame(columns=["term", "bucket", "doc_id", "tf", "dl"])
+            )
+
+        def complete_group_chunks():
+            carry: pd.DataFrame | None = None
+            for pdf in batches:
+                decoded = decode_rows(pdf)
+                if carry is not None and len(carry):
+                    decoded = pd.concat([carry, decoded], ignore_index=True)
+                if not len(decoded):
+                    continue
+                lt = decoded["term"].iloc[-1]
+                lb = decoded["bucket"].iloc[-1]
+                tail = (decoded["term"] == lt) & (decoded["bucket"] == lb)
+                carry = decoded[tail]
+                head = decoded[~tail]
+                if len(head):
+                    yield head.sort_values(
+                        ["term", "bucket", "doc_id", "tf", "dl"], kind="mergesort"
+                    )
+            if carry is not None and len(carry):
+                yield carry.sort_values(
+                    ["term", "bucket", "doc_id", "tf", "dl"], kind="mergesort"
+                )
+
+        yield from builder(complete_group_chunks())
+
+    recompacted = (
+        seg.repartition("term", "bucket")
+        .sortWithinPartitions("term", "bucket", "blk")
+        .mapInPandas(recode, schema=BLOCKS_SCHEMA)
+        .withColumn("tb", F.pmod(F.xxhash64("term"), F.lit(stats["n_term_buckets"])).cast("int"))
+        .repartition(stats["n_term_buckets"], "tb")
+        .sortWithinPartitions("term", "bucket", "blk")
+    )
+    recompacted.write.mode("overwrite").partitionBy("tb").parquet(tmp_dir)
+
+    old_dir = os.path.join(out_dir, "segments_old")
+    if os.path.isdir(old_dir):
+        shutil.rmtree(old_dir)
+    os.rename(seg_dir, old_dir)
+    os.rename(tmp_dir, seg_dir)
+    shutil.rmtree(old_dir)
+    refresh_dictionary(spark, out_dir, stats["n_term_buckets"])
+
+    seg2 = spark.read.parquet(seg_dir)
+    blocks_after = seg2.count()
+    man = seg2.groupBy("bucket").agg(
+        F.countDistinct("term").alias("n_terms"),
+        F.count("*").alias("n_blocks"),
+        F.sum("n").alias("n_postings"),
+        F.sum(F.crc32(F.concat_ws("|", "term", "blk", "n", "min_doc", "max_doc"))).alias(
+            "checksum"
+        ),
+    ).withColumn("committed_at", F.lit(time.time()).cast("timestamp")).withColumn(
+        "run_id", F.lit(f"compact_{int(time.time())}")
+    )
+    man.write.mode("append").parquet(os.path.join(out_dir, "manifest"))
+    return {"blocks_before": int(blocks_before), "blocks_after": int(blocks_after)}
