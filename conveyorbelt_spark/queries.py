@@ -273,10 +273,12 @@ def q08_term_freq(spark, sf_dir):
     """Tokenize + term-frequency agg — the (term, df, cf) dictionary shape
     (SURVEY A5)."""
     docs = _t(spark, sf_dir, "documents")
+    # two-level agg beats countDistinct's expand: (doc,term) partial counts
+    # shuffle once, then a cheap per-term rollup (cf = Σtf, df = count)
+    tf = _tokens(docs).groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     return (
-        _tokens(docs)
-        .groupBy("term")
-        .agg(F.count("*").alias("cf"), F.countDistinct("doc_id").alias("df"))
+        tf.groupBy("term")
+        .agg(F.sum("tf").alias("cf"), F.count("*").alias("df"))
         .orderBy(F.desc("cf"), F.asc("term"))
         .limit(50)
     )
@@ -292,10 +294,10 @@ GROUP BY term ORDER BY cf DESC, term ASC LIMIT 50
 def q09_doc_stats(spark, sf_dir):
     """Doc-length table (dl + distinct terms) — the doclens sidecar."""
     docs = _t(spark, sf_dir, "documents")
+    tf = _tokens(docs).groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     return (
-        _tokens(docs)
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("dl"), F.countDistinct("term").alias("n_terms"))
+        tf.groupBy("doc_id")
+        .agg(F.sum("tf").alias("dl"), F.count("*").alias("n_terms"))
         .orderBy("doc_id")
     )
 
@@ -313,9 +315,11 @@ def q10_bm25_topk(spark, sf_dir):
     """Flagship: BM25 top-10 over documents, pure DataFrame ops
     (k1=1.2, b=0.75, ES idf; north_rule query semantics)."""
     docs = _t(spark, sf_dir, "documents")
-    n_docs = docs.count()
     tf = _tokens(docs).groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    # one job for both corpus stats (n_docs counts ALL docs incl. empty)
+    srow = docs.agg(F.count("*").alias("n")).collect()[0]
+    n_docs = int(srow["n"])
     total = dl.agg(F.sum("dl")).collect()[0][0]
     avgdl = float(total) / n_docs
     qterms = spark.createDataFrame([(t,) for t in BM25_QUERY_TERMS], "term string")
