@@ -48,7 +48,7 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     return out.select(
         id_col,
         F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_pred"),
-        best["hits"].alias("lang_hits"),
+        best["hits"].cast("long").alias("lang_hits"),
     )
 
 
@@ -61,7 +61,7 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     c = F.col(text_col)
     out = df.select(
         id_col,
-        F.size(toks).alias("n_tokens"),
+        F.size(toks).cast("long").alias("n_tokens"),
         F.length(c).alias("n_chars_m"),
         (F.length(F.regexp_replace(F.lower(c), "[^a-z0-9]", "")) / F.greatest(F.length(c), F.lit(1))).alias("alnum_ratio"),
         (F.size(F.filter(toks, lambda t: F.array_contains(en, t))) / F.greatest(F.size(toks), F.lit(1))).alias("stopword_ratio"),
@@ -83,7 +83,12 @@ def token_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
     ws = F.size(F.filter(F.split(c, "\\s+"), lambda t: t != ""))
     words = F.size(_tokens_col(text_col))
     bpe = F.size(F.regexp_extract_all(F.lower(c), F.lit(BPE_ISH_RE), 0))
-    return df.select(id_col, ws.alias("ws_tokens"), words.alias("word_tokens"), bpe.alias("bpe_ish_tokens"))
+    return df.select(
+        id_col,
+        ws.cast("long").alias("ws_tokens"),
+        words.cast("long").alias("word_tokens"),
+        bpe.cast("long").alias("bpe_ish_tokens"),
+    )
 
 
 def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -175,7 +175,7 @@ WITH gaps AS (
                              ROWS UNBOUNDED PRECEDING) AS session_id
   FROM gaps
 )
-SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+SELECT user_id, max(session_id)::BIGINT AS n_sessions, count(*) AS n_events
 FROM sess GROUP BY user_id ORDER BY user_id
 """
 
@@ -209,7 +209,7 @@ def q06_topk_per_group(spark, sf_dir):
         .where(F.col("rnk") <= 3)
         .select(
             "o_orderpriority",
-            "rnk",
+            F.col("rnk").cast("long").alias("rnk"),
             "o_orderkey",
             F.round("o_totalprice", 4).alias("totalprice"),
         )
@@ -575,7 +575,7 @@ sh AS (
   SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS simhash
   FROM bits GROUP BY doc_id
 )
-SELECT d.doc_id, coalesce(sh.simhash, 0) AS simhash
+SELECT d.doc_id, coalesce(sh.simhash, 0)::BIGINT AS simhash
 FROM documents d LEFT JOIN sh ON d.doc_id = sh.doc_id
 ORDER BY d.doc_id
 """
