@@ -12,7 +12,14 @@ import os
 import sys
 from collections.abc import Callable
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+# executor Python workers unpickle Arrow kernels from conveyorbelt_spark —
+# export the package root so they can import it regardless of the driver's
+# cwd (workers read PYTHONPATH when the pyspark daemon spawns)
+_pp = os.environ.get("PYTHONPATH", "")
+if _REPO not in _pp.split(os.pathsep):
+    os.environ["PYTHONPATH"] = f"{_REPO}{os.pathsep}{_pp}" if _pp else _REPO
 
 from pyspark.sql import DataFrame, SparkSession
 
