@@ -28,27 +28,36 @@ def _tokens_col(text_col):
 def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """→ (id, lang_pred, lang_hits): argmax of marker-token hits per
     language; ties and zero hits → 'und'. Deterministic tie-break by
-    language code ascending."""
-    toks = _tokens_col(text_col)
-    out = df.select(id_col, toks.alias("toks"))
+    language code ascending (higher inv_rank = earlier language wins the
+    lexicographic struct max).
+
+    Plan shape: explode tokens → broadcast hash join against the tiny
+    (term, lang, inv_rank) marker dim → two hash aggregates. All JVM-side
+    with map-side partial aggregation — the shuffle carries one row per
+    (doc, lang) with marker hits only, not the full token stream."""
+    spark = df.sparkSession
     langs = sorted(LANG_MARKERS)
-    hit_cols = []
-    for idx, lang in enumerate(langs):
-        arr = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
-        hits = F.size(F.filter(F.col("toks"), lambda t: F.array_contains(arr, t)))
-        # inv_rank makes max() break hit-ties toward the ASCENDING language
-        hit_cols.append(
-            F.struct(
-                hits.alias("hits"),
-                F.lit(len(langs) - 1 - idx).alias("inv_rank"),
-                F.lit(lang).alias("lang"),
-            )
+    rows = [
+        (m, lang, len(langs) - 1 - idx)
+        for idx, lang in enumerate(langs)
+        for m in LANG_MARKERS[lang]
+    ]
+    markers = spark.createDataFrame(rows, "term string, lang string, inv_rank int")
+    toks = df.select(id_col, F.explode(_tokens_col(text_col)).alias("term"))
+    hits = (
+        toks.join(F.broadcast(markers), "term")
+        .groupBy(id_col, "lang", "inv_rank")
+        .agg(F.count("*").alias("hits"))
+    )
+    best = hits.groupBy(id_col).agg(F.max(F.struct("hits", "inv_rank", "lang")).alias("b"))
+    return (
+        df.select(id_col)
+        .join(best, id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("b.hits") > 0, F.col("b.lang")).otherwise(F.lit("und")).alias("lang_pred"),
+            F.coalesce(F.col("b.hits"), F.lit(0)).cast("long").alias("lang_hits"),
         )
-    best = F.array_max(F.array(*hit_cols))
-    return out.select(
-        id_col,
-        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias("lang_pred"),
-        best["hits"].cast("long").alias("lang_hits"),
     )
 
 

@@ -3,15 +3,15 @@
 All hashing is PORTABLE by construction: shingles are hashed with
 ``md5 → first 15 hex chars → 60-bit int``, and MinHash permutations are
 universal hashes ``(a_i*h + b_i) mod (2^31-1)`` over that value — every step
-is expressible identically in Spark SQL functions, pandas/numpy kernels, and
-DuckDB SQL, so the oracle checks are exact (no float, no engine-specific
-hash).
+is expressible identically in Spark SQL functions and DuckDB SQL, so the
+oracle checks are exact (no float, no engine-specific hash).
 
-Scale notes: MinHash runs as one Arrow kernel per partition (one md5 per
-shingle, permutations vectorized in numpy — not num_perm× explode); the LSH
-band join is an equi-join on (band, key) that Catalyst shuffles on the band
-key, and band buckets are capped (``max_bucket``) so a degenerate bucket
-(e.g. empty docs) can't produce a quadratic pair explosion.
+Scale notes: MinHash and SimHash are fully JVM-side (explode shingles/tokens
+→ ``F.md5`` → 60-bit int → integer permutation mins inside whole-stage
+codegen — zero Python in the hot path); the LSH band join is an equi-join on
+(band, key) that Catalyst shuffles on the band key, and band buckets are
+capped (``max_bucket``) so a degenerate bucket (e.g. empty docs) can't
+produce a quadratic pair explosion.
 """
 
 from __future__ import annotations
@@ -19,14 +19,12 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import Window as W  # noqa: N817
 from pyspark.sql import functions as F  # noqa: N812
 
-from ..textutils import tokenize
-
 MERSENNE31 = (1 << 31) - 1
+TOKEN_SPLIT = "[^a-z0-9]+"  # complement of textutils.TOKEN_RE — same stream
 
 
 def perm_params(num_perm: int, seed: int = 7) -> list[tuple[int, int]]:
@@ -62,10 +60,35 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 # MinHash + LSH banding
 # --------------------------------------------------------------------------
 
-def _shingles(tokens: list[str], k: int) -> set[str]:
-    if len(tokens) < k:
-        return {" ".join(tokens)} if tokens else set()
-    return {" ".join(tokens[i : i + k]) for i in range(len(tokens) - k + 1)}
+def shingles_col(text_col, k: int):
+    """Column: distinct k-token shingles of lowercase alnum tokens.
+    <k tokens → one whole-text shingle; no tokens → empty array.
+
+    Built by zip_with over k shifted views of the token array — O(n·k) per
+    row. (A transform(sequence, i -> slice(arr, i, k)) formulation is O(n²):
+    the slice inside the lambda re-evaluates the token-split subexpression
+    per element.)"""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    arr = F.filter(F.split(F.lower(c), TOKEN_SPLIT), lambda t: t != "")
+    n = F.size(arr)
+    grams = arr
+    for j in range(1, k):
+        shifted = F.slice(arr, j + 1, F.greatest(n - j, F.lit(0)))
+        grams = F.zip_with(grams, shifted, lambda g, t: F.concat(g, F.lit(" "), t))
+    grams = F.slice(grams, 1, F.greatest(n - (k - 1), F.lit(0)))
+    return F.array_distinct(
+        F.when(n >= k, grams)
+        .when(n > 0, F.array(F.array_join(arr, " ")))
+        .otherwise(F.array().cast("array<string>"))
+    )
+
+
+def portable_hash60(col) -> "F.Column":
+    """md5 hex[:15] as a 60-bit non-negative BIGINT — the engine-portable
+    hash every dedup operator builds on (identical in DuckDB:
+    ('0x' || substr(md5(x),1,15))::UBIGINT)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
 def minhash_signatures(
@@ -77,29 +100,50 @@ def minhash_signatures(
     shingle_k: int = 3,
     seed: int = 7,
 ) -> DataFrame:
-    """→ (doc_id, sig array<long>[num_perm]). One Arrow kernel; md5 computed
-    once per shingle, all permutations vectorized."""
+    """→ (doc_id, sig array<long>[num_perm]).
+
+    Fully JVM-side: explode distinct shingles → md5 → 60-bit int mod M31 →
+    ``num_perm`` universal-hash mins in ONE hash aggregate (each min is an
+    integer expression inside whole-stage codegen; the shuffle carries one
+    row per (doc, shingle), reduced map-side by partial aggregation).
+    Docs with no tokens get the identity signature [M31] * num_perm."""
     params = perm_params(num_perm, seed)
-    a = np.array([p[0] for p in params], dtype=np.int64)[:, None]
-    b = np.array([p[1] for p in params], dtype=np.int64)[:, None]
-
-    def run(batches):
-        for pdf in batches:
-            ids, sigs = [], []
-            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                sh = _shingles(tokenize(text or ""), shingle_k)
-                if not sh:
-                    sigs.append([int(MERSENNE31)] * len(params))
-                    ids.append(doc_id)
-                    continue
-                h = np.array(sorted(shingle_hash_py(s) for s in sh), dtype=np.int64)
-                h31 = h % MERSENNE31
-                vals = (a * h31[None, :] + b) % MERSENNE31  # (num_perm, n_shingles)
-                sigs.append(vals.min(axis=1).tolist())
-                ids.append(doc_id)
-            yield pd.DataFrame({id_col: ids, "sig": sigs})
-
-    return df.select(id_col, text_col).mapInPandas(run, schema=f"{id_col} long, sig array<long>")
+    # full k-gram shingles via posexplode + window lead: every step is a
+    # codegen'd builtin (no interpreted array lambdas). The window partitions
+    # by doc — bounded by one document's tokens, skew-free at any corpus size.
+    c = F.col(text_col)
+    arr = F.filter(F.split(F.lower(c), TOKEN_SPLIT), lambda t: t != "")
+    toks = df.select(id_col, F.posexplode(arr).alias("pos", "term"))
+    w = W.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("term")] + [F.lead("term", j).over(w) for j in range(1, shingle_k)]
+    full = (
+        toks.select(id_col, F.concat_ws(" ", *parts).alias("shingle"), parts[-1].alias("_last"))
+        .where(F.col("_last").isNotNull())
+        .select(id_col, "shingle")
+    )
+    # docs with 0 < n < k tokens contribute one whole-text shingle
+    short = df.select(id_col, F.array_join(arr, " ").alias("shingle")).where(
+        (F.size(arr) > 0) & (F.size(arr) < shingle_k)
+    )
+    # no distinct needed: duplicate shingles can't change a min
+    sh = full.union(short)
+    hv = F.pmod(portable_hash60("shingle"), F.lit(MERSENNE31))
+    hashed = sh.select(id_col, hv.alias("hv"))
+    mins = [
+        F.min(F.pmod(F.lit(a) * F.col("hv") + F.lit(b), F.lit(MERSENNE31))).alias(f"m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    sigs = (
+        hashed.groupBy(id_col)
+        .agg(*mins)
+        .select(id_col, F.array(*[f"m{i}" for i in range(num_perm)]).alias("sig"))
+    )
+    fill = F.array_repeat(F.lit(MERSENNE31).cast("long"), num_perm)
+    return (
+        df.select(id_col)
+        .join(sigs, id_col, "left")
+        .select(id_col, F.coalesce("sig", fill).alias("sig"))
+    )
 
 
 def minhash_lsh_pairs(
@@ -144,6 +188,48 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_near_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    bands: int = 4,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Fused LSH banding + Jaccard estimate: one banding self-join that
+    carries the signature arrays, so the estimate needs no re-join against
+    the signatures (→ (doc_a, doc_b, est_jaccard)). Same candidates as
+    ``minhash_lsh_pairs`` + same estimate as ``minhash_jaccard_estimate``."""
+    num_perm_col = F.size("sig")
+    r = (num_perm_col / bands).cast("int")
+    banded = (
+        sigs.select(
+            id_col,
+            F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+            "sig",
+        )
+        .withColumn(
+            "bucket",
+            F.md5(F.concat_ws(",", F.slice("sig", F.col("band") * r + 1, r))),
+        )
+        .select(id_col, "band", "bucket", "sig")
+    )
+    sized = banded.withColumn(
+        "bsz", F.count("*").over(W.partitionBy("band", "bucket"))
+    ).where(F.col("bsz") <= max_bucket)
+    a = sized.select(F.col(id_col).alias("doc_a"), "band", "bucket", F.col("sig").alias("sig_a"))
+    b = sized.select(F.col(id_col).alias("doc_b"), "band", "bucket", F.col("sig").alias("sig_b"))
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+        / F.size("sig_a")
+    )
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", est.alias("est_jaccard"))
+        .distinct()
+    )
+
+
 def minhash_jaccard_estimate(
     sigs_a: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:
@@ -171,31 +257,38 @@ SIMHASH_BITS = 32
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """→ (doc_id, simhash long): 32-bit simhash over token hashes; bit j is
-    the sign of Σ over tokens of (±1 by token-hash bit j, weighted by tf).
-    Portable: token hash = md5[:15] as int (mod 2^32)."""
+    the sign of Σ over distinct tokens of (±1 by token-hash bit j, weighted
+    by tf). Portable: token hash = md5[:15] as int (mod 2^32).
 
-    def run(batches):
-        bit_w = 1 << np.arange(SIMHASH_BITS, dtype=np.int64)
-        for pdf in batches:
-            ids, hashes = [], []
-            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
-                toks = tokenize(text or "")
-                if not toks:
-                    ids.append(doc_id)
-                    hashes.append(0)
-                    continue
-                vc = pd.Series(toks).value_counts()
-                h = np.array([shingle_hash_py(t) for t in vc.index], dtype=np.int64) % (
-                    1 << SIMHASH_BITS
-                )
-                w = vc.to_numpy().astype(np.int64)
-                bits = (h[:, None] >> np.arange(SIMHASH_BITS)) & 1  # (n_tok, 32)
-                score = ((2 * bits - 1) * w[:, None]).sum(axis=0)
-                ids.append(doc_id)
-                hashes.append(int(((score > 0).astype(np.int64) * bit_w).sum()))
-            yield pd.DataFrame({id_col: ids, "simhash": hashes})
-
-    return df.select(id_col, text_col).mapInPandas(run, schema=f"{id_col} long, simhash long")
+    Fully JVM-side: explode tokens → (doc, term, tf) partial-agg shuffle →
+    one hash aggregate computing all 32 signed bit sums as codegen'd integer
+    expressions — no Python in the hot path."""
+    c = F.col(text_col)
+    toks = F.filter(F.split(F.lower(c), TOKEN_SPLIT), lambda t: t != "")
+    tf = (
+        df.select(id_col, F.explode(toks).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    hv = F.pmod(portable_hash60("term"), F.lit(1 << SIMHASH_BITS))
+    hashed = tf.select(id_col, "tf", hv.alias("hv"))
+    sums = [
+        F.sum(
+            (F.shiftright("hv", j).bitwiseAND(F.lit(1)) * 2 - 1) * F.col("tf")
+        ).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    agg = hashed.groupBy(id_col).agg(*sums)
+    sim = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = bit if sim is None else sim + bit
+    out = agg.select(id_col, sim.alias("simhash"))
+    return (
+        df.select(id_col)
+        .join(out, id_col, "left")
+        .select(id_col, F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash"))
+    )
 
 
 def simhash_near_pairs(
@@ -234,30 +327,7 @@ def ngram_jaccard(
 ) -> DataFrame:
     """Exact Jaccard over k-token shingle sets for candidate pairs —
     JVM-side set ops on shingle arrays (array_intersect/union)."""
-    sh = df.select(
-        F.col(id_col),
-        F.array_distinct(
-            F.transform(
-                F.sequence(
-                    F.lit(0),
-                    F.greatest(
-                        F.size(F.split(F.lower(text_col), "[^a-z0-9]+")) - shingle_k,
-                        F.lit(0),
-                    ),
-                ),
-                lambda i: F.concat_ws(
-                    " ",
-                    *[
-                        F.try_element_at(
-                            F.filter(F.split(F.lower(text_col), "[^a-z0-9]+"), lambda t: t != ""),
-                            (i + j + 1).cast("int"),
-                        )
-                        for j in range(shingle_k)
-                    ],
-                ),
-            )
-        ).alias("shingles"),
-    )
+    sh = df.select(F.col(id_col), shingles_col(text_col, shingle_k).alias("shingles"))
     sa = sh.select(F.col(id_col).alias("doc_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col(id_col).alias("doc_b"), F.col("shingles").alias("sh_b"))
     return (

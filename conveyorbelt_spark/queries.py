@@ -467,8 +467,9 @@ from .functions.textstats import quality_score as _quality  # noqa: E402
 from .functions.textstats import token_counts as _tok_counts  # noqa: E402
 from .operators.dedup import (  # noqa: E402
     exact_dedup as _exact_dedup,
-    minhash_jaccard_estimate as _mh_est,
-    minhash_lsh_pairs as _mh_pairs,
+    minhash_jaccard_estimate as _mh_est,  # noqa: F401 (modular API kept)
+    minhash_lsh_pairs as _mh_pairs,  # noqa: F401
+    minhash_near_pairs as _mh_near,
     minhash_signatures as _mh_sigs,
     simhash as _simhash,
 )
@@ -514,10 +515,11 @@ def q14_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup candidates with estimated Jaccard (16 perms,
     4 bands) — the shingle→minhash→band→bucket-join dedup pipeline."""
     docs = _t(spark, sf_dir, "documents")
-    sigs = _mh_sigs(docs, num_perm=16)
-    pairs = _mh_pairs(sigs, bands=4)
+    # signatures feed both sides of the banding self-join: materialize once
+    # (at scale you'd write them to parquet; 16 longs/doc is trivial to cache)
+    sigs = _mh_sigs(docs, num_perm=16).persist()
     return (
-        _mh_est(sigs, pairs)
+        _mh_near(sigs, bands=4)
         .select("doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard"))
         .orderBy("doc_a", "doc_b")
     )
