@@ -19,14 +19,33 @@ Pipeline (all DataFrame ops + two Arrow kernels, no per-row Python):
     → repartition(term, bucket) + sortWithinPartitions(term, bucket, doc_id)
     → block builder kernel: 128-doc blocks, delta-gap+varint docIDs,
       varint tf & dl, block-max score metadata
-    → segments parquet partitioned by term-hash bucket (query-time partition
-      pruning), dictionary parquet, per-bucket lineage manifest.
+    → segments parquet partitioned by (term-hash bucket, run) — query-time
+      partition pruning on ``tb``; ``run`` makes every write an idempotent
+      dynamic-partition overwrite (a replayed/crashed run replaces its own
+      partitions instead of duplicating blocks)
+    → dictionary parquet (per-run deltas, merged on read), per-(run, bucket)
+      lineage manifest carrying the doc-count/token ledger that stats.json
+      is derived from.
+
+Commit protocol (reference analogue: LastOffsetPoint advanced only
+after push, MinuteTableShardScheduler.cs:44):
+  segments (overwrite run=R) → dictionary delta (overwrite run=R) →
+  manifest rows for R (append = THE commit) → stats.json (derived from
+  manifest, self-healing on replay).
+A crash anywhere before the manifest append leaves only uncommitted
+``run=R`` partitions, which the next attempt overwrites (streaming) or the
+resume path deletes (batch) — no duplicated postings, no double-counted
+stats in either crash window.
 
 Scale notes (100 TB / 10^12 docs): the only wide shuffle is (term, bucket);
 bucket count bounds per-task skew for stopword-grade terms (df ~ N) at
 N_postings/n_buckets, and n_buckets scales with cluster size without
 changing file layout. Pass 1 is a narrow scan. Dictionary aggregation reads
 only block metadata columns (column pruning keeps the binary columns out).
+Incremental batches do O(delta) work: the manifest/dictionary/stats updates
+all derive from the batch's own pruned ``run=R`` partitions, never from a
+re-read of the whole index (the per-run partition count grows until
+``compact_segments`` folds the deltas back into one run).
 """
 
 from __future__ import annotations
@@ -58,6 +77,105 @@ def _bucket_col(n_buckets: int):
     bits = int(np.log2(n_buckets))
     assert 2**bits == n_buckets, "n_buckets must be a power of two"
     return F.shiftrightunsigned(F.col("doc_id"), 63 - bits).cast("int")
+
+
+def _dyn_overwrite(df: DataFrame, path: str, partition_cols: tuple[str, ...]) -> None:
+    """Idempotent write: dynamic partition overwrite replaces exactly the
+    partitions present in ``df`` (this run's), leaving other runs intact."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
+def _run_dirs(root: str) -> list[tuple[str, str]]:
+    """[(dir, run_value)] for every run=... partition directory under root."""
+    import glob as _glob
+
+    out = []
+    for d in _glob.glob(os.path.join(root, "**", "run=*"), recursive=True):
+        if os.path.isdir(d):
+            out.append((d, os.path.basename(d).split("=", 1)[1]))
+    return out
+
+
+def _clean_uncommitted_runs(root: str, committed: set[str]) -> int:
+    """Delete run partitions that have no manifest commit (the crash window
+    between a segment write and its manifest append). Returns dirs removed."""
+    import shutil
+
+    n = 0
+    for d, run_val in _run_dirs(root):
+        if run_val not in committed:
+            shutil.rmtree(d)
+            n += 1
+    return n
+
+
+def _manifest_for_run(
+    delta_blocks: DataFrame,
+    doc_stats: DataFrame,
+    run_id: str,
+    run_val: str,
+) -> DataFrame:
+    """Per-bucket lineage row set for one run: block metadata aggregates
+    (from the run's own blocks — never a whole-index re-read) joined with
+    the run's (bucket, n_docs, sum_dl) doc ledger. ``sum_dl``/``n_docs``
+    feed the stats.json derivation (Σ over committed manifest rows)."""
+    blk = delta_blocks.groupBy("bucket").agg(
+        F.countDistinct("term").alias("n_terms"),
+        F.count("*").alias("n_blocks"),
+        F.sum("n").alias("n_postings"),
+        F.sum(
+            F.crc32(F.concat_ws("|", "term", "blk", "n", "min_doc", "max_doc"))
+        ).alias("checksum"),
+    )
+    man = blk.join(doc_stats, "bucket", "full_outer")
+    zero = {c: 0 for c in ("n_terms", "n_blocks", "n_postings", "checksum", "n_docs", "sum_dl")}
+    return (
+        man.na.fill(zero)
+        .withColumn("committed_at", F.lit(time.time()).cast("timestamp"))
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("run", F.lit(run_val))
+    )
+
+
+def refresh_stats(spark: SparkSession, out_dir: str, defaults: dict | None = None) -> dict:
+    """Derive stats.json from the committed manifest ledger (tiny read):
+    n_docs = Σ per-run-per-bucket doc counts, total_tokens = Σ sum_dl.
+    Exact while runs ingest disjoint docs; a re-ingested doc drifts the
+    totals until ``compact_segments`` recounts from doclens. Config knobs
+    come from the existing stats.json (or ``defaults`` on first write)."""
+    stats_path = os.path.join(out_dir, "stats.json")
+    cfg: dict = {}
+    if os.path.exists(stats_path):
+        with open(stats_path) as f:
+            prev = json.load(f)
+        cfg = {k: prev[k] for k in ("k1", "b", "n_buckets", "block_size", "n_term_buckets")}
+    elif defaults:
+        cfg = {k: defaults[k] for k in ("k1", "b", "n_buckets", "block_size", "n_term_buckets")}
+    man_dir = os.path.join(out_dir, "manifest")
+    try:
+        row = (
+            spark.read.parquet(man_dir)
+            .agg(F.sum("n_docs").alias("nd"), F.sum("sum_dl").alias("tt"))
+            .collect()[0]
+        )
+        n_docs, total_tokens = int(row["nd"] or 0), int(row["tt"] or 0)
+    except Exception:  # no manifest yet (empty first batch) → zero stats
+        n_docs, total_tokens = 0, 0
+    stats = {
+        "n_docs": n_docs,
+        "total_tokens": total_tokens,
+        "avgdl": total_tokens / n_docs if n_docs else 0.0,
+        **cfg,
+    }
+    os.makedirs(out_dir, exist_ok=True)
+    with open(stats_path, "w") as f:
+        json.dump(stats, f, indent=2)
+    return stats
 
 
 def _doclens_kernel(batches):
@@ -207,8 +325,10 @@ def build_index(
     units: each unit's segment files are written *before* its manifest rows
     (the reference's offset-after-push ordering,
     MinuteTableShardScheduler.cs:44). ``resume=True`` skips buckets whose
-    manifest rows already exist — re-running a killed build yields identical
-    segments (tested in tests/test_resume.py).
+    manifest rows already exist AND deletes segment run-partitions that were
+    written without a manifest commit (the crash window between the segment
+    write and the manifest append), so re-running a killed build yields
+    identical segments with no duplicated blocks (tests/test_resume.py).
     """
     # NO dropDuplicates here: a global dedup would shuffle the full text
     # twice. Duplicate urls are removed where they're already adjacent —
@@ -221,14 +341,20 @@ def build_index(
     man_dir = os.path.join(out_dir, "manifest")
     done: set[int] = set()
     if resume and os.path.isdir(man_dir):
-        done = {r.bucket for r in spark.read.parquet(man_dir).select("bucket").collect()}
+        man_prev = spark.read.parquet(man_dir).select("bucket", "run").collect()
+        done = {r.bucket for r in man_prev}
+        committed_runs = {r.run for r in man_prev}
+        _clean_uncommitted_runs(seg_dir, committed_runs)
     else:
+        import shutil
+
         for sub in ("segments", "manifest", "dictionary", "doclens"):
             p = os.path.join(out_dir, sub)
             if os.path.isdir(p):
-                import shutil
-
                 shutil.rmtree(p)
+        stats_path = os.path.join(out_dir, "stats.json")
+        if os.path.exists(stats_path):
+            os.remove(stats_path)  # a stale config must not outlive its index
 
     verbose = os.environ.get("CB_BUILD_VERBOSE")
     t_last = time.time()
@@ -239,11 +365,18 @@ def build_index(
             print(f"[build_index] {phase}: {time.time() - t_last:.1f}s", flush=True)
         t_last = time.time()
 
-    # ---- pass 1 is just N: a JVM-only distinct count over doc ids (no
-    # tokenize pre-pass — avgdl falls out of the dictionary's cf totals
-    # after the build, because block-max metadata is (max_tf, min_dl))
-    n_docs = docs.select("doc_id").distinct().count()
-    _mark("pass1 n_docs")
+    bucket_expr = _bucket_col(n_buckets)
+
+    # ---- pass 1: per-bucket distinct doc counts (JVM-only agg over doc
+    # ids; buckets partition the id space so Σ = N — no tokenize pre-pass,
+    # avgdl falls out of the manifest's sum_dl ledger after the build)
+    bstats = {
+        int(r["bucket"]): int(r["nd"])
+        for r in docs.groupBy(bucket_expr.alias("bucket"))
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .collect()
+    }
+    _mark("pass1 bucket doc counts")
 
     # ---- pass 2: postings → blocks, committed bucket-group at a time
     all_buckets = [bkt for bkt in range(n_buckets) if bkt not in done]
@@ -254,16 +387,21 @@ def build_index(
 
     builder = _make_block_builder(block_size)
     for group in groups:
-        tokens = tokenize_to_postings(docs, "doc_id", "text").withColumn(
+        run_val = f"{run_id}-g{min(group)}"
+        # pre-filter docs BY DOC-ID RANGE before tokenizing, so c commit
+        # groups tokenize each doc once, not c times (bucket = top id bits)
+        docs_g = docs.where(bucket_expr.isin(group)) if len(group) < n_buckets else docs
+        tokens = tokenize_to_postings(docs_g, "doc_id", "text").withColumn(
             "bucket", _bucket_col(n_buckets)
         )
-        if len(group) < n_buckets:
-            tokens = tokens.where(F.col("bucket").isin(group))
         blocks = (
             tokens.repartition("term", "bucket")
-            .sortWithinPartitions("term", "bucket", "doc_id")
+            # tf/dl in the sort key: duplicate doc_ids keep-first is then
+            # deterministic and matches the compaction sort
+            .sortWithinPartitions("term", "bucket", "doc_id", "tf", "dl")
             .mapInPandas(builder, schema=BLOCKS_SCHEMA)
             .withColumn("tb", F.pmod(F.xxhash64("term"), F.lit(n_term_buckets)).cast("int"))
+            .withColumn("run", F.lit(run_val))
         )
         # Second (small) shuffle of the already-compressed blocks so each
         # term-hash dir gets one file instead of one per upstream task —
@@ -272,47 +410,37 @@ def build_index(
         blocks = blocks.repartition(n_term_buckets, "tb").sortWithinPartitions(
             "term", "bucket", "blk"
         )  # term-sorted row groups → parquet min/max stats prune term lookups
-        blocks.write.mode("append").partitionBy("tb").parquet(seg_dir)
+        _dyn_overwrite(blocks, seg_dir, ("tb", "run"))
         _mark("pass2 segments")
-        # manifest AFTER segment write (commit ordering); checksum over block
+        # manifest AFTER segment write (commit ordering); aggregates come
+        # from THIS run's partitions only (pruned read), checksum over block
         # METADATA only — no re-read of the binary posting columns
-        seg = spark.read.parquet(seg_dir).where(F.col("bucket").isin(group))
-        man = seg.groupBy("bucket").agg(
-            F.countDistinct("term").alias("n_terms"),
-            F.count("*").alias("n_blocks"),
-            F.sum("n").alias("n_postings"),
-            F.sum(
-                F.crc32(F.concat_ws("|", "term", "blk", "n", "min_doc", "max_doc"))
-            ).alias("checksum"),
-        ).withColumn("committed_at", F.lit(time.time()).cast("timestamp")).withColumn(
-            "run_id", F.lit(run_id)
-        )
+        delta = spark.read.parquet(seg_dir).where(F.col("run") == run_val)
+        doc_stats = spark.createDataFrame(
+            [(bkt, bstats.get(bkt, 0), 0) for bkt in group],
+            "bucket int, n_docs long, sum_dl long",
+        ).drop("sum_dl")
+        # sum_dl per bucket = Σ tf over kept postings (= Σ doc lengths,
+        # since every token of a kept doc lands in exactly one posting)
+        sum_dl = delta.groupBy("bucket").agg(F.sum("sum_tf").alias("sum_dl"))
+        doc_stats = doc_stats.join(sum_dl, "bucket", "left").na.fill({"sum_dl": 0})
+        man = _manifest_for_run(delta, doc_stats, run_id, run_val)
         man.write.mode("append").parquet(man_dir)
 
     refresh_dictionary(spark, out_dir, n_term_buckets)
     _mark("dictionary")
 
-    # ---- corpus stats from the dictionary (total tokens = Σ cf) — exact,
-    # no extra scan of the raw corpus
-    total_tokens = int(
-        spark.read.parquet(os.path.join(out_dir, "dictionary"))
-        .agg(F.sum("cf"))
-        .collect()[0][0]
-        or 0
+    stats = refresh_stats(
+        spark,
+        out_dir,
+        defaults={
+            "k1": k1,
+            "b": b,
+            "n_buckets": n_buckets,
+            "block_size": block_size,
+            "n_term_buckets": n_term_buckets,
+        },
     )
-    stats = {
-        "n_docs": n_docs,
-        "total_tokens": total_tokens,
-        "avgdl": total_tokens / n_docs if n_docs else 0.0,
-        "k1": k1,
-        "b": b,
-        "n_buckets": n_buckets,
-        "block_size": block_size,
-        "n_term_buckets": n_term_buckets,
-    }
-    os.makedirs(out_dir, exist_ok=True)
-    with open(os.path.join(out_dir, "stats.json"), "w") as f:
-        json.dump(stats, f, indent=2)
     _mark("stats")
     return stats
 
@@ -320,29 +448,55 @@ def build_index(
 def write_doclens(spark: SparkSession, docs: DataFrame, out_dir: str,
                   url_col: str = "url", text_col: str = "text") -> None:
     """Optional (doc_id, dl) sidecar — not needed by the query path (dl is
-    denormalized into the postings); useful for debugging/analytics."""
+    denormalized into the postings); used by compaction for exact stat
+    recounts and for debugging/analytics."""
     d = with_doc_id(docs, url_col).select("doc_id", F.col(text_col).alias("text"))
     (
         d.mapInPandas(_doclens_kernel, schema="doc_id long, dl long")
         .groupBy("doc_id")
         .agg(F.min("dl").alias("dl"))
+        .withColumn("run", F.lit("full"))
         .write.mode("overwrite")
+        .partitionBy("run")
         .parquet(os.path.join(out_dir, "doclens"))
     )
 
 
 def refresh_dictionary(spark: SparkSession, out_dir: str, n_term_buckets: int) -> None:
-    """(Re)derive the term dictionary from segment block metadata —
-    metadata-only columns, the binary posting columns are pruned away."""
+    """(Re)derive the FULL term dictionary from segment block metadata —
+    metadata-only columns, the binary posting columns are pruned away.
+    Replaces any per-run delta dictionaries with a single run=full layout.
+    Incremental batches do NOT call this (O(index) rewrite): they append a
+    run=<batch> delta that the query path merges on read."""
     seg = spark.read.parquet(os.path.join(out_dir, "segments"))
     dictionary = seg.groupBy("term", "tb").agg(
         F.sum("n").alias("df"),
         F.sum("sum_tf").alias("cf"),
         F.count("*").alias("n_blocks"),
-    )
+    ).withColumn("run", F.lit("full"))
     dictionary.repartition(n_term_buckets, "tb").sortWithinPartitions("term").write.mode(
         "overwrite"
-    ).partitionBy("tb").parquet(os.path.join(out_dir, "dictionary"))
+    ).partitionBy("tb", "run").parquet(os.path.join(out_dir, "dictionary"))
+
+
+def write_dictionary_delta(
+    delta_blocks: DataFrame, out_dir: str, n_term_buckets: int, run_val: str
+) -> None:
+    """O(delta) dictionary update: aggregate ONE run's blocks into a
+    run-partitioned delta; ``_lookup_terms`` merges deltas on read
+    (Σ df / Σ cf per term). Idempotent via dynamic partition overwrite."""
+    d = (
+        delta_blocks.groupBy("term", "tb")
+        .agg(
+            F.sum("n").alias("df"),
+            F.sum("sum_tf").alias("cf"),
+            F.count("*").alias("n_blocks"),
+        )
+        .withColumn("run", F.lit(run_val))
+        .repartition(n_term_buckets, "tb")
+        .sortWithinPartitions("term")
+    )
+    _dyn_overwrite(d, os.path.join(out_dir, "dictionary"), ("tb", "run"))
 
 
 def load_stats(out_dir: str) -> dict:
@@ -366,21 +520,35 @@ def compact_segments(
     disjoint docID ranges, the merge never crosses buckets; the shuffle
     moves only compressed blocks.
 
-    Atomic swap: new segments land in ``segments_compacting`` and replace
-    ``segments`` only after a successful write (commit ordering), then the
-    dictionary is refreshed and the manifest gains a ``compact_*`` row set.
-    Returns {"blocks_before": .., "blocks_after": ..}.
+    Swap protocol (NOT a single atomic rename — posix can't rename onto a
+    non-empty dir): new segments land in ``segments_compacting``; then
+    rename(segments → segments_old), rename(tmp → segments), VERIFY the new
+    dir is readable, and only then delete segments_old. A crash between the
+    two renames leaves ``segments_old`` intact for manual recovery; a
+    concurrent reader during the swap window may fail and should retry.
+    Only manifest-committed runs are compacted — an in-flight streaming
+    batch's uncommitted run partitions are left in place for its replay to
+    overwrite. The manifest is REWRITTEN as one compacted row set (plus
+    zero tombstone rows preserving replay-idempotence for old run_ids), the
+    doclens deltas are folded into one deduplicated run, and stats.json is
+    recounted exactly from doclens (healing any drift from re-ingested
+    docs). Returns {"blocks_before": .., "blocks_after": ..}.
     """
     import shutil
 
     stats = load_stats(out_dir)
     block_size = block_size or stats["block_size"]
     seg_dir = os.path.join(out_dir, "segments")
+    man_dir = os.path.join(out_dir, "manifest")
     tmp_dir = os.path.join(out_dir, "segments_compacting")
     if os.path.isdir(tmp_dir):
         shutil.rmtree(tmp_dir)
 
-    seg = spark.read.parquet(seg_dir)
+    old_man = spark.read.parquet(man_dir)
+    committed_runs = {r.run for r in old_man.select("run").distinct().collect()}
+    old_run_ids = {r.run_id for r in old_man.select("run_id").distinct().collect()}
+
+    seg = spark.read.parquet(seg_dir).where(F.col("run").isin(sorted(committed_runs)))
     blocks_before = seg.count()
 
     def recode(batches):
@@ -446,30 +614,84 @@ def compact_segments(
         .sortWithinPartitions("term", "bucket", "blk")
         .mapInPandas(recode, schema=BLOCKS_SCHEMA)
         .withColumn("tb", F.pmod(F.xxhash64("term"), F.lit(stats["n_term_buckets"])).cast("int"))
+        .withColumn("run", F.lit("compacted"))
         .repartition(stats["n_term_buckets"], "tb")
         .sortWithinPartitions("term", "bucket", "blk")
     )
-    recompacted.write.mode("overwrite").partitionBy("tb").parquet(tmp_dir)
+    recompacted.write.mode("overwrite").partitionBy("tb", "run").parquet(tmp_dir)
+
+    # carry over any UNCOMMITTED run partitions (in-flight streaming batch):
+    # their replay will overwrite them in the new layout too
+    for d, run_val in _run_dirs(seg_dir):
+        if run_val not in committed_runs:
+            tb_name = os.path.basename(os.path.dirname(d))
+            dst = os.path.join(tmp_dir, tb_name, f"run={run_val}")
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.copytree(d, dst)
 
     old_dir = os.path.join(out_dir, "segments_old")
     if os.path.isdir(old_dir):
         shutil.rmtree(old_dir)
     os.rename(seg_dir, old_dir)
     os.rename(tmp_dir, seg_dir)
-    shutil.rmtree(old_dir)
     refresh_dictionary(spark, out_dir, stats["n_term_buckets"])
 
-    seg2 = spark.read.parquet(seg_dir)
+    seg2 = spark.read.parquet(seg_dir).where(F.col("run") == "compacted")
     blocks_after = seg2.count()
-    man = seg2.groupBy("bucket").agg(
-        F.countDistinct("term").alias("n_terms"),
-        F.count("*").alias("n_blocks"),
-        F.sum("n").alias("n_postings"),
-        F.sum(F.crc32(F.concat_ws("|", "term", "blk", "n", "min_doc", "max_doc"))).alias(
-            "checksum"
-        ),
-    ).withColumn("committed_at", F.lit(time.time()).cast("timestamp")).withColumn(
-        "run_id", F.lit(f"compact_{int(time.time())}")
-    )
-    man.write.mode("append").parquet(os.path.join(out_dir, "manifest"))
+    # verified readable → the old tree can go
+    shutil.rmtree(old_dir)
+
+    # exact doc ledger: doclens deltas → one deduplicated run (keep min dl,
+    # the builder's keep-first rule), recount n_docs/sum_dl per bucket
+    dl_dir = os.path.join(out_dir, "doclens")
+    if os.path.isdir(dl_dir):
+        dl = (
+            spark.read.parquet(dl_dir)
+            .groupBy("doc_id")
+            .agg(F.min("dl").alias("dl"))
+            .withColumn("run", F.lit("compacted"))
+        )
+        dl_tmp = os.path.join(out_dir, "doclens_compacting")
+        if os.path.isdir(dl_tmp):
+            shutil.rmtree(dl_tmp)
+        dl.write.partitionBy("run").parquet(dl_tmp)
+        dl_old = os.path.join(out_dir, "doclens_old")
+        if os.path.isdir(dl_old):
+            shutil.rmtree(dl_old)
+        os.rename(dl_dir, dl_old)
+        os.rename(dl_tmp, dl_dir)
+        shutil.rmtree(dl_old)
+        doc_stats = (
+            spark.read.parquet(dl_dir)
+            .groupBy(_bucket_col(stats["n_buckets"]).alias("bucket"))
+            .agg(F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl"))
+        )
+    else:
+        # no doclens sidecar (plain build_index output): carry the ledger
+        # sums forward per bucket
+        doc_stats = old_man.groupBy("bucket").agg(
+            F.sum("n_docs").alias("n_docs"), F.sum("sum_dl").alias("sum_dl")
+        ).where(F.col("bucket") >= 0)
+
+    man = _manifest_for_run(seg2, doc_stats, "compact", "compacted")
+    # tombstones keep _committed_runs() recognizing pre-compaction batch ids
+    # (a replayed foreachBatch epoch must stay a no-op after compaction)
+    spark_rows = [(int(-1), 0, 0, 0, 0, 0, 0, rid, "compacted") for rid in sorted(old_run_ids)]
+    tomb = spark.createDataFrame(
+        spark_rows,
+        "bucket int, n_terms long, n_blocks long, n_postings long, checksum long, "
+        "n_docs long, sum_dl long, run_id string, run string",
+    ).withColumn("committed_at", F.lit(time.time()).cast("timestamp"))
+    new_man = man.unionByName(tomb, allowMissingColumns=True)
+    man_tmp = os.path.join(out_dir, "manifest_compacting")
+    if os.path.isdir(man_tmp):
+        shutil.rmtree(man_tmp)
+    new_man.write.parquet(man_tmp)
+    man_old = os.path.join(out_dir, "manifest_old")
+    if os.path.isdir(man_old):
+        shutil.rmtree(man_old)
+    os.rename(man_dir, man_old)
+    os.rename(man_tmp, man_dir)
+    shutil.rmtree(man_old)
+    refresh_stats(spark, out_dir)
     return {"blocks_before": int(blocks_before), "blocks_after": int(blocks_after)}

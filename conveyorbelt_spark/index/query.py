@@ -48,7 +48,12 @@ def _lookup_terms(
     is partition-pruned (tb=...) before anything runs. For local/posix paths
     the pruned files are read directly with pyarrow on the driver — ZERO
     Spark jobs per query; non-posix paths fall back to a pruned Spark read
-    (term-sorted row groups → min/max pushdown)."""
+    (term-sorted row groups → min/max pushdown).
+
+    The dictionary may hold one full run plus per-batch delta runs
+    (dictionary/tb=K/run=R/): entries are merged on read — Σ df / Σ cf /
+    Σ n_blocks per term. A query touches only its terms' tb partitions, so
+    the merge cost is per-query O(matched rows), never O(dictionary)."""
     import glob
 
     from ..functions.hashing import term_bucket
@@ -65,21 +70,32 @@ def _lookup_terms(
 
         out: list[dict] = []
         for tb, tb_terms in sorted(by_tb.items()):
-            files = glob.glob(f"{dict_dir}/tb={tb}/*.parquet")
+            files = glob.glob(f"{dict_dir}/tb={tb}/run=*/*.parquet") + glob.glob(
+                f"{dict_dir}/tb={tb}/*.parquet"  # legacy flat layout
+            )
             if not files:
                 continue
             tbl = ds.dataset(files, format="parquet").to_table(
                 filter=ds.field("term").isin(tb_terms)
             )
+            merged: dict[str, dict] = {}
             for row in tbl.to_pylist():
-                row["tb"] = tb
-                out.append(row)
+                e = merged.setdefault(
+                    row["term"],
+                    {"term": row["term"], "df": 0, "cf": 0, "n_blocks": 0, "tb": tb},
+                )
+                e["df"] += row["df"]
+                e["cf"] += row["cf"]
+                e["n_blocks"] += row["n_blocks"]
+            out.extend(merged.values())
         return out
 
     tbs = sorted(by_tb)
     d = (
         spark.read.parquet(dict_dir)
         .where(F.col("tb").isin(tbs) & F.col("term").isin(terms))
+        .groupBy("term", "tb")
+        .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"), F.sum("n_blocks").alias("n_blocks"))
         .collect()
     )
     return [r.asDict() for r in d]
@@ -363,13 +379,30 @@ def bm25_topk_sql(spark: SparkSession, out_dir: str, query: str, k: int = 10) ->
 
 class Searcher:
     """Reusable query handle: caches stats + dictionary probes so repeated
-    queries pay only the single pruned segment-scan job."""
+    queries pay only the single pruned segment-scan job.
+
+    Staleness: every index mutation (index_batch, build_index,
+    compact_segments) finishes by rewriting stats.json, so its mtime is the
+    index's version stamp — each search checks it and, on change, reloads
+    stats and drops the term cache (a long-lived Searcher then scores
+    identically to a fresh ``bm25_topk`` on the same index)."""
 
     def __init__(self, spark: SparkSession, out_dir: str):
         self.spark = spark
         self.out_dir = out_dir
         self.stats = load_stats(out_dir)
+        self._stats_mtime = os.path.getmtime(os.path.join(out_dir, "stats.json"))
         self._term_cache: dict[str, dict | None] = {}
+
+    def _maybe_invalidate(self) -> None:
+        try:
+            m = os.path.getmtime(os.path.join(self.out_dir, "stats.json"))
+        except OSError:
+            return
+        if m != self._stats_mtime:
+            self.stats = load_stats(self.out_dir)
+            self._stats_mtime = m
+            self._term_cache.clear()
 
     def _entries(self, terms: list[str]) -> list[dict]:
         missing = [t for t in terms if t not in self._term_cache]
@@ -382,6 +415,7 @@ class Searcher:
         return [self._term_cache[t] for t in terms if self._term_cache[t] is not None]
 
     def search(self, query: str, k: int = 10, prune: bool = True) -> DataFrame:
+        self._maybe_invalidate()
         terms = sorted(set(tokenize(query)))
         entries = self._entries(terms)
         if not entries:

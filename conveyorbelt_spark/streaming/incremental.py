@@ -10,17 +10,22 @@ Reference analogues:
   → manifest-gated batch commits (a replayed foreachBatch epoch is a no-op)
 
 ``incremental_index_stream`` turns the batch index builder into a streaming
-conveyor: each micro-batch appends delta segments + manifest rows keyed by
-batch id; the dictionary is re-derived after (Lucene-style segment model —
-df/idf always come from the dictionary aggregation, avgdl from stats.json,
-so a query over base+delta segments scores exactly).
+conveyor: each micro-batch appends ONE run of delta segments + a delta
+dictionary + manifest rows, all derived from the batch's own data —
+O(delta) work per micro-batch, independent of total index size (Lucene-
+style segment model; ``compact_segments`` folds deltas back periodically).
+df/idf come from the merge-on-read dictionary, avgdl from the manifest
+ledger in stats.json, so a query over base+delta segments scores exactly.
+
+Idempotence: every artifact (segments, dictionary, doclens) is written as a
+dynamic-partition overwrite keyed by the batch's run — a foreachBatch epoch
+replayed after a crash anywhere before the manifest append simply rewrites
+its own partitions; after the append, the run_id gate makes it a no-op.
 """
 
 from __future__ import annotations
 
-import json
 import os
-import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F  # noqa: N812
@@ -33,8 +38,12 @@ from ..index.build import (
     DEFAULT_TERM_BUCKETS,
     _bucket_col,
     _doclens_kernel,
+    _dyn_overwrite,
     _make_block_builder,
-    refresh_dictionary,
+    _manifest_for_run,
+    load_stats,
+    refresh_stats,
+    write_dictionary_delta,
 )
 from ..textutils import BM25_B, BM25_K1
 
@@ -59,84 +68,84 @@ def index_batch(
     k1: float = BM25_K1,
     b: float = BM25_B,
     refresh_dict: bool = True,
+    exact_stats: bool = False,
 ) -> bool:
-    """Append one batch of documents as a delta segment. Idempotent: if the
-    manifest already has this batch's run_id the call is a no-op (replayed
-    foreachBatch epochs after a failure do nothing — the reference's
-    advance-offset-after-push ordering). Returns True if work was done."""
+    """Append one batch of documents as a delta segment run. O(delta): the
+    doclens/dictionary/manifest/stats updates all derive from this batch's
+    own (pruned) data — nothing re-reads or rewrites the existing index.
+
+    Idempotent: if the manifest already has this batch's run_id the call is
+    a no-op (replayed foreachBatch epochs after a failure do nothing — the
+    reference's advance-offset-after-push ordering); a replay of a batch
+    that crashed MID-write overwrites its own run partitions.
+
+    ``exact_stats=True`` anti-joins this batch's doc ids against the
+    existing doclens so a doc re-ingested across batches isn't double-
+    counted in n_docs/avgdl. That is a column-pruned O(total docs) id scan
+    per batch — at very large scale leave it False (default) and let
+    ``compact_segments``'s exact recount heal any drift; the config flag
+    exists for pipelines that re-ingest heavily between compactions.
+    Returns True if work was done."""
     run_id = f"batch_{batch_id}"
     man_dir = os.path.join(out_dir, "manifest")
+    cfg = {
+        "k1": k1, "b": b, "n_buckets": n_buckets,
+        "block_size": block_size, "n_term_buckets": n_term_buckets,
+    }
+    stats_path = os.path.join(out_dir, "stats.json")
+    if os.path.exists(stats_path):
+        prev = load_stats(out_dir)
+        cfg = {k: prev[k] for k in cfg}  # the index's layout knobs win
     if run_id in _committed_runs(spark, man_dir):
+        # self-heal the crash window between manifest append and stats write
+        refresh_stats(spark, out_dir, defaults=cfg)
         return False
 
     docs = with_doc_id(docs, url_col).select("doc_id", F.col(text_col).alias("text"))
 
-    # doclens + stats roll forward (exact: agg over the appended table)
+    # --- doclens delta (O(batch)); persisted: it feeds both the run write
+    # and the per-bucket doc ledger
     doclens = (
         docs.mapInPandas(_doclens_kernel, schema="doc_id long, dl long")
         .groupBy("doc_id")
         .agg(F.min("dl").alias("dl"))
     )
     dl_dir = os.path.join(out_dir, "doclens")
-    doclens.write.mode("append").parquet(dl_dir)
-    row = spark.read.parquet(dl_dir).agg(
-        F.count("*").alias("n"), F.sum("dl").alias("total")
-    ).collect()[0]
-    n_docs, total_tokens = int(row["n"]), int(row["total"] or 0)
-    stats_path = os.path.join(out_dir, "stats.json")
-    stats = {
-        "n_docs": n_docs,
-        "total_tokens": total_tokens,
-        "avgdl": total_tokens / n_docs if n_docs else 0.0,
-        "k1": k1,
-        "b": b,
-        "n_buckets": n_buckets,
-        "block_size": block_size,
-        "n_term_buckets": n_term_buckets,
-    }
-    if os.path.exists(stats_path):
-        with open(stats_path) as f:
-            prev = json.load(f)
-        for key in ("k1", "b", "n_buckets", "block_size", "n_term_buckets"):
-            stats[key] = prev[key]
-    os.makedirs(out_dir, exist_ok=True)
-    with open(stats_path, "w") as f:
-        json.dump(stats, f, indent=2)
+    if exact_stats and os.path.isdir(dl_dir):
+        prev_ids = spark.read.parquet(dl_dir).select("doc_id")
+        doclens = doclens.join(prev_ids, "doc_id", "left_anti")
+    doclens = doclens.persist()
+    _dyn_overwrite(doclens.withColumn("run", F.lit(run_id)), dl_dir, ("run",))
 
+    # --- posting blocks for this run (the one wide shuffle)
     tokens = tokenize_to_postings(docs, "doc_id", "text").withColumn(
-        "bucket", _bucket_col(stats["n_buckets"])
+        "bucket", _bucket_col(cfg["n_buckets"])
     )
-    builder = _make_block_builder(stats["block_size"])
+    builder = _make_block_builder(cfg["block_size"])
     blocks = (
         tokens.repartition("term", "bucket")
-        .sortWithinPartitions("term", "bucket", "doc_id")
+        .sortWithinPartitions("term", "bucket", "doc_id", "tf", "dl")
         .mapInPandas(builder, schema=BLOCKS_SCHEMA)
-        .withColumn("tb", F.pmod(F.xxhash64("term"), F.lit(stats["n_term_buckets"])).cast("int"))
-        .repartition(stats["n_term_buckets"], "tb")
+        .withColumn("tb", F.pmod(F.xxhash64("term"), F.lit(cfg["n_term_buckets"])).cast("int"))
+        .withColumn("run", F.lit(run_id))
+        .repartition(cfg["n_term_buckets"], "tb")
         .sortWithinPartitions("term", "bucket", "blk")
     )
     seg_dir = os.path.join(out_dir, "segments")
-    blocks.write.mode("append").partitionBy("tb").parquet(seg_dir)
+    _dyn_overwrite(blocks, seg_dir, ("tb", "run"))
 
-    # manifest AFTER segment write (commit ordering) — one snapshot row per
-    # bucket tagged with this batch's run_id
-    man = (
-        spark.read.parquet(seg_dir)
-        .groupBy("bucket")
-        .agg(
-            F.countDistinct("term").alias("n_terms"),
-            F.count("*").alias("n_blocks"),
-            F.sum("n").alias("n_postings"),
-            F.sum(F.crc32(F.concat_ws("|", "term", "blk", "n", "min_doc", "max_doc"))).alias(
-                "checksum"
-            ),
-        )
-        .withColumn("committed_at", F.lit(time.time()).cast("timestamp"))
-        .withColumn("run_id", F.lit(run_id))
-    )
-    man.write.mode("append").parquet(man_dir)
+    # --- delta-only derived artifacts (partition-pruned read of run=<this>)
+    delta = spark.read.parquet(seg_dir).where(F.col("run") == run_id)
     if refresh_dict:
-        refresh_dictionary(spark, out_dir, stats["n_term_buckets"])
+        write_dictionary_delta(delta, out_dir, cfg["n_term_buckets"], run_id)
+
+    doc_stats = doclens.groupBy(_bucket_col(cfg["n_buckets"]).alias("bucket")).agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    man = _manifest_for_run(delta, doc_stats, run_id, run_id)
+    man.write.mode("append").parquet(man_dir)  # ← THE commit
+    doclens.unpersist()
+    refresh_stats(spark, out_dir, defaults=cfg)
     return True
 
 
