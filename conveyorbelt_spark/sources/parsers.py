@@ -74,7 +74,18 @@ def _iis_field_names(header_line: str) -> list[str]:
     return [f.replace("-", "_") for f in rest.split(" ") if f]
 
 
-def _make_iis_kernel(source_type: str, sep: str, strip_quotes: bool, strict: bool):
+def _make_iis_kernel(
+    source_type: str,
+    sep: str,
+    strip_quotes: bool,
+    strict: bool,
+    headers_by_file: dict[str, list[tuple[int, str]]] | None = None,
+):
+    """``headers_by_file`` carries each file's '#Fields:' lines (offset →
+    header) so a byte-range split that starts mid-file can parse under its
+    governing header — the reference's ParseCursor resume contract
+    (ParseCursor.cs:3-15; header re-read IisLogParser.cs:121-128)."""
+
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("line_no")
         fname = pdf["file"].iloc[0]
@@ -84,13 +95,28 @@ def _make_iis_kernel(source_type: str, sep: str, strip_quotes: bool, strict: boo
 
         lines = pdf["line"]
         is_hdr = lines.str.startswith("#Fields: ")
-        grp = is_hdr.cumsum()  # header generation id; 0 = before first header
+        grp = is_hdr.cumsum()  # header generation id; 0 = before first in-split header
         out_frames = []
         for gid, gpdf in pdf.groupby(grp.values):
             glines = gpdf["line"]
             if gid == 0:
-                continue  # fields == null until first '#Fields:' (IisLogParser.cs:95)
-            fields = _iis_field_names(glines.iloc[0])
+                # governing header = latest '#Fields:' line BEFORE this
+                # split's first line (carried via the broadcast header map);
+                # without one, fields == null → lines dropped
+                # (IisLogParser.cs:95)
+                hdr = None
+                if headers_by_file:
+                    first_off = int(gpdf["byte_offset"].iloc[0])
+                    for off, h in headers_by_file.get(fname, ()):
+                        if off < first_off:
+                            hdr = h
+                        else:
+                            break
+                if hdr is None:
+                    continue
+                fields = _iis_field_names(hdr)
+            else:
+                fields = _iis_field_names(glines.iloc[0])
             data = gpdf[
                 ~glines.str.startswith("#") & (glines.str.strip() != "")
             ]
@@ -174,28 +200,72 @@ def _make_iis_kernel(source_type: str, sep: str, strip_quotes: bool, strict: boo
     return kernel
 
 
+DEFAULT_SPLIT_BYTES = 64 * 1024 * 1024  # one task per 64 MiB byte window
+
+
+def _collect_headers(lines: DataFrame) -> dict[str, list[tuple[int, str]]]:
+    """Per-file '#Fields:' lines (offset-sorted) — tiny metadata collected
+    once on the driver and broadcast into the split kernels. One narrow
+    filtered scan, analogous to the reference re-reading headers on resume."""
+    rows = (
+        lines.where(F.col("line").startswith("#Fields: "))
+        .select("file", "byte_offset", "line")
+        .collect()
+    )
+    out: dict[str, list[tuple[int, str]]] = {}
+    for r in rows:
+        out.setdefault(r.file, []).append((int(r.byte_offset), r.line))
+    for v in out.values():
+        v.sort()
+    return out
+
+
+def _iis_parse(
+    lines: DataFrame, source_type: str, sep: str, strip_quotes: bool,
+    strict: bool, split_bytes: int | None,
+) -> DataFrame:
+    if split_bytes:
+        headers = _collect_headers(lines)
+        split = (F.col("byte_offset") / F.lit(int(split_bytes))).cast("long")
+        return (
+            lines.withColumn("split", split)
+            .groupBy("file", "split")
+            .applyInPandas(
+                _make_iis_kernel(source_type, sep, strip_quotes, strict, headers),
+                schema=_IIS_SCHEMA,
+            )
+        )
+    return lines.groupBy("file").applyInPandas(
+        _make_iis_kernel(source_type, sep, strip_quotes, strict), schema=_IIS_SCHEMA
+    )
+
+
 def parse_iis_logs(
     lines: DataFrame,
     source_type: str = "AzureIisLog",
     *,
     strict: bool = True,
+    split_bytes: int | None = DEFAULT_SPLIT_BYTES,
 ) -> DataFrame:
     """W3C IIS log lines → typed rows. Input: (file, line_no, byte_offset,
     line). Header-driven schema with mid-file '#Fields:' changes honored —
     each line parses under its governing header (the net effect of
-    IisLogParser.cs:86-128's re-read dance, computed in one pass)."""
-    return lines.groupBy("file").applyInPandas(
-        _make_iis_kernel(source_type, " ", False, strict), schema=_IIS_SCHEMA
-    )
+    IisLogParser.cs:86-128's re-read dance, computed in one pass).
+
+    Parallelism is per (file, byte-window): a line belongs to the split
+    containing its START byte, so a split boundary landing mid-line assigns
+    the whole line to the earlier split (ParseCursor mid-line landing,
+    IisLogParser.cs:74-79) and a multi-GB log no longer serializes into one
+    task. ``split_bytes=None`` restores whole-file groups."""
+    return _iis_parse(lines, source_type, " ", False, strict, split_bytes)
 
 
 def parse_akamai_logs(
-    lines: DataFrame, source_type: str = "Akamai", *, strict: bool = True
+    lines: DataFrame, source_type: str = "Akamai", *, strict: bool = True,
+    split_bytes: int | None = DEFAULT_SPLIT_BYTES,
 ) -> DataFrame:
     """Akamai variant: tab-separated, values quoted (AkamaiLogParser.cs:9-15)."""
-    return lines.groupBy("file").applyInPandas(
-        _make_iis_kernel(source_type, "\t", True, strict), schema=_IIS_SCHEMA
-    )
+    return _iis_parse(lines, source_type, "\t", True, strict, split_bytes)
 
 
 # --------------------------------------------------------------------------
@@ -239,84 +309,129 @@ def _sitecore_file_date(fname: str) -> tuple[datetime, int]:
     return date, hour
 
 
-def _sitecore_kernel(source_type: str):
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("line_no")
-        fname = pdf["file"].iloc[0]
-        parts = [p for p in fname.split("/") if p]
-        partition_key = "_".join(parts[:-1])
-        stem = parts[-1].rsplit(".", 1)[0]
-        fdate, fhour = _sitecore_file_date(fname)
-
-        # vectorized redaction (first occurrence per token, like
-        # SitecoreLogParser.cs:101-116)
-        lines = pdf["line"].map(
-            lambda s: _REDACTIONS[1][0].sub(
-                _REDACTIONS[1][1], _REDACTIONS[0][0].sub(_REDACTIONS[0][1], s, count=1), count=1
-            )
-            if isinstance(s, str)
-            else s
-        )
-
-        rows = []
-        cur = None  # (ts, level, src, [msg parts], start_line_no)
-        for line_no, line in zip(pdf["line_no"], lines):
-            if line is None or not line.strip():
-                continue
-            m = _SC_LINE_RE.match(line.strip())
-            item = None
-            if m and int(m.group("h")) < 24:
-                msg = m.group("msg") or ""
-                # blank/banner entry-start lines are noise
-                # (SitecoreLogParser.cs:64-66)
-                if msg.strip() and not msg.startswith("*****"):
-                    h, mi, s = int(m.group("h")), int(m.group("m")), int(m.group("s"))
-                    day = fdate
-                    if h < fhour:  # day rollover (SitecoreLogLineParser.cs:68-70)
-                        day = fdate + pd.Timedelta(days=1)
-                    ts = day.replace(hour=h, minute=mi, second=s)
-                    item = (ts, m.group("level"), m.group("src"), [msg], line_no)
-                elif m.group("level") is not None:
-                    continue  # valid entry shape but rubbish — swallow
-            if item is None and cur is not None:
-                cur[3].append(line)  # continuation (stack trace etc.)
-            elif item is not None:
-                if cur is not None:
-                    rows.append(cur)
-                cur = item
-        if cur is not None:
-            rows.append(cur)
-
-        return pd.DataFrame(
-            {
-                "ts": [r[0] for r in rows],
-                "SitecoreLevel": [r[1] for r in rows],
-                "SitecoreProcessId": [r[2] for r in rows],
-                "Payload": ["\n".join(r[3]) for r in rows],
-                "PartitionKey": partition_key,
-                "RowKey": [f"{stem}_{r[4]}" for r in rows],
-                "cb_type": source_type,
-            }
-        ) if rows else pd.DataFrame(
-            {
-                "ts": pd.Series(dtype="datetime64[ns]"),
-                "SitecoreLevel": pd.Series(dtype=object),
-                "SitecoreProcessId": pd.Series(dtype=object),
-                "Payload": pd.Series(dtype=object),
-                "PartitionKey": pd.Series(dtype=object),
-                "RowKey": pd.Series(dtype=object),
-                "cb_type": pd.Series(dtype=object),
-            }
-        )
-
-    return kernel
+_SC_CLASSIFY_SCHEMA = (
+    "file string, split long, line_no long, kind int, local_idx long, "
+    "piece string, src string, level string, h int, mi int, sec int"
+)
+_KIND_SKIP, _KIND_START, _KIND_CONT = 0, 1, 2
 
 
-def parse_sitecore_logs(lines: DataFrame, source_type: str = "Sitecore") -> DataFrame:
+def _sc_classify(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-(file, split) vectorized line classifier: redact secrets, detect
+    entry-start lines, extract (src, time, level, msg), and number entry
+    starts within the split. No per-line Python loop — pandas str ops only."""
+    pdf = pdf.sort_values("line_no")
+    s = pdf["line"].fillna("")
+    # first-occurrence redaction per secret kind (SitecoreLogParser.cs:101-116)
+    red = s.str.replace(_REDACTIONS[0][0], _REDACTIONS[0][1], n=1, regex=True).str.replace(
+        _REDACTIONS[1][0], _REDACTIONS[1][1], n=1, regex=True
+    )
+    stripped = red.str.strip()
+    ext = stripped.str.extract(_SC_LINE_RE)
+    hh = pd.to_numeric(ext["h"], errors="coerce")
+    matched = hh.notna() & (hh < 24)
+    msg = ext["msg"].fillna("")
+    msg_ok = msg.str.strip().ne("") & ~msg.str.startswith("*****")
+    is_start = matched & msg_ok
+    # valid entry shape but blank/banner message → swallowed entirely
+    # (SitecoreLogParser.cs:64-66); blank lines likewise
+    swallowed = (matched & ~msg_ok & ext["level"].notna()) | (stripped == "")
+    kind = pd.Series(_KIND_CONT, index=pdf.index)
+    kind[is_start] = _KIND_START
+    kind[swallowed & ~is_start] = _KIND_SKIP
+    return pd.DataFrame(
+        {
+            "file": pdf["file"],
+            "split": pdf["split"],
+            "line_no": pdf["line_no"].astype("int64"),
+            "kind": kind.astype("int32"),
+            "local_idx": is_start.cumsum().astype("int64"),
+            "piece": msg.where(is_start, red),  # start→msg, cont→raw redacted
+            "src": ext["src"],
+            "level": ext["level"],
+            "h": hh.astype("Int64"),
+            "mi": pd.to_numeric(ext["m"], errors="coerce").astype("Int64"),
+            "sec": pd.to_numeric(ext["s"], errors="coerce").astype("Int64"),
+        }
+    )
+
+
+def parse_sitecore_logs(
+    lines: DataFrame,
+    source_type: str = "Sitecore",
+    *,
+    split_lines: int = 100_000,
+) -> DataFrame:
     """Sitecore logs: multiline stitch + secret redaction. Input:
-    (file, line_no, line)."""
-    return lines.groupBy("file").applyInPandas(
-        _sitecore_kernel(source_type), schema=_SITECORE_SCHEMA
+    (file, line_no, line).
+
+    Distributed stitch (no per-file serial task): lines are classified per
+    (file, line-window) split by a vectorized kernel; a global entry id per
+    file = (Σ entry starts in prior splits, a tiny windowed prefix sum) +
+    the within-split running count — so an entry whose stack trace crosses
+    a split boundary is stitched back together by the groupBy(entry_id)
+    aggregation, exactly like the reference's sequential state machine
+    (SitecoreLogParser.cs:44-91) but shuffle-parallel."""
+    from pyspark.sql import Window as W  # noqa: N817
+
+    spark = lines.sparkSession
+    # per-file date + start hour from the filename (driver-side: #files is
+    # planner-scale metadata) → broadcast dim
+    files = [r.file for r in lines.select("file").distinct().collect()]
+    fmeta = spark.createDataFrame(
+        [(f, _sitecore_file_date(f)[0].date(), _sitecore_file_date(f)[1]) for f in files],
+        "file string, fdate date, fhour int",
+    )
+
+    classified = (
+        lines.withColumn("split", (F.col("line_no") / F.lit(int(split_lines))).cast("long"))
+        .groupBy("file", "split")
+        .applyInPandas(_sc_classify, schema=_SC_CLASSIFY_SCHEMA)
+        .persist()
+    )
+    counts = classified.groupBy("file", "split").agg(
+        F.sum(F.when(F.col("kind") == _KIND_START, 1).otherwise(0)).alias("n_starts")
+    )
+    w = W.partitionBy("file").orderBy("split").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.withColumn("prior", F.coalesce(F.sum("n_starts").over(w), F.lit(0))).select(
+        "file", "split", "prior"
+    )
+    numbered = (
+        classified.join(F.broadcast(offsets), ["file", "split"])
+        .withColumn("entry_id", F.col("prior") + F.col("local_idx"))
+        .where((F.col("entry_id") > 0) & (F.col("kind") != _KIND_SKIP))
+    )
+    agg = numbered.groupBy("file", "entry_id").agg(
+        F.max(
+            F.when(
+                F.col("kind") == _KIND_START,
+                F.struct("line_no", "src", "level", "h", "mi", "sec"),
+            )
+        ).alias("start"),
+        F.array_sort(F.collect_list(F.struct("line_no", "piece"))).alias("pieces"),
+    ).where(F.col("start").isNotNull())
+
+    path_parts = F.filter(F.split("file", "/"), lambda p: p != "")
+    partition_key = F.array_join(F.slice(path_parts, 1, F.size(path_parts) - 1), "_")
+    stem = F.regexp_replace(F.element_at(path_parts, -1), "\\.[^.]*$", "")
+    day = F.date_add(
+        F.col("fdate"), F.when(F.col("start.h") < F.col("fhour"), 1).otherwise(0)
+    )
+    ts = F.make_timestamp(
+        F.year(day), F.month(day), F.dayofmonth(day),
+        F.col("start.h"), F.col("start.mi"), F.col("start.sec"),
+    )
+    return (
+        agg.join(F.broadcast(fmeta), "file")
+        .select(
+            ts.alias("ts"),
+            F.col("start.level").alias("SitecoreLevel"),
+            F.col("start.src").alias("SitecoreProcessId"),
+            F.array_join(F.transform("pieces", lambda p: p["piece"]), "\n").alias("Payload"),
+            partition_key.alias("PartitionKey"),
+            F.concat(stem, F.lit("_"), F.col("start.line_no").cast("string")).alias("RowKey"),
+            F.lit(source_type).alias("cb_type"),
+        )
     )
 
 

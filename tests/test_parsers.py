@@ -93,6 +93,39 @@ def test_iis_strict_mismatch_raises(spark):
     assert parse_iis_logs(_lines_df(spark, bad), strict=False).count() == 0
 
 
+def _rows_set(df):
+    return sorted(
+        (r.RowKey, r.ts, r.s_ip, r.cs_method, r.cs_uri_stem, r.sc_status,
+         r.cs_bytes, r.time_taken, r.custom)
+        for r in df.collect()
+    )
+
+
+def test_iis_byte_splits_match_whole_file(spark):
+    """Byte-range splits (ParseCursor contract): parsing with many small
+    splits — boundaries landing MID-LINE and splits starting with no header
+    in them — must equal the whole-file parse bit for bit."""
+    lines = _lines_df(spark, IIS_LINES)
+    whole = _rows_set(parse_iis_logs(lines, split_bytes=None))
+    total = sum(len(line) + 1 for line in IIS_LINES)
+    # every split size from pathological (7 bytes: all boundaries mid-line,
+    # most splits header-less) to bigger-than-file
+    for sb in (7, 23, 40, 64, total + 10):
+        got = _rows_set(parse_iis_logs(lines, split_bytes=sb))
+        assert got == whole, f"split_bytes={sb}"
+    assert len(whole) == 3
+
+
+def test_iis_split_without_header_before_first_header_drops(spark):
+    """Lines before the FILE's first '#Fields:' stay dropped even when they
+    are alone in a split (no governing header exists)."""
+    lines = _lines_df(spark, IIS_LINES)
+    got = parse_iis_logs(lines, split_bytes=10).orderBy("ts").collect()
+    assert [r.RowKey for r in got] == [
+        r.RowKey for r in parse_iis_logs(lines, split_bytes=None).orderBy("ts").collect()
+    ]
+
+
 def test_akamai_tab_and_quotes(spark):
     lines = [
         "#Fields: date time cs-method sc-status",
@@ -146,6 +179,24 @@ def test_sitecore_timestamps_and_rollover(sc_parsed):
     assert by_rk["mylog.log.20160916.050000_1"].ts == dt.datetime(2016, 9, 16, 5, 1, 10)
     # hour 4 < file start hour 5 ⇒ next day (SitecoreLogLineParser.cs:68-70)
     assert by_rk["mylog.log.20160916.050000_7"].ts == dt.datetime(2016, 9, 17, 4, 59, 0)
+
+
+def test_sitecore_cross_split_stitch(spark):
+    """An entry whose continuation lines land in a LATER split must stitch
+    identically to the single-split parse (distributed entry numbering)."""
+    rows = [(SC_FILE, i + 1, line) for i, line in enumerate(SC_LINES)]
+    df = spark.createDataFrame(rows, "file string, line_no long, line string")
+
+    def snap(split_lines):
+        return sorted(
+            (r.RowKey, r.ts, r.SitecoreLevel, r.SitecoreProcessId, r.Payload)
+            for r in parse_sitecore_logs(df, split_lines=split_lines).collect()
+        )
+
+    whole = snap(100_000)
+    for sl in (1, 2, 3):  # split after every line / every 2 / every 3
+        assert snap(sl) == whole, f"split_lines={sl}"
+    assert len(whole) == 4
 
 
 # --------------------------------------------------------------------------
