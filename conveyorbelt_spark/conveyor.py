@@ -126,13 +126,28 @@ def run_source(
     lo = shard_key_time(keys[0]).replace(tzinfo=None)
     hi = shard_key_time(keys[-1]).replace(tzinfo=None)
 
-    raw = spark.read.parquet(spec.table_path)
-    # shard keys become ONE pruned range predicate (the scheduler's N point
-    # scans collapse into a partition-pruned scan — SURVEY §2.2 P1)
-    raw = raw.where(
-        (F.col(spec.ts_col) >= F.lit(lo))
-        & (F.col(spec.ts_col) < F.lit(hi) + F.expr("INTERVAL 1 MINUTE"))
-    )
+    if spec.scheduler_type == "SqlShardKeyQuery":
+        # S3: predicate-partitioned JDBC scan, one pushed predicate per
+        # shard key (SqlShardKeyQuery.cs:19-77; env-gated like the
+        # reference's IntegrationTests — needs a reachable database)
+        from .sources.jdbc import read_sql_shards
+
+        raw = read_sql_shards(
+            spark,
+            spec.custom["jdbc_url"],
+            spec.table_path,
+            spec.custom.get("shard_field", "shard_key"),
+            keys,
+            **spec.custom.get("jdbc_options", {}),
+        )
+    else:
+        raw = spark.read.parquet(spec.table_path)
+        # shard keys become ONE pruned range predicate (the scheduler's N
+        # point scans collapse into a partition-pruned scan — SURVEY §2.2 P1)
+        raw = raw.where(
+            (F.col(spec.ts_col) >= F.lit(lo))
+            & (F.col(spec.ts_col) < F.lit(hi) + F.expr("INTERVAL 1 MINUTE"))
+        )
     if spec.parser:
         parsed = PARSER_REGISTRY[spec.parser](raw)
     else:
@@ -144,23 +159,24 @@ def run_source(
     run_id = f"{spec.key}_{keys[-1]}"
     if "url" not in parsed.columns:
         parsed = parsed.withColumn("url", F.col("RowKey"))
-    # W6/A3 telemetry: (min event time, rows) per shard batch + delay
-    # warning threshold (ShardKeyActor.cs:69-101, warn ≥120 s at :76-83)
+    # W6/A3 telemetry rides ON the indexing job via observe() — zero extra
+    # Spark jobs per cycle (ShardKeyActor.cs:69-101; warn ≥120 s at :76-83)
+    from pyspark.sql import Observation
+
     tcol = spec.ts_col if spec.ts_col in parsed.columns else None
+    obs = Observation(f"cb_{spec.key}")
+    metrics = [F.count(F.lit(1)).alias("n")]
     if tcol:
-        m = parsed.agg(
-            F.count("*").alias("n"), F.min(tcol).alias("min_ts"), F.max(tcol).alias("max_ts")
-        ).collect()[0]
-        n = int(m["n"])
-        if n and m["max_ts"] is not None:
-            delay = (now.replace(tzinfo=None) - m["max_ts"]).total_seconds()
-            if delay >= 120:
-                print(f"[conveyor] WARN {spec.key}: shard delay {delay:.0f}s >= 120s", flush=True)
-    else:
-        n = parsed.count()
-    if n:
-        index_batch(spark, parsed, index_dir, run_id, url_col="url",
-                    text_col=spec.custom.get("text_col", "text"))
+        metrics += [F.min(tcol).alias("min_ts"), F.max(tcol).alias("max_ts")]
+    parsed = parsed.observe(obs, *metrics)
+    index_batch(spark, parsed, index_dir, run_id, url_col="url",
+                text_col=spec.custom.get("text_col", "text"))
+    m = obs.get  # available after index_batch's first action
+    n = int(m["n"])
+    if tcol and n and m["max_ts"] is not None:
+        delay = (now.replace(tzinfo=None) - m["max_ts"]).total_seconds()
+        if delay >= 120:
+            print(f"[conveyor] WARN {spec.key}: shard delay {delay:.0f}s >= 120s", flush=True)
     # offset advances ONLY after the segment+manifest commit
     spec.last_offset_point = new_last.isoformat()
     if registry is not None:

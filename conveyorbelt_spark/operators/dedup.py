@@ -346,24 +346,81 @@ def ngram_jaccard(
 # Embedding cosine near-dup
 # --------------------------------------------------------------------------
 
+def embedding_lsh_candidates(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    bands: int = 8,
+    planes_per_band: int = 2,
+    seed: int = 11,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded random-hyperplane LSH: vectors
+    sharing ANY band's sign-bucket pair up through a bucketed equi-join —
+    never an all-pairs cross join. ``bands × planes_per_band`` trades recall
+    (more bands) against candidate volume (more planes per band); the
+    defaults give P(candidate) ≈ 1-(1-p^r)^b ≈ 0.996 at cosine 0.95.
+    Oversized buckets are dropped (cap against quadratic blowup)."""
+    from .similarity import hyperplanes, lsh_bucket_col
+
+    dim = len(emb.select(vec_col).first()[0])
+    planes = hyperplanes(dim, bands * planes_per_band, seed)
+    v = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    band_buckets = F.array(
+        *[
+            lsh_bucket_col(F.col("v"), planes[i * planes_per_band : (i + 1) * planes_per_band])
+            for i in range(bands)
+        ]
+    )
+    banded = v.select(
+        id_col, F.posexplode(band_buckets).alias("band", "bucket")
+    )
+    sized = banded.withColumn(
+        "bsz", F.count("*").over(W.partitionBy("band", "bucket"))
+    ).where(F.col("bsz") <= max_bucket)
+    a = sized.select(F.col(id_col).alias("doc_a"), "band", "bucket")
+    b = sized.select(F.col(id_col).alias("doc_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
 def embedding_near_dups(
     emb: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
+    *,
+    exact: bool = False,
+    bands: int = 8,
+    planes_per_band: int = 2,
+    seed: int = 11,
+    max_bucket: int = 1000,
 ) -> DataFrame:
-    """All pairs with cosine ≥ threshold. Brute-force O(n²) on purpose —
-    the scale path buckets by LSH first (operators/similarity.py)."""
+    """Pairs with cosine ≥ threshold. Default path: banded-LSH candidates
+    (bucketed equi-join) → exact cosine verify on candidates only — the
+    shape that survives 10^9+ vectors. ``exact=True`` switches to the
+    brute-force O(n²) cross join as a small-scale verification mode."""
     v = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
     norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x))
     v = v.withColumn("n", norm)
     a = v.select(F.col(id_col).alias("doc_a"), F.col("v").alias("va"), F.col("n").alias("na"))
     b = v.select(F.col(id_col).alias("doc_b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
     dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    if exact:
+        cand = a.crossJoin(b).where(F.col("doc_a") < F.col("doc_b"))
+    else:
+        pairs = embedding_lsh_candidates(
+            emb, id_col, vec_col,
+            bands=bands, planes_per_band=planes_per_band, seed=seed, max_bucket=max_bucket,
+        )
+        cand = pairs.join(a, "doc_a").join(b, "doc_b")
     return (
-        a.crossJoin(b)
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("cos_sim", dot / (F.col("na") * F.col("nb")))
+        cand.withColumn("cos_sim", dot / (F.col("na") * F.col("nb")))
         .where(F.col("cos_sim") >= threshold)
         .select("doc_a", "doc_b", F.round("cos_sim", 6).alias("cos_sim"))
     )

@@ -32,17 +32,14 @@ from pyspark.sql import types as T  # noqa: N812
 # X1/X2 — IIS W3C log parser (IisLogParser.cs) + Akamai variant
 # --------------------------------------------------------------------------
 
-# canonical typed field set (mappings/AzureIisLog.json, '-' and '(' → '_',
-# ')' dropped — IisLogParser.cs:230-234 + FIXTURES.md normalization)
-IIS_LONG_FIELDS = {
-    "s_port", "sc_status", "sc_substatus", "sc_win32_status",
-    "sc_bytes", "cs_bytes", "time_taken",
-}
-IIS_STR_FIELDS = [
-    "s_sitename", "s_computername", "s_ip", "cs_method", "cs_uri_stem",
-    "cs_uri_query", "cs_username", "c_ip", "cs_version", "cs_User_Agent",
-    "cs_Cookie", "cs_Referer", "cs_host",
-]
+# canonical typed field set DERIVED FROM the mapping declaration
+# (conveyorbelt_spark/mappings/AzureIisLog.json — the reference pushes the
+# same shape of file to ES before writes, MasterScheduler.cs:205-239;
+# '-' and '(' → '_', ')' dropped per IisLogParser.cs:230-234)
+from .mappings import fields_of_type  # noqa: E402
+
+IIS_LONG_FIELDS = set(fields_of_type("AzureIisLog", "long"))
+IIS_STR_FIELDS = fields_of_type("AzureIisLog", "string")
 IIS_ALL_FIELDS = IIS_STR_FIELDS + sorted(IIS_LONG_FIELDS)
 
 _IIS_SCHEMA = T.StructType(

@@ -149,6 +149,69 @@ def index_batch(
     return True
 
 
+def index_stream(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    *,
+    available_now: bool = False,
+    trigger_seconds: int = 30,
+    **index_kw,
+):
+    """Index ANY unbounded streaming DataFrame — rate / rate-micro-batch /
+    socket / a Kafka-API-shaped source — through the same foreachBatch delta
+    pipeline as the file conveyor. This is the reference's Event Hub path
+    (EventHubConsumer.cs:33-51: per-partition processors parse each message
+    stream; :91-108: checkpoint at most once per minute → trigger +
+    checkpointLocation here). Returns the StreamingQuery."""
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        index_batch(spark, batch_df, out_dir, batch_id, **index_kw)
+
+    writer = stream_df.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()
+
+
+def message_bus_docs(
+    spark: SparkSession,
+    rows_per_batch: int = 500,
+    *,
+    start_timestamp_ms: int = 0,
+    advance_ms_per_batch: int = 60_000,
+    terms_per_doc: int = 12,
+) -> DataFrame:
+    """Deterministic unbounded message stream shaped like the input table
+    (url, warc_ts, html, text, lang) — the sandbox stand-in for an Event
+    Hub/Kafka topic. Built on ``rate-micro-batch`` so every micro-batch's
+    contents are reproducible across restarts (messages are a pure function
+    of the monotone ``value``), which is what makes the replay-idempotence
+    of ``index_batch`` testable end to end. All synthesis is JVM-side."""
+    raw = (
+        spark.readStream.format("rate-micro-batch")
+        .option("rowsPerBatch", str(rows_per_batch))
+        .option("startTimestamp", str(start_timestamp_ms))
+        .option("advanceMillisPerBatch", str(advance_ms_per_batch))
+        .load()
+    )
+    words = [
+        F.format_string("term%05d", F.pmod(F.col("value") * F.lit(p) + F.lit(i), F.lit(7919)))
+        for i, p in enumerate([3, 5, 7, 11, 13, 17, 19, 23, 29, 31, 37, 41][:terms_per_doc])
+    ]
+    return raw.select(
+        F.format_string("https://stream.example/msg/%d", F.col("value")).alias("url"),
+        F.col("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        F.concat_ws(" ", *words).alias("text"),
+        F.lit("en").alias("lang"),
+    )
+
+
 def incremental_index_stream(
     spark: SparkSession,
     input_path: str,

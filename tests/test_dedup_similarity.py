@@ -90,6 +90,28 @@ def test_embedding_near_dups(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     got = {(r.doc_a, r.doc_b) for r in embedding_near_dups(emb, threshold=0.9).collect()}
     assert got == {(1, 2)}
+    exact = {(r.doc_a, r.doc_b) for r in embedding_near_dups(emb, threshold=0.9, exact=True).collect()}
+    assert exact == got
+
+
+def test_embedding_lsh_matches_exact_on_clusters(spark):
+    """Bucketed-LSH default path finds the same near-dup pairs as the
+    brute-force cross join on a clustered corpus (verification primitive)."""
+    rng = np.random.RandomState(17)
+    base = rng.randn(12, 16)
+    rows = []
+    vid = 0
+    for i in range(12):
+        for _ in range(3):  # 3 noisy copies per cluster → near-dup pairs
+            v = base[i] + rng.randn(16) * 0.02
+            rows.append((vid, (v / np.linalg.norm(v)).tolist()))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    lsh = {(r.doc_a, r.doc_b) for r in embedding_near_dups(emb, threshold=0.98).collect()}
+    exact = {
+        (r.doc_a, r.doc_b) for r in embedding_near_dups(emb, threshold=0.98, exact=True).collect()
+    }
+    assert lsh == exact and len(exact) == 12 * 3  # 3 pairs per cluster
 
 
 def test_cosine_topk_and_lsh(spark):
