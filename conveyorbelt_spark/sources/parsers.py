@@ -219,10 +219,18 @@ def _collect_headers(lines: DataFrame) -> dict[str, list[tuple[int, str]]]:
 
 def _iis_parse(
     lines: DataFrame, source_type: str, sep: str, strip_quotes: bool,
-    strict: bool, split_bytes: int | None,
+    strict: bool, split_bytes: int | None, cursor=None,
 ) -> DataFrame:
+    need_headers = bool(split_bytes) or (cursor is not None and cursor.file_name)
+    headers = _collect_headers(lines) if need_headers else None
+    if cursor is not None and cursor.file_name:
+        # resume semantics: headers are (re-)read from byte 0, DATA restarts
+        # at the cursor — the reference's header re-read on resume
+        # (IisLogParser.cs:121-128) with ParseCursor mid-line landing
+        from .filescan import apply_parse_cursor
+
+        lines = apply_parse_cursor(lines, cursor)
     if split_bytes:
-        headers = _collect_headers(lines)
         split = (F.col("byte_offset") / F.lit(int(split_bytes))).cast("long")
         return (
             lines.withColumn("split", split)
@@ -233,7 +241,7 @@ def _iis_parse(
             )
         )
     return lines.groupBy("file").applyInPandas(
-        _make_iis_kernel(source_type, sep, strip_quotes, strict), schema=_IIS_SCHEMA
+        _make_iis_kernel(source_type, sep, strip_quotes, strict, headers), schema=_IIS_SCHEMA
     )
 
 
@@ -243,6 +251,7 @@ def parse_iis_logs(
     *,
     strict: bool = True,
     split_bytes: int | None = DEFAULT_SPLIT_BYTES,
+    cursor=None,
 ) -> DataFrame:
     """W3C IIS log lines → typed rows. Input: (file, line_no, byte_offset,
     line). Header-driven schema with mid-file '#Fields:' changes honored —
@@ -253,16 +262,20 @@ def parse_iis_logs(
     containing its START byte, so a split boundary landing mid-line assigns
     the whole line to the earlier split (ParseCursor mid-line landing,
     IisLogParser.cs:74-79) and a multi-GB log no longer serializes into one
-    task. ``split_bytes=None`` restores whole-file groups."""
-    return _iis_parse(lines, source_type, " ", False, strict, split_bytes)
+    task. ``split_bytes=None`` restores whole-file groups.
+
+    ``cursor`` (a planner.FileOffset) resumes the cursor's file from its
+    byte position: headers are re-read from byte 0, data lines before the
+    cursor are skipped (X8 mid-file resume, ParseCursor.cs:3-15)."""
+    return _iis_parse(lines, source_type, " ", False, strict, split_bytes, cursor)
 
 
 def parse_akamai_logs(
     lines: DataFrame, source_type: str = "Akamai", *, strict: bool = True,
-    split_bytes: int | None = DEFAULT_SPLIT_BYTES,
+    split_bytes: int | None = DEFAULT_SPLIT_BYTES, cursor=None,
 ) -> DataFrame:
     """Akamai variant: tab-separated, values quoted (AkamaiLogParser.cs:9-15)."""
-    return _iis_parse(lines, source_type, "\t", True, strict, split_bytes)
+    return _iis_parse(lines, source_type, "\t", True, strict, split_bytes, cursor)
 
 
 # --------------------------------------------------------------------------
