@@ -960,6 +960,180 @@ ORDER BY RowKey
 """
 
 
+def q26_embedding_near_dups(spark, sf_dir):
+    """Embedding near-dup detection through the BUCKETED LSH path (banded
+    random hyperplanes → equi-join candidates → exact cosine verify). The
+    raw table has no pairs above 0.51 cosine, so 50 deterministic perturbed
+    copies are injected (first coordinate +0.1) — the expected near-dup
+    pairs with exactly known similarities on both engines."""
+    from .operators.dedup import embedding_near_dups
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    pert = emb.where(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x, i: F.when(i == 0, x + 0.1).otherwise(x)
+        ).alias("embedding"),
+    )
+    aug = emb.unionByName(pert)
+    return (
+        embedding_near_dups(aug, threshold=0.99)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+Q26_SQL = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+pert AS (
+  SELECT vec_id + 10000 AS vec_id, [e[1] + 0.1] || e[2:] AS e
+  FROM v WHERE vec_id < 50
+),
+aug AS (SELECT * FROM v UNION ALL SELECT * FROM pert),
+pairs AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+         list_dot_product(a.e, b.e)
+           / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS c
+  FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+)
+SELECT doc_a, doc_b, round(c, 6) AS cos_sim
+FROM pairs WHERE c >= 0.99
+ORDER BY doc_a, doc_b
+"""
+
+
+_SC_STEM = "applog.log.20240101.000000"
+_SC_PATH = f"site/prod/{_SC_STEM}.txt"
+
+
+def q27_sitecore_roundtrip(spark, sf_dir):
+    """X3 roundtrip: events → sitecore-format lines (with continuation
+    lines and secrets) → parse_sitecore_logs (distributed stitch +
+    redaction) → typed entries, oracle-checked."""
+    from .sources.parsers import parse_sitecore_logs
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 300)
+    w = W.orderBy("event_id")
+    rn = F.row_number().over(w)
+    start = F.concat(
+        F.lit("proc"), (F.col("user_id") % 10).cast("string"),
+        F.lit(" "), F.date_format("ts", "HH:mm:ss"),
+        F.lit(" "), F.upper(F.substring("event_type", 1, 4)),
+        F.lit(" msg-"), F.col("event_id").cast("string"),
+        F.when(
+            F.col("event_id") % 7 == 0,
+            F.concat(F.lit(" password=sec"), F.col("event_id").cast("string"), F.lit(";tail")),
+        ).otherwise(F.lit("")),
+    )
+    base = ev.select("event_id", "ts", start.alias("s"), (rn * 2).alias("start_ln"))
+    starts = base.select(F.col("start_ln").alias("line_no"), F.col("s").alias("line"))
+    conts = base.where(F.col("event_id") % 3 == 0).select(
+        (F.col("start_ln") + 1).alias("line_no"),
+        F.concat(F.lit("   at Trace"), F.col("event_id").cast("string")).alias("line"),
+    )
+    lines = starts.unionByName(conts).select(
+        F.lit(_SC_PATH).alias("file"), "line_no", "line"
+    )
+    parsed = parse_sitecore_logs(lines, split_lines=64)
+    return parsed.select(
+        "RowKey",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("entry_ts"),
+        F.col("SitecoreLevel").alias("level"),
+        F.col("SitecoreProcessId").alias("src"),
+        F.col("Payload").alias("payload"),
+    ).orderBy("RowKey")
+
+
+Q27_SQL = f"""
+WITH ev AS (
+  SELECT *, 2 * row_number() OVER (ORDER BY event_id) AS start_ln
+  FROM events WHERE event_id < 300
+)
+SELECT '{_SC_STEM}_' || start_ln AS RowKey,
+       '2024-01-01 ' || strftime(ts, '%H:%M:%S') AS entry_ts,
+       upper(substr(event_type, 1, 4)) AS level,
+       'proc' || (user_id % 10) AS src,
+       'msg-' || event_id
+         || CASE WHEN event_id % 7 = 0 THEN ' password=**PASSWORD**REDACTED**;tail' ELSE '' END
+         || CASE WHEN event_id % 3 = 0 THEN chr(10) || '   at Trace' || event_id ELSE '' END
+         AS payload
+FROM ev
+ORDER BY RowKey
+"""
+
+
+def q28_eav_roundtrip(spark, sf_dir):
+    """X6/X7 roundtrip: events → typed EAV entity rows → eav_to_doc
+    (canonical quadruple + event-time coalesce via EventTickCount, ISO 's'
+    render, lowercase bools, empty-value drop) — oracle-checked."""
+    from .sources.parsers import eav_to_doc, timestamp_to_ticks
+
+    ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 500)
+    eav = ev.select(
+        F.concat(F.lit("p"), (F.col("user_id") % 10).cast("string")).alias("PartitionKey"),
+        F.concat(F.lit("r"), F.col("event_id").cast("string")).alias("RowKey"),
+        F.col("ts").alias("Timestamp"),
+        timestamp_to_ticks(
+            (F.col("ts") + F.expr("INTERVAL 1 HOUR")).cast("timestamp")
+        ).alias("EventTickCount"),
+        (F.col("value") > 50).alias("flag"),
+        F.when(F.col("event_id") % 5 == 0, F.lit("")).otherwise(F.lit("note")).alias("note"),
+        F.col("value").alias("v"),
+    )
+    doc = eav_to_doc(eav, "WADLogsTable")
+    return doc.select(
+        "PartitionKey", "RowKey", "cb_type", "ts", "flag", "note",
+        F.col("v").cast("double").alias("v"),
+    ).orderBy("RowKey")
+
+
+Q28_SQL = """
+SELECT 'p' || (user_id % 10) AS PartitionKey,
+       'r' || event_id AS RowKey,
+       'WADLogsTable' AS cb_type,
+       strftime(ts + INTERVAL 1 HOUR, '%Y-%m-%dT%H:%M:%S') AS ts,
+       CASE WHEN value > 50 THEN 'true' ELSE 'false' END AS flag,
+       CASE WHEN event_id % 5 = 0 THEN NULL ELSE 'note' END AS note,
+       value::DOUBLE AS v
+FROM events WHERE event_id < 500
+ORDER BY RowKey
+"""
+
+
+def q29_hour_shards(spark, sf_dir):
+    """P4/S5: hour-file convention names synthesized from the events time
+    range — one u_exyyMMddHH.log work unit per elapsed hour
+    (IisBlobConventionScheduler.cs:68-85)."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    return (
+        bounds.select(
+            F.explode(F.sequence(F.col("lo"), F.col("hi"), F.expr("INTERVAL 1 HOUR"))).alias("h")
+        )
+        .select(
+            F.concat(F.lit("u_ex"), F.date_format("h", "yyMMddHH"), F.lit(".log")).alias(
+                "file_name"
+            )
+        )
+        .orderBy("file_name")
+    )
+
+
+Q29_SQL = """
+WITH b AS (
+  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi FROM events
+)
+SELECT 'u_ex' || strftime(unnest(generate_series(lo, hi, INTERVAL 1 HOUR)), '%y%m%d%H')
+         || '.log' AS file_name
+FROM b
+ORDER BY file_name
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -986,6 +1160,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23_iis_roundtrip": q23_iis_roundtrip,
     "q24_insight_roundtrip": q24_insight_roundtrip,
     "q25_json_roundtrip": q25_json_roundtrip,
+    "q26_embedding_near_dups": q26_embedding_near_dups,
+    "q27_sitecore_roundtrip": q27_sitecore_roundtrip,
+    "q28_eav_roundtrip": q28_eav_roundtrip,
+    "q29_hour_shards": q29_hour_shards,
 }
 
 ORACLES: dict[str, str] = {
@@ -1014,4 +1192,8 @@ ORACLES: dict[str, str] = {
     "q23_iis_roundtrip": Q23_SQL,
     "q24_insight_roundtrip": Q24_SQL,
     "q25_json_roundtrip": Q25_SQL,
+    "q26_embedding_near_dups": Q26_SQL,
+    "q27_sitecore_roundtrip": Q27_SQL,
+    "q28_eav_roundtrip": Q28_SQL,
+    "q29_hour_shards": Q29_SQL,
 }
