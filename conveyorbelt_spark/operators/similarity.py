@@ -119,6 +119,87 @@ def lsh_index(
     )
 
 
+# --------------------------------------------------------------------------
+# IVF-flat (coarse k-means quantizer → cluster-pruned exact re-rank)
+# --------------------------------------------------------------------------
+
+def ivf_train(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    *,
+    vec_col: str = "embedding",
+    sample: int = 4096,
+    iters: int = 10,
+    seed: int = 23,
+) -> np.ndarray:
+    """Deterministic coarse quantizer: Lloyd's k-means on a driver-side
+    sample (normalized vectors, cosine ≈ L2 on the unit sphere). The
+    centroid table is tiny (n_centroids × dim) — it broadcasts by value
+    into the assignment kernel; training cost is O(sample), independent of
+    corpus size."""
+    rows = emb.select(vec_col).limit(sample).collect()
+    m = np.array([r[0] for r in rows], dtype=np.float64)
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    cent = m[rng.choice(len(m), size=min(n_centroids, len(m)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(m @ cent.T, axis=1)
+        for c in range(len(cent)):
+            members = m[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+    return cent
+
+
+def ivf_index(
+    emb: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """→ (id, embedding, cluster): nearest-centroid assignment via one
+    Arrow kernel (numpy matmul per batch — vectorized, no per-row Python).
+    Write ``partitionBy('cluster')`` at scale so a query's nprobe clusters
+    prune to nprobe partitions."""
+    cent = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            norms = np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            pdf = pdf.copy()
+            pdf["cluster"] = np.argmax((m / norms) @ cent.T, axis=1).astype("int32")
+            yield pdf
+
+    base = emb.select(id_col, vec_col)
+    out_schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in base.schema.fields)
+    return base.mapInPandas(run, schema=out_schema + ", cluster int")
+
+
+def ivf_topk(
+    indexed: DataFrame,
+    query_vec: list[float],
+    centroids: np.ndarray,
+    k: int = 10,
+    *,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN: scan only the query's ``nprobe`` nearest clusters (partition
+    pruning on the cluster column), exact cosine re-rank inside — the IVF
+    scale path next to the LSH one."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / max(np.linalg.norm(q), 1e-12)
+    cent = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+    order = np.argsort(-(cent @ q))[: max(1, nprobe)]
+    cand = indexed.where(F.col("cluster").isin([int(c) for c in order]))
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
 def lsh_topk(
     indexed: DataFrame,
     query_vec: list[float],

@@ -146,6 +146,36 @@ def test_cosine_topk_batch_matches_single(spark):
         assert got == single
 
 
+def test_ivf_topk(spark):
+    """IVF-flat scale path: coarse k-means quantizer, cluster-pruned exact
+    re-rank; self is retrieved and recall overlaps the exact top-k."""
+    from conveyorbelt_spark.operators.similarity import ivf_index, ivf_topk, ivf_train
+
+    rng = np.random.RandomState(9)
+    base = rng.randn(8, 16)
+    rows = []
+    vid = 0
+    for i in range(8):
+        for _ in range(25):
+            v = base[i] + rng.randn(16) * 0.15
+            rows.append((vid, v.tolist()))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>").repartition(4)
+    cents = ivf_train(emb, n_centroids=8, iters=10)
+    assert cents.shape == (8, 16)
+    idx = ivf_index(emb, cents).persist()
+    # every vector lands in exactly one cluster; clusters are populated
+    assert idx.count() == 200
+    assert idx.select("cluster").distinct().count() > 1
+
+    q = rows[7][1]
+    got = [r.vec_id for r in ivf_topk(idx, q, cents, 5, nprobe=2).collect()]
+    assert got[0] == 7  # self in its own cluster
+    exact = [r.vec_id for r in cosine_topk(emb, q, 5).collect()]
+    assert len(set(got) & set(exact)) >= 3
+    idx.unpersist()
+
+
 def test_lang_id(spark):
     rows = [
         (1, "the cat and the dog is with that mouse"),
