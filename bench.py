@@ -61,7 +61,7 @@ def main() -> None:
         lat = []
         for case in reference_query_set():
             t0 = time.time()
-            searcher.search(case["q"], case["k"]).collect()
+            searcher.search_rows(case["q"], case["k"])
             lat.append(time.time() - t0)
         lat.sort()
         p50 = lat[len(lat) // 2]

@@ -261,6 +261,55 @@ def _exhaustive(pdf, term_idf, terms_sorted, k, k1, b, avgdl) -> pd.DataFrame:
     return pd.DataFrame({"doc_id": all_docs[idx], "score": scores[idx]})
 
 
+_BLOCK_COLS = ["bucket", "term", "blk", "n", "max_tf", "min_dl", "docs", "tfs", "dls"]
+
+
+def _read_blocks_local(out_dir: str, tbs: list[int], terms: list[str]):
+    """Driver-side pyarrow read of the matched posting blocks (posix paths
+    only): same pruning as the Spark scan — tb partition directories +
+    term row-group stats — but zero Spark jobs. Returns a pandas frame or
+    None when the index isn't locally readable."""
+    import glob
+
+    seg_dir = f"{out_dir}/segments"
+    if not os.path.isdir(seg_dir):
+        return None
+    import pyarrow.dataset as ds
+
+    frames = []
+    for tb in tbs:
+        files = glob.glob(f"{seg_dir}/tb={tb}/run=*/*.parquet") + glob.glob(
+            f"{seg_dir}/tb={tb}/*.parquet"  # legacy flat layout
+        )
+        if not files:
+            continue
+        tbl = ds.dataset(files, format="parquet").to_table(
+            filter=ds.field("term").isin(terms), columns=_BLOCK_COLS
+        )
+        if tbl.num_rows:
+            frames.append(tbl.to_pandas())
+    if not frames:
+        return pd.DataFrame(columns=_BLOCK_COLS)
+    return pd.concat(frames, ignore_index=True)
+
+
+def _score_local(
+    blocks: pd.DataFrame, term_idf: dict[str, float], k: int, stats: dict, prune: bool
+) -> list[tuple[int, float]]:
+    """Run the SAME per-bucket scoring kernel in-driver and merge: buckets
+    are disjoint docID ranges, so concat of per-bucket top-k + one global
+    sort is exact."""
+    kern = _score_kernel(term_idf, k, prune=prune)
+    kern.k1, kern.b, kern.avgdl = stats["k1"], stats["b"], stats["avgdl"]
+    outs = [kern(grp) for _, grp in blocks.groupby("bucket", sort=True)]
+    outs = [o for o in outs if len(o)]
+    if not outs:
+        return []
+    allr = pd.concat(outs, ignore_index=True)
+    allr = allr.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
+    return [(int(r.doc_id), float(r.score)) for r in allr.head(k).itertuples()]
+
+
 def bm25_topk(
     spark: SparkSession,
     out_dir: str,
@@ -378,8 +427,16 @@ def bm25_topk_sql(spark: SparkSession, out_dir: str, query: str, k: int = 10) ->
 
 
 class Searcher:
-    """Reusable query handle: caches stats + dictionary probes so repeated
-    queries pay only the single pruned segment-scan job.
+    """Reusable query handle: caches stats + dictionary probes.
+
+    Serving mode (``mode='auto'``, default): when the index is a locally
+    readable posix path, a query runs ENTIRELY on the driver — pyarrow
+    reads exactly the matched posting blocks (tb partition + term row-group
+    pruning, like the Spark scan) and the same scoring kernel ranks them —
+    ZERO Spark jobs per query, the right architecture for a serving node
+    (Spark builds the index; queries read it). ``mode='spark'`` forces the
+    distributed scan (remote storage / huge candidate sets); results are
+    identical (asserted in tests).
 
     Staleness: every index mutation (index_batch, build_index,
     compact_segments) finishes by rewriting stats.json, so its mtime is the
@@ -387,9 +444,10 @@ class Searcher:
     stats and drops the term cache (a long-lived Searcher then scores
     identically to a fresh ``bm25_topk`` on the same index)."""
 
-    def __init__(self, spark: SparkSession, out_dir: str):
+    def __init__(self, spark: SparkSession, out_dir: str, mode: str = "auto"):
         self.spark = spark
         self.out_dir = out_dir
+        self.mode = mode
         self.stats = load_stats(out_dir)
         self._stats_mtime = os.path.getmtime(os.path.join(out_dir, "stats.json"))
         self._term_cache: dict[str, dict | None] = {}
@@ -414,6 +472,27 @@ class Searcher:
                 self._term_cache[t] = found.get(t)
         return [self._term_cache[t] for t in terms if self._term_cache[t] is not None]
 
+    def search_rows(self, query: str, k: int = 10, prune: bool = True) -> list[tuple[int, float]]:
+        """Serving-path search: [(doc_id, score)] straight from the driver
+        kernel — no DataFrame round trip at all (the py4j createDataFrame +
+        collect costs ~3× the actual scoring at small k). Requires a
+        locally readable index in mode auto/local; in mode spark it
+        collects the distributed result."""
+        self._maybe_invalidate()
+        terms = sorted(set(tokenize(query)))
+        entries = self._entries(terms)
+        if not entries:
+            return []
+        term_idf = {e["term"]: idf(self.stats["n_docs"], int(e["df"])) for e in entries}
+        tbs = sorted({int(e["tb"]) for e in entries})
+        if self.mode in ("auto", "local"):
+            blocks = _read_blocks_local(self.out_dir, tbs, sorted(term_idf))
+            if blocks is not None:
+                return _score_local(blocks, term_idf, k, self.stats, prune)
+            if self.mode == "local":
+                raise FileNotFoundError(f"{self.out_dir}/segments is not locally readable")
+        return [(r.doc_id, r.score) for r in self.search(query, k, prune).collect()]
+
     def search(self, query: str, k: int = 10, prune: bool = True) -> DataFrame:
         self._maybe_invalidate()
         terms = sorted(set(tokenize(query)))
@@ -422,10 +501,19 @@ class Searcher:
             return self.spark.createDataFrame([], "doc_id long, score double")
         term_idf = {e["term"]: idf(self.stats["n_docs"], int(e["df"])) for e in entries}
         tbs = sorted({int(e["tb"]) for e in entries})
+
+        if self.mode in ("auto", "local"):
+            blocks = _read_blocks_local(self.out_dir, tbs, sorted(term_idf))
+            if blocks is not None:
+                rows = _score_local(blocks, term_idf, k, self.stats, prune)
+                return self.spark.createDataFrame(rows, "doc_id long, score double")
+            if self.mode == "local":
+                raise FileNotFoundError(f"{self.out_dir}/segments is not locally readable")
+
         seg = (
             self.spark.read.parquet(f"{self.out_dir}/segments")
             .where(F.col("tb").isin(tbs) & F.col("term").isin(sorted(term_idf)))
-            .select("bucket", "term", "blk", "n", "max_tf", "min_dl", "docs", "tfs", "dls")
+            .select(*_BLOCK_COLS)
         )
         kern = _score_kernel(term_idf, k, prune=prune)
         kern.k1, kern.b, kern.avgdl = self.stats["k1"], self.stats["b"], self.stats["avgdl"]

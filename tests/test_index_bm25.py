@@ -79,6 +79,22 @@ def test_rank_identical(spark, index_dir, oracle, case):
         assert gs == ws, f"score mismatch: {gs!r} != {ws!r}"
 
 
+@pytest.mark.parametrize("case", reference_query_set(), ids=lambda c: f"serve:{c['q']}@{c['k']}")
+def test_searcher_local_rank_identical(spark, index_dir, oracle, case):
+    """Driver-side serving path (zero Spark jobs): bit-exact vs the oracle
+    and vs the forced-Spark path."""
+    from conveyorbelt_spark.index.query import Searcher
+
+    s_local = Searcher(spark, index_dir, mode="auto")
+    got = [(r.doc_id, r.score) for r in s_local.search(case["q"], case["k"]).collect()]
+    want = oracle.search(case["q"], case["k"])
+    assert got == want
+    s_spark = Searcher(spark, index_dir, mode="spark")
+    via_spark = [(r.doc_id, r.score) for r in s_spark.search(case["q"], case["k"]).collect()]
+    assert got == via_spark
+    assert s_local.search_rows(case["q"], case["k"]) == want
+
+
 def test_sql_mode_agrees(spark, index_dir, oracle):
     case = {"q": "term00000 term00123", "k": 10}
     got = [(r.doc_id, r.score) for r in bm25_topk_sql(spark, index_dir, case["q"], case["k"]).collect()]
