@@ -352,29 +352,46 @@ def embedding_lsh_candidates(
     vec_col: str = "embedding",
     *,
     bands: int = 8,
-    planes_per_band: int = 2,
+    planes_per_band: int = 12,
     seed: int = 11,
     max_bucket: int = 1000,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded random-hyperplane LSH: vectors
     sharing ANY band's sign-bucket pair up through a bucketed equi-join —
-    never an all-pairs cross join. ``bands × planes_per_band`` trades recall
-    (more bands) against candidate volume (more planes per band); the
-    defaults give P(candidate) ≈ 1-(1-p^r)^b ≈ 0.996 at cosine 0.95.
-    Oversized buckets are dropped (cap against quadratic blowup)."""
-    from .similarity import hyperplanes, lsh_bucket_col
+    never an all-pairs cross join. ``planes_per_band`` sets precision
+    (random-pair candidate rate ≈ bands × 2^-planes_per_band — too few
+    planes floods the verify stage with quadratic bucket pairs), ``bands``
+    sets recall (miss prob ≈ (1-p^r)^b; at cosine 0.995 the defaults miss
+    ~1e-4). Oversized buckets are dropped (cap against quadratic blowup)."""
+    import numpy as np
+    import pandas as pd
+
+    from .similarity import hyperplanes
 
     dim = len(emb.select(vec_col).first()[0])
     planes = hyperplanes(dim, bands * planes_per_band, seed)
-    v = emb.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
-    band_buckets = F.array(
-        *[
-            lsh_bucket_col(F.col("v"), planes[i * planes_per_band : (i + 1) * planes_per_band])
-            for i in range(bands)
-        ]
-    )
-    banded = v.select(
-        id_col, F.posexplode(band_buckets).alias("band", "bucket")
+    weights = 1 << np.arange(planes_per_band, dtype=np.int64)
+
+    def assign(batches):
+        """All band buckets in ONE matmul per Arrow batch (per-plane
+        interpreted array lambdas are ~10× slower at 16+ planes)."""
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            bits = (m @ planes.T) > 0  # (n, bands*planes_per_band)
+            bk = bits.reshape(len(m), bands, planes_per_band) @ weights  # (n, bands)
+            ids = pdf[id_col].to_numpy()
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(ids, bands),
+                    "band": np.tile(np.arange(bands, dtype=np.int32), len(m)),
+                    "bucket": bk.reshape(-1).astype(np.int64),
+                }
+            )
+
+    banded = emb.select(id_col, F.col(vec_col).cast("array<double>").alias(vec_col)).mapInPandas(
+        assign, schema=f"{id_col} long, band int, bucket long"
     )
     sized = banded.withColumn(
         "bsz", F.count("*").over(W.partitionBy("band", "bucket"))
@@ -397,7 +414,7 @@ def embedding_near_dups(
     *,
     exact: bool = False,
     bands: int = 8,
-    planes_per_band: int = 2,
+    planes_per_band: int = 12,
     seed: int = 11,
     max_bucket: int = 1000,
 ) -> DataFrame:

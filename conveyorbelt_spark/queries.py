@@ -315,7 +315,9 @@ def q10_bm25_topk(spark, sf_dir):
     """Flagship: BM25 top-10 over documents, pure DataFrame ops
     (k1=1.2, b=0.75, ES idf; north_rule query semantics)."""
     docs = _t(spark, sf_dir, "documents")
-    tf = _tokens(docs).groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    # tf feeds df_, the scoring join, and dl — materialize the (doc, term)
+    # aggregate once instead of re-tokenizing the corpus three times
+    tf = _tokens(docs).groupBy("doc_id", "term").agg(F.count("*").alias("tf")).persist()
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     # one job for both corpus stats (n_docs counts ALL docs incl. empty)
     srow = docs.agg(F.count("*").alias("n")).collect()[0]
@@ -977,7 +979,9 @@ def q26_embedding_near_dups(spark, sf_dir):
             "embedding", lambda x, i: F.when(i == 0, x + 0.1).otherwise(x)
         ).alias("embedding"),
     )
-    aug = emb.unionByName(pert)
+    # the augmented table feeds LSH banding AND both sides of the verify
+    # join — materialize once (at scale it would be a written table)
+    aug = emb.unionByName(pert).persist()
     return (
         embedding_near_dups(aug, threshold=0.99)
         .orderBy("doc_a", "doc_b")
