@@ -105,3 +105,46 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     content fingerprint used for dedup/idempotent ids."""
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "))
     return df.select(id_col, F.md5(norm).alias("fp"))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    shingle_k: int = 4,
+    window_w: int = 5,
+) -> DataFrame:
+    """→ (id, fp long) distinct winnowing fingerprints: rolling k-token
+    shingle hashes, minimum per sliding window of ``window_w`` consecutive
+    shingles (the MOSS/winnowing scheme — guarantees any shared run of
+    k+w-1 tokens yields a shared fingerprint). Docs with fewer than ``w``
+    shingles contribute the minimum over all their shingles; docs with no
+    tokens contribute nothing.
+
+    Plan shape: posexplode + per-doc window (bounded by one document) +
+    distinct — all codegen builtins, portable to the SQL oracle."""
+    from pyspark.sql import Window as W  # noqa: N817
+
+    from ..operators.dedup import portable_hash60
+
+    toks = df.select(
+        id_col,
+        F.posexplode(_tokens_col(text_col)).alias("pos", "term"),
+    )
+    w_lead = W.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("term")] + [F.lead("term", j).over(w_lead) for j in range(1, shingle_k)]
+    sh = (
+        toks.select(id_col, "pos", F.concat_ws(" ", *parts).alias("shingle"), parts[-1].alias("_l"))
+        .where(F.col("_l").isNotNull())
+        .select(id_col, "pos", F.pmod(portable_hash60("shingle"), F.lit(1 << 32)).alias("hv"))
+    )
+    w_win = W.partitionBy(id_col).orderBy("pos").rowsBetween(0, window_w - 1)
+    winnowed = sh.select(
+        id_col,
+        F.min("hv").over(w_win).alias("fp"),
+        F.count("*").over(w_win).alias("_n"),
+    ).withColumn("_mx", F.max("_n").over(W.partitionBy(id_col)))
+    # complete windows, or the single all-shingles window of a short doc
+    keep = (F.col("_n") == window_w) | ((F.col("_mx") < window_w) & (F.col("_n") == F.col("_mx")))
+    return winnowed.where(keep).select(id_col, "fp").distinct()

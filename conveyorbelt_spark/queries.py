@@ -1138,6 +1138,51 @@ ORDER BY file_name
 """
 
 
+def q30_winnow_fingerprints(spark, sf_dir):
+    """Winnowing (rolling-hash) document fingerprints: min shingle hash per
+    sliding window — any shared run of k+w-1 tokens between two docs yields
+    a shared fingerprint (the MOSS scheme for near-dup span detection)."""
+    from .functions.textstats import winnow_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_fingerprints(docs, shingle_k=4, window_w=5).orderBy("doc_id", "fp")
+
+
+Q30_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(arr) AS term,
+         generate_subscripts(arr, 1) - 1 AS pos
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                           t -> t != '') AS arr
+        FROM documents)
+),
+sh AS (
+  SELECT doc_id, pos,
+         ('0x' || substr(md5(term || ' ' || t1 || ' ' || t2 || ' ' || t3), 1, 15))::UBIGINT::BIGINT
+           % 4294967296 AS hv
+  FROM (
+    SELECT doc_id, pos, term,
+           lead(term, 1) OVER w AS t1, lead(term, 2) OVER w AS t2, lead(term, 3) OVER w AS t3
+    FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  )
+  WHERE t3 IS NOT NULL
+),
+win AS (
+  SELECT doc_id,
+         min(hv)  OVER v AS fp,
+         count(*) OVER v AS n
+  FROM sh
+  WINDOW v AS (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING)
+),
+mx AS (SELECT *, max(n) OVER (PARTITION BY doc_id) AS m FROM win)
+SELECT DISTINCT doc_id, fp
+FROM mx
+WHERE n = 5 OR (m < 5 AND n = m)
+ORDER BY doc_id, fp
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -1168,6 +1213,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q27_sitecore_roundtrip": q27_sitecore_roundtrip,
     "q28_eav_roundtrip": q28_eav_roundtrip,
     "q29_hour_shards": q29_hour_shards,
+    "q30_winnow_fingerprints": q30_winnow_fingerprints,
 }
 
 ORACLES: dict[str, str] = {
@@ -1200,4 +1246,5 @@ ORACLES: dict[str, str] = {
     "q27_sitecore_roundtrip": Q27_SQL,
     "q28_eav_roundtrip": Q28_SQL,
     "q29_hour_shards": Q29_SQL,
+    "q30_winnow_fingerprints": Q30_SQL,
 }
