@@ -212,6 +212,53 @@ def message_bus_docs(
     )
 
 
+KAFKA_MESSAGE_SCHEMA = (
+    "key binary, value binary, topic string, partition int, offset long, "
+    "timestamp timestamp, timestampType int"
+)
+
+
+def kafka_messages_to_docs(
+    msgs: DataFrame,
+    *,
+    value_format: str = "json",
+    text_field: str = "text",
+    url_field: str = "url",
+    lang_field: str = "lang",
+) -> DataFrame:
+    """Kafka-API-shaped messages → the engine's input-table shape
+    (url, warc_ts, html, text, lang). Works on the exact column set Spark's
+    kafka source emits (key/value binary, topic, partition, offset,
+    timestamp) — batch or streaming — so a real broker plugs in by swapping
+    the source, nothing downstream changes (the reference's per-partition
+    EventHub processors ↔ the source's partition parallelism,
+    EventHubConsumer.cs:33-51).
+
+    ``value_format='json'``: fields pulled from the JSON value with a
+    deterministic (topic, partition, offset) url fallback — the reference's
+    idempotent-id recipe for messages without natural keys.
+    ``value_format='raw'``: whole value as text."""
+    val = F.col("value").cast("string")
+    fallback_url = F.format_string(
+        "kafka://%s/%d/%d", F.col("topic"), F.col("partition"), F.col("offset")
+    )
+    if value_format == "json":
+        url = F.coalesce(F.get_json_object(val, f"$.{url_field}"), fallback_url)
+        text = F.coalesce(F.get_json_object(val, f"$.{text_field}"), F.lit(""))
+        lang = F.coalesce(F.get_json_object(val, f"$.{lang_field}"), F.lit("und"))
+    elif value_format == "raw":
+        url, text, lang = fallback_url, F.coalesce(val, F.lit("")), F.lit("und")
+    else:
+        raise ValueError(f"unknown value_format: {value_format!r}")
+    return msgs.select(
+        url.alias("url"),
+        F.col("timestamp").alias("warc_ts"),
+        F.lit(None).cast("binary").alias("html"),
+        text.alias("text"),
+        lang.alias("lang"),
+    )
+
+
 def incremental_index_stream(
     spark: SparkSession,
     input_path: str,

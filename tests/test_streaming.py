@@ -138,6 +138,37 @@ def test_message_bus_stream_two_batches_idempotent(spark, tmp_path_factory):
     assert bm25_topk(spark, out, "term00003", 5).count() > 0
 
 
+def test_kafka_message_adapter(spark, tmp_path_factory):
+    """Kafka-shaped messages (exact kafka-source column set) map to the
+    input-table shape and index end to end; deterministic offset-based urls
+    for keyless messages."""
+    import datetime as dt
+    import json as _json
+
+    from conveyorbelt_spark.index.query import bm25_topk
+    from conveyorbelt_spark.streaming.incremental import (
+        KAFKA_MESSAGE_SCHEMA,
+        kafka_messages_to_docs,
+    )
+
+    ts = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    for off in range(40):
+        payload = {"url": f"https://k.example/{off}", "text": f"kafka doc term{off % 7}", "lang": "en"}
+        rows.append((None, _json.dumps(payload).encode(), "pages", off % 2, off, ts, 0))
+    rows.append((None, b"not json at all", "pages", 0, 99, ts, 0))
+    msgs = spark.createDataFrame(rows, KAFKA_MESSAGE_SCHEMA)
+    docs = kafka_messages_to_docs(msgs)
+    got = {r.url: r for r in docs.collect()}
+    assert got["https://k.example/3"].text == "kafka doc term3"
+    assert got["kafka://pages/0/99"].lang == "und"  # unparseable → fallback id
+    assert set(docs.columns) == {"url", "warc_ts", "html", "text", "lang"}
+
+    out = str(tmp_path_factory.mktemp("kafka_idx"))
+    assert index_batch(spark, docs, out, 0, n_buckets=8) is True
+    assert bm25_topk(spark, out, "term3", 5).count() > 0
+
+
 def test_streaming_minute_metrics(spark, sf001):
     events = spark.read.parquet(f"{sf001}/events.parquet")
     # batch-mode check of the same op graph first
