@@ -16,4 +16,30 @@ Layout:
 - ``streaming``   incremental index build via foreachBatch
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+
+def __getattr__(name: str):
+    """Lazy top-level API (keeps ``import conveyorbelt_spark`` free of a
+    pyspark import until something is actually used)."""
+    surface = {
+        "get_spark": ("conveyorbelt_spark.session", "get_spark"),
+        "build_index": ("conveyorbelt_spark.index.build", "build_index"),
+        "compact_segments": ("conveyorbelt_spark.index.build", "compact_segments"),
+        "bm25_topk": ("conveyorbelt_spark.index.query", "bm25_topk"),
+        "Searcher": ("conveyorbelt_spark.index.query", "Searcher"),
+        "index_batch": ("conveyorbelt_spark.streaming.incremental", "index_batch"),
+        "index_stream": ("conveyorbelt_spark.streaming.incremental", "index_stream"),
+        "incremental_index_stream": (
+            "conveyorbelt_spark.streaming.incremental", "incremental_index_stream",
+        ),
+        "SourceSpec": ("conveyorbelt_spark.conveyor", "SourceSpec"),
+        "SourceRegistry": ("conveyorbelt_spark.conveyor", "SourceRegistry"),
+        "run_sources": ("conveyorbelt_spark.conveyor", "run_sources"),
+    }
+    if name in surface:
+        import importlib
+
+        mod, attr = surface[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module 'conveyorbelt_spark' has no attribute {name!r}")
