@@ -318,6 +318,7 @@ def build_index(
     commit_groups: int = 1,
     resume: bool = False,
     run_id: str = "full",
+    store_docs: bool = False,
 ) -> dict:
     """Build the full index under ``out_dir``. Returns the stats dict.
 
@@ -335,6 +336,7 @@ def build_index(
     # doclens via a (doc_id → min dl) agg, postings inside the sorted block
     # builder — so the only wide shuffle over text-derived data is the
     # (term, bucket) tokenize shuffle itself.
+    docs_in = docs
     docs = with_doc_id(docs, url_col).select("doc_id", F.col(text_col).alias("text"))
 
     seg_dir = os.path.join(out_dir, "segments")
@@ -442,7 +444,64 @@ def build_index(
         },
     )
     _mark("stats")
+    if store_docs:
+        write_docstore(spark, docs_in, out_dir, run_id, url_col)
+        _mark("docstore")
     return stats
+
+
+def write_docstore(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    run_val: str = "full",
+    url_col: str = "url",
+    *,
+    extra_cols: tuple[str, ...] = (),
+) -> None:
+    """(doc_id → url [+ extra columns]) sidecar, bucket-partitioned by the
+    doc-id top bits so a search result's ids resolve with a partition-pruned
+    read (the ES '_source' half: the reference's users get documents back,
+    not internal ids). Run-keyed like every other artifact — idempotent
+    overwrite, O(delta) for incremental batches."""
+    stats = load_stats(out_dir)
+    d = (
+        with_doc_id(docs, url_col)
+        .select("doc_id", F.col(url_col).alias("url"), *extra_cols)
+        .dropDuplicates(["doc_id"])
+        .withColumn("bucket", _bucket_col(stats["n_buckets"]))
+        .withColumn("run", F.lit(run_val))
+    )
+    _dyn_overwrite(d, os.path.join(out_dir, "docstore"), ("bucket", "run"))
+
+
+def lookup_docs(out_dir: str, doc_ids: list[int]) -> dict[int, dict]:
+    """Driver-side pyarrow resolve of doc ids → stored columns, pruned to
+    the ids' bucket partitions (zero Spark jobs, serving-path companion to
+    Searcher.search_rows)."""
+    import glob as _glob
+
+    import pyarrow.dataset as ds
+
+    store = os.path.join(out_dir, "docstore")
+    if not os.path.isdir(store) or not doc_ids:
+        return {}
+    stats = load_stats(out_dir)
+    bits = int(np.log2(stats["n_buckets"]))
+    by_bucket: dict[int, list[int]] = {}
+    for did in doc_ids:
+        by_bucket.setdefault(did >> (63 - bits), []).append(did)
+    out: dict[int, dict] = {}
+    for bkt, ids in sorted(by_bucket.items()):
+        files = _glob.glob(os.path.join(store, f"bucket={bkt}", "run=*", "*.parquet"))
+        if not files:
+            continue
+        tbl = ds.dataset(files, format="parquet").to_table(
+            filter=ds.field("doc_id").isin(ids)
+        )
+        for row in tbl.to_pylist():
+            out[row["doc_id"]] = row
+    return out
 
 
 def write_doclens(spark: SparkSession, docs: DataFrame, out_dir: str,

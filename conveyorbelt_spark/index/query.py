@@ -493,6 +493,24 @@ class Searcher:
                 raise FileNotFoundError(f"{self.out_dir}/segments is not locally readable")
         return [(r.doc_id, r.score) for r in self.search(query, k, prune).collect()]
 
+    def search_docs(self, query: str, k: int = 10, prune: bool = True) -> list[dict]:
+        """Serving-path search with the stored document columns resolved
+        (url, …): the ES-user experience — documents back, not internal
+        ids. Requires the index to have been built/batched with
+        ``store_docs=True`` (ids without a docstore row come back bare)."""
+        from .build import lookup_docs
+
+        rows = self.search_rows(query, k, prune)
+        meta = lookup_docs(self.out_dir, [d for d, _ in rows])
+        out = []
+        for d, s in rows:
+            row = dict(meta.get(d, {}))
+            row.pop("bucket", None)
+            row.pop("run", None)
+            row.update({"doc_id": d, "score": s})
+            out.append(row)
+        return out
+
     def search(self, query: str, k: int = 10, prune: bool = True) -> DataFrame:
         self._maybe_invalidate()
         terms = sorted(set(tokenize(query)))

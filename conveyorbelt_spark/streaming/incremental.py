@@ -69,6 +69,7 @@ def index_batch(
     b: float = BM25_B,
     refresh_dict: bool = True,
     exact_stats: bool = False,
+    store_docs: bool = False,
 ) -> bool:
     """Append one batch of documents as a delta segment run. O(delta): the
     doclens/dictionary/manifest/stats updates all derive from this batch's
@@ -101,6 +102,7 @@ def index_batch(
         refresh_stats(spark, out_dir, defaults=cfg)
         return False
 
+    docs_in = docs
     docs = with_doc_id(docs, url_col).select("doc_id", F.col(text_col).alias("text"))
 
     # --- doclens delta (O(batch)); persisted: it feeds both the run write
@@ -146,6 +148,10 @@ def index_batch(
     man.write.mode("append").parquet(man_dir)  # ← THE commit
     doclens.unpersist()
     refresh_stats(spark, out_dir, defaults=cfg)
+    if store_docs:
+        from ..index.build import write_docstore
+
+        write_docstore(spark, docs_in, out_dir, run_id, url_col)
     return True
 
 
@@ -157,6 +163,7 @@ def index_stream(
     *,
     available_now: bool = False,
     trigger_seconds: int = 30,
+    compact_every: int | None = None,
     **index_kw,
 ):
     """Index ANY unbounded streaming DataFrame — rate / rate-micro-batch /
@@ -164,9 +171,21 @@ def index_stream(
     pipeline as the file conveyor. This is the reference's Event Hub path
     (EventHubConsumer.cs:33-51: per-partition processors parse each message
     stream; :91-108: checkpoint at most once per minute → trigger +
-    checkpointLocation here). Returns the StreamingQuery."""
+    checkpointLocation here).
+
+    ``compact_every=N`` closes the LSM loop in-stream: after every N NEW
+    batches the delta runs fold into dense blocks (compact_segments), which
+    also recounts stats exactly and keeps the run-partition count bounded.
+    Returns the StreamingQuery."""
+    done = {"n": 0}
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        index_batch(spark, batch_df, out_dir, batch_id, **index_kw)
+        if index_batch(spark, batch_df, out_dir, batch_id, **index_kw):
+            done["n"] += 1
+            if compact_every and done["n"] % compact_every == 0:
+                from ..index.build import compact_segments
+
+                compact_segments(spark, out_dir)
 
     writer = stream_df.writeStream.foreachBatch(sink).option(
         "checkpointLocation", checkpoint_dir
@@ -274,23 +293,23 @@ def incremental_index_stream(
     """File-source streaming conveyor: new parquet files under
     ``input_path`` are tokenized and appended as delta segments.
     30 s trigger ↔ the reference's schedule loop (WorkerRole.cs:233-247);
-    ``checkpointLocation`` ↔ its 1-min stream checkpoints. Returns the
+    ``checkpointLocation`` ↔ its 1-min stream checkpoints. Supports the
+    same ``compact_every`` cadence as ``index_stream``. Returns the
     StreamingQuery (caller awaits/stops)."""
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .parquet(input_path)
     )
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        index_batch(spark, batch_df, out_dir, batch_id, **index_kw)
-
-    writer = stream.writeStream.foreachBatch(sink).option("checkpointLocation", checkpoint_dir)
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    else:
-        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
-    return writer.start()
+    return index_stream(
+        spark,
+        stream,
+        out_dir,
+        checkpoint_dir,
+        available_now=available_now,
+        trigger_seconds=trigger_seconds,
+        **index_kw,
+    )
 
 
 def streaming_minute_metrics(

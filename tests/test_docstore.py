@@ -1,0 +1,67 @@
+"""Doc-store resolution (the ES '_source' half: searches return documents,
+not internal ids) + in-stream compaction cadence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F  # noqa: N812
+
+from conveyorbelt_spark.corpus import corpus_spark_df
+from conveyorbelt_spark.index.build import build_index, lookup_docs
+from conveyorbelt_spark.index.query import Searcher
+from conveyorbelt_spark.streaming.incremental import index_batch
+
+
+def test_search_docs_resolves_urls(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("store_idx"))
+    docs = corpus_spark_df(spark, 300, seed=3, n_parts=2)
+    build_index(spark, docs, out, n_buckets=8, store_docs=True)
+    s = Searcher(spark, out)
+    hits = s.search_docs("term00000 term00123", 5)
+    assert len(hits) == 5
+    urls = {r.doc_id: r.url for r in docs.selectExpr(
+        "shiftrightunsigned(xxhash64(url), 1) as doc_id", "url").collect()}
+    for h in hits:
+        assert h["url"] == urls[h["doc_id"]]
+        assert h["score"] > 0
+    # driver-side bulk resolve, pruned by doc-id bucket
+    ids = [h["doc_id"] for h in hits]
+    meta = lookup_docs(out, ids)
+    assert set(meta) == set(ids)
+
+
+def test_incremental_docstore_and_missing_rows(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("store_inc"))
+    a = corpus_spark_df(spark, 150, seed=1, n_parts=1)
+    b = corpus_spark_df(spark, 150, seed=2, n_parts=1, part_offset=1)
+    index_batch(spark, a, out, 0, n_buckets=8, store_docs=True)
+    index_batch(spark, b, out, 1, n_buckets=8)  # no store for batch 1
+    s = Searcher(spark, out)
+    hits = s.search_docs("term00000", 10)
+    assert hits  # batch-0 hits carry urls, batch-1 hits come back bare
+    assert all("doc_id" in h and "score" in h for h in hits)
+    assert any("url" in h for h in hits)
+
+
+def test_stream_compaction_cadence(spark, tmp_path_factory):
+    """compact_every folds delta runs in-stream: after 4 batches with
+    cadence 2, segments hold only the compacted run (+ nothing pending),
+    and results survive."""
+    import shutil
+
+    from conveyorbelt_spark.index.query import bm25_topk
+    from conveyorbelt_spark.streaming.incremental import incremental_index_stream
+
+    in_dir = tmp_path_factory.mktemp("cad_in")
+    out = str(tmp_path_factory.mktemp("cad_idx"))
+    ckpt = str(tmp_path_factory.mktemp("cad_ckpt"))
+    for i in range(4):
+        d = corpus_spark_df(spark, 80, seed=40 + i, n_parts=1, part_offset=i)
+        d.coalesce(1).write.parquet(str(in_dir / f"p{i}"))
+    q = incremental_index_stream(
+        spark, str(in_dir) + "/*/", out, ckpt, n_buckets=8, compact_every=2
+    )
+    q.awaitTermination(300)
+    runs = {r.run for r in spark.read.parquet(f"{out}/segments").select("run").distinct().collect()}
+    assert runs == {"compacted"}  # all deltas folded
+    assert bm25_topk(spark, out, "term00000", 5).count() > 0
+    shutil.rmtree(str(in_dir), ignore_errors=True)
