@@ -47,7 +47,19 @@ class BM25Oracle:
         return math.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5))
 
     def search(self, query: str, k: int = 10) -> list[tuple[int, float]]:
-        terms = sorted(set(tokenize(query)))
+        return self.bool_search(should=query, k=k)
+
+    def bool_search(
+        self, should: str = "", must: str = "", must_not: str = "", k: int = 10
+    ) -> list[tuple[int, float]]:
+        """ES bool-query ground truth: SHOULD ∪ MUST terms score (ascending
+        term order — pinned), hits must contain every MUST term and no
+        MUST_NOT term; a MUST term absent from the corpus ⇒ no hits."""
+        must_terms = sorted(set(tokenize(must))) if must else []
+        not_terms = {t for t in (tokenize(must_not) if must_not else []) if t in self.postings}
+        if any(mt not in self.postings for mt in must_terms):
+            return []
+        terms = sorted(set(tokenize(should)) | set(must_terms))
         terms = [t for t in terms if t in self.postings]
         if not terms:
             return []
@@ -60,5 +72,11 @@ class BM25Oracle:
                     tf + self.k1 * (1.0 - self.b + self.b * (dl / self.avgdl))
                 )
                 scores[doc_id] = scores.get(doc_id, 0.0) + ti * w
-        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        hits = {
+            d: s
+            for d, s in scores.items()
+            if all(d in self.postings[mt] for mt in must_terms)
+            and not any(d in self.postings[nt] for nt in not_terms)
+        }
+        ranked = sorted(hits.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]

@@ -144,19 +144,42 @@ class _TermPostings:
         return w
 
 
-def _score_kernel(term_idf: dict[str, float], k: int, prune: bool = True):
-    """Per-bucket kernel: block-max WAND pruning + exact rescoring.
+def _in_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Boolean mask: which elements of ``a`` appear in SORTED-unique ``b``."""
+    if not len(b):
+        return np.zeros(len(a), dtype=bool)
+    pos = np.searchsorted(b, a)
+    mask = pos < len(b)
+    mask[mask] = b[pos[mask]] == a[mask]
+    return mask
 
-    Phase 1 — θ seed: exact single-term scores from the highest-idf (rarest)
-    term; θ = its k-th best. A single-term score is a LOWER bound of the
-    full score, so θ ≤ the true k-th score.
-    Phase 2 — upper bounds: per-doc Σ idf·block_max_w (block-max metadata
-    only, no tf/dl decode). Docs with ub < θ can't reach the top-k → pruned.
+
+def _score_kernel(
+    term_idf: dict[str, float],
+    k: int,
+    prune: bool = True,
+    must_terms: tuple[str, ...] = (),
+    not_terms: tuple[str, ...] = (),
+):
+    """Per-bucket kernel: boolean candidate set + block-max WAND pruning +
+    exact rescoring. ES bool-query semantics: ``term_idf`` keys are the
+    SCORING terms (should ∪ must); ``must_terms`` restrict candidates to
+    docs containing every one; ``not_terms`` exclude docs containing any.
+    Doc-range buckets make per-bucket filtering complete (a doc lives in
+    exactly one bucket).
+
+    Phase 1 — θ seed: exact single-term scores (restricted to candidates)
+    from the highest-idf present term; θ = its k-th best — a LOWER bound of
+    the true k-th candidate score.
+    Phase 2 — upper bounds: per-candidate Σ idf·block_max_w (block-max
+    metadata only, no tf/dl decode). Candidates with ub < θ are pruned.
     Phase 3 — exact scoring of survivors, decoding only blocks that contain
     a survivor, accumulating per-doc in ascending-term order in float64
     (bit-identical to oracle.py).
     Results are provably identical to exhaustive scoring."""
     terms_sorted = sorted(term_idf)
+    must_terms = tuple(sorted(must_terms))
+    not_terms = tuple(sorted(not_terms))
 
     def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -170,30 +193,55 @@ def _score_kernel(term_idf: dict[str, float], k: int, prune: bool = True):
             # dedup disables block pruning for that term (block bookkeeping
             # no longer aligns), so fall back to exhaustive in that case
             if len(np.unique(tp.docs)) != len(tp.docs):
-                return _exhaustive(pdf, term_idf, terms_sorted, k, k1, b, avgdl)
+                return _exhaustive(
+                    pdf, term_idf, terms_sorted, k, k1, b, avgdl, must_terms, not_terms
+                )
             per_term[term] = tp
-        if not per_term:
+        if not any(t in per_term for t in terms_sorted):
             return empty
 
-        all_docs = np.unique(np.concatenate([tp.docs for tp in per_term.values()]))
+        all_docs = np.unique(
+            np.concatenate([per_term[t].docs for t in terms_sorted if t in per_term])
+        )
+        cand = all_docs
+        for mt in must_terms:
+            tp = per_term.get(mt)
+            if tp is None:
+                return empty  # a required term absent in this bucket
+            cand = cand[_in_sorted(cand, tp.docs)]
+        for nt in not_terms:
+            tp = per_term.get(nt)
+            if tp is not None:
+                cand = cand[~_in_sorted(cand, tp.docs)]
+        if not len(cand):
+            return empty
 
-        survivors = all_docs
-        if prune and len(all_docs) > 4 * k:
-            # phase 1: θ from the rarest present term's exact scores
-            seed_term = max(per_term, key=lambda t: term_idf[t])
+        survivors = cand
+        if prune and len(cand) > 4 * k:
+            # phase 1: θ from the rarest present term's exact scores,
+            # restricted to the candidate set (an unfiltered θ could exceed
+            # the best achievable filtered score and over-prune)
+            present = [t for t in terms_sorted if t in per_term]
+            seed_term = max(present, key=lambda t: term_idf[t])
             tp = per_term[seed_term]
-            seed_scores = term_idf[seed_term] * tp.weights(k1, b, avgdl)
+            smask = _in_sorted(tp.docs, cand)
+            seed_scores = term_idf[seed_term] * tp.weights(k1, b, avgdl)[smask]
             if len(seed_scores) >= k:
                 theta = np.partition(seed_scores, len(seed_scores) - k)[len(seed_scores) - k]
             else:
                 theta = 0.0
             if theta > 0:
-                # phase 2: block-max upper bounds per doc
-                ub = np.zeros(all_docs.shape, dtype=np.float64)
-                for term, tp2 in per_term.items():
-                    pos = np.searchsorted(all_docs, tp2.docs)
-                    ub[pos] += term_idf[term] * tp2.upper_bounds(k1, b, avgdl)
-                survivors = all_docs[ub >= theta]
+                # phase 2: block-max upper bounds per candidate
+                ub = np.zeros(cand.shape, dtype=np.float64)
+                for term in present:
+                    tp2 = per_term[term]
+                    pos = np.searchsorted(cand, tp2.docs)
+                    ok = pos < len(cand)
+                    member = _in_sorted(tp2.docs, cand)
+                    ub[pos[ok & member]] += (
+                        term_idf[term] * tp2.upper_bounds(k1, b, avgdl)[ok & member]
+                    )
+                survivors = cand[ub >= theta]
 
         # phase 3: exact scores for survivors only
         scores = np.zeros(survivors.shape, dtype=np.float64)
@@ -230,8 +278,14 @@ def _score_kernel(term_idf: dict[str, float], k: int, prune: bool = True):
     return score_bucket
 
 
-def _exhaustive(pdf, term_idf, terms_sorted, k, k1, b, avgdl) -> pd.DataFrame:
-    """Fallback exhaustive scorer (handles duplicate doc_ids from deltas)."""
+def _exhaustive(
+    pdf, term_idf, terms_sorted, k, k1, b, avgdl, must_terms=(), not_terms=()
+) -> pd.DataFrame:
+    """Fallback exhaustive scorer (handles duplicate doc_ids from deltas),
+    with the same boolean candidate semantics as the pruned kernel."""
+    empty = pd.DataFrame(
+        {"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")}
+    )
     per_term: dict[str, tuple[np.ndarray, np.ndarray]] = {}
     for term, grp in pdf.groupby("term", sort=True):
         tp = _TermPostings(grp)
@@ -242,23 +296,33 @@ def _exhaustive(pdf, term_idf, terms_sorted, k, k1, b, avgdl) -> pd.DataFrame:
             if len(uniq) != len(docs):
                 docs, w = uniq, w[first_idx]
         per_term[term] = (docs, w)
-    if not per_term:
-        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")})
-    all_docs = np.unique(np.concatenate([d for d, _ in per_term.values()]))
-    scores = np.zeros(all_docs.shape, dtype=np.float64)
-    for term in terms_sorted:
-        if term not in per_term:
-            continue
+    scoring = [t for t in terms_sorted if t in per_term]
+    if not scoring:
+        return empty
+    all_docs = np.unique(np.concatenate([per_term[t][0] for t in scoring]))
+    cand = all_docs
+    for mt in must_terms:
+        if mt not in per_term:
+            return empty
+        cand = cand[_in_sorted(cand, per_term[mt][0])]
+    for nt in not_terms:
+        if nt in per_term:
+            cand = cand[~_in_sorted(cand, per_term[nt][0])]
+    if not len(cand):
+        return empty
+    scores = np.zeros(cand.shape, dtype=np.float64)
+    for term in scoring:
         docs, w = per_term[term]
-        pos = np.searchsorted(all_docs, docs)
-        scores[pos] += term_idf[term] * w
-    if len(all_docs) > k:
+        member = _in_sorted(docs, cand)
+        pos = np.searchsorted(cand, docs[member])
+        scores[pos] += term_idf[term] * w[member]
+    if len(cand) > k:
         idx = np.argpartition(-scores, k - 1)[:k]
     else:
-        idx = np.arange(len(all_docs))
-    order = np.lexsort((all_docs[idx], -scores[idx]))
+        idx = np.arange(len(cand))
+    order = np.lexsort((cand[idx], -scores[idx]))
     idx = idx[order]
-    return pd.DataFrame({"doc_id": all_docs[idx], "score": scores[idx]})
+    return pd.DataFrame({"doc_id": cand[idx], "score": scores[idx]})
 
 
 _BLOCK_COLS = ["bucket", "term", "blk", "n", "max_tf", "min_dl", "docs", "tfs", "dls"]
@@ -294,12 +358,13 @@ def _read_blocks_local(out_dir: str, tbs: list[int], terms: list[str]):
 
 
 def _score_local(
-    blocks: pd.DataFrame, term_idf: dict[str, float], k: int, stats: dict, prune: bool
+    blocks: pd.DataFrame, term_idf: dict[str, float], k: int, stats: dict, prune: bool,
+    must_terms: tuple[str, ...] = (), not_terms: tuple[str, ...] = (),
 ) -> list[tuple[int, float]]:
     """Run the SAME per-bucket scoring kernel in-driver and merge: buckets
     are disjoint docID ranges, so concat of per-bucket top-k + one global
     sort is exact."""
-    kern = _score_kernel(term_idf, k, prune=prune)
+    kern = _score_kernel(term_idf, k, prune=prune, must_terms=must_terms, not_terms=not_terms)
     kern.k1, kern.b, kern.avgdl = stats["k1"], stats["b"], stats["avgdl"]
     outs = [kern(grp) for _, grp in blocks.groupby("bucket", sort=True)]
     outs = [o for o in outs if len(o)]
@@ -310,6 +375,37 @@ def _score_local(
     return [(int(r.doc_id), float(r.score)) for r in allr.head(k).itertuples()]
 
 
+def _bool_plan(
+    spark: SparkSession, out_dir: str, stats: dict,
+    query: str, must: str | None, must_not: str | None,
+    lookup=None,
+):
+    """Resolve the bool-query term sets against the dictionary. Returns
+    (term_idf, must_terms, not_terms, tbs, scan_terms) or None when the
+    result is provably empty (no scoring term indexed / a must term
+    missing from the dictionary entirely)."""
+    should_terms = set(tokenize(query)) if query else set()
+    must_terms = set(tokenize(must)) if must else set()
+    not_terms = set(tokenize(must_not)) if must_not else set()
+    scoring = sorted(should_terms | must_terms)  # ES: must terms also score
+    lookup = lookup or (
+        lambda ts: _lookup_terms(spark, out_dir, ts, stats["n_term_buckets"])
+    )
+    entries = lookup(sorted(set(scoring) | not_terms))
+    by_term = {e["term"]: e for e in entries}
+    term_idf = {
+        t: idf(stats["n_docs"], int(by_term[t]["df"])) for t in scoring if t in by_term
+    }
+    if not term_idf:
+        return None
+    if any(mt not in by_term for mt in must_terms):
+        return None  # a required term appears nowhere in the corpus
+    not_found = tuple(sorted(t for t in not_terms if t in by_term))
+    scan_terms = sorted(set(term_idf) | set(not_found))
+    tbs = sorted({int(by_term[t]["tb"]) for t in scan_terms})
+    return term_idf, tuple(sorted(must_terms)), not_found, tbs, scan_terms
+
+
 def bm25_topk(
     spark: SparkSession,
     out_dir: str,
@@ -317,35 +413,34 @@ def bm25_topk(
     k: int = 10,
     prune: bool = True,
     must_not: str | None = None,
+    must: str | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, score) for ``query``, ranked by (score desc, doc_id
     asc). ``prune=False`` disables block-max WAND (identical results —
-    asserted in tests; pruning only skips work). ``must_not`` excludes any
-    doc containing one of those terms (J4: the ES bool MUST_NOT analogue,
-    a left_anti join on the excluded terms' postings)."""
+    asserted in tests; pruning only skips work).
+
+    ES bool-query surface: ``query`` = SHOULD (scores), ``must`` = terms
+    every hit must contain (they score too), ``must_not`` = terms no hit
+    may contain (J4). Filtering happens inside the per-bucket kernel —
+    doc-range buckets make per-bucket exclusion complete, so no extra scan
+    or anti-join is needed."""
     stats = load_stats(out_dir)
-    terms = sorted(set(tokenize(query)))
-    entries = _lookup_terms(spark, out_dir, terms, stats["n_term_buckets"])
     empty = spark.createDataFrame([], "doc_id long, score double")
-    if not entries:
+    plan = _bool_plan(spark, out_dir, stats, query, must, must_not)
+    if plan is None:
         return empty
-    term_idf = {e["term"]: idf(stats["n_docs"], int(e["df"])) for e in entries}
-    tbs = sorted({int(e["tb"]) for e in entries})
-    present = sorted(term_idf)
+    term_idf, must_terms, not_terms, tbs, scan_terms = plan
 
     seg = (
         spark.read.parquet(f"{out_dir}/segments")
-        .where(F.col("tb").isin(tbs) & F.col("term").isin(present))
-        .select("bucket", "term", "blk", "n", "max_tf", "min_dl", "docs", "tfs", "dls")
+        .where(F.col("tb").isin(tbs) & F.col("term").isin(scan_terms))
+        .select(*_BLOCK_COLS)
     )
-    kern = _score_kernel(term_idf, k, prune=prune)
+    kern = _score_kernel(term_idf, k, prune=prune, must_terms=must_terms, not_terms=not_terms)
     kern.k1 = stats["k1"]
     kern.b = stats["b"]
     kern.avgdl = stats["avgdl"]
     local = seg.groupBy("bucket").applyInPandas(kern, schema="doc_id long, score double")
-    if must_not:
-        excluded = posting_docs(spark, out_dir, must_not)
-        local = local.join(excluded, "doc_id", "left_anti")
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
@@ -472,35 +567,51 @@ class Searcher:
                 self._term_cache[t] = found.get(t)
         return [self._term_cache[t] for t in terms if self._term_cache[t] is not None]
 
-    def search_rows(self, query: str, k: int = 10, prune: bool = True) -> list[tuple[int, float]]:
+    def search_rows(
+        self, query: str, k: int = 10, prune: bool = True,
+        must: str | None = None, must_not: str | None = None,
+    ) -> list[tuple[int, float]]:
         """Serving-path search: [(doc_id, score)] straight from the driver
         kernel — no DataFrame round trip at all (the py4j createDataFrame +
-        collect costs ~3× the actual scoring at small k). Requires a
+        collect costs ~3× the actual scoring at small k). Supports the full
+        bool-query surface (query=SHOULD, must, must_not). Requires a
         locally readable index in mode auto/local; in mode spark it
         collects the distributed result."""
         self._maybe_invalidate()
-        terms = sorted(set(tokenize(query)))
-        entries = self._entries(terms)
-        if not entries:
+        plan = _bool_plan(
+            self.spark, self.out_dir, self.stats, query, must, must_not,
+            lookup=self._entries,
+        )
+        if plan is None:
             return []
-        term_idf = {e["term"]: idf(self.stats["n_docs"], int(e["df"])) for e in entries}
-        tbs = sorted({int(e["tb"]) for e in entries})
+        term_idf, must_terms, not_terms, tbs, scan_terms = plan
         if self.mode in ("auto", "local"):
-            blocks = _read_blocks_local(self.out_dir, tbs, sorted(term_idf))
+            blocks = _read_blocks_local(self.out_dir, tbs, scan_terms)
             if blocks is not None:
-                return _score_local(blocks, term_idf, k, self.stats, prune)
+                return _score_local(
+                    blocks, term_idf, k, self.stats, prune,
+                    must_terms=must_terms, not_terms=not_terms,
+                )
             if self.mode == "local":
                 raise FileNotFoundError(f"{self.out_dir}/segments is not locally readable")
-        return [(r.doc_id, r.score) for r in self.search(query, k, prune).collect()]
+        return [
+            (r.doc_id, r.score)
+            for r in bm25_topk(
+                self.spark, self.out_dir, query, k, prune, must_not=must_not, must=must
+            ).collect()
+        ]
 
-    def search_docs(self, query: str, k: int = 10, prune: bool = True) -> list[dict]:
+    def search_docs(
+        self, query: str, k: int = 10, prune: bool = True,
+        must: str | None = None, must_not: str | None = None,
+    ) -> list[dict]:
         """Serving-path search with the stored document columns resolved
         (url, …): the ES-user experience — documents back, not internal
         ids. Requires the index to have been built/batched with
         ``store_docs=True`` (ids without a docstore row come back bare)."""
         from .build import lookup_docs
 
-        rows = self.search_rows(query, k, prune)
+        rows = self.search_rows(query, k, prune, must=must, must_not=must_not)
         meta = lookup_docs(self.out_dir, [d for d, _ in rows])
         out = []
         for d, s in rows:
@@ -511,29 +622,36 @@ class Searcher:
             out.append(row)
         return out
 
-    def search(self, query: str, k: int = 10, prune: bool = True) -> DataFrame:
+    def search(
+        self, query: str, k: int = 10, prune: bool = True,
+        must: str | None = None, must_not: str | None = None,
+    ) -> DataFrame:
         self._maybe_invalidate()
-        terms = sorted(set(tokenize(query)))
-        entries = self._entries(terms)
-        if not entries:
+        plan = _bool_plan(
+            self.spark, self.out_dir, self.stats, query, must, must_not,
+            lookup=self._entries,
+        )
+        if plan is None:
             return self.spark.createDataFrame([], "doc_id long, score double")
-        term_idf = {e["term"]: idf(self.stats["n_docs"], int(e["df"])) for e in entries}
-        tbs = sorted({int(e["tb"]) for e in entries})
+        term_idf, must_terms, not_terms, tbs, scan_terms = plan
 
         if self.mode in ("auto", "local"):
-            blocks = _read_blocks_local(self.out_dir, tbs, sorted(term_idf))
+            blocks = _read_blocks_local(self.out_dir, tbs, scan_terms)
             if blocks is not None:
-                rows = _score_local(blocks, term_idf, k, self.stats, prune)
+                rows = _score_local(
+                    blocks, term_idf, k, self.stats, prune,
+                    must_terms=must_terms, not_terms=not_terms,
+                )
                 return self.spark.createDataFrame(rows, "doc_id long, score double")
             if self.mode == "local":
                 raise FileNotFoundError(f"{self.out_dir}/segments is not locally readable")
 
         seg = (
             self.spark.read.parquet(f"{self.out_dir}/segments")
-            .where(F.col("tb").isin(tbs) & F.col("term").isin(sorted(term_idf)))
+            .where(F.col("tb").isin(tbs) & F.col("term").isin(scan_terms))
             .select(*_BLOCK_COLS)
         )
-        kern = _score_kernel(term_idf, k, prune=prune)
+        kern = _score_kernel(term_idf, k, prune=prune, must_terms=must_terms, not_terms=not_terms)
         kern.k1, kern.b, kern.avgdl = self.stats["k1"], self.stats["b"], self.stats["avgdl"]
         local = seg.groupBy("bucket").applyInPandas(kern, schema="doc_id long, score double")
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

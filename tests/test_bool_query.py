@@ -1,0 +1,71 @@
+"""ES bool-query surface (SHOULD / MUST / MUST_NOT): bit-exact vs the
+pure-Python oracle on both the serving path and the Spark path, pruned and
+unpruned (the boolean candidate filter must never change an answer, only
+skip work)."""
+
+from __future__ import annotations
+
+import pytest
+
+from conveyorbelt_spark.corpus import corpus_spark_df
+from conveyorbelt_spark.functions.tokenize import with_doc_id
+from conveyorbelt_spark.index.build import build_index
+from conveyorbelt_spark.index.oracle import BM25Oracle
+from conveyorbelt_spark.index.query import Searcher, bm25_topk
+
+N_DOCS = 1500
+
+CASES = [
+    {"should": "term00000 term00123", "must": "term00050", "must_not": ""},
+    {"should": "term00000", "must": "", "must_not": "term00050"},
+    {"should": "term00000 term00001", "must": "term00002 term00003", "must_not": "term00123"},
+    {"should": "", "must": "term00000 term00050", "must_not": ""},  # must-only scores
+    {"should": "term00000", "must": "zzzmissing", "must_not": ""},  # absent must → empty
+    {"should": "term00000", "must": "", "must_not": "zzzmissing"},  # absent not → no-op
+    {"should": "term00001 term05000", "must": "term00001", "must_not": "term00000"},
+]
+
+
+@pytest.fixture(scope="module")
+def bidx(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("bool_idx"))
+    docs = corpus_spark_df(spark, N_DOCS, seed=13, n_parts=4)
+    build_index(spark, docs, out, n_buckets=8)
+    rows = with_doc_id(docs).select("doc_id", "text").collect()
+    return out, BM25Oracle([(r.doc_id, r.text) for r in rows])
+
+
+@pytest.mark.parametrize("case", CASES, ids=lambda c: f"{c['should']}|+{c['must']}|-{c['must_not']}")
+def test_bool_query_rank_identical(spark, bidx, case):
+    out, oracle = bidx
+    want = oracle.bool_search(case["should"], case["must"], case["must_not"], 10)
+    s = Searcher(spark, out)
+    got = s.search_rows(case["should"], 10, must=case["must"] or None,
+                        must_not=case["must_not"] or None)
+    assert got == want
+    # unpruned must agree (filter changes work, never answers)
+    got_np = s.search_rows(case["should"], 10, prune=False,
+                           must=case["must"] or None, must_not=case["must_not"] or None)
+    assert got_np == want
+    # distributed path agrees
+    via_spark = [
+        (r.doc_id, r.score)
+        for r in bm25_topk(
+            spark, out, case["should"], 10,
+            must=case["must"] or None, must_not=case["must_not"] or None,
+        ).collect()
+    ]
+    assert via_spark == want
+
+
+def test_bool_query_nontrivial_results(spark, bidx):
+    """Guard against vacuously-empty cases: the main combos return hits and
+    the filters actually change the result set."""
+    out, oracle = bidx
+    s = Searcher(spark, out)
+    plain = s.search_rows("term00000 term00123", 10)
+    musted = s.search_rows("term00000 term00123", 10, must="term00050")
+    notted = s.search_rows("term00000 term00123", 10, must_not="term00050")
+    assert plain and musted and notted
+    assert {d for d, _ in musted} != {d for d, _ in plain}
+    assert {d for d, _ in notted}.isdisjoint({d for d, _ in musted})
