@@ -52,6 +52,82 @@ def tokenize_to_postings(df: DataFrame, id_col: str = "doc_id", text_col: str = 
     return df.select(id_col, text_col).mapInPandas(run, schema=TOKENS_SCHEMA)
 
 
+POS_TOKENS_SCHEMA = "doc_id long, term string, tf long, dl long, posb binary"
+
+
+def _tokenize_batch_pos(pdf: pd.DataFrame, id_col: str, text_col: str) -> pd.DataFrame:
+    """Positional variant: per (doc, term) also emit ``posb`` — the term's
+    in-document token positions, delta-gapped + varint-encoded (ascending;
+    first absolute). Everything vectorized: explode → cumcount →
+    stable-sort → one flat varint encode + per-group byte slicing."""
+    import numpy as np
+
+    from .codecs import varint_encode_ex
+
+    toks = pdf[text_col].str.lower().str.findall(TOKEN_RE)
+    dl = toks.str.len().astype("int64")
+    ex = pd.DataFrame(
+        {"doc_id": pdf[id_col].to_numpy(), "dl": dl.to_numpy(), "term": toks}
+    ).reset_index(names="_row")
+    ex = ex.explode("term", ignore_index=True)
+    ex["pos"] = ex.groupby("_row").cumcount()
+    ex = ex.dropna(subset=["term"])
+    if not len(ex):
+        return pd.DataFrame(
+            {
+                "doc_id": pd.Series(dtype="int64"),
+                "term": pd.Series(dtype=object),
+                "tf": pd.Series(dtype="int64"),
+                "dl": pd.Series(dtype="int64"),
+                "posb": pd.Series(dtype=object),
+            }
+        )
+    ex = ex.sort_values(["_row", "term", "pos"], kind="mergesort")
+    rows_a = ex["_row"].to_numpy()
+    terms_a = ex["term"].to_numpy()
+    pos_a = ex["pos"].to_numpy().astype(np.uint64)
+
+    new_grp = np.ones(len(ex), dtype=bool)
+    new_grp[1:] = (rows_a[1:] != rows_a[:-1]) | (terms_a[1:] != terms_a[:-1])
+    starts = np.flatnonzero(new_grp)
+    ends = np.empty_like(starts)
+    ends[:-1] = starts[1:] - 1
+    ends[-1] = len(ex) - 1
+    tf = (ends - starts + 1).astype("int64")
+
+    gaps = np.empty_like(pos_a)
+    gaps[1:] = pos_a[1:] - pos_a[:-1]
+    gaps[starts] = pos_a[starts]  # absolute restart per group
+    buf, lens = varint_encode_ex(gaps)
+    off = np.concatenate(([0], np.cumsum(lens)))
+    raw = buf.tobytes()
+    posb = [raw[off[s] : off[e + 1]] for s, e in zip(starts, ends)]
+
+    return pd.DataFrame(
+        {
+            "doc_id": ex["doc_id"].to_numpy()[starts].astype("int64"),
+            "term": terms_a[starts],
+            "tf": tf,
+            "dl": ex["dl"].to_numpy()[starts].astype("int64"),
+            "posb": posb,
+        }
+    )
+
+
+def tokenize_to_postings_pos(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Positional postings: (doc_id, term, tf, dl, posb) — the input stream
+    for a positions=True index (phrase queries)."""
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield _tokenize_batch_pos(pdf, id_col, text_col)
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=POS_TOKENS_SCHEMA)
+
+
 def with_doc_id(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Deterministic non-negative docID = xxhash64(url) >>> 1.
 

@@ -60,13 +60,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F  # noqa: N812
 
 from ..functions.codecs import varint_encode_ex
-from ..functions.tokenize import tokenize_to_postings, with_doc_id
+from ..functions.tokenize import tokenize_to_postings, tokenize_to_postings_pos, with_doc_id
 from ..textutils import BM25_B, BM25_K1, TOKEN_RE
 
 BLOCKS_SCHEMA = (
     "term string, bucket int, blk int, n int, min_doc long, max_doc long, "
     "sum_tf long, max_tf long, min_dl long, docs binary, tfs binary, dls binary"
 )
+BLOCKS_POS_SCHEMA = BLOCKS_SCHEMA + ", poss binary"
 DEFAULT_N_BUCKETS = 16
 DEFAULT_BLOCK_SIZE = 128
 DEFAULT_TERM_BUCKETS = 64
@@ -149,13 +150,15 @@ def refresh_stats(spark: SparkSession, out_dir: str, defaults: dict | None = Non
     totals until ``compact_segments`` recounts from doclens. Config knobs
     come from the existing stats.json (or ``defaults`` on first write)."""
     stats_path = os.path.join(out_dir, "stats.json")
+    keys = ("k1", "b", "n_buckets", "block_size", "n_term_buckets", "positions")
+    fallback = {"positions": False}
     cfg: dict = {}
     if os.path.exists(stats_path):
         with open(stats_path) as f:
             prev = json.load(f)
-        cfg = {k: prev[k] for k in ("k1", "b", "n_buckets", "block_size", "n_term_buckets")}
+        cfg = {k: prev.get(k, fallback.get(k)) for k in keys}
     elif defaults:
-        cfg = {k: defaults[k] for k in ("k1", "b", "n_buckets", "block_size", "n_term_buckets")}
+        cfg = {k: defaults.get(k, fallback.get(k)) for k in keys}
     man_dir = os.path.join(out_dir, "manifest")
     try:
         row = (
@@ -187,8 +190,11 @@ def _doclens_kernel(batches):
         )
 
 
-def _make_block_builder(block_size: int):
+def _make_block_builder(block_size: int, with_positions: bool = False):
     """Kernel: sorted (term,bucket,doc_id) runs → compressed posting blocks.
+    ``with_positions`` carries each posting's pre-encoded position bytes
+    (``posb`` from the positional tokenizer) into a per-block ``poss``
+    concatenation — decodable because position COUNTS are the tfs.
 
     Receives Arrow batches in partition-sort order; a (term,bucket) group may
     span batches, so the tail group is carried between batches — memory is
@@ -207,6 +213,7 @@ def _make_block_builder(block_size: int):
         dls = pdf["dl"].to_numpy().astype(np.uint64)
         terms = pdf["term"].to_numpy()
         buckets = pdf["bucket"].to_numpy()
+        posb = pdf["posb"].to_numpy() if with_positions else None
 
         # drop duplicate doc_ids within a (term,bucket) run (dup urls):
         # rows are sorted, so dups are adjacent — keep the first (lowest
@@ -219,6 +226,8 @@ def _make_block_builder(block_size: int):
         if not first.all():
             docs, tfs, dls = docs[first], tfs[first], dls[first]
             terms, buckets = terms[first], buckets[first]
+            if posb is not None:
+                posb = posb[first]
             pdf = pdf[first]
 
         # group starts where (term, bucket) changes
@@ -279,6 +288,10 @@ def _make_block_builder(block_size: int):
                 dl_bytes_all[dl_off[s] : dl_off[e + 1]] for s, e in zip(blk_starts, blk_ends)
             ],
         }
+        if posb is not None:
+            rows["poss"] = [
+                b"".join(posb[s : e + 1]) for s, e in zip(blk_starts, blk_ends)
+            ]
         return pd.DataFrame(rows)
 
     def run(batches):
@@ -319,6 +332,7 @@ def build_index(
     resume: bool = False,
     run_id: str = "full",
     store_docs: bool = False,
+    positions: bool = False,
 ) -> dict:
     """Build the full index under ``out_dir``. Returns the stats dict.
 
@@ -387,13 +401,15 @@ def build_index(
     ] if commit_groups > 1 else [all_buckets]
     groups = [g for g in groups if g]
 
-    builder = _make_block_builder(block_size)
+    builder = _make_block_builder(block_size, with_positions=positions)
+    blocks_schema = BLOCKS_POS_SCHEMA if positions else BLOCKS_SCHEMA
+    tokenizer = tokenize_to_postings_pos if positions else tokenize_to_postings
     for group in groups:
         run_val = f"{run_id}-g{min(group)}"
         # pre-filter docs BY DOC-ID RANGE before tokenizing, so c commit
         # groups tokenize each doc once, not c times (bucket = top id bits)
         docs_g = docs.where(bucket_expr.isin(group)) if len(group) < n_buckets else docs
-        tokens = tokenize_to_postings(docs_g, "doc_id", "text").withColumn(
+        tokens = tokenizer(docs_g, "doc_id", "text").withColumn(
             "bucket", _bucket_col(n_buckets)
         )
         blocks = (
@@ -401,7 +417,7 @@ def build_index(
             # tf/dl in the sort key: duplicate doc_ids keep-first is then
             # deterministic and matches the compaction sort
             .sortWithinPartitions("term", "bucket", "doc_id", "tf", "dl")
-            .mapInPandas(builder, schema=BLOCKS_SCHEMA)
+            .mapInPandas(builder, schema=blocks_schema)
             .withColumn("tb", F.pmod(F.xxhash64("term"), F.lit(n_term_buckets)).cast("int"))
             .withColumn("run", F.lit(run_val))
         )
@@ -441,6 +457,7 @@ def build_index(
             "n_buckets": n_buckets,
             "block_size": block_size,
             "n_term_buckets": n_term_buckets,
+            "positions": positions,
         },
     )
     _mark("stats")
@@ -610,38 +627,53 @@ def compact_segments(
     seg = spark.read.parquet(seg_dir).where(F.col("run").isin(sorted(committed_runs)))
     blocks_before = seg.count()
 
+    pos_flag = bool(stats.get("positions"))
+
     def recode(batches):
         """Decode (term,bucket) groups and re-encode densely. Delta segments
         interleave same-(term,bucket) blocks with colliding blk numbers and
         a group may span Arrow batches, so: decode preserving group
         contiguity, hold back the boundary group, sort each run of COMPLETE
         groups by (term,bucket,doc_id,tf,dl) (the build's dedup sort key),
-        and feed the block builder one continuous sorted stream."""
+        and feed the block builder one continuous sorted stream. Positional
+        indexes re-slice each posting's position bytes by re-deriving the
+        canonical varint boundaries (positions travel through compaction
+        byte-identical)."""
         from ..functions.codecs import varint_decode
 
-        builder = _make_block_builder(block_size)
+        builder = _make_block_builder(block_size, with_positions=pos_flag)
+        base_cols = ["term", "bucket", "doc_id", "tf", "dl"] + (["posb"] if pos_flag else [])
 
         def decode_rows(pdf: pd.DataFrame) -> pd.DataFrame:
             outs = []
-            for term, bucket, n, docs_b, tfs_b, dls_b in zip(
-                pdf["term"], pdf["bucket"], pdf["n"], pdf["docs"], pdf["tfs"], pdf["dls"]
+            poss_col = pdf["poss"] if pos_flag else [None] * len(pdf)
+            for term, bucket, n, docs_b, tfs_b, dls_b, poss_b in zip(
+                pdf["term"], pdf["bucket"], pdf["n"], pdf["docs"], pdf["tfs"], pdf["dls"],
+                poss_col,
             ):
+                tf = varint_decode(tfs_b, int(n)).astype(np.int64)
                 d = np.cumsum(varint_decode(docs_b, int(n))).astype(np.int64)
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "term": term,
-                            "bucket": bucket,
-                            "doc_id": d,
-                            "tf": varint_decode(tfs_b, int(n)).astype(np.int64),
-                            "dl": varint_decode(dls_b, int(n)).astype(np.int64),
-                        }
-                    )
-                )
+                frame = {
+                    "term": term,
+                    "bucket": bucket,
+                    "doc_id": d,
+                    "tf": tf,
+                    "dl": varint_decode(dls_b, int(n)).astype(np.int64),
+                }
+                if pos_flag:
+                    total = int(tf.sum())
+                    gaps = varint_decode(poss_b, total)
+                    _, lens = varint_encode_ex(gaps.astype(np.uint64))
+                    off = np.concatenate(([0], np.cumsum(lens)))
+                    tf_cum = np.concatenate(([0], np.cumsum(tf)))
+                    frame["posb"] = [
+                        poss_b[off[tf_cum[i]] : off[tf_cum[i + 1]]] for i in range(int(n))
+                    ]
+                outs.append(pd.DataFrame(frame))
             return (
                 pd.concat(outs, ignore_index=True)
                 if outs
-                else pd.DataFrame(columns=["term", "bucket", "doc_id", "tf", "dl"])
+                else pd.DataFrame(columns=base_cols)
             )
 
         def complete_group_chunks():
@@ -671,7 +703,7 @@ def compact_segments(
     recompacted = (
         seg.repartition("term", "bucket")
         .sortWithinPartitions("term", "bucket", "blk")
-        .mapInPandas(recode, schema=BLOCKS_SCHEMA)
+        .mapInPandas(recode, schema=BLOCKS_POS_SCHEMA if pos_flag else BLOCKS_SCHEMA)
         .withColumn("tb", F.pmod(F.xxhash64("term"), F.lit(stats["n_term_buckets"])).cast("int"))
         .withColumn("run", F.lit("compacted"))
         .repartition(stats["n_term_buckets"], "tb")

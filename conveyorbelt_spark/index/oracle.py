@@ -26,6 +26,7 @@ class BM25Oracle:
         matches)."""
         self.k1, self.b = k1, b
         self.postings: dict[str, dict[int, int]] = {}
+        self.positions: dict[str, dict[int, list[int]]] = {}
         self.dl: dict[int, int] = {}
         seen = set()
         for doc_id, text in docs:
@@ -35,8 +36,9 @@ class BM25Oracle:
             toks = tokenize(text)
             self.dl[doc_id] = len(toks)
             counts: dict[str, int] = {}
-            for t in toks:
+            for p, t in enumerate(toks):
                 counts[t] = counts.get(t, 0) + 1
+                self.positions.setdefault(t, {}).setdefault(doc_id, []).append(p)
             for t, tf in counts.items():
                 self.postings.setdefault(t, {})[doc_id] = tf
         self.n_docs = len(self.dl)
@@ -78,5 +80,36 @@ class BM25Oracle:
             if all(d in self.postings[mt] for mt in must_terms)
             and not any(d in self.postings[nt] for nt in not_terms)
         }
+        ranked = sorted(hits.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]
+
+    def phrase_search(self, phrase: str, k: int = 10) -> list[tuple[int, float]]:
+        """Phrase ground truth (Lucene PhraseQuery, pinned): hits contain
+        the exact token sequence; tf := phraseFreq (count of start
+        positions); score = (Σ idf over phrase tokens, duplicates included)
+        · tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl))."""
+        toks = tokenize(phrase)
+        if not toks or any(t not in self.postings for t in set(toks)):
+            return []
+        cand = set(self.postings[toks[0]])
+        for t in set(toks[1:]):
+            cand &= set(self.postings[t])
+        idf_sum = sum(self.idf(t) for t in toks)
+        hits: dict[int, float] = {}
+        for d in cand:
+            starts = set(self.positions[toks[0]][d])
+            for i, t in enumerate(toks[1:], start=1):
+                pset = set(self.positions[t][d])
+                starts = {p for p in starts if p + i in pset}
+                if not starts:
+                    break
+            pf = len(starts)
+            if not pf:
+                continue
+            dl = self.dl[d]
+            w = (pf * (self.k1 + 1.0)) / (
+                pf + self.k1 * (1.0 - self.b + self.b * (dl / self.avgdl))
+            )
+            hits[d] = idf_sum * w
         ranked = sorted(hits.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]

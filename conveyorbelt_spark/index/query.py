@@ -104,7 +104,10 @@ def _lookup_terms(
 class _TermPostings:
     """Decoded-on-demand posting blocks of one term within one bucket."""
 
-    __slots__ = ("docs", "blk_bounds", "blk_max_tf", "blk_min_dl", "tf_bufs", "dl_bufs", "blk_n")
+    __slots__ = (
+        "docs", "blk_bounds", "blk_max_tf", "blk_min_dl", "tf_bufs", "dl_bufs",
+        "blk_n", "pos_bufs", "_dedup_mask",
+    )
 
     def __init__(self, grp: pd.DataFrame):
         grp = grp.sort_values("blk")
@@ -119,6 +122,44 @@ class _TermPostings:
         self.tf_bufs = list(grp["tfs"])
         self.dl_bufs = list(grp["dls"])
         self.blk_n = n_arr
+        self.pos_bufs = list(grp["poss"]) if "poss" in grp.columns else None
+        self._dedup_mask = None
+
+    def positions_for(self, sel_mask: np.ndarray):
+        """Positions of the postings selected by ``sel_mask`` (boolean over
+        ``self.docs`` order). Returns (doc_ids, positions, dls): one row per
+        (doc, position) occurrence, plus per-occurrence doc length — all
+        vectorized, decoding only blocks containing a selected posting."""
+        assert self.pos_bufs is not None, "index was built without positions"
+        out_docs, out_pos, out_dl = [], [], []
+        for bi in range(len(self.blk_n)):
+            lo, hi = int(self.blk_bounds[bi]), int(self.blk_bounds[bi + 1])
+            if not sel_mask[lo:hi].any():
+                continue
+            n = int(self.blk_n[bi])
+            tf_blk = varint_decode(self.tf_bufs[bi], n).astype(np.int64)
+            dl_blk = varint_decode(self.dl_bufs[bi], n).astype(np.int64)
+            total = int(tf_blk.sum())
+            gaps = varint_decode(self.pos_bufs[bi], total).astype(np.int64)
+            bounds = np.concatenate(([0], np.cumsum(tf_blk)))
+            cs = np.cumsum(gaps)
+            base = np.repeat(
+                np.concatenate(([0], cs[bounds[1:-1] - 1])), tf_blk
+            )
+            abs_pos = cs - base  # per-posting cumsum (first gap is absolute)
+            rep = np.repeat(np.arange(n), tf_blk)  # posting index per position
+            keep = sel_mask[lo:hi][rep]
+            out_docs.append(self.docs[lo + rep[keep]])
+            out_pos.append(abs_pos[keep])
+            out_dl.append(dl_blk[rep[keep]])
+        if not out_docs:
+            z = np.array([], dtype=np.int64)
+            return z, z, z
+        return (
+            np.concatenate(out_docs),
+            np.concatenate(out_pos),
+            np.concatenate(out_dl),
+        )
 
     def upper_bounds(self, k1: float, b: float, avgdl: float) -> np.ndarray:
         """Per-posting weight upper bound from block (max_tf, min_dl):
@@ -328,13 +369,14 @@ def _exhaustive(
 _BLOCK_COLS = ["bucket", "term", "blk", "n", "max_tf", "min_dl", "docs", "tfs", "dls"]
 
 
-def _read_blocks_local(out_dir: str, tbs: list[int], terms: list[str]):
+def _read_blocks_local(out_dir: str, tbs: list[int], terms: list[str], columns=None):
     """Driver-side pyarrow read of the matched posting blocks (posix paths
     only): same pruning as the Spark scan — tb partition directories +
     term row-group stats — but zero Spark jobs. Returns a pandas frame or
     None when the index isn't locally readable."""
     import glob
 
+    cols = list(columns or _BLOCK_COLS)
     seg_dir = f"{out_dir}/segments"
     if not os.path.isdir(seg_dir):
         return None
@@ -348,12 +390,12 @@ def _read_blocks_local(out_dir: str, tbs: list[int], terms: list[str]):
         if not files:
             continue
         tbl = ds.dataset(files, format="parquet").to_table(
-            filter=ds.field("term").isin(terms), columns=_BLOCK_COLS
+            filter=ds.field("term").isin(terms), columns=cols
         )
         if tbl.num_rows:
             frames.append(tbl.to_pandas())
     if not frames:
-        return pd.DataFrame(columns=_BLOCK_COLS)
+        return pd.DataFrame(columns=cols)
     return pd.concat(frames, ignore_index=True)
 
 
@@ -440,6 +482,132 @@ def bm25_topk(
     kern.k1 = stats["k1"]
     kern.b = stats["b"]
     kern.avgdl = stats["avgdl"]
+    local = seg.groupBy("bucket").applyInPandas(kern, schema="doc_id long, score double")
+    return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+_POS_KEY_SHIFT = 33  # doc-index key space above the position bits
+
+
+def _phrase_kernel(phrase_tokens: list[str], idf_sum: float, k: int):
+    """Per-bucket phrase scorer (Lucene PhraseQuery semantics, pinned):
+    candidates = docs containing every distinct phrase term; a hit needs a
+    start position p with token i at p+i for all i; tf := phraseFreq (the
+    number of such starts); score = (Σ idf over phrase tokens, duplicates
+    included) · tfNorm(phraseFreq, dl). Fully vectorized: per-slot
+    (candidate-doc-index, position−slot) keys intersected across slots."""
+    distinct_terms = sorted(set(phrase_tokens))
+
+    def phrase_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")}
+        )
+        k1, b, avgdl = phrase_bucket.k1, phrase_bucket.b, phrase_bucket.avgdl
+        per_term: dict[str, _TermPostings] = {}
+        for term, grp in pdf.groupby("term", sort=True):
+            tp = _TermPostings(grp)
+            if len(np.unique(tp.docs)) != len(tp.docs):
+                # delta-duplicate doc (re-ingested, pre-compaction): keep
+                # the first occurrence — the builder/compaction keep-first rule
+                uniq, first_idx = np.unique(tp.docs, return_index=True)
+                keep = np.zeros(len(tp.docs), dtype=bool)
+                keep[first_idx] = True
+                tp._dedup_mask = keep
+            per_term[term] = tp
+        if any(t not in per_term for t in distinct_terms):
+            return empty
+
+        cand = per_term[distinct_terms[0]].docs
+        for t in distinct_terms[1:]:
+            cand = cand[_in_sorted(cand, per_term[t].docs)]
+        cand = np.unique(cand)
+        if not len(cand):
+            return empty
+
+        keys_per_slot = []
+        dl_by_cand: np.ndarray | None = None
+        occ_cache: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        for t in distinct_terms:
+            tp = per_term[t]
+            sel = _in_sorted(tp.docs, cand)
+            if tp._dedup_mask is not None:
+                sel &= tp._dedup_mask
+            occ_cache[t] = tp.positions_for(sel)
+        # dl per candidate from the first distinct term's occurrences
+        d0, _, l0 = occ_cache[distinct_terms[0]]
+        first = np.ones(len(d0), dtype=bool)
+        first[1:] = d0[1:] != d0[:-1]
+        dl_by_cand = np.zeros(len(cand), dtype=np.float64)
+        dl_by_cand[np.searchsorted(cand, d0[first])] = l0[first]
+
+        for i, t in enumerate(phrase_tokens):
+            docs_t, pos_t, _ = occ_cache[t]
+            ok = pos_t >= i
+            ci = np.searchsorted(cand, docs_t[ok])
+            keys = (ci.astype(np.int64) << _POS_KEY_SHIFT) + (pos_t[ok] - i)
+            keys_per_slot.append(np.unique(keys))
+        inter = keys_per_slot[0]
+        for ks in keys_per_slot[1:]:
+            if not len(inter):
+                break
+            inter = np.intersect1d(inter, ks, assume_unique=True)
+        if not len(inter):
+            return empty
+
+        hit_idx, pf = np.unique(inter >> _POS_KEY_SHIFT, return_counts=True)
+        docs_hit = cand[hit_idx]
+        dl = dl_by_cand[hit_idx]
+        pf = pf.astype(np.float64)
+        w = (pf * (k1 + 1.0)) / (pf + k1 * (1.0 - b + b * (dl / avgdl)))
+        scores = idf_sum * w
+        if len(docs_hit) > k:
+            idx = np.argpartition(-scores, k - 1)[:k]
+        else:
+            idx = np.arange(len(docs_hit))
+        order = np.lexsort((docs_hit[idx], -scores[idx]))
+        idx = idx[order]
+        return pd.DataFrame({"doc_id": docs_hit[idx], "score": scores[idx]})
+
+    return phrase_bucket
+
+
+def _phrase_plan(spark, out_dir, stats, phrase, lookup=None):
+    if not stats.get("positions"):
+        raise ValueError("phrase queries need an index built with positions=True")
+    phrase_tokens = tokenize(phrase)
+    if not phrase_tokens:
+        return None
+    distinct = sorted(set(phrase_tokens))
+    lookup = lookup or (
+        lambda ts: _lookup_terms(spark, out_dir, ts, stats["n_term_buckets"])
+    )
+    entries = {e["term"]: e for e in lookup(distinct)}
+    if any(t not in entries for t in distinct):
+        return None  # some phrase term indexed nowhere → no hits
+    idf_sum = sum(idf(stats["n_docs"], int(entries[t]["df"])) for t in phrase_tokens)
+    tbs = sorted({int(entries[t]["tb"]) for t in distinct})
+    return phrase_tokens, idf_sum, tbs, distinct
+
+
+def phrase_topk(
+    spark: SparkSession, out_dir: str, phrase: str, k: int = 10
+) -> DataFrame:
+    """Distributed phrase search over a positional index: top-k docs
+    containing the exact token sequence, scored Lucene-style (idf sum ×
+    tfNorm(phraseFreq, dl)), ranked (score desc, doc_id asc)."""
+    stats = load_stats(out_dir)
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    plan = _phrase_plan(spark, out_dir, stats, phrase)
+    if plan is None:
+        return empty
+    phrase_tokens, idf_sum, tbs, distinct = plan
+    seg = (
+        spark.read.parquet(f"{out_dir}/segments")
+        .where(F.col("tb").isin(tbs) & F.col("term").isin(distinct))
+        .select(*_BLOCK_COLS, "poss")
+    )
+    kern = _phrase_kernel(phrase_tokens, idf_sum, k)
+    kern.k1, kern.b, kern.avgdl = stats["k1"], stats["b"], stats["avgdl"]
     local = seg.groupBy("bucket").applyInPandas(kern, schema="doc_id long, score double")
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
@@ -621,6 +789,35 @@ class Searcher:
             row.update({"doc_id": d, "score": s})
             out.append(row)
         return out
+
+    def phrase_rows(self, phrase: str, k: int = 10) -> list[tuple[int, float]]:
+        """Serving-path phrase search over a positional index: the same
+        per-bucket phrase kernel as ``phrase_topk``, run on the driver with
+        pruned pyarrow block reads — zero Spark jobs."""
+        self._maybe_invalidate()
+        plan = _phrase_plan(
+            self.spark, self.out_dir, self.stats, phrase, lookup=self._entries
+        )
+        if plan is None:
+            return []
+        phrase_tokens, idf_sum, tbs, distinct = plan
+        blocks = _read_blocks_local(
+            self.out_dir, tbs, distinct, columns=_BLOCK_COLS + ["poss"]
+        )
+        if blocks is None:
+            return [
+                (r.doc_id, r.score)
+                for r in phrase_topk(self.spark, self.out_dir, phrase, k).collect()
+            ]
+        kern = _phrase_kernel(phrase_tokens, idf_sum, k)
+        kern.k1, kern.b, kern.avgdl = self.stats["k1"], self.stats["b"], self.stats["avgdl"]
+        outs = [kern(grp) for _, grp in blocks.groupby("bucket", sort=True)]
+        outs = [o for o in outs if len(o)]
+        if not outs:
+            return []
+        allr = pd.concat(outs, ignore_index=True)
+        allr = allr.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
+        return [(int(r.doc_id), float(r.score)) for r in allr.head(k).itertuples()]
 
     def search(
         self, query: str, k: int = 10, prune: bool = True,

@@ -30,8 +30,9 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F  # noqa: N812
 
-from ..functions.tokenize import tokenize_to_postings, with_doc_id
+from ..functions.tokenize import tokenize_to_postings, tokenize_to_postings_pos, with_doc_id
 from ..index.build import (
+    BLOCKS_POS_SCHEMA,
     BLOCKS_SCHEMA,
     DEFAULT_BLOCK_SIZE,
     DEFAULT_N_BUCKETS,
@@ -70,6 +71,7 @@ def index_batch(
     refresh_dict: bool = True,
     exact_stats: bool = False,
     store_docs: bool = False,
+    positions: bool = False,
 ) -> bool:
     """Append one batch of documents as a delta segment run. O(delta): the
     doclens/dictionary/manifest/stats updates all derive from this batch's
@@ -92,11 +94,12 @@ def index_batch(
     cfg = {
         "k1": k1, "b": b, "n_buckets": n_buckets,
         "block_size": block_size, "n_term_buckets": n_term_buckets,
+        "positions": positions,
     }
     stats_path = os.path.join(out_dir, "stats.json")
     if os.path.exists(stats_path):
         prev = load_stats(out_dir)
-        cfg = {k: prev[k] for k in cfg}  # the index's layout knobs win
+        cfg = {k: prev.get(k, cfg[k]) for k in cfg}  # the index's layout knobs win
     if run_id in _committed_runs(spark, man_dir):
         # self-heal the crash window between manifest append and stats write
         refresh_stats(spark, out_dir, defaults=cfg)
@@ -120,14 +123,15 @@ def index_batch(
     _dyn_overwrite(doclens.withColumn("run", F.lit(run_id)), dl_dir, ("run",))
 
     # --- posting blocks for this run (the one wide shuffle)
-    tokens = tokenize_to_postings(docs, "doc_id", "text").withColumn(
+    tokenizer = tokenize_to_postings_pos if cfg["positions"] else tokenize_to_postings
+    tokens = tokenizer(docs, "doc_id", "text").withColumn(
         "bucket", _bucket_col(cfg["n_buckets"])
     )
-    builder = _make_block_builder(cfg["block_size"])
+    builder = _make_block_builder(cfg["block_size"], with_positions=cfg["positions"])
     blocks = (
         tokens.repartition("term", "bucket")
         .sortWithinPartitions("term", "bucket", "doc_id", "tf", "dl")
-        .mapInPandas(builder, schema=BLOCKS_SCHEMA)
+        .mapInPandas(builder, schema=BLOCKS_POS_SCHEMA if cfg["positions"] else BLOCKS_SCHEMA)
         .withColumn("tb", F.pmod(F.xxhash64("term"), F.lit(cfg["n_term_buckets"])).cast("int"))
         .withColumn("run", F.lit(run_id))
         .repartition(cfg["n_term_buckets"], "tb")
