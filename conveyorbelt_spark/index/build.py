@@ -351,7 +351,10 @@ def build_index(
     # builder — so the only wide shuffle over text-derived data is the
     # (term, bucket) tokenize shuffle itself.
     docs_in = docs
-    docs = with_doc_id(docs, url_col).select("doc_id", F.col(text_col).alias("text"))
+    # url_col=None → the input already carries a stable doc_id column
+    docs = (with_doc_id(docs, url_col) if url_col else docs).select(
+        "doc_id", F.col(text_col).alias("text")
+    )
 
     seg_dir = os.path.join(out_dir, "segments")
     man_dir = os.path.join(out_dir, "manifest")

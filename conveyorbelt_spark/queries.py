@@ -1183,6 +1183,73 @@ ORDER BY doc_id, fp
 """
 
 
+def q31_phrase_search(spark, sf_dir):
+    """Phrase query through the REAL positional index (build → phrase_topk)
+    checked against a pure-SQL adjacency+scoring oracle: the strongest gate
+    — engine index bytes vs relational semantics, hash-identical scores."""
+    import shutil
+    import tempfile
+
+    from .index.build import build_index
+    from .index.query import phrase_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="cb_q31_idx_")
+    try:
+        # the driver table carries its own doc_id — index it directly
+        build_index(spark, docs.select("doc_id", "text"), out,
+                    url_col=None, n_buckets=8, positions=True)
+        rows = [
+            (int(r.doc_id), float(r.score))
+            for r in phrase_topk(spark, out, "value table", 20).collect()
+        ]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    res = spark.createDataFrame(rows, "doc_id long, score double")
+    return res.select("doc_id", F.round("score", 4).alias("score")).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+
+
+Q31_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t != '') AS arr
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) - 1 AS pos FROM base
+),
+dl AS (SELECT doc_id, len(arr) AS dl FROM base),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(len(arr)) FROM base)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+dfs AS (
+  SELECT count(DISTINCT CASE WHEN term = 'value' THEN doc_id END) AS df0,
+         count(DISTINCT CASE WHEN term = 'table' THEN doc_id END) AS df1
+  FROM toks
+),
+hits AS (
+  SELECT a.doc_id, count(*) AS pf
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'value' AND b.term = 'table'
+  GROUP BY a.doc_id
+),
+scored AS (
+  SELECT h.doc_id,
+         (ln(1.0 + (s.n - d.df0 + 0.5) / (d.df0 + 0.5))
+          + ln(1.0 + (s.n - d.df1 + 0.5) / (d.df1 + 0.5)))
+         * (h.pf * 2.2) / (h.pf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / s.avgdl))) AS raw
+  FROM hits h
+  JOIN dl ON dl.doc_id = h.doc_id
+  CROSS JOIN stats s CROSS JOIN dfs d
+)
+SELECT doc_id, round(raw, 4) AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -1214,6 +1281,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q28_eav_roundtrip": q28_eav_roundtrip,
     "q29_hour_shards": q29_hour_shards,
     "q30_winnow_fingerprints": q30_winnow_fingerprints,
+    "q31_phrase_search": q31_phrase_search,
 }
 
 ORACLES: dict[str, str] = {
@@ -1247,4 +1315,5 @@ ORACLES: dict[str, str] = {
     "q28_eav_roundtrip": Q28_SQL,
     "q29_hour_shards": Q29_SQL,
     "q30_winnow_fingerprints": Q30_SQL,
+    "q31_phrase_search": Q31_SQL,
 }

@@ -106,7 +106,10 @@ def index_batch(
         return False
 
     docs_in = docs
-    docs = with_doc_id(docs, url_col).select("doc_id", F.col(text_col).alias("text"))
+    # url_col=None → the input already carries a stable doc_id column
+    docs = (with_doc_id(docs, url_col) if url_col else docs).select(
+        "doc_id", F.col(text_col).alias("text")
+    )
 
     # --- doclens delta (O(batch)); persisted: it feeds both the run write
     # and the per-bucket doc ledger
