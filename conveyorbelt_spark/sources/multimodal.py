@@ -2,12 +2,15 @@
 metadata, with decode / feature-extract / resize / frame-sample as Arrow
 kernels over mapInPandas.
 
-The container has no image/audio libraries, so REAL codec decode is stubbed:
-``decode_image``/``decode_video`` first try PIL/av (absent here), then fall
-back to the deterministic CB-synthetic formats below, else raise
-NotImplementedError. Everything Spark-side — schemas, partitioning, UDF
-signatures, Arrow batch shapes, the numpy resize/feature math — is real and
-tested.
+REAL decode paths (pure numpy/struct — no external libraries needed):
+- **BMP** (Windows bitmap, BI_RGB uncompressed, 8-bit paletted or 24-bit):
+  full header parse, bottom-up/top-down rows, 4-byte row padding, palette
+  lookup, pinned integer luma for grayscale.
+- **WAV** (RIFF PCM, 8/16-bit, any channel count): chunk walk, sample
+  decode, per-file audio features.
+Compressed formats (JPEG/PNG/MP4...) fall through to PIL when present
+(absent in this container) else raise NotImplementedError — clearly the
+only remaining stub.
 
 Synthetic formats (deterministic, used by tests and the corpus generator):
 - image: b'CBIM' + width:u16 + height:u16 + seed:u32  → pixels are a seeded
@@ -41,19 +44,124 @@ def _pixels(width: int, height: int, seed: int) -> np.ndarray:
     return np.random.RandomState(seed).randint(0, 256, size=(height, width), dtype=np.uint8)
 
 
-def decode_image(payload: bytes) -> np.ndarray:
-    """payload → (h, w) uint8 array. Real-codec path STUBBED (no PIL in this
-    container); CB-synthetic format decodes deterministically."""
-    try:  # real path, absent here by design
-        from PIL import Image  # noqa: F401
+# --------------------------------------------------------------------------
+# Real codecs (dependency-free)
+# --------------------------------------------------------------------------
 
-        raise NotImplementedError("PIL present but real decode intentionally unwired in v1")
-    except ImportError:
-        pass
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(h, w) uint8 grayscale → 24-bit BI_RGB BMP bytes (R=G=B), bottom-up
+    rows with 4-byte padding — a REAL file decodable by any image viewer."""
+    h, w = pixels.shape
+    row_bytes = (w * 3 + 3) & ~3
+    img_size = row_bytes * h
+    header = b"BM" + struct.pack("<IHHI", 14 + 40 + img_size, 0, 0, 14 + 40)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    body = bytearray()
+    pad = b"\x00" * (row_bytes - w * 3)
+    for r in range(h - 1, -1, -1):  # bottom-up
+        row = np.repeat(pixels[r], 3).astype(np.uint8)  # B=G=R
+        body += row.tobytes() + pad
+    return header + info + bytes(body)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """BMP (BI_RGB, 8-bit paletted or 24-bit) → (h, w) uint8 grayscale.
+    Handles bottom-up AND top-down rows and the 4-byte row padding; color
+    → pinned integer luma (299R + 587G + 114B) // 1000."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = struct.unpack("<I", payload[10:14])[0]
+    hdr_size = struct.unpack("<I", payload[14:18])[0]
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMPs not supported")
+    w, h_raw = struct.unpack("<ii", payload[18:26])
+    bpp, compression = struct.unpack("<HI", payload[28:34])
+    if compression != 0:
+        raise NotImplementedError(f"compressed BMP (method {compression}) not supported")
+    top_down = h_raw < 0
+    h = abs(h_raw)
+    if bpp == 24:
+        row_bytes = (w * 3 + 3) & ~3
+        raw = np.frombuffer(payload, dtype=np.uint8, count=row_bytes * h, offset=data_off)
+        rows = raw.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)
+        bgr = rows.astype(np.uint32)
+        gray = (299 * bgr[:, :, 2] + 587 * bgr[:, :, 1] + 114 * bgr[:, :, 0]) // 1000
+    elif bpp == 8:
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(payload, dtype=np.uint8, count=256 * 4, offset=pal_off).reshape(
+            256, 4
+        )
+        row_bytes = (w + 3) & ~3
+        raw = np.frombuffer(payload, dtype=np.uint8, count=row_bytes * h, offset=data_off)
+        idx = raw.reshape(h, row_bytes)[:, :w]
+        bgr = pal[idx].astype(np.uint32)
+        gray = (299 * bgr[:, :, 2] + 587 * bgr[:, :, 1] + 114 * bgr[:, :, 0]) // 1000
+    else:
+        raise NotImplementedError(f"{bpp}-bit BMP not supported")
+    gray = gray.astype(np.uint8)
+    return gray if top_down else gray[::-1]
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """int16 mono samples → RIFF PCM WAV bytes — a REAL playable file."""
+    s = samples.astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(s)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(s)) + s
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """RIFF PCM WAV → (samples float64 in [-1, 1] shaped (n, channels),
+    sample_rate, n_channels). 8-bit unsigned and 16-bit signed PCM."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, n_ch, rate, _, _, bits = fmt
+    if audio_format != 1:
+        raise NotImplementedError(f"non-PCM WAV (format {audio_format}) not supported")
+    if bits == 16:
+        x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    elif bits == 8:
+        x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"{bits}-bit PCM not supported")
+    n = len(x) // n_ch
+    return x[: n * n_ch].reshape(n, n_ch), rate, n_ch
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """payload → (h, w) uint8 grayscale. Dispatch: CB-synthetic → BMP
+    (real, dependency-free) → PIL for compressed formats when installed
+    (absent in this container) → NotImplementedError."""
+    payload = bytes(payload)
     if payload[:4] == IMAGE_MAGIC:
         w, h, seed = struct.unpack("<HHI", payload[4:12])
         return _pixels(w, h, seed)
-    raise NotImplementedError("no image codec available for this payload")
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    try:  # compressed formats (JPEG/PNG/...) — needs PIL, absent here
+        import io
+
+        from PIL import Image
+
+        return np.asarray(Image.open(io.BytesIO(payload)).convert("L"))
+    except ImportError:
+        pass
+    raise NotImplementedError("no codec for this image payload (JPEG/PNG need PIL)")
 
 
 def decode_video(payload: bytes) -> list[np.ndarray]:
@@ -130,6 +238,38 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
 
     return df.where(df.kind == "image").select("media_id", "payload").mapInPandas(
         run, schema="media_id long, pixels array<int>"
+    )
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """audio rows → (media_id, sample_rate, n_channels, duration_s, rms,
+    peak): real WAV decode + signal features per file."""
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                x, rate, n_ch = decode_wav(bytes(payload))
+                mono = x.mean(axis=1)
+                rows.append(
+                    (
+                        mid, rate, n_ch,
+                        float(len(mono) / rate),
+                        float(np.sqrt((mono**2).mean())) if len(mono) else 0.0,
+                        float(np.abs(mono).max()) if len(mono) else 0.0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "sample_rate", "n_channels", "duration_s", "rms", "peak"],
+            )
+
+    return df.where(df.kind == "audio").select("media_id", "payload").mapInPandas(
+        run,
+        schema=(
+            "media_id long, sample_rate int, n_channels int, duration_s double, "
+            "rms double, peak double"
+        ),
     )
 
 
