@@ -641,6 +641,35 @@ def posting_docs(spark: SparkSession, out_dir: str, terms_query: str) -> DataFra
     return seg.mapInPandas(decode, schema="doc_id long").distinct()
 
 
+def index_info(spark: SparkSession, out_dir: str) -> dict:
+    """Operational snapshot (the ES _stats/_cat analogue): corpus stats +
+    per-run segment/posting counts from the manifest ledger — metadata
+    reads only, no posting decode."""
+    stats = load_stats(out_dir)
+    man = spark.read.parquet(f"{out_dir}/segments".replace("segments", "manifest"))
+    runs = [
+        r.asDict()
+        for r in man.groupBy("run_id")
+        .agg(
+            F.sum("n_postings").alias("n_postings"),
+            F.sum("n_blocks").alias("n_blocks"),
+            F.sum("n_docs").alias("n_docs"),
+            F.max("committed_at").alias("committed_at"),
+        )
+        .orderBy("run_id")
+        .collect()
+    ]
+    for r in runs:
+        r["committed_at"] = str(r["committed_at"])
+    return {
+        "stats": stats,
+        "n_runs": len(runs),
+        "runs": runs,
+        "total_postings": sum(r["n_postings"] for r in runs),
+        "total_blocks": sum(r["n_blocks"] for r in runs),
+    }
+
+
 def bm25_topk_sql(spark: SparkSession, out_dir: str, query: str, k: int = 10) -> DataFrame:
     """Oracle-mode scoring via exploded postings + joins (J2/J3 analogue)."""
     stats = load_stats(out_dir)
@@ -818,6 +847,27 @@ class Searcher:
         allr = pd.concat(outs, ignore_index=True)
         allr = allr.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
         return [(int(r.doc_id), float(r.score)) for r in allr.head(k).itertuples()]
+
+    def facet_counts(
+        self, query: str, facet_col: str, k: int = 10,
+        must: str | None = None, must_not: str | None = None,
+        max_hits: int = 100_000,
+    ) -> list[tuple[str, int]]:
+        """ES terms-aggregation analogue over the MATCHING set: counts of a
+        stored docstore column's values among (up to ``max_hits``) hits,
+        most-frequent first (ties by value asc). Serving-path: the bool
+        kernel enumerates hits, the bucket-pruned docstore resolves the
+        facet column — zero Spark jobs."""
+        from collections import Counter
+
+        from .build import lookup_docs
+
+        rows = self.search_rows(query, max_hits, must=must, must_not=must_not)
+        meta = lookup_docs(self.out_dir, [d for d, _ in rows])
+        c = Counter(
+            meta[d][facet_col] for d, _ in rows if d in meta and facet_col in meta[d]
+        )
+        return sorted(c.items(), key=lambda kv: (-kv[1], str(kv[0])))[:k]
 
     def search(
         self, query: str, k: int = 10, prune: bool = True,

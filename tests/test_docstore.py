@@ -42,6 +42,35 @@ def test_incremental_docstore_and_missing_rows(spark, tmp_path_factory):
     assert any("url" in h for h in hits)
 
 
+def test_facets_and_index_info(spark, tmp_path_factory):
+    """Terms-agg facets over stored columns + the _stats-style snapshot."""
+    from conveyorbelt_spark.index.build import write_docstore
+    from conveyorbelt_spark.index.query import index_info
+
+    out = str(tmp_path_factory.mktemp("facet_idx"))
+    docs = corpus_spark_df(spark, 400, seed=9, n_parts=2).withColumn(
+        "site", F.regexp_extract("url", r"https://(site\d+)", 1)
+    )
+    build_index(spark, docs, out, n_buckets=8)
+    write_docstore(spark, docs, out, extra_cols=("site", "lang"))
+    s = Searcher(spark, out)
+    facets = s.facet_counts("term00000", "lang", k=5)
+    assert facets and all(isinstance(n, int) and n > 0 for _, n in facets)
+    # counts agree with a direct computation over the matched set
+    hit_ids = {d for d, _ in s.search_rows("term00000", 10**6)}
+    want = (
+        docs.selectExpr("shiftrightunsigned(xxhash64(url), 1) AS doc_id", "lang")
+        .where(F.col("doc_id").isin(list(hit_ids)))
+        .groupBy("lang").count().collect()
+    )
+    want_d = {r.lang: r["count"] for r in want}
+    assert dict(facets) == dict(sorted(want_d.items(), key=lambda kv: (-kv[1], kv[0]))[:5])
+
+    info = index_info(spark, out)
+    assert info["stats"]["n_docs"] == 400
+    assert info["n_runs"] == 1 and info["total_postings"] > 0
+
+
 def test_stream_compaction_cadence(spark, tmp_path_factory):
     """compact_every folds delta runs in-stream: after 4 batches with
     cadence 2, segments hold only the compacted run (+ nothing pending),
