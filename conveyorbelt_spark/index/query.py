@@ -641,6 +641,36 @@ def posting_docs(spark: SparkSession, out_dir: str, terms_query: str) -> DataFra
     return seg.mapInPandas(decode, schema="doc_id long").distinct()
 
 
+def expand_prefix(out_dir: str, prefix: str, max_expansions: int = 50) -> list[str]:
+    """Terms starting with ``prefix``, highest document frequency first,
+    capped at ``max_expansions`` (the ES prefix-query expansion rule). The
+    dictionary is hash-partitioned by term, so a prefix can't prune to one
+    partition — this is a column-pruned driver scan of the dictionary
+    METADATA (term + df only; ES pays the same class of cost without an FST
+    over the term dictionary)."""
+    import glob as _glob
+
+    import pyarrow.dataset as ds
+
+    prefix = prefix.lower()
+    dict_dir = f"{out_dir}/dictionary"
+    files = _glob.glob(f"{dict_dir}/tb=*/run=*/*.parquet") + _glob.glob(
+        f"{dict_dir}/tb=*/*.parquet"
+    )
+    if not files:
+        return []
+    hi = prefix[:-1] + chr(ord(prefix[-1]) + 1) if prefix else "￿"
+    tbl = ds.dataset(files, format="parquet").to_table(
+        filter=(ds.field("term") >= prefix) & (ds.field("term") < hi),
+        columns=["term", "df"],
+    )
+    agg: dict[str, int] = {}
+    for row in tbl.to_pylist():
+        agg[row["term"]] = agg.get(row["term"], 0) + row["df"]
+    ranked = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))
+    return [t for t, _ in ranked[:max_expansions]]
+
+
 def index_info(spark: SparkSession, out_dir: str) -> dict:
     """Operational snapshot (the ES _stats/_cat analogue): corpus stats +
     per-run segment/posting counts from the manifest ledger — metadata
@@ -847,6 +877,17 @@ class Searcher:
         allr = pd.concat(outs, ignore_index=True)
         allr = allr.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
         return [(int(r.doc_id), float(r.score)) for r in allr.head(k).itertuples()]
+
+    def prefix_rows(
+        self, prefix: str, k: int = 10, max_expansions: int = 50
+    ) -> list[tuple[int, float]]:
+        """ES prefix-query analogue: expand the prefix to its
+        highest-df terms (≤ max_expansions) and score them as a SHOULD
+        bag."""
+        terms = expand_prefix(self.out_dir, prefix, max_expansions)
+        if not terms:
+            return []
+        return self.search_rows(" ".join(terms), k)
 
     def facet_counts(
         self, query: str, facet_col: str, k: int = 10,

@@ -58,6 +58,24 @@ def test_bool_query_rank_identical(spark, bidx, case):
     assert via_spark == want
 
 
+def test_prefix_query(spark, bidx):
+    """Prefix expansion: highest-df terms under the prefix, scored as a
+    SHOULD bag — identical to an explicit bag over the expanded terms."""
+    from conveyorbelt_spark.index.query import expand_prefix
+
+    out, oracle = bidx
+    terms = expand_prefix(out, "term0000")
+    assert terms and all(t.startswith("term0000") for t in terms)
+    # highest-df first: expansion order matches corpus dfs
+    dfs = [len(oracle.postings[t]) for t in terms]
+    assert dfs == sorted(dfs, reverse=True)
+    s = Searcher(spark, out)
+    got = s.prefix_rows("term0000", 10)
+    want = oracle.bool_search(should=" ".join(terms), k=10)
+    assert got == want
+    assert s.prefix_rows("zzznothing", 10) == []
+
+
 def test_bool_query_nontrivial_results(spark, bidx):
     """Guard against vacuously-empty cases: the main combos return hits and
     the filters actually change the result set."""
