@@ -28,6 +28,10 @@ def main() -> None:
     ap.add_argument("--n-term-buckets", type=int, default=64)
     ap.add_argument("--commit-groups", type=int, default=1)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--positions", action="store_true",
+                    help="positional index (enables phrase queries)")
+    ap.add_argument("--store-docs", action="store_true",
+                    help="write the doc-store sidecar (search_docs resolution)")
     ap.add_argument("--format", default="parquet", choices=["parquet", "iceberg"])
     args = ap.parse_args()
 
@@ -53,6 +57,8 @@ def main() -> None:
         n_term_buckets=args.n_term_buckets,
         commit_groups=args.commit_groups,
         resume=args.resume,
+        positions=args.positions,
+        store_docs=args.store_docs,
     )
     print(json.dumps(stats))
 

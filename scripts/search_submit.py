@@ -20,6 +20,11 @@ def main() -> None:
     ap.add_argument("--queries-file")
     ap.add_argument("-k", type=int, default=10)
     ap.add_argument("--must-not")
+    ap.add_argument("--must")
+    ap.add_argument("--phrase", help="exact phrase query (needs --positions index)")
+    ap.add_argument("--prefix", help="prefix query (dictionary expansion)")
+    ap.add_argument("--resolve", action="store_true",
+                    help="resolve hits through the doc-store (urls, not ids)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -41,8 +46,22 @@ def main() -> None:
                 "sec": round(time.time() - t0, 4),
                 "hits": [(r.doc_id, r.score) for r in rows],
             }))
+    elif args.phrase:
+        for d, sc in Searcher(spark, args.index).phrase_rows(args.phrase, args.k):
+            print(f"{d}\t{sc}")
+    elif args.prefix:
+        for d, sc in Searcher(spark, args.index).prefix_rows(args.prefix, args.k):
+            print(f"{d}\t{sc}")
+    elif args.resolve:
+        for hit in Searcher(spark, args.index).search_docs(
+            args.query, args.k, must=args.must, must_not=args.must_not
+        ):
+            print(json.dumps(hit))
     else:
-        rows = bm25_topk(spark, args.index, args.query, args.k, must_not=args.must_not).collect()
+        rows = bm25_topk(
+            spark, args.index, args.query, args.k,
+            must=args.must, must_not=args.must_not,
+        ).collect()
         for r in rows:
             print(f"{r.doc_id}\t{r.score}")
 
