@@ -169,8 +169,16 @@ def run_source(
     if tcol:
         metrics += [F.min(tcol).alias("min_ts"), F.max(tcol).alias("max_ts")]
     parsed = parsed.observe(obs, *metrics)
-    index_batch(spark, parsed, index_dir, run_id, url_col="url",
-                text_col=spec.custom.get("text_col", "text"))
+    did_work = index_batch(spark, parsed, index_dir, run_id, url_col="url",
+                           text_col=spec.custom.get("text_col", "text"))
+    if not did_work:
+        # replayed epoch (crash after manifest commit, before the registry
+        # update): index_batch never touched `parsed`, so obs.get would
+        # block forever — just advance the offset past the committed run
+        spec.last_offset_point = new_last.isoformat()
+        if registry is not None:
+            registry.update(spec)
+        return 0
     m = obs.get  # available after index_batch's first action
     n = int(m["n"])
     if tcol and n and m["max_ts"] is not None:

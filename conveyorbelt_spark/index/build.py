@@ -160,15 +160,25 @@ def refresh_stats(spark: SparkSession, out_dir: str, defaults: dict | None = Non
     elif defaults:
         cfg = {k: defaults.get(k, fallback.get(k)) for k in keys}
     man_dir = os.path.join(out_dir, "manifest")
-    try:
-        row = (
-            spark.read.parquet(man_dir)
-            .agg(F.sum("n_docs").alias("nd"), F.sum("sum_dl").alias("tt"))
-            .collect()[0]
-        )
-        n_docs, total_tokens = int(row["nd"] or 0), int(row["tt"] or 0)
-    except Exception:  # no manifest yet (empty first batch) → zero stats
-        n_docs, total_tokens = 0, 0
+    n_docs, total_tokens = 0, 0
+    if os.path.isdir(man_dir):
+        from pyspark.errors import AnalysisException
+
+        try:
+            row = (
+                spark.read.parquet(man_dir)
+                .agg(F.sum("n_docs").alias("nd"), F.sum("sum_dl").alias("tt"))
+                .collect()[0]
+            )
+            n_docs, total_tokens = int(row["nd"] or 0), int(row["tt"] or 0)
+        except AnalysisException as e:
+            # an existing-but-empty manifest dir (empty first batch wrote no
+            # part files) legitimately means zero stats; anything else —
+            # permissions, corruption, storage hiccup — must surface rather
+            # than silently zero a live index's corpus stats
+            msg = str(e)
+            if "UNABLE_TO_INFER_SCHEMA" not in msg and "PATH_NOT_FOUND" not in msg:
+                raise
     stats = {
         "n_docs": n_docs,
         "total_tokens": total_tokens,

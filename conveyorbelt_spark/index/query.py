@@ -106,7 +106,7 @@ class _TermPostings:
 
     __slots__ = (
         "docs", "blk_bounds", "blk_max_tf", "blk_min_dl", "tf_bufs", "dl_bufs",
-        "blk_n", "pos_bufs", "_dedup_mask",
+        "blk_n", "pos_bufs", "_dedup_mask", "_sorted_docs",
     )
 
     def __init__(self, grp: pd.DataFrame):
@@ -124,6 +124,20 @@ class _TermPostings:
         self.blk_n = n_arr
         self.pos_bufs = list(grp["poss"]) if "poss" in grp.columns else None
         self._dedup_mask = None
+        self._sorted_docs = None
+
+    @property
+    def sorted_docs(self) -> np.ndarray:
+        """Globally sorted copy of ``docs`` for membership (searchsorted)
+        haystacks. ``docs`` itself is sorted only WITHIN each run's blocks:
+        a (term, bucket) group spanning multiple delta runs (base +
+        index_batch deltas with colliding blk numbers) concatenates in blk
+        order and is globally unsorted — binary-searching it directly
+        returns garbage membership."""
+        if self._sorted_docs is None:
+            d = self.docs
+            self._sorted_docs = d if bool(np.all(d[1:] >= d[:-1])) else np.sort(d)
+        return self._sorted_docs
 
     def positions_for(self, sel_mask: np.ndarray):
         """Positions of the postings selected by ``sel_mask`` (boolean over
@@ -249,11 +263,11 @@ def _score_kernel(
             tp = per_term.get(mt)
             if tp is None:
                 return empty  # a required term absent in this bucket
-            cand = cand[_in_sorted(cand, tp.docs)]
+            cand = cand[_in_sorted(cand, tp.sorted_docs)]
         for nt in not_terms:
             tp = per_term.get(nt)
             if tp is not None:
-                cand = cand[~_in_sorted(cand, tp.docs)]
+                cand = cand[~_in_sorted(cand, tp.sorted_docs)]
         if not len(cand):
             return empty
 
@@ -328,6 +342,7 @@ def _exhaustive(
         {"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")}
     )
     per_term: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    sorted_docs: dict[str, np.ndarray] = {}
     for term, grp in pdf.groupby("term", sort=True):
         tp = _TermPostings(grp)
         w = tp.weights(k1, b, avgdl)
@@ -337,6 +352,9 @@ def _exhaustive(
             if len(uniq) != len(docs):
                 docs, w = uniq, w[first_idx]
         per_term[term] = (docs, w)
+        # membership haystacks must be globally sorted (multi-run groups
+        # concatenate in blk order — see _TermPostings.sorted_docs)
+        sorted_docs[term] = docs if bool(np.all(docs[1:] >= docs[:-1])) else np.sort(docs)
     scoring = [t for t in terms_sorted if t in per_term]
     if not scoring:
         return empty
@@ -345,10 +363,10 @@ def _exhaustive(
     for mt in must_terms:
         if mt not in per_term:
             return empty
-        cand = cand[_in_sorted(cand, per_term[mt][0])]
+        cand = cand[_in_sorted(cand, sorted_docs[mt])]
     for nt in not_terms:
         if nt in per_term:
-            cand = cand[~_in_sorted(cand, per_term[nt][0])]
+            cand = cand[~_in_sorted(cand, sorted_docs[nt])]
     if not len(cand):
         return empty
     scores = np.zeros(cand.shape, dtype=np.float64)
@@ -517,9 +535,9 @@ def _phrase_kernel(phrase_tokens: list[str], idf_sum: float, k: int):
         if any(t not in per_term for t in distinct_terms):
             return empty
 
-        cand = per_term[distinct_terms[0]].docs
+        cand = per_term[distinct_terms[0]].sorted_docs
         for t in distinct_terms[1:]:
-            cand = cand[_in_sorted(cand, per_term[t].docs)]
+            cand = cand[_in_sorted(cand, per_term[t].sorted_docs)]
         cand = np.unique(cand)
         if not len(cand):
             return empty
@@ -676,7 +694,7 @@ def index_info(spark: SparkSession, out_dir: str) -> dict:
     per-run segment/posting counts from the manifest ledger — metadata
     reads only, no posting decode."""
     stats = load_stats(out_dir)
-    man = spark.read.parquet(f"{out_dir}/segments".replace("segments", "manifest"))
+    man = spark.read.parquet(os.path.join(out_dir, "manifest"))
     runs = [
         r.asDict()
         for r in man.groupBy("run_id")

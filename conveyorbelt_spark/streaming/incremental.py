@@ -120,7 +120,14 @@ def index_batch(
     )
     dl_dir = os.path.join(out_dir, "doclens")
     if exact_stats and os.path.isdir(dl_dir):
-        prev_ids = spark.read.parquet(dl_dir).select("doc_id")
+        # exclude THIS run's partition: a replay after a mid-crash would
+        # otherwise anti-join away its own (already written, uncommitted)
+        # docs, committing n_docs=0 for a run with real postings
+        prev_ids = (
+            spark.read.parquet(dl_dir)
+            .where(F.col("run") != run_id)
+            .select("doc_id")
+        )
         doclens = doclens.join(prev_ids, "doc_id", "left_anti")
     doclens = doclens.persist()
     _dyn_overwrite(doclens.withColumn("run", F.lit(run_id)), dl_dir, ("run",))

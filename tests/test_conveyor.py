@@ -88,3 +88,34 @@ def test_conveyor_with_filter(spark, web_table, tmp_path_factory):
     src = spark.read.parquet(web_table)
     n_en = src.where(F.col("lang") == "en").count()
     assert n_docs == n_en
+
+
+def test_replayed_epoch_does_not_hang(spark, web_table, tmp_path_factory):
+    """Crash window: run committed (manifest row exists) but the registry
+    update was lost. The replayed cycle's index_batch is a no-op that never
+    touches the observed DataFrame — run_source must skip obs.get (which
+    would block forever) and just advance the offset."""
+    from conveyorbelt_spark.conveyor import run_source
+
+    reg_path = str(tmp_path_factory.mktemp("regr") / "sources.json")
+    idx = str(tmp_path_factory.mktemp("cidxr"))
+    reg = SourceRegistry(reg_path)
+    start = EPOCH.replace(tzinfo=UTC) - dt.timedelta(minutes=1)
+    spec = SourceSpec(
+        "biz", "replay", web_table,
+        ts_col="warc_ts",
+        last_offset_point=start.isoformat(),
+    )
+    reg.save([spec])
+    now = start + dt.timedelta(minutes=8)
+    n1 = run_source(spark, spec, idx, reg, now=now)
+    assert n1 > 0
+    advanced = spec.last_offset_point
+
+    # simulate the lost registry update: rewind the offset, replay the cycle
+    spec.last_offset_point = start.isoformat()
+    n2 = run_source(spark, spec, idx, reg, now=now)  # hangs without the guard
+    assert n2 == 0
+    # the replay still advances the offset past the committed run
+    assert spec.last_offset_point == advanced
+    assert reg.get_sources()[0].last_offset_point == advanced

@@ -180,3 +180,36 @@ def test_replay_after_compaction_is_noop(spark, tmp_path_factory):
     assert index_batch(spark, a, out, 0, n_buckets=8) is False
     assert index_batch(spark, b, out, 1, n_buckets=8) is False
     assert _fingerprint(spark, out) == before
+
+
+def test_exact_stats_replay_counts_own_docs(spark, tmp_path_factory):
+    """exact_stats replay after a mid-crash (the batch's OWN doclens
+    run partition already on disk, manifest not yet committed): the
+    anti-join source must exclude the current run, or the replay counts
+    its own docs as 'already ingested' and commits n_docs=0 for a run
+    whose segments hold real postings (ADVICE r2)."""
+    from conveyorbelt_spark.index.build import _doclens_kernel, _dyn_overwrite
+
+    docs_a = corpus_spark_df(spark, 150, seed=7, n_parts=1)
+    docs_b = corpus_spark_df(spark, 150, seed=8, n_parts=1, part_offset=1)
+    out = str(tmp_path_factory.mktemp("exact_replay"))
+    index_batch(spark, docs_a, out, 0, n_buckets=8, exact_stats=True)
+    n0 = load_stats(out)["n_docs"]
+
+    # simulate batch 1 crashing after its doclens write: write exactly the
+    # doclens artifact index_batch would produce, then replay the batch
+    from conveyorbelt_spark.functions.tokenize import with_doc_id
+
+    d = with_doc_id(docs_b).select("doc_id", F.col("text").alias("text"))
+    dl = (
+        d.mapInPandas(_doclens_kernel, schema="doc_id long, dl long")
+        .groupBy("doc_id").agg(F.min("dl").alias("dl"))
+        .withColumn("run", F.lit("batch_1"))
+    )
+    _dyn_overwrite(dl, f"{out}/doclens", ("run",))
+
+    assert index_batch(spark, docs_b, out, 1, n_buckets=8, exact_stats=True)
+    stats = load_stats(out)
+    assert stats["n_docs"] == 2 * n0  # batch 1's docs counted exactly once
+    man = spark.read.parquet(f"{out}/manifest").where(F.col("run_id") == "batch_1")
+    assert man.agg(F.sum("n_docs")).collect()[0][0] == n0
