@@ -495,9 +495,16 @@ def write_docstore(
     not internal ids). Run-keyed like every other artifact — idempotent
     overwrite, O(delta) for incremental batches."""
     stats = load_stats(out_dir)
+    # url_col=None → input already carries doc_id (keep a url column if one
+    # exists so search_docs still resolves something human-readable)
+    base = with_doc_id(docs, url_col) if url_col else docs
+    url_expr = (
+        F.col(url_col).alias("url")
+        if url_col
+        else (F.col("url") if "url" in docs.columns else F.lit(None).cast("string").alias("url"))
+    )
     d = (
-        with_doc_id(docs, url_col)
-        .select("doc_id", F.col(url_col).alias("url"), *extra_cols)
+        base.select("doc_id", url_expr, *extra_cols)
         .dropDuplicates(["doc_id"])
         .withColumn("bucket", _bucket_col(stats["n_buckets"]))
         .withColumn("run", F.lit(run_val))

@@ -1,0 +1,314 @@
+"""Time-sliced (daily) indexes — the reference's IndexNamer design realized.
+
+The reference creates one Elasticsearch index per day
+(``src/ConveyorBelt.Tooling/IndexNamer.cs:21-41`` names them
+``prefix-yyyyMMdd``; ``Scheduling/MasterScheduler.cs:205-239`` creates the
+upcoming day's index ahead of schedule) precisely so that a Kibana-style
+"last 3 days" query touches 3 indexes and retention is a directory delete.
+
+Layout here: ``root/day=YYYYMMDD/`` — each day a full, self-contained index
+(segments / dictionary / manifest / docstore / stats.json) built by the
+ordinary builder. That buys, with zero new index machinery:
+
+- **query pruning**: a ``time_range=(lo, hi)`` search lists the day dirs
+  overlapping the window and never opens any other day's files;
+- **retention**: drop a day = ``rm -r root/day=D``;
+- **bounded compaction**: only the hot (current) day accumulates delta
+  runs; ``compact_segments`` runs per day on closed days once, ever;
+- **ingest routing**: an incremental batch splits by event day and lands
+  in its days' sub-indexes (normally 1–2 thanks to the grace window).
+
+Scoring semantics: corpus statistics (n_docs, total_tokens → avgdl, and
+per-term df) are MERGED across the selected days before scoring — exact
+global stats over the queried window, the equivalent of Elasticsearch's
+``dfs_query_then_fetch`` (plain ES daily indexes score with per-shard df;
+merged stats are strictly more consistent and are what the DuckDB oracle
+computes). Day partitions slice the corpus disjointly (a doc belongs to its
+``warc_ts`` day), so merged stats equal the stats of the window sub-corpus.
+
+Granularity is the reference's: a daily index holds its whole day, so a
+``time_range`` is honored at day resolution (callers wanting sub-day
+filtering add a range filter on a stored ts column — same as ES).
+
+Scale: selecting d days of a y-day corpus reads d/y of the segment bytes
+before any term pruning even starts; the per-day probes are driver-side
+metadata reads (~1 parquet footer per term bucket per day). The scoring
+kernel is unchanged — per-bucket groups simply concatenate blocks from
+several days' runs, the multi-run shape it already handles.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob
+import os
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F  # noqa: N812
+
+from .build import build_index, load_stats, write_docstore
+from .query import (
+    _bool_plan,
+    _lookup_terms,
+    _read_blocks_local,
+    _score_kernel,
+    _score_local,
+    _BLOCK_COLS,
+)
+
+DAY_FMT = "yyyyMMdd"  # IndexNamer.cs:27 rendering (prefix-yyyyMMdd)
+
+
+def day_str(ts: dt.datetime | dt.date) -> str:
+    return f"{ts.year:04d}{ts.month:02d}{ts.day:02d}"
+
+
+def day_dir(root: str, day: str) -> str:
+    return os.path.join(root, f"day={day}")
+
+
+def list_days(root: str) -> list[str]:
+    return sorted(
+        os.path.basename(d).split("=", 1)[1]
+        for d in glob.glob(os.path.join(root, "day=*"))
+        if os.path.isdir(d)
+    )
+
+
+def select_days(root: str, time_range: tuple | None) -> list[str]:
+    """Day partitions overlapping [lo, hi) — THE pruning step: everything
+    after this only ever opens files under the returned day dirs. ``None``
+    bounds are open-ended; day resolution (a day is selected if any instant
+    of it falls in the window)."""
+    days = list_days(root)
+    if time_range is None:
+        return days
+    lo, hi = time_range
+    lo_d = day_str(lo) if lo is not None else None
+    hi_d = day_str(hi) if hi is not None else None
+    out = []
+    for d in days:
+        if lo_d is not None and d < lo_d:
+            continue
+        if hi_d is not None:
+            # a day is excluded only if it starts at/after hi (exclusive
+            # upper bound lands exactly on a midnight → that day is out)
+            if d > hi_d or (d == hi_d and (hi.hour, hi.minute, hi.second) == (0, 0, 0)):
+                continue
+        out.append(d)
+    return out
+
+
+def build_daily_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    root: str,
+    *,
+    ts_col: str = "warc_ts",
+    url_col: str = "url",
+    text_col: str = "text",
+    **build_kw,
+) -> dict[str, dict]:
+    """Build one sub-index per distinct ``ts_col`` day (the MasterScheduler
+    creates-an-index-per-day loop, batch form). Each day's docs are selected
+    with a pushed-down day predicate, so day N's build scans day N's data.
+    Returns {day: stats}."""
+    d = docs.withColumn("_day", F.date_format(ts_col, DAY_FMT))
+    days = sorted(r[0] for r in d.select("_day").distinct().collect())
+    out: dict[str, dict] = {}
+    for day in days:
+        sub = d.where(F.col("_day") == day).drop("_day")
+        out[day] = build_index(
+            spark, sub, day_dir(root, day),
+            url_col=url_col, text_col=text_col, **build_kw,
+        )
+    return out
+
+
+def daily_index_batch(
+    spark: SparkSession,
+    docs: DataFrame,
+    root: str,
+    batch_id: int | str,
+    *,
+    ts_col: str = "warc_ts",
+    **index_kw,
+) -> dict[str, bool]:
+    """Incremental form: split the batch by event day and append each
+    slice as a delta run of its day's sub-index (normally 1–2 days thanks
+    to the schedule grace window). Idempotent per (day, batch) — the run id
+    carries both."""
+    from ..streaming.incremental import index_batch
+
+    d = docs.withColumn("_day", F.date_format(ts_col, DAY_FMT))
+    days = sorted(r[0] for r in d.select("_day").distinct().collect())
+    out: dict[str, bool] = {}
+    for day in days:
+        sub = d.where(F.col("_day") == day).drop("_day")
+        out[day] = index_batch(spark, sub, day_dir(root, day), batch_id, **index_kw)
+    return out
+
+
+def _merged_stats(root: str, days: list[str]) -> dict:
+    """Exact window-corpus stats: Σ n_docs / Σ total_tokens over the
+    selected days' stats.json (driver-side, O(days) tiny file reads).
+    Layout knobs must agree across days (same builder config)."""
+    n_docs, total_tokens = 0, 0
+    base: dict | None = None
+    for day in days:
+        s = load_stats(day_dir(root, day))
+        n_docs += s["n_docs"]
+        total_tokens += s["total_tokens"]
+        if base is None:
+            base = s
+        else:
+            for k in ("k1", "b", "n_buckets", "n_term_buckets", "positions"):
+                if s.get(k) != base.get(k):
+                    raise ValueError(
+                        f"day {day} config {k}={s.get(k)!r} differs from "
+                        f"{base.get(k)!r}; daily sub-indexes must share a config"
+                    )
+    assert base is not None
+    return {
+        **base,
+        "n_docs": n_docs,
+        "total_tokens": total_tokens,
+        "avgdl": total_tokens / n_docs if n_docs else 0.0,
+    }
+
+
+def _merged_lookup(spark, root: str, days: list[str], n_term_buckets: int):
+    """Dictionary probe across the selected days: Σ df / Σ cf per term.
+    Each per-day probe is the ordinary tb-pruned driver read."""
+
+    def lookup(terms: list[str]) -> list[dict]:
+        merged: dict[str, dict] = {}
+        for day in days:
+            for e in _lookup_terms(spark, day_dir(root, day), terms, n_term_buckets):
+                m = merged.setdefault(
+                    e["term"],
+                    {"term": e["term"], "df": 0, "cf": 0, "n_blocks": 0, "tb": e["tb"]},
+                )
+                m["df"] += e["df"]
+                m["cf"] += e["cf"]
+                m["n_blocks"] += e["n_blocks"]
+        return list(merged.values())
+
+    return lookup
+
+
+class DailySearcher:
+    """Query handle over a daily-index root: every search takes a
+    ``time_range=(lo, hi)`` (datetimes; either side None = open) and prunes
+    to the overlapping day sub-indexes BEFORE any file is opened. Scores
+    use merged window stats, so results are rank-identical to a single
+    index built over exactly the window's documents (asserted in tests and
+    by the q32 DuckDB oracle)."""
+
+    def __init__(self, spark: SparkSession, root: str, mode: str = "auto"):
+        self.spark = spark
+        self.root = root
+        self.mode = mode
+
+    def _plan(self, time_range, query, must, must_not):
+        days = select_days(self.root, time_range)
+        if not days:
+            return None
+        stats = _merged_stats(self.root, days)
+        lookup = _merged_lookup(self.spark, self.root, days, stats["n_term_buckets"])
+        plan = _bool_plan(self.spark, self.root, stats, query, must, must_not, lookup=lookup)
+        if plan is None:
+            return None
+        return days, stats, plan
+
+    def search_rows(
+        self, query: str, k: int = 10, *,
+        time_range: tuple | None = None, prune: bool = True,
+        must: str | None = None, must_not: str | None = None,
+    ) -> list[tuple[int, float]]:
+        """Serving path: per-day pruned pyarrow block reads concatenated,
+        one kernel pass (buckets merge across days — the multi-run shape).
+        Zero Spark jobs."""
+        p = self._plan(time_range, query, must, must_not)
+        if p is None:
+            return []
+        days, stats, (term_idf, must_terms, not_terms, tbs, scan_terms) = p
+        frames = []
+        for day in days:
+            b = _read_blocks_local(day_dir(self.root, day), tbs, scan_terms)
+            if b is None:
+                raise FileNotFoundError(
+                    f"{day_dir(self.root, day)}/segments is not locally readable"
+                )
+            if len(b):
+                frames.append(b)
+        if not frames:
+            return []
+        blocks = pd.concat(frames, ignore_index=True)
+        return _score_local(
+            blocks, term_idf, k, stats, prune,
+            must_terms=must_terms, not_terms=not_terms,
+        )
+
+    def search(
+        self, query: str, k: int = 10, *,
+        time_range: tuple | None = None, prune: bool = True,
+        must: str | None = None, must_not: str | None = None,
+    ) -> DataFrame:
+        """Distributed path: one Spark scan over ONLY the selected days'
+        segment dirs (pruning by path construction + tb partitions + term
+        row groups), same kernel, global top-k."""
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        p = self._plan(time_range, query, must, must_not)
+        if p is None:
+            return empty
+        days, stats, (term_idf, must_terms, not_terms, tbs, scan_terms) = p
+        # one pruned read per selected day, unioned (a multi-root read trips
+        # partition discovery on the day= ancestor dirs); each read keeps
+        # its own tb-partition + term row-group pruning
+        from functools import reduce
+
+        parts = [
+            self.spark.read.parquet(os.path.join(day_dir(self.root, d), "segments"))
+            .where(F.col("tb").isin(tbs) & F.col("term").isin(scan_terms))
+            .select(*_BLOCK_COLS)
+            for d in days
+        ]
+        seg = reduce(DataFrame.unionByName, parts)
+        kern = _score_kernel(
+            term_idf, k, prune=prune, must_terms=must_terms, not_terms=not_terms
+        )
+        kern.k1, kern.b, kern.avgdl = stats["k1"], stats["b"], stats["avgdl"]
+        local = seg.groupBy("bucket").applyInPandas(kern, schema="doc_id long, score double")
+        return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def search_docs(
+        self, query: str, k: int = 10, *,
+        time_range: tuple | None = None,
+        must: str | None = None, must_not: str | None = None,
+    ) -> list[dict]:
+        """Day-pruned search with stored columns resolved from the selected
+        days' docstores."""
+        from .build import lookup_docs
+
+        rows = self.search_rows(
+            query, k, time_range=time_range, must=must, must_not=must_not
+        )
+        days = select_days(self.root, time_range)
+        meta: dict[int, dict] = {}
+        missing = [d for d, _ in rows]
+        for day in days:
+            if not missing:
+                break
+            found = lookup_docs(day_dir(self.root, day), missing)
+            meta.update(found)
+            missing = [d for d in missing if d not in meta]
+        out = []
+        for d, s in rows:
+            row = dict(meta.get(d, {}))
+            row.pop("bucket", None)
+            row.pop("run", None)
+            row.update({"doc_id": d, "score": s})
+            out.append(row)
+        return out

@@ -659,6 +659,110 @@ def posting_docs(spark: SparkSession, out_dir: str, terms_query: str) -> DataFra
     return seg.mapInPandas(decode, schema="doc_id long").distinct()
 
 
+def term_doc_pairs(spark: SparkSession, out_dir: str, terms: list[str]) -> DataFrame:
+    """Distinct (term, doc_id) pairs for the given terms — one pruned
+    segment scan (tb partitions + term row groups), docs-column decode only
+    (tf/dl/poss pruned away). The building block for distributed boolean
+    set algebra over arbitrarily large matching sets."""
+    stats = load_stats(out_dir)
+    terms = sorted(set(terms))
+    entries = _lookup_terms(spark, out_dir, terms, stats["n_term_buckets"])
+    if not entries:
+        return spark.createDataFrame([], "term string, doc_id long")
+    tbs = sorted({int(e["tb"]) for e in entries})
+    present = sorted({e["term"] for e in entries})
+    seg = (
+        spark.read.parquet(f"{out_dir}/segments")
+        .where(F.col("tb").isin(tbs) & F.col("term").isin(present))
+        .select("term", "n", "docs")
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            outs = [
+                pd.DataFrame(
+                    {
+                        "term": t,
+                        "doc_id": np.cumsum(varint_decode(bb, int(n))).astype(np.int64),
+                    }
+                )
+                for t, bb, n in zip(pdf["term"], pdf["docs"], pdf["n"])
+            ]
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return seg.mapInPandas(decode, schema="term string, doc_id long").distinct()
+
+
+def bool_doc_ids(
+    spark: SparkSession,
+    out_dir: str,
+    query: str = "",
+    must: str | None = None,
+    must_not: str | None = None,
+) -> DataFrame:
+    """doc_ids of EVERY doc matching the bool query (no top-k, no cap) —
+    fully distributed: one pruned (term, doc_id) scan, then a single hash
+    aggregation per doc testing the must-count / any-should / any-not
+    conditions. The candidate generator for terms-aggregations (facets)
+    and boolean set ops over matching sets too large to enumerate on the
+    driver."""
+    should_terms = sorted(set(tokenize(query))) if query else []
+    must_terms = sorted(set(tokenize(must))) if must else []
+    not_terms = sorted(set(tokenize(must_not))) if must_not else []
+    scoring = sorted(set(should_terms) | set(must_terms))
+    if not scoring:
+        return spark.createDataFrame([], "doc_id long")
+    pairs = term_doc_pairs(spark, out_dir, sorted(set(scoring) | set(not_terms)))
+    if must_terms:
+        # a must term indexed nowhere ⇒ provably empty (cheap driver check)
+        stats = load_stats(out_dir)
+        present = {
+            e["term"]
+            for e in _lookup_terms(spark, out_dir, must_terms, stats["n_term_buckets"])
+        }
+        if any(mt not in present for mt in must_terms):
+            return spark.createDataFrame([], "doc_id long")
+    agg = pairs.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("term").isin(must_terms), 1).otherwise(0)).alias("n_must"),
+        F.max(F.when(F.col("term").isin(scoring), 1).otherwise(0)).alias("any_should"),
+        F.max(F.when(F.col("term").isin(not_terms), 1).otherwise(0)).alias("any_not"),
+    )
+    return agg.where(
+        (F.col("n_must") == len(must_terms))
+        & (F.col("any_should") == 1)
+        & (F.col("any_not") == 0)
+    ).select("doc_id")
+
+
+def facet_counts_spark(
+    spark: SparkSession,
+    out_dir: str,
+    facet_col: str,
+    query: str,
+    *,
+    must: str | None = None,
+    must_not: str | None = None,
+    k: int | None = None,
+) -> DataFrame:
+    """ES terms-aggregation over the FULL matching set, distributed end to
+    end: matching doc_ids (``bool_doc_ids``) ⋈ docstore → one hash
+    aggregation on the stored facet column. No driver materialization and
+    no hit cap — correct when a popular term matches 10^8 docs (the
+    driver-side ``Searcher.facet_counts`` fast path saturates and escalates
+    here instead of silently truncating). Ordered (count desc, value asc);
+    ``k`` limits AFTER the full count (ES size semantics)."""
+    hits = bool_doc_ids(spark, out_dir, query, must=must, must_not=must_not)
+    store = spark.read.parquet(os.path.join(out_dir, "docstore"))
+    out = (
+        store.join(hits, "doc_id")
+        .groupBy(F.col(facet_col).alias("facet"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("facet"))
+    )
+    return out.limit(k) if k is not None else out
+
+
 def expand_prefix(out_dir: str, prefix: str, max_expansions: int = 50) -> list[str]:
     """Terms starting with ``prefix``, highest document frequency first,
     capped at ``max_expansions`` (the ES prefix-query expansion rule). The
@@ -913,15 +1017,26 @@ class Searcher:
         max_hits: int = 100_000,
     ) -> list[tuple[str, int]]:
         """ES terms-aggregation analogue over the MATCHING set: counts of a
-        stored docstore column's values among (up to ``max_hits``) hits,
-        most-frequent first (ties by value asc). Serving-path: the bool
-        kernel enumerates hits, the bucket-pruned docstore resolves the
-        facet column — zero Spark jobs."""
+        stored docstore column's values among the hits, most-frequent first
+        (ties by value asc). Serving-path fast path: the bool kernel
+        enumerates hits and the bucket-pruned docstore resolves the facet
+        column — zero Spark jobs. If the matching set SATURATES
+        ``max_hits`` the counts would be silently wrong, so it escalates to
+        the fully distributed ``facet_counts_spark`` path instead (same
+        ordering, exact over any hit count)."""
         from collections import Counter
 
         from .build import lookup_docs
 
         rows = self.search_rows(query, max_hits, must=must, must_not=must_not)
+        if len(rows) >= max_hits:
+            return [
+                (r["facet"], int(r["n"]))
+                for r in facet_counts_spark(
+                    self.spark, self.out_dir, facet_col, query,
+                    must=must, must_not=must_not, k=k,
+                ).collect()
+            ]
         meta = lookup_docs(self.out_dir, [d for d, _ in rows])
         c = Counter(
             meta[d][facet_col] for d, _ in rows if d in meta and facet_col in meta[d]

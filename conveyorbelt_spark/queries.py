@@ -1250,6 +1250,123 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
 """
 
 
+def q32_date_bounded_bm25(spark, sf_dir):
+    """Date-bounded BM25 through REAL daily sub-indexes (the reference's
+    IndexNamer.cs:21-41 one-index-per-day design): ``time_range`` prunes to
+    the window's day partitions BEFORE any segment file opens, stats merge
+    across the selected days (exact window-corpus stats), and the DuckDB
+    twin scores BM25 over exactly the window's documents. The driver table
+    has no timestamp, so days are synthesized deterministically from
+    doc_id on both sides (doc_id % 4 → 4 consecutive days)."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from .index.daily import DailySearcher, build_daily_index
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "warc_ts",
+        F.expr(
+            "timestampadd(DAY, cast(pmod(doc_id, 4) as int), "
+            "timestamp '2016-09-16 12:00:00')"
+        ),
+    )
+    root = tempfile.mkdtemp(prefix="cb_q32_idx_")
+    try:
+        build_daily_index(
+            spark, docs.select("doc_id", "text", "warc_ts"), root,
+            url_col=None, n_buckets=8,
+        )
+        # window = days 1 and 2 of 4 (doc_id % 4 ∈ {1, 2})
+        rows = DailySearcher(spark, root).search_rows(
+            " ".join(BM25_QUERY_TERMS), 20,
+            time_range=(dt.datetime(2016, 9, 17), dt.datetime(2016, 9, 19)),
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    res = spark.createDataFrame(
+        [(int(d), float(s)) for d, s in rows], "doc_id long, score double"
+    )
+    return res.select("doc_id", F.round("score", 4).alias("score")).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+
+
+Q32_SQL = f"""
+WITH docs AS (SELECT * FROM documents WHERE doc_id % 4 IN (1, 2)),
+toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+  FROM docs
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks WHERE term != '' GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM docs) AS n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM docs) AS avgdl
+),
+q AS (SELECT unnest({BM25_QUERY_TERMS!r}) AS term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf
+       WHERE term IN (SELECT term FROM q) GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl)))) AS raw
+  FROM tf
+  JOIN df ON tf.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(raw, 4) AS score
+FROM scored ORDER BY raw DESC, doc_id ASC LIMIT 20
+"""
+
+
+def q33_facet_counts(spark, sf_dir):
+    """Distributed ES terms-aggregation (facets) over the FULL matching set
+    of a bool query, through the real index: matching doc_ids from one
+    pruned posting scan ⋈ docstore → one hash aggregation — no driver
+    materialization, no hit cap. DuckDB twin: GROUP BY over the docs that
+    contain any SHOULD term and no MUST_NOT term."""
+    import shutil
+    import tempfile
+
+    from .index.build import build_index, write_docstore
+    from .index.query import facet_counts_spark
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="cb_q33_idx_")
+    try:
+        build_index(spark, docs.select("doc_id", "text"), out, url_col=None, n_buckets=8)
+        write_docstore(spark, docs, out, url_col=None, extra_cols=("source",))
+        rows = [
+            (r["facet"], int(r["n"]))
+            for r in facet_counts_spark(
+                spark, out, "source", "spark join", must_not="window"
+            ).collect()
+        ]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    res = spark.createDataFrame(rows, "facet string, n long")
+    return res.orderBy(F.desc("n"), F.asc("facet"))
+
+
+Q33_SQL = f"""
+WITH toks AS ({_TOKENS_SQL}),
+hits AS (
+  SELECT doc_id FROM toks GROUP BY doc_id
+  HAVING max(CASE WHEN term IN ('spark', 'join') THEN 1 ELSE 0 END) = 1
+     AND max(CASE WHEN term = 'window' THEN 1 ELSE 0 END) = 0
+)
+SELECT d.source AS facet, count(*) AS n
+FROM documents d JOIN hits USING (doc_id)
+GROUP BY d.source ORDER BY n DESC, facet ASC
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -1282,6 +1399,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q29_hour_shards": q29_hour_shards,
     "q30_winnow_fingerprints": q30_winnow_fingerprints,
     "q31_phrase_search": q31_phrase_search,
+    "q32_date_bounded_bm25": q32_date_bounded_bm25,
+    "q33_facet_counts": q33_facet_counts,
 }
 
 ORACLES: dict[str, str] = {
@@ -1316,4 +1435,6 @@ ORACLES: dict[str, str] = {
     "q29_hour_shards": Q29_SQL,
     "q30_winnow_fingerprints": Q30_SQL,
     "q31_phrase_search": Q31_SQL,
+    "q32_date_bounded_bm25": Q32_SQL,
+    "q33_facet_counts": Q33_SQL,
 }

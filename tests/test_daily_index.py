@@ -1,0 +1,185 @@
+"""Time-sliced daily indexes (IndexNamer semantics): date-range pruning,
+rank identity vs a sub-corpus oracle, incremental day routing, retention.
+Reference: IndexNamer.cs:21-41 (one index per day, prefix-yyyyMMdd),
+MasterScheduler.cs:205-239 (per-day index creation)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F  # noqa: N812
+
+from conveyorbelt_spark.corpus import EPOCH, corpus_spark_df
+from conveyorbelt_spark.functions.tokenize import with_doc_id
+from conveyorbelt_spark.index.daily import (
+    DailySearcher,
+    build_daily_index,
+    daily_index_batch,
+    day_dir,
+    list_days,
+    select_days,
+)
+from conveyorbelt_spark.index.oracle import BM25Oracle
+
+N_DOCS = 800
+N_DAYS = 4
+
+
+def _spread_days(docs):
+    """Deterministically spread warc_ts over N_DAYS days by doc_id."""
+    docs = with_doc_id(docs)
+    return docs.withColumn(
+        "warc_ts",
+        F.expr(f"timestampadd(DAY, cast(pmod(doc_id, {N_DAYS}) as int), warc_ts)"),
+    )
+
+
+@pytest.fixture(scope="module")
+def droot(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("daily_idx"))
+    docs = _spread_days(corpus_spark_df(spark, N_DOCS, seed=23, n_parts=4))
+    stats = build_daily_index(
+        spark, docs, root, url_col=None, n_buckets=4, store_docs=True
+    )
+    assert len(stats) == N_DAYS
+    rows = docs.select("doc_id", "text", "warc_ts").collect()
+    return root, rows
+
+
+def _window(days_from: int, days_to: int):
+    lo = EPOCH + dt.timedelta(days=days_from)
+    hi = EPOCH.replace(hour=0, minute=0, second=0) + dt.timedelta(days=days_to + 1)
+    return lo.replace(hour=0, minute=0, second=0), hi
+
+
+def test_layout_and_day_selection(droot):
+    root, _ = droot
+    days = list_days(root)
+    assert days == ["20160916", "20160917", "20160918", "20160919"]
+    assert select_days(root, None) == days
+    assert select_days(root, _window(1, 2)) == ["20160917", "20160918"]
+    assert select_days(root, (None, _window(0, 0)[1])) == ["20160916"]
+    assert select_days(root, (EPOCH + dt.timedelta(days=3), None)) == ["20160919"]
+    # an exclusive bound mid-day includes that day (day granularity)
+    assert select_days(
+        root, (EPOCH + dt.timedelta(days=1), EPOCH + dt.timedelta(days=2, hours=5))
+    ) == ["20160917", "20160918"]
+
+
+QUERY = "term00000 term00123"
+
+
+def test_date_bounded_rank_identity(spark, droot):
+    """A time-ranged search over the daily root is rank-identical to a
+    pure-Python oracle built over EXACTLY the window's documents (merged
+    window stats = sub-corpus stats)."""
+    root, rows = droot
+    lo, hi = _window(1, 2)
+    sub = [
+        (r.doc_id, r.text) for r in rows
+        if lo <= r.warc_ts.replace(tzinfo=None) < hi
+    ]
+    assert 0 < len(sub) < len(rows)
+    want = BM25Oracle(sub).search(QUERY, 10)
+    assert want
+    s = DailySearcher(spark, root)
+    got = s.search_rows(QUERY, 10, time_range=(lo, hi))
+    assert got == want
+    via_spark = [
+        (r.doc_id, r.score)
+        for r in s.search(QUERY, 10, time_range=(lo, hi)).collect()
+    ]
+    assert via_spark == want
+    # bool surface respects the window too
+    want_b = BM25Oracle(sub).bool_search(QUERY, must="term00002", k=10)
+    got_b = s.search_rows(QUERY, 10, time_range=(lo, hi), must="term00002")
+    assert got_b == want_b
+
+
+def test_unbounded_equals_full_corpus(spark, droot):
+    root, rows = droot
+    want = BM25Oracle([(r.doc_id, r.text) for r in rows]).search(QUERY, 10)
+    got = DailySearcher(spark, root).search_rows(QUERY, 10)
+    assert got == want
+
+
+def test_pruned_scan_touches_only_selected_days(spark, droot, tmp_path_factory):
+    """THE pruning guarantee: with every non-selected day's files made
+    unreadable, a windowed query still answers (it never opens them)."""
+    root, rows = droot
+    scratch = str(tmp_path_factory.mktemp("hide"))
+    lo, hi = _window(1, 1)
+    keep = {"20160917"}
+    moved = []
+    try:
+        for d in list_days(root):
+            if d not in keep:
+                src = day_dir(root, d)
+                dst = os.path.join(scratch, f"day={d}")
+                # leave the day dir discoverable but its CONTENTS absent
+                shutil.move(os.path.join(src, "segments"), os.path.join(dst + ".seg"))
+                moved.append((os.path.join(dst + ".seg"), os.path.join(src, "segments")))
+        s = DailySearcher(spark, root)
+        sub = [
+            (r.doc_id, r.text) for r in rows
+            if lo <= r.warc_ts.replace(tzinfo=None) < hi
+        ]
+        assert s.search_rows(QUERY, 10, time_range=(lo, hi)) == BM25Oracle(sub).search(QUERY, 10)
+    finally:
+        for src, dst in moved:
+            shutil.move(src, dst)
+
+
+def test_daily_index_batch_routes_by_day(spark, droot, tmp_path_factory):
+    """Incremental batches split by event day; two delta batches into the
+    same days still score exactly (per-day multi-run groups)."""
+    root2 = str(tmp_path_factory.mktemp("daily_inc"))
+    docs = _spread_days(corpus_spark_df(spark, 400, seed=29, n_parts=2))
+    # split independent of the day assignment (doc_id % N_DAYS): both
+    # batches must hit every day
+    a = docs.where(F.pmod("doc_id", F.lit(2 * N_DAYS)) < N_DAYS)
+    b = docs.where(F.pmod("doc_id", F.lit(2 * N_DAYS)) >= N_DAYS)
+    r1 = daily_index_batch(spark, a, root2, 0, url_col=None, n_buckets=4)
+    r2 = daily_index_batch(spark, b, root2, 1, url_col=None, n_buckets=4)
+    assert set(r1) == set(r2) == set(list_days(root2))
+    assert all(r1.values()) and all(r2.values())
+    # replay is a per-day no-op
+    r3 = daily_index_batch(spark, a, root2, 0, url_col=None, n_buckets=4)
+    assert not any(r3.values())
+    rows = docs.select("doc_id", "text", "warc_ts").collect()
+    lo, hi = _window(0, 1)
+    sub = [
+        (r.doc_id, r.text) for r in rows
+        if lo <= r.warc_ts.replace(tzinfo=None) < hi
+    ]
+    want = BM25Oracle(sub).search(QUERY, 10)
+    got = DailySearcher(spark, root2).search_rows(QUERY, 10, time_range=(lo, hi))
+    assert got == want
+
+
+def test_retention_is_a_directory_delete(spark, droot, tmp_path_factory):
+    """Dropping a day dir removes exactly that day from every query."""
+    root, rows = droot
+    root3 = str(tmp_path_factory.mktemp("retention"))
+    for d in list_days(root):
+        shutil.copytree(day_dir(root, d), day_dir(root3, d))
+    shutil.rmtree(day_dir(root3, "20160916"))
+    assert list_days(root3) == ["20160917", "20160918", "20160919"]
+    lo, hi = _window(1, 3)
+    sub = [
+        (r.doc_id, r.text) for r in rows
+        if lo <= r.warc_ts.replace(tzinfo=None) < hi
+    ]
+    got = DailySearcher(spark, root3).search_rows(QUERY, 10)
+    assert got == BM25Oracle(sub).search(QUERY, 10)
+
+
+def test_search_docs_resolves_across_days(spark, droot):
+    root, _ = droot
+    s = DailySearcher(spark, root)
+    out = s.search_docs(QUERY, 5, time_range=_window(0, 3))
+    assert len(out) == 5
+    assert all("url" in r and r["url"].startswith("https://") for r in out)

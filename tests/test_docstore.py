@@ -94,3 +94,39 @@ def test_stream_compaction_cadence(spark, tmp_path_factory):
     assert runs == {"compacted"}  # all deltas folded
     assert bm25_topk(spark, out, "term00000", 5).count() > 0
     shutil.rmtree(str(in_dir), ignore_errors=True)
+
+
+def test_distributed_facets_match_driver_path(spark, tmp_path_factory):
+    """facet_counts_spark (no cap, fully distributed) must agree with the
+    driver fast path, including under bool must/must_not filtering; a
+    saturated driver fast path escalates instead of truncating."""
+    from conveyorbelt_spark.index.build import write_docstore
+    from conveyorbelt_spark.index.query import bool_doc_ids, facet_counts_spark
+
+    out = str(tmp_path_factory.mktemp("dfacet_idx"))
+    docs = corpus_spark_df(spark, 400, seed=17, n_parts=2)
+    build_index(spark, docs, out, n_buckets=8)
+    write_docstore(spark, docs, out, extra_cols=("lang",))
+    s = Searcher(spark, out)
+
+    for kw in (
+        {"query": "term00000"},
+        {"query": "term00000 term00123", "must": "term00002"},
+        {"query": "term00000", "must_not": "term00001"},
+    ):
+        drv = s.facet_counts(facet_col="lang", k=10, **kw)
+        dist = [
+            (r["facet"], int(r["n"]))
+            for r in facet_counts_spark(spark, out, "lang", k=10, **kw).collect()
+        ]
+        assert dist == drv, kw
+        # hit sets agree with the scored path (no cap on either side)
+        want_ids = {d for d, _ in s.search_rows(kw["query"], 10**6,
+                                                must=kw.get("must"),
+                                                must_not=kw.get("must_not"))}
+        got_ids = {r.doc_id for r in bool_doc_ids(spark, out, **kw).collect()}
+        assert got_ids == want_ids, kw
+
+    # saturation escalates: a tiny max_hits must still return EXACT counts
+    exact = s.facet_counts("term00000", "lang", k=10)
+    assert s.facet_counts("term00000", "lang", k=10, max_hits=3) == exact
