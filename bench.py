@@ -75,6 +75,10 @@ def main() -> None:
         t0 = time.time()
         fn(spark, sf_dir).collect()
         per_query[name] = round(time.time() - t0, 3)
+        # no cross-query state: a query's cached frames must not squat on
+        # executor memory while later queries run (r2: q10's cache slowed
+        # q11/q12 by ~6x)
+        spark.catalog.clearCache()
     per_query["index_build"] = round(build_sec, 3)
     per_query["bm25_p50"] = round(p50, 4)
 

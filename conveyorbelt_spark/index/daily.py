@@ -108,22 +108,35 @@ def build_daily_index(
     ts_col: str = "warc_ts",
     url_col: str = "url",
     text_col: str = "text",
+    parallelism: int = 4,
     **build_kw,
 ) -> dict[str, dict]:
     """Build one sub-index per distinct ``ts_col`` day (the MasterScheduler
     creates-an-index-per-day loop, batch form). Each day's docs are selected
     with a pushed-down day predicate, so day N's build scans day N's data.
-    Returns {day: stats}."""
+
+    Day builds are independent (disjoint dirs, disjoint data), so up to
+    ``parallelism`` of them run as concurrent driver threads — Spark
+    schedules their jobs side by side, overlapping the per-build fixed
+    job overhead (a many-day backfill is otherwise a serial chain of small
+    builds). Returns {day: stats}."""
+    from concurrent.futures import ThreadPoolExecutor
+
     d = docs.withColumn("_day", F.date_format(ts_col, DAY_FMT))
     days = sorted(r[0] for r in d.select("_day").distinct().collect())
-    out: dict[str, dict] = {}
-    for day in days:
+
+    def one(day: str) -> dict:
         sub = d.where(F.col("_day") == day).drop("_day")
-        out[day] = build_index(
+        return build_index(
             spark, sub, day_dir(root, day),
             url_col=url_col, text_col=text_col, **build_kw,
         )
-    return out
+
+    if parallelism <= 1 or len(days) <= 1:
+        return {day: one(day) for day in days}
+    with ThreadPoolExecutor(max_workers=min(parallelism, len(days))) as ex:
+        results = list(ex.map(one, days))
+    return dict(zip(days, results))
 
 
 def daily_index_batch(

@@ -316,8 +316,14 @@ def q10_bm25_topk(spark, sf_dir):
     (k1=1.2, b=0.75, ES idf; north_rule query semantics)."""
     docs = _t(spark, sf_dir, "documents")
     # tf feeds df_, the scoring join, and dl — materialize the (doc, term)
-    # aggregate once instead of re-tokenizing the corpus three times
-    tf = _tokens(docs).groupBy("doc_id", "term").agg(F.count("*").alias("tf")).persist()
+    # aggregate once instead of re-tokenizing the corpus three times.
+    # localCheckpoint, NOT persist: persist() pins CacheManager entries for
+    # the session lifetime (r2: q10's cache slowed every later query);
+    # checkpoint blocks are GC-released and spill under pressure
+    tf = (
+        _tokens(docs).groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     # one job for both corpus stats (n_docs counts ALL docs incl. empty)
     srow = docs.agg(F.count("*").alias("n")).collect()[0]
@@ -518,8 +524,9 @@ def q14_minhash_lsh(spark, sf_dir):
     4 bands) — the shingle→minhash→band→bucket-join dedup pipeline."""
     docs = _t(spark, sf_dir, "documents")
     # signatures feed both sides of the banding self-join: materialize once
-    # (at scale you'd write them to parquet; 16 longs/doc is trivial to cache)
-    sigs = _mh_sigs(docs, num_perm=16).persist()
+    # (at scale you'd write them to parquet; 16 longs/doc is trivial).
+    # localCheckpoint releases on GC — persist() would outlive the query
+    sigs = _mh_sigs(docs, num_perm=16).localCheckpoint(eager=True)
     return (
         _mh_near(sigs, bands=4)
         .select("doc_a", "doc_b", F.round("est_jaccard", 6).alias("est_jaccard"))
@@ -784,8 +791,14 @@ Q22_SQL = Q05_SQL  # same semantics, different Spark construction path
 _IIS_HDR = "#Fields: date time c-ip cs-method sc-status time-taken"
 
 
+_IIS_NF = 8  # synthesized log files — like real IIS sites, one offset chain each
+
+
 def q23_iis_roundtrip(spark, sf_dir):
-    """X1: events → W3C IIS log lines → parse_iis_logs → typed rows."""
+    """X1: events → W3C IIS log lines → parse_iis_logs → typed rows.
+    Synthesis spreads events over ``_IIS_NF`` log files with PER-FILE
+    line numbers and byte offsets (window partitioned by file — a global
+    unpartitioned window would serialize the synthesis through one task)."""
     from .sources.parsers import parse_iis_logs
 
     ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 200)
@@ -800,9 +813,15 @@ def q23_iis_roundtrip(spark, sf_dir):
             F.round("value", 0).cast("int").cast("string")
         ),
     )
-    w = W.orderBy("event_id")
+    w = W.partitionBy("file").orderBy("event_id")
     lines = (
-        ev.select(F.col("event_id"), line.alias("line"))
+        ev.select(
+            F.col("event_id"),
+            line.alias("line"),
+            F.format_string(
+                "logs/i1/u_ex_f%d.log", F.pmod("event_id", F.lit(_IIS_NF)).cast("int")
+            ).alias("file"),
+        )
         .withColumn("line_no", F.row_number().over(w) + 1)
         .withColumn(
             "byte_offset",
@@ -814,10 +833,10 @@ def q23_iis_roundtrip(spark, sf_dir):
                 F.lit(0),
             ),
         )
-        .select(F.lit("logs/i1/u_ex.log").alias("file"), "line_no", "byte_offset", "line")
+        .select("file", "line_no", "byte_offset", "line")
     )
     hdr = spark.createDataFrame(
-        [("logs/i1/u_ex.log", 1, 0, _IIS_HDR)],
+        [(f"logs/i1/u_ex_f{k}.log", 1, 0, _IIS_HDR) for k in range(_IIS_NF)],
         "file string, line_no long, byte_offset long, line string",
     )
     parsed = parse_iis_logs(hdr.unionByName(lines))
@@ -844,13 +863,14 @@ lines AS (
   FROM ev
 ),
 offs AS (
-  SELECT event_id, line,
+  SELECT event_id, line, event_id % {_IIS_NF} AS fk,
          {len(_IIS_HDR) + 1} + coalesce(sum(length(line) + 1) OVER (
+             PARTITION BY event_id % {_IIS_NF}
              ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
            + length(line) + 1 AS end_off
   FROM lines
 )
-SELECT 'u_ex_' || o.end_off AS RowKey,
+SELECT 'u_ex_f' || o.fk || '_' || o.end_off AS RowKey,
        strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
        '10.0.0.' || (e.user_id % 200) AS c_ip,
        upper(e.event_type) AS cs_method,
@@ -980,8 +1000,9 @@ def q26_embedding_near_dups(spark, sf_dir):
         ).alias("embedding"),
     )
     # the augmented table feeds LSH banding AND both sides of the verify
-    # join — materialize once (at scale it would be a written table)
-    aug = emb.unionByName(pert).persist()
+    # join — materialize once (at scale it would be a written table).
+    # localCheckpoint releases on GC — persist() would outlive the query
+    aug = emb.unionByName(pert).localCheckpoint(eager=True)
     return (
         embedding_near_dups(aug, threshold=0.99)
         .orderBy("doc_a", "doc_b")
@@ -1009,6 +1030,7 @@ ORDER BY doc_a, doc_b
 
 _SC_STEM = "applog.log.20240101.000000"
 _SC_PATH = f"site/prod/{_SC_STEM}.txt"
+_SC_NF = 4  # synthesized sitecore files (distinct hhmmss stems)
 
 
 def q27_sitecore_roundtrip(spark, sf_dir):
@@ -1018,7 +1040,10 @@ def q27_sitecore_roundtrip(spark, sf_dir):
     from .sources.parsers import parse_sitecore_logs
 
     ev = _t(spark, sf_dir, "events").where(F.col("event_id") < 300)
-    w = W.orderBy("event_id")
+    # spread over _SC_NF log files (distinct hhmmss stems) with PER-FILE
+    # line numbers — an unpartitioned window would serialize the synthesis
+    fk = F.pmod("event_id", F.lit(_SC_NF)).cast("int")
+    w = W.partitionBy("file").orderBy("event_id")
     rn = F.row_number().over(w)
     start = F.concat(
         F.lit("proc"), (F.col("user_id") % 10).cast("string"),
@@ -1030,15 +1055,17 @@ def q27_sitecore_roundtrip(spark, sf_dir):
             F.concat(F.lit(" password=sec"), F.col("event_id").cast("string"), F.lit(";tail")),
         ).otherwise(F.lit("")),
     )
-    base = ev.select("event_id", "ts", start.alias("s"), (rn * 2).alias("start_ln"))
-    starts = base.select(F.col("start_ln").alias("line_no"), F.col("s").alias("line"))
+    base = ev.select(
+        "event_id", "ts", start.alias("s"),
+        F.format_string("site/prod/applog.log.20240101.0000%02d.txt", fk).alias("file"),
+    ).withColumn("start_ln", rn * 2)
+    starts = base.select("file", F.col("start_ln").alias("line_no"), F.col("s").alias("line"))
     conts = base.where(F.col("event_id") % 3 == 0).select(
+        "file",
         (F.col("start_ln") + 1).alias("line_no"),
         F.concat(F.lit("   at Trace"), F.col("event_id").cast("string")).alias("line"),
     )
-    lines = starts.unionByName(conts).select(
-        F.lit(_SC_PATH).alias("file"), "line_no", "line"
-    )
+    lines = starts.unionByName(conts).select("file", "line_no", "line")
     parsed = parse_sitecore_logs(lines, split_lines=64)
     return parsed.select(
         "RowKey",
@@ -1051,10 +1078,12 @@ def q27_sitecore_roundtrip(spark, sf_dir):
 
 Q27_SQL = f"""
 WITH ev AS (
-  SELECT *, 2 * row_number() OVER (ORDER BY event_id) AS start_ln
+  SELECT *, event_id % {_SC_NF} AS fk,
+         2 * row_number() OVER (
+             PARTITION BY event_id % {_SC_NF} ORDER BY event_id) AS start_ln
   FROM events WHERE event_id < 300
 )
-SELECT '{_SC_STEM}_' || start_ln AS RowKey,
+SELECT 'applog.log.20240101.0000' || lpad(fk::VARCHAR, 2, '0') || '_' || start_ln AS RowKey,
        '2024-01-01 ' || strftime(ts, '%H:%M:%S') AS entry_ts,
        upper(substr(event_type, 1, 4)) AS level,
        'proc' || (user_id % 10) AS src,
@@ -1273,9 +1302,11 @@ def q32_date_bounded_bm25(spark, sf_dir):
     )
     root = tempfile.mkdtemp(prefix="cb_q32_idx_")
     try:
+        # small layout knobs: the gate builds 4 tiny day indexes in-query,
+        # so per-stage task count (n_term_buckets) dominates, not data
         build_daily_index(
             spark, docs.select("doc_id", "text", "warc_ts"), root,
-            url_col=None, n_buckets=8,
+            url_col=None, n_buckets=4, n_term_buckets=8,
         )
         # window = days 1 and 2 of 4 (doc_id % 4 ∈ {1, 2})
         rows = DailySearcher(spark, root).search_rows(
