@@ -573,6 +573,77 @@ def refresh_dictionary(spark: SparkSession, out_dir: str, n_term_buckets: int) -
     dictionary.repartition(n_term_buckets, "tb").sortWithinPartitions("term").write.mode(
         "overwrite"
     ).partitionBy("tb", "run").parquet(os.path.join(out_dir, "dictionary"))
+    write_term_index(dictionary.drop("run"), out_dir, "full", replace=True)
+
+
+TERM_RANGES_FILE = "term_ranges.json"
+
+
+def write_term_index(
+    dictionary: DataFrame,
+    out_dir: str,
+    run_val: str,
+    *,
+    replace: bool = False,
+    n_files: int | None = None,
+) -> None:
+    """Term-SORTED dictionary copy + range sidecar — the FST-role structure
+    for prefix/wildcard/fuzzy expansion. The primary dictionary is HASH
+    partitioned (point lookups prune to one tb), so every one of its files
+    spans the whole term space and a prefix query must open every footer.
+    This copy is range-partitioned and sorted by term; ``term_ranges.json``
+    records each file's (min_term, max_term), so an expansion opens ZERO
+    footers and only the 1–2 data files overlapping its range — at web
+    scale (10^8 terms, 64 range files) a prefix touches ~1/64 of the
+    dictionary bytes. Incremental batches append a run=<batch> delta here
+    exactly like the hash dictionary; expansions merge runs on read."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    ti_dir = os.path.join(out_dir, "term_index")
+    d = (
+        dictionary.select("term", "df")
+        .withColumn("run", F.lit(run_val))
+        .repartitionByRange(n_files or max(2, DEFAULT_TERM_BUCKETS // 8), "term")
+        .sortWithinPartitions("term")
+    )
+    if replace:
+        import shutil
+
+        if os.path.isdir(ti_dir):
+            shutil.rmtree(ti_dir)
+        d.write.mode("overwrite").partitionBy("run").parquet(ti_dir)
+    else:
+        _dyn_overwrite(d, ti_dir, ("run",))
+
+    # sidecar: per-file term range from the just-written footers (write-time
+    # metadata reads; query time opens no footer at all)
+    sidecar = os.path.join(out_dir, TERM_RANGES_FILE)
+    ranges: dict[str, list[str]] = {}
+    if not replace and os.path.exists(sidecar):
+        with open(sidecar) as f:
+            ranges = json.load(f)
+        ranges = {
+            rel: mm for rel, mm in ranges.items()
+            if not rel.startswith(f"run={run_val}/") and os.path.exists(os.path.join(ti_dir, rel))
+        }
+    for path in _glob.glob(os.path.join(ti_dir, f"run={run_val}", "*.parquet")):
+        md = _pq.ParquetFile(path).metadata
+        ti = next(
+            i for i in range(md.num_columns) if md.schema.column(i).name == "term"
+        )
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ti).statistics
+            if st is not None and st.has_min_max:
+                mins.append(st.min)
+                maxs.append(st.max)
+        if mins:
+            rel = os.path.relpath(path, ti_dir)
+            ranges[rel] = [min(mins), max(maxs)]
+    with open(sidecar, "w") as f:
+        json.dump(ranges, f, indent=0, sort_keys=True)
 
 
 def write_dictionary_delta(
@@ -581,18 +652,19 @@ def write_dictionary_delta(
     """O(delta) dictionary update: aggregate ONE run's blocks into a
     run-partitioned delta; ``_lookup_terms`` merges deltas on read
     (Σ df / Σ cf per term). Idempotent via dynamic partition overwrite."""
+    agg = delta_blocks.groupBy("term", "tb").agg(
+        F.sum("n").alias("df"),
+        F.sum("sum_tf").alias("cf"),
+        F.count("*").alias("n_blocks"),
+    )
     d = (
-        delta_blocks.groupBy("term", "tb")
-        .agg(
-            F.sum("n").alias("df"),
-            F.sum("sum_tf").alias("cf"),
-            F.count("*").alias("n_blocks"),
-        )
-        .withColumn("run", F.lit(run_val))
+        agg.withColumn("run", F.lit(run_val))
         .repartition(n_term_buckets, "tb")
         .sortWithinPartitions("term")
     )
     _dyn_overwrite(d, os.path.join(out_dir, "dictionary"), ("tb", "run"))
+    # keep the sorted expansion copy in step (O(delta), few range files)
+    write_term_index(agg, out_dir, run_val, n_files=2)
 
 
 def load_stats(out_dir: str) -> dict:

@@ -763,34 +763,179 @@ def facet_counts_spark(
     return out.limit(k) if k is not None else out
 
 
-def expand_prefix(out_dir: str, prefix: str, max_expansions: int = 50) -> list[str]:
-    """Terms starting with ``prefix``, highest document frequency first,
-    capped at ``max_expansions`` (the ES prefix-query expansion rule). The
-    dictionary is hash-partitioned by term, so a prefix can't prune to one
-    partition — this is a column-pruned driver scan of the dictionary
-    METADATA (term + df only; ES pays the same class of cost without an FST
-    over the term dictionary)."""
+def _range_hi(prefix: str) -> str:
+    """Smallest string greater than every string with this prefix."""
+    return prefix[:-1] + chr(ord(prefix[-1]) + 1) if prefix else "￿"
+
+
+def _term_index_scan(out_dir: str, lo: str | None, hi: str | None):
+    """(term, df) rows from the term-SORTED dictionary copy, pruned by the
+    range sidecar: only files whose recorded [min, max] overlaps [lo, hi)
+    are opened — no footer reads at query time. Returns None when the
+    index predates the term_index layout (caller falls back to the hash
+    dictionary scan). Duplicate terms across runs are df-summed."""
+    import json as _json
+
+    import pyarrow.dataset as ds
+
+    from .build import TERM_RANGES_FILE
+
+    ti_dir = os.path.join(out_dir, "term_index")
+    sidecar = os.path.join(out_dir, TERM_RANGES_FILE)
+    if not (os.path.isdir(ti_dir) and os.path.exists(sidecar)):
+        return None
+    with open(sidecar) as f:
+        ranges = _json.load(f)
+    files = [
+        os.path.join(ti_dir, rel)
+        for rel, (mn, mx) in sorted(ranges.items())
+        if (hi is None or mn < hi) and (lo is None or mx >= lo)
+    ]
+    if not files:
+        return pd.DataFrame({"term": pd.Series(dtype=object), "df": pd.Series(dtype="int64")})
+    flt = None
+    if lo is not None:
+        flt = ds.field("term") >= lo
+    if hi is not None:
+        f2 = ds.field("term") < hi
+        flt = f2 if flt is None else (flt & f2)
+    tbl = ds.dataset(files, format="parquet").to_table(filter=flt, columns=["term", "df"])
+    pdf = tbl.to_pandas()
+    if len(pdf):
+        pdf = pdf.groupby("term", as_index=False, sort=True)["df"].sum()
+    return pdf
+
+
+def _dictionary_scan(out_dir: str, lo: str | None, hi: str | None) -> pd.DataFrame:
+    """Fallback for pre-term_index layouts: column-pruned scan of every
+    hash-dictionary file (term-sorted row groups still prune via parquet
+    min/max stats, but all footers are opened)."""
     import glob as _glob
 
     import pyarrow.dataset as ds
 
-    prefix = prefix.lower()
     dict_dir = f"{out_dir}/dictionary"
     files = _glob.glob(f"{dict_dir}/tb=*/run=*/*.parquet") + _glob.glob(
         f"{dict_dir}/tb=*/*.parquet"
     )
     if not files:
+        return pd.DataFrame({"term": pd.Series(dtype=object), "df": pd.Series(dtype="int64")})
+    flt = None
+    if lo is not None:
+        flt = ds.field("term") >= lo
+    if hi is not None:
+        f2 = ds.field("term") < hi
+        flt = f2 if flt is None else (flt & f2)
+    tbl = ds.dataset(files, format="parquet").to_table(filter=flt, columns=["term", "df"])
+    pdf = tbl.to_pandas()
+    if len(pdf):
+        pdf = pdf.groupby("term", as_index=False, sort=True)["df"].sum()
+    return pdf
+
+
+def _term_range(out_dir: str, lo: str | None, hi: str | None) -> pd.DataFrame:
+    pdf = _term_index_scan(out_dir, lo, hi)
+    if pdf is None:
+        pdf = _dictionary_scan(out_dir, lo, hi)
+    return pdf
+
+
+def _rank_expansions(pdf: pd.DataFrame, max_expansions: int) -> list[str]:
+    """ES expansion rule: highest document frequency first, ties by term."""
+    if not len(pdf):
         return []
-    hi = prefix[:-1] + chr(ord(prefix[-1]) + 1) if prefix else "￿"
-    tbl = ds.dataset(files, format="parquet").to_table(
-        filter=(ds.field("term") >= prefix) & (ds.field("term") < hi),
-        columns=["term", "df"],
+    pdf = pdf.sort_values(["df", "term"], ascending=[False, True], kind="mergesort")
+    return pdf["term"].head(max_expansions).tolist()
+
+
+def expand_prefix(out_dir: str, prefix: str, max_expansions: int = 50) -> list[str]:
+    """Terms starting with ``prefix``, highest document frequency first,
+    capped at ``max_expansions`` (the ES prefix-query expansion rule).
+    Served from the term-sorted ``term_index`` copy via the range sidecar
+    (opens only the overlapping data files, zero footers); pre-term_index
+    layouts fall back to the full hash-dictionary metadata scan."""
+    prefix = prefix.lower()
+    return _rank_expansions(
+        _term_range(out_dir, prefix, _range_hi(prefix)), max_expansions
     )
-    agg: dict[str, int] = {}
-    for row in tbl.to_pylist():
-        agg[row["term"]] = agg.get(row["term"], 0) + row["df"]
-    ranked = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))
-    return [t for t, _ in ranked[:max_expansions]]
+
+
+def expand_wildcard(out_dir: str, pattern: str, max_expansions: int = 50) -> list[str]:
+    """ES wildcard-query expansion: ``*`` = any run, ``?`` = one char.
+    The literal prefix before the first wildcard range-prunes the sorted
+    term_index scan (``te*m`` reads only the ``te`` range); a leading
+    wildcard degrades to a full term scan — exactly ES's documented
+    warning for leading-wildcard queries."""
+    import re as _re
+
+    pattern = pattern.lower()
+    lit = _re.match(r"^[^*?]*", pattern).group(0)
+    lo, hi = (lit, _range_hi(lit)) if lit else (None, None)
+    pdf = _term_range(out_dir, lo, hi)
+    if not len(pdf):
+        return []
+    rx = "^" + "".join(
+        ".*" if c == "*" else "." if c == "?" else _re.escape(c) for c in pattern
+    ) + "$"
+    pdf = pdf[pdf["term"].str.match(rx, na=False)]
+    return _rank_expansions(pdf, max_expansions)
+
+
+def _edit_distance_le(a: str, b: str, k: int) -> bool:
+    """Banded Levenshtein ≤ k (early-exit band DP; k is 1 or 2 here)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > k:
+        return False
+    if a == b:
+        return True
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        best = cur[0]
+        for j in range(1, lb + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (a[i - 1] != b[j - 1]),
+            )
+            best = min(best, cur[j])
+        if best > k:
+            return False
+        prev = cur
+    return prev[lb] <= k
+
+
+def expand_fuzzy(
+    out_dir: str,
+    term: str,
+    fuzziness: int = 1,
+    prefix_length: int = 1,
+    max_expansions: int = 50,
+) -> list[str]:
+    """ES fuzzy-query expansion: terms within ``fuzziness`` edits
+    (Levenshtein, ES caps at 2), sharing the first ``prefix_length``
+    chars (ES's prefix_length knob — it both matches user intent and
+    range-prunes the sorted scan; 0 = full term scan). Candidates are
+    length-banded before the DP. Ranked df-desc like the other expansions.
+    ES/Lucene walk a term FST instead — at 10^8-term scale that (or a
+    k-deletes index) is the upgrade path; the sorted-copy scan is exact
+    and metadata-cheap at engine-test scale."""
+    term = term.lower()
+    fuzziness = min(int(fuzziness), 2)
+    if prefix_length > 0:
+        lit = term[:prefix_length]
+        lo, hi = lit, _range_hi(lit)
+    else:
+        lo = hi = None
+    pdf = _term_range(out_dir, lo, hi)
+    if not len(pdf):
+        return []
+    lens = pdf["term"].str.len()
+    pdf = pdf[(lens >= len(term) - fuzziness) & (lens <= len(term) + fuzziness)]
+    if not len(pdf):
+        return []
+    keep = pdf["term"].map(lambda t: _edit_distance_le(term, t, fuzziness))
+    return _rank_expansions(pdf[keep], max_expansions)
 
 
 def index_info(spark: SparkSession, out_dir: str) -> dict:
@@ -1007,6 +1152,30 @@ class Searcher:
         highest-df terms (≤ max_expansions) and score them as a SHOULD
         bag."""
         terms = expand_prefix(self.out_dir, prefix, max_expansions)
+        if not terms:
+            return []
+        return self.search_rows(" ".join(terms), k)
+
+    def wildcard_rows(
+        self, pattern: str, k: int = 10, max_expansions: int = 50
+    ) -> list[tuple[int, float]]:
+        """ES wildcard-query analogue (``*``/``?``): expand against the
+        sorted term_index (literal prefix range-pruned) and score the
+        expansion as a SHOULD bag."""
+        terms = expand_wildcard(self.out_dir, pattern, max_expansions)
+        if not terms:
+            return []
+        return self.search_rows(" ".join(terms), k)
+
+    def fuzzy_rows(
+        self, term: str, k: int = 10, fuzziness: int = 1,
+        prefix_length: int = 1, max_expansions: int = 50,
+    ) -> list[tuple[int, float]]:
+        """ES fuzzy-query analogue: edit-distance-≤ fuzziness expansion
+        (shared prefix_length chars), scored as a SHOULD bag."""
+        terms = expand_fuzzy(
+            self.out_dir, term, fuzziness, prefix_length, max_expansions
+        )
         if not terms:
             return []
         return self.search_rows(" ".join(terms), k)
