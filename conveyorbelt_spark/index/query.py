@@ -231,12 +231,57 @@ def _score_kernel(
     Phase 3 — exact scoring of survivors, decoding only blocks that contain
     a survivor, accumulating per-doc in ascending-term order in float64
     (bit-identical to oracle.py).
-    Results are provably identical to exhaustive scoring."""
+    Results are provably identical to exhaustive scoring.
+
+    Memory guard: ``score_bucket.max_candidates`` (attr, default None)
+    bounds the decoded-postings working set. A stopword-grade group on an
+    under-bucketed index (df ~ N_docs/n_buckets postings landing in ONE
+    kernel call) is then scored in doc-id RANGE SLICES: blocks are selected
+    by their (min_doc, max_doc) metadata BEFORE decode, each slice scores
+    only docs in its range (boundary blocks decode twice, docs never score
+    twice), and the per-slice exact top-k merge is exact because slices
+    tile the bucket's id space. Degrades gracefully instead of OOM; proper
+    sizing is still n_buckets ≳ max head-term df / max_candidates."""
     terms_sorted = sorted(term_idf)
     must_terms = tuple(sorted(must_terms))
     not_terms = tuple(sorted(not_terms))
 
     def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")}
+        )
+        cap = getattr(score_bucket, "max_candidates", None)
+        total = int(pdf["n"].sum())
+        if cap and total > cap:
+            import math as _math
+
+            lo_all = int(pdf["min_doc"].min())
+            hi_all = int(pdf["max_doc"].max()) + 1
+            n_slices = int(_math.ceil(total / cap))
+            span = hi_all - lo_all
+            edges = [lo_all + span * i // n_slices for i in range(n_slices)] + [hi_all]
+            outs = []
+            mind = pdf["min_doc"].to_numpy()
+            maxd = pdf["max_doc"].to_numpy()
+            for lo, hi in zip(edges[:-1], edges[1:]):
+                if lo >= hi:
+                    continue
+                sel = (maxd >= lo) & (mind < hi)
+                if not sel.any():
+                    continue
+                part = _score_pdf(pdf[sel], doc_range=(lo, hi))
+                if len(part):
+                    outs.append(part)
+            if not outs:
+                return empty
+            allr = pd.concat(outs, ignore_index=True)
+            allr = allr.sort_values(
+                ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+            )
+            return allr.head(k).reset_index(drop=True)
+        return _score_pdf(pdf)
+
+    def _score_pdf(pdf: pd.DataFrame, doc_range: tuple[int, int] | None = None) -> pd.DataFrame:
         empty = pd.DataFrame(
             {"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")}
         )
@@ -249,7 +294,8 @@ def _score_kernel(
             # no longer aligns), so fall back to exhaustive in that case
             if len(np.unique(tp.docs)) != len(tp.docs):
                 return _exhaustive(
-                    pdf, term_idf, terms_sorted, k, k1, b, avgdl, must_terms, not_terms
+                    pdf, term_idf, terms_sorted, k, k1, b, avgdl, must_terms, not_terms,
+                    doc_range=doc_range,
                 )
             per_term[term] = tp
         if not any(t in per_term for t in terms_sorted):
@@ -258,6 +304,12 @@ def _score_kernel(
         all_docs = np.unique(
             np.concatenate([per_term[t].docs for t in terms_sorted if t in per_term])
         )
+        if doc_range is not None:
+            # boundary blocks carry out-of-slice docs; they score in their
+            # own slice
+            all_docs = all_docs[(all_docs >= doc_range[0]) & (all_docs < doc_range[1])]
+            if not len(all_docs):
+                return empty
         cand = all_docs
         for mt in must_terms:
             tp = per_term.get(mt)
@@ -334,7 +386,8 @@ def _score_kernel(
 
 
 def _exhaustive(
-    pdf, term_idf, terms_sorted, k, k1, b, avgdl, must_terms=(), not_terms=()
+    pdf, term_idf, terms_sorted, k, k1, b, avgdl, must_terms=(), not_terms=(),
+    doc_range=None,
 ) -> pd.DataFrame:
     """Fallback exhaustive scorer (handles duplicate doc_ids from deltas),
     with the same boolean candidate semantics as the pruned kernel."""
@@ -359,6 +412,8 @@ def _exhaustive(
     if not scoring:
         return empty
     all_docs = np.unique(np.concatenate([per_term[t][0] for t in scoring]))
+    if doc_range is not None:
+        all_docs = all_docs[(all_docs >= doc_range[0]) & (all_docs < doc_range[1])]
     cand = all_docs
     for mt in must_terms:
         if mt not in per_term:
@@ -384,7 +439,10 @@ def _exhaustive(
     return pd.DataFrame({"doc_id": cand[idx], "score": scores[idx]})
 
 
-_BLOCK_COLS = ["bucket", "term", "blk", "n", "max_tf", "min_dl", "docs", "tfs", "dls"]
+_BLOCK_COLS = [
+    "bucket", "term", "blk", "n", "min_doc", "max_doc",
+    "max_tf", "min_dl", "docs", "tfs", "dls",
+]
 
 
 def _read_blocks_local(out_dir: str, tbs: list[int], terms: list[str], columns=None):
@@ -420,12 +478,14 @@ def _read_blocks_local(out_dir: str, tbs: list[int], terms: list[str], columns=N
 def _score_local(
     blocks: pd.DataFrame, term_idf: dict[str, float], k: int, stats: dict, prune: bool,
     must_terms: tuple[str, ...] = (), not_terms: tuple[str, ...] = (),
+    max_candidates: int | None = None,
 ) -> list[tuple[int, float]]:
     """Run the SAME per-bucket scoring kernel in-driver and merge: buckets
     are disjoint docID ranges, so concat of per-bucket top-k + one global
     sort is exact."""
     kern = _score_kernel(term_idf, k, prune=prune, must_terms=must_terms, not_terms=not_terms)
     kern.k1, kern.b, kern.avgdl = stats["k1"], stats["b"], stats["avgdl"]
+    kern.max_candidates = max_candidates
     outs = [kern(grp) for _, grp in blocks.groupby("bucket", sort=True)]
     outs = [o for o in outs if len(o)]
     if not outs:
@@ -474,10 +534,13 @@ def bm25_topk(
     prune: bool = True,
     must_not: str | None = None,
     must: str | None = None,
+    max_candidates: int | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, score) for ``query``, ranked by (score desc, doc_id
     asc). ``prune=False`` disables block-max WAND (identical results —
-    asserted in tests; pruning only skips work).
+    asserted in tests; pruning only skips work). ``max_candidates`` bounds
+    each kernel task's decoded working set (doc-range slicing — see
+    ``_score_kernel``); None = size for n_buckets ≳ head-term df / memory.
 
     ES bool-query surface: ``query`` = SHOULD (scores), ``must`` = terms
     every hit must contain (they score too), ``must_not`` = terms no hit
@@ -500,6 +563,7 @@ def bm25_topk(
     kern.k1 = stats["k1"]
     kern.b = stats["b"]
     kern.avgdl = stats["avgdl"]
+    kern.max_candidates = max_candidates
     local = seg.groupBy("bucket").applyInPandas(kern, schema="doc_id long, score double")
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
@@ -1033,10 +1097,14 @@ class Searcher:
     stats and drops the term cache (a long-lived Searcher then scores
     identically to a fresh ``bm25_topk`` on the same index)."""
 
-    def __init__(self, spark: SparkSession, out_dir: str, mode: str = "auto"):
+    def __init__(
+        self, spark: SparkSession, out_dir: str, mode: str = "auto",
+        max_candidates: int | None = None,
+    ):
         self.spark = spark
         self.out_dir = out_dir
         self.mode = mode
+        self.max_candidates = max_candidates
         self.stats = load_stats(out_dir)
         self._stats_mtime = os.path.getmtime(os.path.join(out_dir, "stats.json"))
         self._term_cache: dict[str, dict | None] = {}
@@ -1085,13 +1153,15 @@ class Searcher:
                 return _score_local(
                     blocks, term_idf, k, self.stats, prune,
                     must_terms=must_terms, not_terms=not_terms,
+                    max_candidates=self.max_candidates,
                 )
             if self.mode == "local":
                 raise FileNotFoundError(f"{self.out_dir}/segments is not locally readable")
         return [
             (r.doc_id, r.score)
             for r in bm25_topk(
-                self.spark, self.out_dir, query, k, prune, must_not=must_not, must=must
+                self.spark, self.out_dir, query, k, prune, must_not=must_not, must=must,
+                max_candidates=self.max_candidates,
             ).collect()
         ]
 
@@ -1231,6 +1301,7 @@ class Searcher:
                 rows = _score_local(
                     blocks, term_idf, k, self.stats, prune,
                     must_terms=must_terms, not_terms=not_terms,
+                    max_candidates=self.max_candidates,
                 )
                 return self.spark.createDataFrame(rows, "doc_id long, score double")
             if self.mode == "local":
@@ -1243,5 +1314,6 @@ class Searcher:
         )
         kern = _score_kernel(term_idf, k, prune=prune, must_terms=must_terms, not_terms=not_terms)
         kern.k1, kern.b, kern.avgdl = self.stats["k1"], self.stats["b"], self.stats["avgdl"]
+        kern.max_candidates = self.max_candidates
         local = seg.groupBy("bucket").applyInPandas(kern, schema="doc_id long, score double")
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

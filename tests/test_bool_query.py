@@ -87,3 +87,42 @@ def test_bool_query_nontrivial_results(spark, bidx):
     assert plain and musted and notted
     assert {d for d, _ in musted} != {d for d, _ in plain}
     assert {d for d, _ in notted}.isdisjoint({d for d, _ in musted})
+
+
+@pytest.mark.parametrize("case", CASES[:4], ids=lambda c: f"cap|{c['should']}|+{c['must']}")
+def test_max_candidates_slicing_is_exact(spark, bidx, case):
+    """Kernel memory guard: a tiny max_candidates forces every bucket group
+    through the doc-range slicing fallback (blocks chosen by min/max
+    metadata before decode); results must stay bit-identical, pruned and
+    unpruned, serving and Spark path."""
+    out, oracle = bidx
+    want = oracle.bool_search(case["should"], case["must"], case["must_not"], 10)
+    s_capped = Searcher(spark, out, max_candidates=40)
+    got = s_capped.search_rows(case["should"], 10, must=case["must"] or None,
+                               must_not=case["must_not"] or None)
+    assert got == want
+    got_np = s_capped.search_rows(case["should"], 10, prune=False,
+                                  must=case["must"] or None,
+                                  must_not=case["must_not"] or None)
+    assert got_np == want
+    via_spark = [
+        (r.doc_id, r.score)
+        for r in bm25_topk(
+            spark, out, case["should"], 10, max_candidates=40,
+            must=case["must"] or None, must_not=case["must_not"] or None,
+        ).collect()
+    ]
+    assert via_spark == want
+
+
+def test_max_candidates_actually_slices(spark, bidx):
+    """Guard that the cap genuinely engages: the query terms' bucket groups
+    hold more postings than the cap."""
+    from conveyorbelt_spark.index.build import load_stats
+    from conveyorbelt_spark.index.query import _lookup_terms
+
+    out, _ = bidx
+    stats = load_stats(out)
+    entries = _lookup_terms(spark, out, ["term00000"], stats["n_term_buckets"])
+    # df spread over n_buckets groups; cap=40 must be below the biggest
+    assert entries and entries[0]["df"] / stats["n_buckets"] > 40 * 1.5
