@@ -6,11 +6,14 @@ REAL decode paths (pure numpy/struct — no external libraries needed):
 - **BMP** (Windows bitmap, BI_RGB uncompressed, 8-bit paletted or 24-bit):
   full header parse, bottom-up/top-down rows, 4-byte row padding, palette
   lookup, pinned integer luma for grayscale.
+- **PNG** (stdlib zlib): chunk walk, inflate, full unfilter
+  (None/Sub/Up/Average/Paeth), color types 0/2/3/4/6 at 8-bit depth,
+  pinned integer luma.
 - **WAV** (RIFF PCM, 8/16-bit, any channel count): chunk walk, sample
   decode, per-file audio features.
-Compressed formats (JPEG/PNG/MP4...) fall through to PIL when present
-(absent in this container) else raise NotImplementedError — clearly the
-only remaining stub.
+Remaining compressed formats (JPEG/MP4...) fall through to PIL when
+present (absent in this container) else raise NotImplementedError —
+clearly the only remaining stub.
 
 Synthetic formats (deterministic, used by tests and the corpus generator):
 - image: b'CBIM' + width:u16 + height:u16 + seed:u32  → pixels are a seeded
@@ -102,6 +105,143 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     return gray if top_down else gray[::-1]
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """(h, w) uint8 grayscale → PNG bytes (stdlib zlib, no PIL). Rows cycle
+    through ALL FIVE filter types (None/Sub/Up/Average/Paeth) so a
+    round-trip exercises every decoder unfilter path — a REAL file any
+    viewer opens."""
+    import zlib
+
+    px = pixels.astype(np.uint8)
+    h, w = px.shape
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit grayscale
+    raw = bytearray()
+    prev = np.zeros(w, dtype=np.int64)
+    for r in range(h):
+        row = px[r].astype(np.int64)
+        f = r % 5
+        left = np.concatenate(([0], row[:-1]))
+        if f == 0:
+            filt = row
+        elif f == 1:  # Sub
+            filt = row - left
+        elif f == 2:  # Up
+            filt = row - prev
+        elif f == 3:  # Average
+            filt = row - (left + prev) // 2
+        else:  # Paeth
+            ul = np.concatenate(([0], prev[:-1]))
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul))
+            filt = row - pred
+        raw.append(f)
+        raw += (filt % 256).astype(np.uint8).tobytes()
+        prev = row
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG → (h, w) uint8 grayscale, stdlib-only (zlib inflate + full
+    unfilter: None/Sub/Up/Average/Paeth). 8-bit depth, color types 0
+    (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), interlace 0.
+    Color → the same pinned integer luma as the BMP path. Sub rows
+    unfilter via per-lane cumsum; Average/Paeth rows walk pixels (a true
+    sequential recurrence — per-payload codec work is inherently serial;
+    the parallelism axis is payloads per Arrow batch)."""
+    import zlib
+
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, plte, idat = 8, None, None, bytearray()
+    while pos + 8 <= len(payload):
+        (size,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + size]
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"PLTE":
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + size
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype, _comp, _filt, interlace = ihdr
+    if depth != 8:
+        raise NotImplementedError(f"{depth}-bit PNG not supported (8-bit only)")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG not supported")
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if ch is None:
+        raise NotImplementedError(f"PNG color type {ctype} not supported")
+    stride = w * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) < h * (stride + 1):
+        raise ValueError("PNG data truncated")
+    rows = np.frombuffer(raw, dtype=np.uint8, count=h * (stride + 1)).reshape(
+        h, stride + 1
+    )
+    ftypes, data = rows[:, 0], rows[:, 1:].astype(np.int64)
+    out = np.zeros((h, stride), dtype=np.int64)
+    prev = np.zeros(stride, dtype=np.int64)
+    for r in range(h):
+        f, row = int(ftypes[r]), data[r]
+        if f == 0:
+            rec = row
+        elif f == 1:  # Sub: rec[x] = row[x] + rec[x-ch] → per-lane cumsum
+            rec = row.reshape(w, ch).cumsum(axis=0).reshape(stride) % 256
+        elif f == 2:  # Up
+            rec = (row + prev) % 256
+        elif f in (3, 4):  # Average / Paeth: sequential recurrence
+            rec = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                a = rec[x - ch] if x >= ch else 0
+                b = prev[x]
+                if f == 3:
+                    rec[x] = (row[x] + (a + b) // 2) % 256
+                else:
+                    c = prev[x - ch] if x >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    rec[x] = (row[x] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[r] = rec
+        prev = rec
+    px = out.reshape(h, w, ch)
+    if ctype == 0:
+        gray = px[:, :, 0]
+    elif ctype == 3:
+        if plte is None:
+            raise ValueError("paletted PNG missing PLTE")
+        rgb = plte[px[:, :, 0]].astype(np.int64)
+        gray = (299 * rgb[:, :, 0] + 587 * rgb[:, :, 1] + 114 * rgb[:, :, 2]) // 1000
+    elif ctype == 4:
+        gray = px[:, :, 0]  # alpha ignored
+    else:  # 2 / 6: RGB(A) → pinned luma, alpha ignored
+        gray = (299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]) // 1000
+    return gray.astype(np.uint8)
+
+
 def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     """int16 mono samples → RIFF PCM WAV bytes — a REAL playable file."""
     s = samples.astype("<i2").tobytes()
@@ -144,8 +284,8 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int, int]:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """payload → (h, w) uint8 grayscale. Dispatch: CB-synthetic → BMP
-    (real, dependency-free) → PIL for compressed formats when installed
+    """payload → (h, w) uint8 grayscale. Dispatch: CB-synthetic → BMP →
+    PNG (all real, dependency-free) → PIL for JPEG/... when installed
     (absent in this container) → NotImplementedError."""
     payload = bytes(payload)
     if payload[:4] == IMAGE_MAGIC:
@@ -153,7 +293,9 @@ def decode_image(payload: bytes) -> np.ndarray:
         return _pixels(w, h, seed)
     if payload[:2] == b"BM":
         return decode_bmp(payload)
-    try:  # compressed formats (JPEG/PNG/...) — needs PIL, absent here
+    if payload[:8] == PNG_SIG:
+        return decode_png(payload)
+    try:  # remaining compressed formats (JPEG/...) — needs PIL, absent here
         import io
 
         from PIL import Image
@@ -161,7 +303,7 @@ def decode_image(payload: bytes) -> np.ndarray:
         return np.asarray(Image.open(io.BytesIO(payload)).convert("L"))
     except ImportError:
         pass
-    raise NotImplementedError("no codec for this image payload (JPEG/PNG need PIL)")
+    raise NotImplementedError("no codec for this image payload (JPEG needs PIL)")
 
 
 def decode_video(payload: bytes) -> list[np.ndarray]:
