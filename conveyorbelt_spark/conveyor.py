@@ -157,7 +157,8 @@ def run_source(
 
     # index the batch as a delta segment keyed by the schedule window
     run_id = f"{spec.key}_{keys[-1]}"
-    if "url" not in parsed.columns:
+    if "url" not in {c.lower() for c in parsed.columns}:  # resolution is
+        # case-insensitive (JDBC sources often upcase identifiers)
         parsed = parsed.withColumn("url", F.col("RowKey"))
     # W6/A3 telemetry rides ON the indexing job via observe() — zero extra
     # Spark jobs per cycle (ShardKeyActor.cs:69-101; warn ≥120 s at :76-83)
@@ -181,7 +182,9 @@ def run_source(
         return 0
     m = obs.get  # available after index_batch's first action
     n = int(m["n"])
-    if tcol and n and m["max_ts"] is not None:
+    # delay telemetry only applies to timestamp-typed ts cols (a SQL shard
+    # source's ts_col is a tick STRING — the key itself, not an event time)
+    if tcol and n and isinstance(m.get("max_ts"), datetime):
         delay = (now.replace(tzinfo=None) - m["max_ts"]).total_seconds()
         if delay >= 120:
             print(f"[conveyor] WARN {spec.key}: shard delay {delay:.0f}s >= 120s", flush=True)
