@@ -60,6 +60,10 @@ class SourceSpec:
     grace_period_minutes: int = 3
     max_items_in_a_schedule_run: int = 100000
     is_active: bool = True
+    # True = route each doc to a day=YYYYMMDD sub-index under index_dir —
+    # the reference's per-day ES indices (IndexNamer.cs:21-41, created by
+    # MasterScheduler.cs:205-239); False = one flat index
+    daily_index: bool = False
     custom: dict = field(default_factory=dict)
 
     @property
@@ -170,8 +174,22 @@ def run_source(
     if tcol:
         metrics += [F.min(tcol).alias("min_ts"), F.max(tcol).alias("max_ts")]
     parsed = parsed.observe(obs, *metrics)
-    did_work = index_batch(spark, parsed, index_dir, run_id, url_col="url",
-                           text_col=spec.custom.get("text_col", "text"))
+    if spec.daily_index:
+        # the reference's daily-index write path: each doc lands in its
+        # event day's sub-index (searchable with DailySearcher time_range)
+        from .index.daily import daily_index_batch
+
+        # parsers rename the event-time column to "ts" (X7); fall back to it
+        day_ts = spec.ts_col if spec.ts_col in parsed.columns else "ts"
+        done_by_day = daily_index_batch(
+            spark, parsed, index_dir, run_id,
+            ts_col=day_ts, url_col="url",
+            text_col=spec.custom.get("text_col", "text"),
+        )
+        did_work = any(done_by_day.values())
+    else:
+        did_work = index_batch(spark, parsed, index_dir, run_id, url_col="url",
+                               text_col=spec.custom.get("text_col", "text"))
     if not did_work:
         # replayed epoch (crash after manifest commit, before the registry
         # update): index_batch never touched `parsed`, so obs.get would

@@ -106,7 +106,10 @@ def main() -> None:
             "eff_8_to_32": round(best[32]["docs_per_sec"] / (4 * best[8]["docs_per_sec"]), 3),
         }
         print(json.dumps(summary))
-        write_baseline_md(summary)
+        # BENCH/BASELINE.md is hand-curated; dump the machine summary next
+        # to it for the curator instead of clobbering the document
+        with open(os.path.join(REPO, "BENCH", "scaling_summary.json"), "w") as f:
+            json.dump(summary, f, indent=2)
         return
 
     if args.gen:
@@ -114,49 +117,6 @@ def main() -> None:
         return
 
     print(json.dumps(run_one(args.cpus, args.corpus)))
-
-
-def write_baseline_md(s: dict) -> None:
-    path = os.path.join(REPO, "BENCH", "BASELINE.md")
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    b2, b8, b32 = s["best"]["2"], s["best"]["8"], s["best"]["32"]
-    with open(path, "w") as f:
-        f.write(f"""# BENCH/BASELINE — measured scaling evidence
-
-Same index-build job, same materialized input corpus ({b8["n_docs"]:,} synthetic
-Common-Crawl-style docs, Zipf(1.2) vocabulary), each parallelism level run
-in a separate fresh-JVM process, interleaved best-of-N (this sandbox VM
-throttles intermittently: ±25% on identical work — all raw runs below).
-
-| parallelism | build sec | docs/sec | BM25 p50 | BM25 p95 |
-|---|---|---|---|---|
-| local[2]  (N)   | {b2["build_sec"]} | {b2["docs_per_sec"]} | {b2["bm25_p50_sec"]} s | {b2["bm25_p95_sec"]} s |
-| local[8]  (4N)  | {b8["build_sec"]} | {b8["docs_per_sec"]} | {b8["bm25_p50_sec"]} s | {b8["bm25_p95_sec"]} s |
-| local[32] (16N) | {b32["build_sec"]} | {b32["docs_per_sec"]} | {b32["bm25_p50_sec"]} s | {b32["bm25_p95_sec"]} s |
-
-- **Scaling efficiency N→4N (2→8 cores) = {s["eff_2_to_8"]}** (target ≥ 0.8)
-- Scaling efficiency 8→32 cores = {s["eff_8_to_32"]}
-
-All raw docs/sec runs (interleaved order): {json.dumps(s["all_docs_per_sec"])}
-
-## Why 8→32 flattens in THIS sandbox (and why it wouldn't on a cluster)
-
-Measured root cause (see git history): with 32 task slots the single local
-JVM runs 32 task threads AND 32 Python workers = 64 CPU-hungry threads on
-32 vCPUs of a Firecracker guest; guest kernel time (page-fault/THP
-compaction, `/proc/stat` system > user) grows superlinearly with worker
-count, so aggregate Python-kernel throughput saturates. A raw
-``multiprocessing`` control test on the same box scales ~16× at 32
-processes — the pathology is specific to the high-allocation
-pandas/Arrow worker pattern under guest-kernel memory pressure, not to the
-engine's plan shape. On a real multi-executor cluster each executor runs
-few Python workers against its own kernel; the plan itself is
-embarrassingly parallel over (term, bucket) shuffle partitions — the
-bucket count is the knob that keeps head-term partitions bounded as the
-cluster grows (SURVEY §2.2 P2).
-
-Reproduce: `python scripts/scaling_bench.py --both --docs {b8["n_docs"]}`
-""")
 
 
 if __name__ == "__main__":

@@ -183,3 +183,36 @@ def test_search_docs_resolves_across_days(spark, droot):
     out = s.search_docs(QUERY, 5, time_range=_window(0, 3))
     assert len(out) == 5
     assert all("url" in r and r["url"].startswith("https://") for r in out)
+
+
+def test_conveyor_routes_to_daily_indexes(spark, tmp_path_factory):
+    """SourceSpec(daily_index=True): a conveyor cycle writes per-day
+    sub-indexes (the reference's IndexNamer/MasterScheduler daily-ES-index
+    path) that DailySearcher can query with a time_range."""
+    from conveyorbelt_spark.conveyor import SourceRegistry, SourceSpec, run_source
+
+    tbl = str(tmp_path_factory.mktemp("dconv") / "pages")
+    docs = _spread_days(corpus_spark_df(spark, 300, seed=37, n_parts=2)).drop("doc_id")
+    docs.write.parquet(tbl)
+    idx = str(tmp_path_factory.mktemp("dconv_idx"))
+    reg = SourceRegistry(str(tmp_path_factory.mktemp("dconv_reg") / "sources.json"))
+    start = EPOCH.replace(tzinfo=dt.timezone.utc) - dt.timedelta(minutes=1)
+    spec = SourceSpec(
+        "biz", "daily_web", tbl,
+        ts_col="warc_ts",
+        last_offset_point=start.isoformat(),
+        daily_index=True,
+    )
+    reg.save([spec])
+    # the synthesized warc_ts spreads over 4 days — schedule far past all
+    n = run_source(spark, spec, idx, reg, now=start + dt.timedelta(days=5))
+    assert n == 300
+    assert len(list_days(idx)) == N_DAYS
+    s = DailySearcher(spark, idx)
+    lo, hi = _window(1, 2)
+    rows_all = s.search_rows(QUERY, 10)
+    rows_win = s.search_rows(QUERY, 10, time_range=(lo, hi))
+    assert rows_all and rows_win and rows_all != rows_win
+    # replayed cycle (lost registry update) is a no-op that still advances
+    spec.last_offset_point = start.isoformat()
+    assert run_source(spark, spec, idx, reg, now=start + dt.timedelta(days=5)) == 0
