@@ -246,7 +246,7 @@ class DailySearcher:
         p = self._plan(time_range, query, must, must_not)
         if p is None:
             return []
-        days, stats, (term_idf, must_terms, not_terms, tbs, scan_terms) = p
+        days, stats, (term_idf, must_terms, not_terms, tbs, scan_terms, _sp) = p
         frames = []
         for day in days:
             b = _read_blocks_local(day_dir(self.root, day), tbs, scan_terms)
@@ -276,7 +276,7 @@ class DailySearcher:
         p = self._plan(time_range, query, must, must_not)
         if p is None:
             return empty
-        days, stats, (term_idf, must_terms, not_terms, tbs, scan_terms) = p
+        days, stats, (term_idf, must_terms, not_terms, tbs, scan_terms, _sp) = p
         # one pruned read per selected day, unioned (a multi-root read trips
         # partition discovery on the day= ancestor dirs); each read keeps
         # its own tb-partition + term row-group pruning

@@ -52,11 +52,14 @@ class BM25Oracle:
         return self.bool_search(should=query, k=k)
 
     def bool_search(
-        self, should: str = "", must: str = "", must_not: str = "", k: int = 10
+        self, should: str = "", must: str = "", must_not: str = "", k: int = 10,
+        min_should: int = 0,
     ) -> list[tuple[int, float]]:
         """ES bool-query ground truth: SHOULD ∪ MUST terms score (ascending
-        term order — pinned), hits must contain every MUST term and no
-        MUST_NOT term; a MUST term absent from the corpus ⇒ no hits."""
+        term order — pinned), hits must contain every MUST term, ≥
+        ``min_should`` SHOULD terms, and no MUST_NOT term; a MUST term
+        absent from the corpus ⇒ no hits."""
+        should_set = sorted(set(tokenize(should))) if should else []
         must_terms = sorted(set(tokenize(must))) if must else []
         not_terms = {t for t in (tokenize(must_not) if must_not else []) if t in self.postings}
         if any(mt not in self.postings for mt in must_terms):
@@ -78,6 +81,8 @@ class BM25Oracle:
             d: s
             for d, s in scores.items()
             if all(d in self.postings[mt] for mt in must_terms)
+            and sum(1 for st in should_set if d in self.postings.get(st, ()))
+            >= min_should
             and not any(d in self.postings[nt] for nt in not_terms)
         }
         ranked = sorted(hits.items(), key=lambda kv: (-kv[1], kv[0]))

@@ -215,6 +215,8 @@ def _score_kernel(
     prune: bool = True,
     must_terms: tuple[str, ...] = (),
     not_terms: tuple[str, ...] = (),
+    should_terms: tuple[str, ...] = (),
+    min_should: int = 0,
 ):
     """Per-bucket kernel: boolean candidate set + block-max WAND pruning +
     exact rescoring. ES bool-query semantics: ``term_idf`` keys are the
@@ -245,6 +247,7 @@ def _score_kernel(
     terms_sorted = sorted(term_idf)
     must_terms = tuple(sorted(must_terms))
     not_terms = tuple(sorted(not_terms))
+    should_terms = tuple(sorted(should_terms))
 
     def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -295,7 +298,7 @@ def _score_kernel(
             if len(np.unique(tp.docs)) != len(tp.docs):
                 return _exhaustive(
                     pdf, term_idf, terms_sorted, k, k1, b, avgdl, must_terms, not_terms,
-                    doc_range=doc_range,
+                    doc_range=doc_range, should_terms=should_terms, min_should=min_should,
                 )
             per_term[term] = tp
         if not any(t in per_term for t in terms_sorted):
@@ -316,6 +319,14 @@ def _score_kernel(
             if tp is None:
                 return empty  # a required term absent in this bucket
             cand = cand[_in_sorted(cand, tp.sorted_docs)]
+        if min_should > 1 and len(cand):
+            # ES minimum_should_match: keep docs matching ≥ m SHOULD terms
+            cnt = np.zeros(len(cand), dtype=np.int32)
+            for st in should_terms:
+                tp = per_term.get(st)
+                if tp is not None:
+                    cnt[_in_sorted(cand, tp.sorted_docs)] += 1
+            cand = cand[cnt >= min_should]
         for nt in not_terms:
             tp = per_term.get(nt)
             if tp is not None:
@@ -387,7 +398,7 @@ def _score_kernel(
 
 def _exhaustive(
     pdf, term_idf, terms_sorted, k, k1, b, avgdl, must_terms=(), not_terms=(),
-    doc_range=None,
+    doc_range=None, should_terms=(), min_should=0,
 ) -> pd.DataFrame:
     """Fallback exhaustive scorer (handles duplicate doc_ids from deltas),
     with the same boolean candidate semantics as the pruned kernel."""
@@ -419,6 +430,12 @@ def _exhaustive(
         if mt not in per_term:
             return empty
         cand = cand[_in_sorted(cand, sorted_docs[mt])]
+    if min_should > 1 and len(cand):
+        cnt = np.zeros(len(cand), dtype=np.int32)
+        for st in should_terms:
+            if st in per_term:
+                cnt[_in_sorted(cand, sorted_docs[st])] += 1
+        cand = cand[cnt >= min_should]
     for nt in not_terms:
         if nt in per_term:
             cand = cand[~_in_sorted(cand, sorted_docs[nt])]
@@ -479,11 +496,15 @@ def _score_local(
     blocks: pd.DataFrame, term_idf: dict[str, float], k: int, stats: dict, prune: bool,
     must_terms: tuple[str, ...] = (), not_terms: tuple[str, ...] = (),
     max_candidates: int | None = None,
+    should_terms: tuple[str, ...] = (), min_should: int = 0,
 ) -> list[tuple[int, float]]:
     """Run the SAME per-bucket scoring kernel in-driver and merge: buckets
     are disjoint docID ranges, so concat of per-bucket top-k + one global
     sort is exact."""
-    kern = _score_kernel(term_idf, k, prune=prune, must_terms=must_terms, not_terms=not_terms)
+    kern = _score_kernel(
+        term_idf, k, prune=prune, must_terms=must_terms, not_terms=not_terms,
+        should_terms=should_terms, min_should=min_should,
+    )
     kern.k1, kern.b, kern.avgdl = stats["k1"], stats["b"], stats["avgdl"]
     kern.max_candidates = max_candidates
     outs = [kern(grp) for _, grp in blocks.groupby("bucket", sort=True)]
@@ -501,9 +522,9 @@ def _bool_plan(
     lookup=None,
 ):
     """Resolve the bool-query term sets against the dictionary. Returns
-    (term_idf, must_terms, not_terms, tbs, scan_terms) or None when the
-    result is provably empty (no scoring term indexed / a must term
-    missing from the dictionary entirely)."""
+    (term_idf, must_terms, not_terms, tbs, scan_terms, should_present) or
+    None when the result is provably empty (no scoring term indexed / a
+    must term missing from the dictionary entirely)."""
     should_terms = set(tokenize(query)) if query else set()
     must_terms = set(tokenize(must)) if must else set()
     not_terms = set(tokenize(must_not)) if must_not else set()
@@ -523,7 +544,8 @@ def _bool_plan(
     not_found = tuple(sorted(t for t in not_terms if t in by_term))
     scan_terms = sorted(set(term_idf) | set(not_found))
     tbs = sorted({int(by_term[t]["tb"]) for t in scan_terms})
-    return term_idf, tuple(sorted(must_terms)), not_found, tbs, scan_terms
+    should_present = tuple(sorted(t for t in should_terms if t in by_term))
+    return term_idf, tuple(sorted(must_terms)), not_found, tbs, scan_terms, should_present
 
 
 def bm25_topk(
@@ -535,6 +557,7 @@ def bm25_topk(
     must_not: str | None = None,
     must: str | None = None,
     max_candidates: int | None = None,
+    min_should: int = 0,
 ) -> DataFrame:
     """Top-k (doc_id, score) for ``query``, ranked by (score desc, doc_id
     asc). ``prune=False`` disables block-max WAND (identical results —
@@ -544,22 +567,28 @@ def bm25_topk(
 
     ES bool-query surface: ``query`` = SHOULD (scores), ``must`` = terms
     every hit must contain (they score too), ``must_not`` = terms no hit
-    may contain (J4). Filtering happens inside the per-bucket kernel —
-    doc-range buckets make per-bucket exclusion complete, so no extra scan
-    or anti-join is needed."""
+    may contain (J4), ``min_should`` = ES minimum_should_match (hits must
+    match ≥ that many SHOULD terms). Filtering happens inside the
+    per-bucket kernel — doc-range buckets make per-bucket exclusion
+    complete, so no extra scan or anti-join is needed."""
     stats = load_stats(out_dir)
     empty = spark.createDataFrame([], "doc_id long, score double")
     plan = _bool_plan(spark, out_dir, stats, query, must, must_not)
     if plan is None:
         return empty
-    term_idf, must_terms, not_terms, tbs, scan_terms = plan
+    term_idf, must_terms, not_terms, tbs, scan_terms, should_present = plan
+    if min_should > len(should_present):
+        return empty  # fewer indexed SHOULD terms than required matches
 
     seg = (
         spark.read.parquet(f"{out_dir}/segments")
         .where(F.col("tb").isin(tbs) & F.col("term").isin(scan_terms))
         .select(*_BLOCK_COLS)
     )
-    kern = _score_kernel(term_idf, k, prune=prune, must_terms=must_terms, not_terms=not_terms)
+    kern = _score_kernel(
+        term_idf, k, prune=prune, must_terms=must_terms, not_terms=not_terms,
+        should_terms=should_present, min_should=min_should,
+    )
     kern.k1 = stats["k1"]
     kern.b = stats["b"]
     kern.avgdl = stats["avgdl"]
@@ -764,13 +793,14 @@ def bool_doc_ids(
     query: str = "",
     must: str | None = None,
     must_not: str | None = None,
+    min_should: int = 0,
 ) -> DataFrame:
     """doc_ids of EVERY doc matching the bool query (no top-k, no cap) —
     fully distributed: one pruned (term, doc_id) scan, then a single hash
-    aggregation per doc testing the must-count / any-should / any-not
-    conditions. The candidate generator for terms-aggregations (facets)
-    and boolean set ops over matching sets too large to enumerate on the
-    driver."""
+    aggregation per doc testing the must-count / should-count / any-not
+    conditions (``min_should`` = ES minimum_should_match). The candidate
+    generator for terms-aggregations (facets) and boolean set ops over
+    matching sets too large to enumerate on the driver."""
     should_terms = sorted(set(tokenize(query))) if query else []
     must_terms = sorted(set(tokenize(must))) if must else []
     not_terms = sorted(set(tokenize(must_not))) if must_not else []
@@ -790,11 +820,14 @@ def bool_doc_ids(
     agg = pairs.groupBy("doc_id").agg(
         F.sum(F.when(F.col("term").isin(must_terms), 1).otherwise(0)).alias("n_must"),
         F.max(F.when(F.col("term").isin(scoring), 1).otherwise(0)).alias("any_should"),
+        # pairs are distinct, so this sums DISTINCT matched should terms
+        F.sum(F.when(F.col("term").isin(should_terms), 1).otherwise(0)).alias("n_should"),
         F.max(F.when(F.col("term").isin(not_terms), 1).otherwise(0)).alias("any_not"),
     )
     return agg.where(
         (F.col("n_must") == len(must_terms))
         & (F.col("any_should") == 1)
+        & (F.col("n_should") >= min_should)
         & (F.col("any_not") == 0)
     ).select("doc_id")
 
@@ -1132,13 +1165,14 @@ class Searcher:
     def search_rows(
         self, query: str, k: int = 10, prune: bool = True,
         must: str | None = None, must_not: str | None = None,
+        min_should: int = 0,
     ) -> list[tuple[int, float]]:
         """Serving-path search: [(doc_id, score)] straight from the driver
         kernel — no DataFrame round trip at all (the py4j createDataFrame +
         collect costs ~3× the actual scoring at small k). Supports the full
-        bool-query surface (query=SHOULD, must, must_not). Requires a
-        locally readable index in mode auto/local; in mode spark it
-        collects the distributed result."""
+        bool-query surface (query=SHOULD, must, must_not, min_should = ES
+        minimum_should_match). Requires a locally readable index in mode
+        auto/local; in mode spark it collects the distributed result."""
         self._maybe_invalidate()
         plan = _bool_plan(
             self.spark, self.out_dir, self.stats, query, must, must_not,
@@ -1146,7 +1180,9 @@ class Searcher:
         )
         if plan is None:
             return []
-        term_idf, must_terms, not_terms, tbs, scan_terms = plan
+        term_idf, must_terms, not_terms, tbs, scan_terms, should_present = plan
+        if min_should > len(should_present):
+            return []
         if self.mode in ("auto", "local"):
             blocks = _read_blocks_local(self.out_dir, tbs, scan_terms)
             if blocks is not None:
@@ -1154,6 +1190,7 @@ class Searcher:
                     blocks, term_idf, k, self.stats, prune,
                     must_terms=must_terms, not_terms=not_terms,
                     max_candidates=self.max_candidates,
+                    should_terms=should_present, min_should=min_should,
                 )
             if self.mode == "local":
                 raise FileNotFoundError(f"{self.out_dir}/segments is not locally readable")
@@ -1161,7 +1198,7 @@ class Searcher:
             (r.doc_id, r.score)
             for r in bm25_topk(
                 self.spark, self.out_dir, query, k, prune, must_not=must_not, must=must,
-                max_candidates=self.max_candidates,
+                max_candidates=self.max_candidates, min_should=min_should,
             ).collect()
         ]
 
@@ -1285,6 +1322,7 @@ class Searcher:
     def search(
         self, query: str, k: int = 10, prune: bool = True,
         must: str | None = None, must_not: str | None = None,
+        min_should: int = 0,
     ) -> DataFrame:
         self._maybe_invalidate()
         plan = _bool_plan(
@@ -1293,7 +1331,9 @@ class Searcher:
         )
         if plan is None:
             return self.spark.createDataFrame([], "doc_id long, score double")
-        term_idf, must_terms, not_terms, tbs, scan_terms = plan
+        term_idf, must_terms, not_terms, tbs, scan_terms, should_present = plan
+        if min_should > len(should_present):
+            return self.spark.createDataFrame([], "doc_id long, score double")
 
         if self.mode in ("auto", "local"):
             blocks = _read_blocks_local(self.out_dir, tbs, scan_terms)
@@ -1302,6 +1342,7 @@ class Searcher:
                     blocks, term_idf, k, self.stats, prune,
                     must_terms=must_terms, not_terms=not_terms,
                     max_candidates=self.max_candidates,
+                    should_terms=should_present, min_should=min_should,
                 )
                 return self.spark.createDataFrame(rows, "doc_id long, score double")
             if self.mode == "local":
@@ -1312,7 +1353,10 @@ class Searcher:
             .where(F.col("tb").isin(tbs) & F.col("term").isin(scan_terms))
             .select(*_BLOCK_COLS)
         )
-        kern = _score_kernel(term_idf, k, prune=prune, must_terms=must_terms, not_terms=not_terms)
+        kern = _score_kernel(
+            term_idf, k, prune=prune, must_terms=must_terms, not_terms=not_terms,
+            should_terms=should_present, min_should=min_should,
+        )
         kern.k1, kern.b, kern.avgdl = self.stats["k1"], self.stats["b"], self.stats["avgdl"]
         kern.max_candidates = self.max_candidates
         local = seg.groupBy("bucket").applyInPandas(kern, schema="doc_id long, score double")

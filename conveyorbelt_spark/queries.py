@@ -1398,6 +1398,68 @@ GROUP BY d.source ORDER BY n DESC, facet ASC
 """
 
 
+def q34_min_should_match(spark, sf_dir):
+    """ES minimum_should_match through the REAL index: top-k BM25 over docs
+    matching ≥ 2 of the 3 query terms (candidate filter inside the scoring
+    kernel, pruning stays exact) vs a DuckDB twin with a HAVING
+    count(DISTINCT matched term) ≥ 2 candidate set."""
+    import shutil
+    import tempfile
+
+    from .index.build import build_index
+    from .index.query import Searcher
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="cb_q34_idx_")
+    try:
+        build_index(spark, docs.select("doc_id", "text"), out, url_col=None, n_buckets=8)
+        rows = Searcher(spark, out).search_rows(
+            " ".join(BM25_QUERY_TERMS), 20, min_should=2
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    res = spark.createDataFrame(
+        [(int(d), float(s)) for d, s in rows], "doc_id long, score double"
+    )
+    return res.select("doc_id", F.round("score", 4).alias("score")).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+
+
+Q34_SQL = f"""
+WITH toks AS ({_TOKENS_SQL}),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks WHERE term != '' GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+q AS (SELECT unnest({BM25_QUERY_TERMS!r}) AS term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf
+       WHERE term IN (SELECT term FROM q) GROUP BY term),
+msm AS (
+  SELECT doc_id FROM tf WHERE term IN (SELECT term FROM q)
+  GROUP BY doc_id HAVING count(DISTINCT term) >= 2
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl)))) AS raw
+  FROM tf
+  JOIN df ON tf.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN msm ON msm.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(raw, 4) AS score
+FROM scored ORDER BY raw DESC, doc_id ASC LIMIT 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -1432,6 +1494,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q31_phrase_search": q31_phrase_search,
     "q32_date_bounded_bm25": q32_date_bounded_bm25,
     "q33_facet_counts": q33_facet_counts,
+    "q34_min_should_match": q34_min_should_match,
 }
 
 ORACLES: dict[str, str] = {
@@ -1468,4 +1531,5 @@ ORACLES: dict[str, str] = {
     "q31_phrase_search": Q31_SQL,
     "q32_date_bounded_bm25": Q32_SQL,
     "q33_facet_counts": Q33_SQL,
+    "q34_min_should_match": Q34_SQL,
 }

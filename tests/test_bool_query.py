@@ -126,3 +126,50 @@ def test_max_candidates_actually_slices(spark, bidx):
     entries = _lookup_terms(spark, out, ["term00000"], stats["n_term_buckets"])
     # df spread over n_buckets groups; cap=40 must be below the biggest
     assert entries and entries[0]["df"] / stats["n_buckets"] > 40 * 1.5
+
+
+@pytest.mark.parametrize("m", [1, 2, 3])
+def test_minimum_should_match(spark, bidx, m):
+    """ES minimum_should_match: hits must match ≥ m SHOULD terms; scoring
+    unchanged. Bit-exact vs the oracle on every path, with and without the
+    memory-guard slicing."""
+    out, oracle = bidx
+    q = "term00000 term00001 term00123"
+    want = oracle.bool_search(q, k=10, min_should=m)
+    assert want, m  # corpus dense enough that even m=3 has hits
+    s = Searcher(spark, out)
+    assert s.search_rows(q, 10, min_should=m) == want
+    assert s.search_rows(q, 10, prune=False, min_should=m) == want
+    got_spark = [
+        (r.doc_id, r.score)
+        for r in bm25_topk(spark, out, q, 10, min_should=m).collect()
+    ]
+    assert got_spark == want
+    capped = Searcher(spark, out, max_candidates=40)
+    assert capped.search_rows(q, 10, min_should=m) == want
+    # m=1 is the plain SHOULD semantics; m over all terms = intersection
+    if m == 1:
+        assert want == oracle.bool_search(q, k=10)
+    # m greater than the number of SHOULD terms → provably empty
+    assert s.search_rows(q, 10, min_should=4) == []
+
+
+def test_min_should_composes_with_must_not(spark, bidx):
+    out, oracle = bidx
+    q = "term00000 term00001 term00002"
+    want = oracle.bool_search(q, must_not="term00123", k=10, min_should=2)
+    s = Searcher(spark, out)
+    assert s.search_rows(q, 10, must_not="term00123", min_should=2) == want
+
+
+def test_min_should_distributed_hit_set(spark, bidx):
+    """bool_doc_ids honors min_should (the facet candidate generator)."""
+    from conveyorbelt_spark.index.query import bool_doc_ids
+
+    out, oracle = bidx
+    q = "term00000 term00001 term00123"
+    want = {
+        d for d, _ in oracle.bool_search(q, k=10**9, min_should=2)
+    }
+    got = {r.doc_id for r in bool_doc_ids(spark, out, q, min_should=2).collect()}
+    assert got == want
