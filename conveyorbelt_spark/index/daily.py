@@ -296,6 +296,49 @@ class DailySearcher:
         local = seg.groupBy("bucket").applyInPandas(kern, schema="doc_id long, score double")
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def phrase_rows(
+        self, phrase: str, k: int = 10, *, time_range: tuple | None = None
+    ) -> list[tuple[int, float]]:
+        """Day-pruned phrase search (positional daily indexes): merged
+        window stats + the same per-bucket phrase kernel over the selected
+        days' pruned block reads — zero Spark jobs."""
+        from .query import _phrase_kernel, _phrase_plan
+
+        days = select_days(self.root, time_range)
+        if not days:
+            return []
+        stats = _merged_stats(self.root, days)
+        lookup = _merged_lookup(self.spark, self.root, days, stats["n_term_buckets"])
+        plan = _phrase_plan(self.spark, self.root, stats, phrase, lookup=lookup)
+        if plan is None:
+            return []
+        phrase_tokens, idf_sum, tbs, distinct = plan
+        frames = []
+        for day in days:
+            b = _read_blocks_local(
+                day_dir(self.root, day), tbs, distinct, columns=_BLOCK_COLS + ["poss"]
+            )
+            if b is None:
+                raise FileNotFoundError(
+                    f"{day_dir(self.root, day)}/segments is not locally readable"
+                )
+            if len(b):
+                frames.append(b)
+        if not frames:
+            return []
+        blocks = pd.concat(frames, ignore_index=True)
+        kern = _phrase_kernel(phrase_tokens, idf_sum, k)
+        kern.k1, kern.b, kern.avgdl = stats["k1"], stats["b"], stats["avgdl"]
+        outs = [kern(grp) for _, grp in blocks.groupby("bucket", sort=True)]
+        outs = [o for o in outs if len(o)]
+        if not outs:
+            return []
+        allr = pd.concat(outs, ignore_index=True)
+        allr = allr.sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+        )
+        return [(int(r.doc_id), float(r.score)) for r in allr.head(k).itertuples()]
+
     def search_docs(
         self, query: str, k: int = 10, *,
         time_range: tuple | None = None,

@@ -216,3 +216,24 @@ def test_conveyor_routes_to_daily_indexes(spark, tmp_path_factory):
     # replayed cycle (lost registry update) is a no-op that still advances
     spec.last_offset_point = start.isoformat()
     assert run_source(spark, spec, idx, reg, now=start + dt.timedelta(days=5)) == 0
+
+
+def test_daily_phrase_rows(spark, tmp_path_factory):
+    """Phrase search over positional daily indexes: day-pruned, merged
+    window stats, rank-identical to the oracle over the window docs."""
+    root = str(tmp_path_factory.mktemp("daily_pos"))
+    docs = _spread_days(corpus_spark_df(spark, 400, seed=43, n_parts=2))
+    build_daily_index(spark, docs, root, url_col=None, n_buckets=4, positions=True)
+    rows = docs.select("doc_id", "text", "warc_ts").collect()
+    s = DailySearcher(spark, root)
+    lo, hi = _window(1, 2)
+    sub = [(r.doc_id, r.text) for r in rows if lo <= r.warc_ts.replace(tzinfo=None) < hi]
+    hits = 0
+    for phrase in ("term00000 term00001", "term00001 term00002"):
+        want_win = BM25Oracle(sub).phrase_search(phrase, 10)
+        got_win = s.phrase_rows(phrase, 10, time_range=(lo, hi))
+        assert got_win == want_win
+        want_all = BM25Oracle([(r.doc_id, r.text) for r in rows]).phrase_search(phrase, 10)
+        assert s.phrase_rows(phrase, 10) == want_all
+        hits += len(want_win)
+    assert hits > 0

@@ -119,3 +119,31 @@ def test_wand_pruning_identical(spark, index_dir, case):
     pruned = [(r.doc_id, r.score) for r in bm25_topk(spark, index_dir, case["q"], case["k"], prune=True).collect()]
     full = [(r.doc_id, r.score) for r in bm25_topk(spark, index_dir, case["q"], case["k"], prune=False).collect()]
     assert pruned == full
+
+
+def test_segment_scan_plan_is_pruned(spark, tmp_path_factory):
+    """Plan regression guard: the distributed query's segment scan must
+    carry BOTH prunings — tb partition filters AND a pushed term predicate
+    — and must NOT read columns the kernel doesn't use (poss is pruned on
+    non-positional reads by _BLOCK_COLS)."""
+    import contextlib
+    import io
+
+    from conveyorbelt_spark.corpus import corpus_spark_df
+    from conveyorbelt_spark.index.build import build_index
+    from conveyorbelt_spark.index.query import bm25_topk
+
+    out = str(tmp_path_factory.mktemp("plan_idx"))
+    build_index(
+        spark, corpus_spark_df(spark, 200, seed=19, n_parts=1), out,
+        n_buckets=4, positions=True,
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bm25_topk(spark, out, "term00000 term00123", 5).explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters: [tb#" in plan and " IN (" in plan
+    assert "PushedFilters: [In(term, [term00000,term00123])]" in plan
+    # positional bytes pruned out of bag-of-words scans
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "poss" not in read_schema[0]
