@@ -2,7 +2,10 @@
 
     spark-submit --py-files /tmp/cb.zip scripts/search_submit.py \
         --index /path/to/index --query "spark shuffle join" -k 10
-        [--must-not "deprecated"] [--queries-file conveyorbelt_spark/queries.json]
+        [--must "required terms"] [--must-not "deprecated"] [--min-should 2]
+        [--phrase "exact phrase"] [--prefix te | --wildcard "te*m" | --fuzzy term]
+        [--facet source] [--daily --from 2016-09-17 --to 2016-09-19]
+        [--queries-file conveyorbelt_spark/queries.json]
 """
 
 from __future__ import annotations
@@ -23,6 +26,16 @@ def main() -> None:
     ap.add_argument("--must")
     ap.add_argument("--phrase", help="exact phrase query (needs --positions index)")
     ap.add_argument("--prefix", help="prefix query (dictionary expansion)")
+    ap.add_argument("--wildcard", help="wildcard query (* / ?)")
+    ap.add_argument("--fuzzy", help="fuzzy term query (edit distance <= --fuzziness)")
+    ap.add_argument("--fuzziness", type=int, default=1)
+    ap.add_argument("--min-should", type=int, default=0,
+                    help="ES minimum_should_match over the query terms")
+    ap.add_argument("--facet", help="terms-aggregation over this stored column")
+    ap.add_argument("--daily", action="store_true",
+                    help="treat --index as a daily-index root (day=YYYYMMDD dirs)")
+    ap.add_argument("--from", dest="from_ts", help="daily window lower bound (ISO)")
+    ap.add_argument("--to", dest="to_ts", help="daily window upper bound (ISO)")
     ap.add_argument("--resolve", action="store_true",
                     help="resolve hits through the doc-store (urls, not ids)")
     args = ap.parse_args()
@@ -33,6 +46,40 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
     sys.path.insert(0, ".")
     from conveyorbelt_spark.index.query import Searcher, bm25_topk
+
+    if args.daily:
+        import datetime as dt
+
+        from conveyorbelt_spark.index.daily import DailySearcher
+
+        tr = None
+        if args.from_ts or args.to_ts:
+            tr = (
+                dt.datetime.fromisoformat(args.from_ts) if args.from_ts else None,
+                dt.datetime.fromisoformat(args.to_ts) if args.to_ts else None,
+            )
+        ds = DailySearcher(spark, args.index)
+        rows = (
+            ds.phrase_rows(args.phrase, args.k, time_range=tr)
+            if args.phrase
+            else ds.search_rows(
+                args.query, args.k, time_range=tr,
+                must=args.must, must_not=args.must_not,
+            )
+        )
+        for d, sc in rows:
+            print(f"{d}\t{sc}")
+        return
+
+    if args.facet:
+        from conveyorbelt_spark.index.query import facet_counts_spark
+
+        for r in facet_counts_spark(
+            spark, args.index, args.facet, args.query,
+            must=args.must, must_not=args.must_not, k=args.k,
+        ).collect():
+            print(f"{r['facet']}\t{r['n']}")
+        return
 
     if args.queries_file:
         with open(args.queries_file) as f:
@@ -52,6 +99,14 @@ def main() -> None:
     elif args.prefix:
         for d, sc in Searcher(spark, args.index).prefix_rows(args.prefix, args.k):
             print(f"{d}\t{sc}")
+    elif args.wildcard:
+        for d, sc in Searcher(spark, args.index).wildcard_rows(args.wildcard, args.k):
+            print(f"{d}\t{sc}")
+    elif args.fuzzy:
+        for d, sc in Searcher(spark, args.index).fuzzy_rows(
+            args.fuzzy, args.k, fuzziness=args.fuzziness
+        ):
+            print(f"{d}\t{sc}")
     elif args.resolve:
         for hit in Searcher(spark, args.index).search_docs(
             args.query, args.k, must=args.must, must_not=args.must_not
@@ -60,7 +115,7 @@ def main() -> None:
     else:
         rows = bm25_topk(
             spark, args.index, args.query, args.k,
-            must=args.must, must_not=args.must_not,
+            must=args.must, must_not=args.must_not, min_should=args.min_should,
         ).collect()
         for r in rows:
             print(f"{r.doc_id}\t{r.score}")
