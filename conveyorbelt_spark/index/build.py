@@ -161,16 +161,24 @@ def refresh_stats(spark: SparkSession, out_dir: str, defaults: dict | None = Non
         cfg = {k: defaults.get(k, fallback.get(k)) for k in keys}
     man_dir = os.path.join(out_dir, "manifest")
     n_docs, total_tokens = 0, 0
+    committed_runs: list[str] = []
     if os.path.isdir(man_dir):
         from pyspark.errors import AnalysisException
 
         try:
-            row = (
-                spark.read.parquet(man_dir)
-                .agg(F.sum("n_docs").alias("nd"), F.sum("sum_dl").alias("tt"))
-                .collect()[0]
-            )
+            man = spark.read.parquet(man_dir)
+            row = man.agg(
+                F.sum("n_docs").alias("nd"), F.sum("sum_dl").alias("tt")
+            ).collect()[0]
             n_docs, total_tokens = int(row["nd"] or 0), int(row["tt"] or 0)
+            # the committed-run set IS the read snapshot: query paths scan
+            # only these run partitions, so uncommitted/orphaned partitions
+            # (mid-write batches, tiered-compaction leftovers) are invisible
+            # — exact df/scores across every crash window. Bounded by the
+            # compaction cadence (tombstone rows, bucket<0, excluded).
+            committed_runs = sorted(
+                r.run for r in man.where(F.col("bucket") >= 0).select("run").distinct().collect()
+            )
         except AnalysisException as e:
             # an existing-but-empty manifest dir (empty first batch wrote no
             # part files) legitimately means zero stats; anything else —
@@ -183,6 +191,7 @@ def refresh_stats(spark: SparkSession, out_dir: str, defaults: dict | None = Non
         "n_docs": n_docs,
         "total_tokens": total_tokens,
         "avgdl": total_tokens / n_docs if n_docs else 0.0,
+        "committed_runs": committed_runs,
         **cfg,
     }
     os.makedirs(out_dir, exist_ok=True)
@@ -672,65 +681,20 @@ def load_stats(out_dir: str) -> dict:
         return json.load(f)
 
 
-def compact_segments(
-    spark: SparkSession,
-    out_dir: str,
-    *,
-    block_size: int | None = None,
-) -> dict:
-    """Hierarchical merge: defragment delta segments into full-size blocks.
-
-    After many incremental batches a (term, bucket) group accumulates many
-    short tail blocks (one per batch). Compaction re-sorts each group's
-    postings, drops duplicate doc_ids (keep-first, same rule as the
-    builder), and re-encodes into dense ``block_size`` blocks — the
-    LSM/Lucene segment-merge step. Because per-(term,bucket) runs are
-    disjoint docID ranges, the merge never crosses buckets; the shuffle
-    moves only compressed blocks.
-
-    Swap protocol (NOT a single atomic rename — posix can't rename onto a
-    non-empty dir): new segments land in ``segments_compacting``; then
-    rename(segments → segments_old), rename(tmp → segments), VERIFY the new
-    dir is readable, and only then delete segments_old. A crash between the
-    two renames leaves ``segments_old`` intact for manual recovery; a
-    concurrent reader during the swap window may fail and should retry.
-    Only manifest-committed runs are compacted — an in-flight streaming
-    batch's uncommitted run partitions are left in place for its replay to
-    overwrite. The manifest is REWRITTEN as one compacted row set (plus
-    zero tombstone rows preserving replay-idempotence for old run_ids), the
-    doclens deltas are folded into one deduplicated run, and stats.json is
-    recounted exactly from doclens (healing any drift from re-ingested
-    docs). Returns {"blocks_before": .., "blocks_after": ..}.
-    """
-    import shutil
-
-    stats = load_stats(out_dir)
-    block_size = block_size or stats["block_size"]
-    seg_dir = os.path.join(out_dir, "segments")
-    man_dir = os.path.join(out_dir, "manifest")
-    tmp_dir = os.path.join(out_dir, "segments_compacting")
-    if os.path.isdir(tmp_dir):
-        shutil.rmtree(tmp_dir)
-
-    old_man = spark.read.parquet(man_dir)
-    committed_runs = {r.run for r in old_man.select("run").distinct().collect()}
-    old_run_ids = {r.run_id for r in old_man.select("run_id").distinct().collect()}
-
-    seg = spark.read.parquet(seg_dir).where(F.col("run").isin(sorted(committed_runs)))
-    blocks_before = seg.count()
-
+def _recompact_df(seg: DataFrame, stats: dict, block_size: int, run_val: str) -> DataFrame:
+    """Re-encode a set of segment blocks into dense ``block_size`` blocks
+    under one new run. Delta segments interleave same-(term,bucket) blocks
+    with colliding blk numbers and a group may span Arrow batches, so:
+    decode preserving group contiguity, hold back the boundary group, sort
+    each run of COMPLETE groups by (term,bucket,doc_id,tf,dl) (the build's
+    dedup sort key), and feed the block builder one continuous sorted
+    stream. Positional indexes re-slice each posting's position bytes by
+    re-deriving the canonical varint boundaries (positions travel through
+    compaction byte-identical). Used by full compaction (all committed
+    runs) and tiered compaction (a subset of delta runs)."""
     pos_flag = bool(stats.get("positions"))
 
     def recode(batches):
-        """Decode (term,bucket) groups and re-encode densely. Delta segments
-        interleave same-(term,bucket) blocks with colliding blk numbers and
-        a group may span Arrow batches, so: decode preserving group
-        contiguity, hold back the boundary group, sort each run of COMPLETE
-        groups by (term,bucket,doc_id,tf,dl) (the build's dedup sort key),
-        and feed the block builder one continuous sorted stream. Positional
-        indexes re-slice each posting's position bytes by re-deriving the
-        canonical varint boundaries (positions travel through compaction
-        byte-identical)."""
         from ..functions.codecs import varint_decode
 
         builder = _make_block_builder(block_size, with_positions=pos_flag)
@@ -792,15 +756,66 @@ def compact_segments(
 
         yield from builder(complete_group_chunks())
 
-    recompacted = (
+    return (
         seg.repartition("term", "bucket")
         .sortWithinPartitions("term", "bucket", "blk")
         .mapInPandas(recode, schema=BLOCKS_POS_SCHEMA if pos_flag else BLOCKS_SCHEMA)
         .withColumn("tb", F.pmod(F.xxhash64("term"), F.lit(stats["n_term_buckets"])).cast("int"))
-        .withColumn("run", F.lit("compacted"))
+        .withColumn("run", F.lit(run_val))
         .repartition(stats["n_term_buckets"], "tb")
         .sortWithinPartitions("term", "bucket", "blk")
     )
+
+
+
+def compact_segments(
+    spark: SparkSession,
+    out_dir: str,
+    *,
+    block_size: int | None = None,
+) -> dict:
+    """Hierarchical merge: defragment delta segments into full-size blocks.
+
+    After many incremental batches a (term, bucket) group accumulates many
+    short tail blocks (one per batch). Compaction re-sorts each group's
+    postings, drops duplicate doc_ids (keep-first, same rule as the
+    builder), and re-encodes into dense ``block_size`` blocks — the
+    LSM/Lucene segment-merge step. Because per-(term,bucket) runs are
+    disjoint docID ranges, the merge never crosses buckets; the shuffle
+    moves only compressed blocks.
+
+    Swap protocol (NOT a single atomic rename — posix can't rename onto a
+    non-empty dir): new segments land in ``segments_compacting``; then
+    rename(segments → segments_old), rename(tmp → segments), VERIFY the new
+    dir is readable, and only then delete segments_old. A crash between the
+    two renames leaves ``segments_old`` intact for manual recovery; a
+    concurrent reader during the swap window may fail and should retry.
+    Only manifest-committed runs are compacted — an in-flight streaming
+    batch's uncommitted run partitions are left in place for its replay to
+    overwrite. The manifest is REWRITTEN as one compacted row set (plus
+    zero tombstone rows preserving replay-idempotence for old run_ids), the
+    doclens deltas are folded into one deduplicated run, and stats.json is
+    recounted exactly from doclens (healing any drift from re-ingested
+    docs). Returns {"blocks_before": .., "blocks_after": ..}.
+    """
+    import shutil
+
+    stats = load_stats(out_dir)
+    block_size = block_size or stats["block_size"]
+    seg_dir = os.path.join(out_dir, "segments")
+    man_dir = os.path.join(out_dir, "manifest")
+    tmp_dir = os.path.join(out_dir, "segments_compacting")
+    if os.path.isdir(tmp_dir):
+        shutil.rmtree(tmp_dir)
+
+    old_man = spark.read.parquet(man_dir)
+    committed_runs = {r.run for r in old_man.select("run").distinct().collect()}
+    old_run_ids = {r.run_id for r in old_man.select("run_id").distinct().collect()}
+
+    seg = spark.read.parquet(seg_dir).where(F.col("run").isin(sorted(committed_runs)))
+    blocks_before = seg.count()
+
+    recompacted = _recompact_df(seg, stats, block_size, "compacted")
     recompacted.write.mode("overwrite").partitionBy("tb", "run").parquet(tmp_dir)
 
     # carry over any UNCOMMITTED run partitions (in-flight streaming batch):
@@ -878,3 +893,174 @@ def compact_segments(
     shutil.rmtree(man_old)
     refresh_stats(spark, out_dir)
     return {"blocks_before": int(blocks_before), "blocks_after": int(blocks_after)}
+
+
+def compact_runs(
+    spark: SparkSession,
+    out_dir: str,
+    runs: list[str],
+    *,
+    block_size: int | None = None,
+) -> dict:
+    """Tiered (partial) compaction: fold ONLY the given committed delta
+    runs into one dense run, leaving every other run's files untouched —
+    the Lucene TieredMergePolicy analogue. At web scale a full
+    ``compact_segments`` rewrite is prohibitive once the base run is
+    large; the steady state is: many small batch deltas → periodically
+    ``compact_runs(smallest K deltas)`` → occasionally fold mid-size runs.
+    Cost is O(selected runs), never O(index).
+
+    New-run identity is DETERMINISTIC (``tier-<md5 of folded run names>``),
+    so a crashed/repeated call is idempotent. Sequencing and crash
+    windows:
+
+    1. new run's segments / dictionary delta / term_index delta / doclens
+       are written (dynamic partition overwrite — a retry rewrites them).
+       Crash here: folded runs still committed and intact; the new run is
+       uncommitted; duplicate identical postings are handled by the
+       kernel's keep-first dedup, and the next ``_clean_uncommitted_runs``
+       or retry reclaims the partials.
+    2. the manifest is REWRITTEN without the folded runs' rows, with the
+       new run's rows (carrying the folded rows' n_docs/sum_dl ledger —
+       totals unchanged), plus tombstones for the folded run_ids (replays
+       stay no-ops). This is THE commit (same rename-swap dance as full
+       compaction).
+    3. the folded runs' partitions are deleted from segments / dictionary /
+       term_index / doclens. Crash between 2 and 3 leaves orphan
+       (now-uncommitted) run dirs: a retry or any resume's
+       ``_clean_uncommitted_runs`` removes them; until then queries stay
+       rank-correct (duplicate postings dedup to one) though df is
+       transiently double-counted for the folded terms.
+
+    Returns {"folded_runs": .., "blocks_before": .., "blocks_after": ..}.
+    """
+    import hashlib
+    import shutil
+
+    stats = load_stats(out_dir)
+    block_size = block_size or stats["block_size"]
+    seg_dir = os.path.join(out_dir, "segments")
+    man_dir = os.path.join(out_dir, "manifest")
+    runs = sorted(set(runs))
+    new_run = "tier-" + hashlib.md5("|".join(runs).encode()).hexdigest()[:12]
+
+    old_man = spark.read.parquet(man_dir)
+    committed = {r.run for r in old_man.select("run").distinct().collect()}
+    present = [r for r in runs if r in committed]
+    if present != runs:
+        missing = sorted(set(runs) - set(present))
+        if not present and all(
+            run_val != new_run for _, run_val in _run_dirs(seg_dir)
+        ):
+            raise ValueError(f"runs not committed (nothing to fold): {missing}")
+        if present and missing:
+            raise ValueError(f"refusing partial fold; uncommitted runs: {missing}")
+    if not present:
+        # phase-3 retry: the fold already committed; just reclaim leftovers
+        removed = _clean_uncommitted_runs(seg_dir, committed)
+        for sub in ("dictionary", "term_index", "doclens"):
+            p = os.path.join(out_dir, sub)
+            if os.path.isdir(p):
+                _clean_uncommitted_runs(p, committed | {"full", "compacted"})
+        return {"folded_runs": 0, "blocks_before": 0, "blocks_after": 0, "cleanup": removed}
+
+    seg = spark.read.parquet(seg_dir).where(F.col("run").isin(runs))
+    blocks_before = seg.count()
+
+    # --- 1. new-run artifacts (uncommitted until the manifest swap)
+    recompacted = _recompact_df(seg, stats, block_size, new_run)
+    _dyn_overwrite(recompacted, seg_dir, ("tb", "run"))
+    new_seg = spark.read.parquet(seg_dir).where(F.col("run") == new_run)
+    blocks_after = new_seg.count()
+    write_dictionary_delta(new_seg, out_dir, stats["n_term_buckets"], new_run)
+    dl_dir = os.path.join(out_dir, "doclens")
+    folded_dl = False
+    if os.path.isdir(dl_dir):
+        dl_runs = {run_val for _, run_val in _run_dirs(dl_dir)}
+        if set(runs) & dl_runs:
+            dl = (
+                spark.read.parquet(dl_dir)
+                .where(F.col("run").isin(runs))
+                .groupBy("doc_id")
+                .agg(F.min("dl").alias("dl"))
+                .withColumn("run", F.lit(new_run))
+            )
+            _dyn_overwrite(dl, dl_dir, ("run",))
+            folded_dl = True
+
+    # --- 2. manifest swap = the commit
+    folded_rows = old_man.where(F.col("run").isin(runs))
+    folded_ids = sorted(
+        r.run_id for r in folded_rows.select("run_id").distinct().collect()
+    )
+    doc_stats = folded_rows.groupBy("bucket").agg(
+        F.sum("n_docs").alias("n_docs"), F.sum("sum_dl").alias("sum_dl")
+    ).where(F.col("bucket") >= 0)
+    man_new = _manifest_for_run(new_seg, doc_stats, new_run, new_run)
+    tomb = spark.createDataFrame(
+        [(int(-1), 0, 0, 0, 0, 0, 0, rid, new_run) for rid in folded_ids],
+        "bucket int, n_terms long, n_blocks long, n_postings long, checksum long, "
+        "n_docs long, sum_dl long, run_id string, run string",
+    ).withColumn("committed_at", F.lit(time.time()).cast("timestamp"))
+    kept = old_man.where(~F.col("run").isin(runs))
+    new_man = kept.unionByName(man_new, allowMissingColumns=True).unionByName(
+        tomb, allowMissingColumns=True
+    )
+    man_tmp = os.path.join(out_dir, "manifest_compacting")
+    if os.path.isdir(man_tmp):
+        shutil.rmtree(man_tmp)
+    new_man.write.parquet(man_tmp)
+    man_old = os.path.join(out_dir, "manifest_old")
+    if os.path.isdir(man_old):
+        shutil.rmtree(man_old)
+    os.rename(man_dir, man_old)
+    os.rename(man_tmp, man_dir)
+    shutil.rmtree(man_old)
+
+    # --- 3. reclaim the folded runs' partitions
+    roots = ["segments", "dictionary", "term_index"] + (["doclens"] if folded_dl else [])
+    for sub in roots:
+        p = os.path.join(out_dir, sub)
+        if not os.path.isdir(p):
+            continue
+        for d, run_val in _run_dirs(p):
+            if run_val in runs:
+                shutil.rmtree(d)
+    # term_index sidecar: drop folded-run entries (files are gone)
+    sidecar = os.path.join(out_dir, TERM_RANGES_FILE)
+    if os.path.exists(sidecar):
+        with open(sidecar) as f:
+            ranges = json.load(f)
+        ti_dir = os.path.join(out_dir, "term_index")
+        ranges = {
+            rel: mm for rel, mm in ranges.items()
+            if os.path.exists(os.path.join(ti_dir, rel))
+        }
+        with open(sidecar, "w") as f:
+            json.dump(ranges, f, indent=0, sort_keys=True)
+
+    refresh_stats(spark, out_dir)
+    return {
+        "folded_runs": len(runs),
+        "blocks_before": int(blocks_before),
+        "blocks_after": int(blocks_after),
+        "new_run": new_run,
+    }
+
+
+def pick_tier(spark: SparkSession, out_dir: str, max_runs: int = 8) -> list[str]:
+    """Tiered-merge policy helper: when more than ``max_runs`` committed
+    runs exist, return the smallest-by-postings half (≥2) to fold next —
+    call ``compact_runs`` on the result. Reads only the manifest ledger."""
+    man = spark.read.parquet(os.path.join(out_dir, "manifest"))
+    sizes = (
+        man.where(F.col("bucket") >= 0)
+        .groupBy("run")
+        .agg(F.sum("n_postings").alias("np"))
+        .collect()
+    )
+    if len(sizes) <= max_runs:
+        return []
+    sizes.sort(key=lambda r: (int(r.np), r.run))
+    k = max(2, len(sizes) - max_runs + 1)
+    return [r.run for r in sizes[:k]]

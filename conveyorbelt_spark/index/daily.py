@@ -50,6 +50,7 @@ from pyspark.sql import functions as F  # noqa: N812
 from .build import build_index, load_stats, write_docstore
 from .query import (
     _bool_plan,
+    _committed,
     _lookup_terms,
     _read_blocks_local,
     _score_kernel,
@@ -183,22 +184,30 @@ def _merged_stats(root: str, days: list[str]) -> dict:
                         f"{base.get(k)!r}; daily sub-indexes must share a config"
                     )
     assert base is not None
-    return {
+    merged = {
         **base,
         "n_docs": n_docs,
         "total_tokens": total_tokens,
         "avgdl": total_tokens / n_docs if n_docs else 0.0,
     }
+    # per-day read snapshots don't merge — reads consult each day's own
+    merged.pop("committed_runs", None)
+    return merged
 
 
 def _merged_lookup(spark, root: str, days: list[str], n_term_buckets: int):
     """Dictionary probe across the selected days: Σ df / Σ cf per term.
-    Each per-day probe is the ordinary tb-pruned driver read."""
+    Each per-day probe is the ordinary tb-pruned driver read, restricted to
+    that day's committed-run snapshot."""
+    snaps = {d: _committed(load_stats(day_dir(root, d))) for d in days}
 
     def lookup(terms: list[str]) -> list[dict]:
         merged: dict[str, dict] = {}
         for day in days:
-            for e in _lookup_terms(spark, day_dir(root, day), terms, n_term_buckets):
+            for e in _lookup_terms(
+                spark, day_dir(root, day), terms, n_term_buckets,
+                committed=snaps[day],
+            ):
                 m = merged.setdefault(
                     e["term"],
                     {"term": e["term"], "df": 0, "cf": 0, "n_blocks": 0, "tb": e["tb"]},
@@ -249,7 +258,10 @@ class DailySearcher:
         days, stats, (term_idf, must_terms, not_terms, tbs, scan_terms, _sp) = p
         frames = []
         for day in days:
-            b = _read_blocks_local(day_dir(self.root, day), tbs, scan_terms)
+            b = _read_blocks_local(
+                day_dir(self.root, day), tbs, scan_terms,
+                committed=_committed(load_stats(day_dir(self.root, day))),
+            )
             if b is None:
                 raise FileNotFoundError(
                     f"{day_dir(self.root, day)}/segments is not locally readable"
@@ -282,13 +294,16 @@ class DailySearcher:
         # its own tb-partition + term row-group pruning
         from functools import reduce
 
-        parts = [
-            self.spark.read.parquet(os.path.join(day_dir(self.root, d), "segments"))
-            .where(F.col("tb").isin(tbs) & F.col("term").isin(scan_terms))
-            .select(*_BLOCK_COLS)
-            for d in days
-        ]
-        seg = reduce(DataFrame.unionByName, parts)
+        def one_day(d):
+            seg = self.spark.read.parquet(
+                os.path.join(day_dir(self.root, d), "segments")
+            ).where(F.col("tb").isin(tbs) & F.col("term").isin(scan_terms))
+            snap = _committed(load_stats(day_dir(self.root, d)))
+            if snap is not None:
+                seg = seg.where(F.col("run").isin(sorted(snap)))
+            return seg.select(*_BLOCK_COLS)
+
+        seg = reduce(DataFrame.unionByName, [one_day(d) for d in days])
         kern = _score_kernel(
             term_idf, k, prune=prune, must_terms=must_terms, not_terms=not_terms
         )
@@ -316,7 +331,9 @@ class DailySearcher:
         frames = []
         for day in days:
             b = _read_blocks_local(
-                day_dir(self.root, day), tbs, distinct, columns=_BLOCK_COLS + ["poss"]
+                day_dir(self.root, day), tbs, distinct,
+                columns=_BLOCK_COLS + ["poss"],
+                committed=_committed(load_stats(day_dir(self.root, day))),
             )
             if b is None:
                 raise FileNotFoundError(

@@ -39,8 +39,36 @@ def idf(n_docs: int, df: int) -> float:
     return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
 
 
+def _committed(stats: dict) -> set[str] | None:
+    """The read snapshot: run values recorded in stats.json at the last
+    commit. Scans filtered by it never see uncommitted / orphaned run
+    partitions (mid-write batches, compaction leftovers) — df and scores
+    stay exact across every crash window. None (legacy stats) = no filter.
+    ``full`` covers the full-build artifact namespace (dictionary/doclens
+    run=full vs manifest runs full-g*)."""
+    runs = stats.get("committed_runs")
+    if not runs:
+        return None
+    return set(runs) | {"full"}
+
+
+def _run_of(path: str) -> str | None:
+    """run value encoded in a file path's run=... directory, if any."""
+    for part in path.split(os.sep):
+        if part.startswith("run="):
+            return part[4:]
+    return None
+
+
+def _filter_committed_files(files: list[str], committed: set[str] | None) -> list[str]:
+    if committed is None:
+        return files
+    return [f for f in files if (_run_of(f) is None or _run_of(f) in committed)]
+
+
 def _lookup_terms(
-    spark: SparkSession, out_dir: str, terms: list[str], n_term_buckets: int
+    spark: SparkSession, out_dir: str, terms: list[str], n_term_buckets: int,
+    committed: set[str] | None = None,
 ) -> list[dict]:
     """Driver-side dictionary probe (J1: tiny side — broadcast by value).
 
@@ -70,9 +98,9 @@ def _lookup_terms(
 
         out: list[dict] = []
         for tb, tb_terms in sorted(by_tb.items()):
-            files = glob.glob(f"{dict_dir}/tb={tb}/run=*/*.parquet") + glob.glob(
-                f"{dict_dir}/tb={tb}/*.parquet"  # legacy flat layout
-            )
+            files = _filter_committed_files(
+                glob.glob(f"{dict_dir}/tb={tb}/run=*/*.parquet"), committed
+            ) + glob.glob(f"{dict_dir}/tb={tb}/*.parquet")  # legacy flat layout
             if not files:
                 continue
             tbl = ds.dataset(files, format="parquet").to_table(
@@ -91,10 +119,13 @@ def _lookup_terms(
         return out
 
     tbs = sorted(by_tb)
+    d = spark.read.parquet(dict_dir).where(
+        F.col("tb").isin(tbs) & F.col("term").isin(terms)
+    )
+    if committed is not None and "run" in d.columns:
+        d = d.where(F.col("run").isin(sorted(committed)))
     d = (
-        spark.read.parquet(dict_dir)
-        .where(F.col("tb").isin(tbs) & F.col("term").isin(terms))
-        .groupBy("term", "tb")
+        d.groupBy("term", "tb")
         .agg(F.sum("df").alias("df"), F.sum("cf").alias("cf"), F.sum("n_blocks").alias("n_blocks"))
         .collect()
     )
@@ -197,6 +228,18 @@ class _TermPostings:
                 tf + k1 * (1.0 - b + b * (dl / avgdl))
             )
         return w
+
+
+def _seg_scan(spark: SparkSession, out_dir: str, stats: dict) -> DataFrame:
+    """Segment scan restricted to the committed-run snapshot (see
+    ``_committed``); run is a partition column, so the filter prunes whole
+    directories."""
+    seg = spark.read.parquet(f"{out_dir}/segments")
+    c = _committed(stats)
+    if c is not None:
+        seg = seg.where(F.col("run").isin(sorted(c)))
+    return seg
+
 
 
 def _in_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -462,11 +505,15 @@ _BLOCK_COLS = [
 ]
 
 
-def _read_blocks_local(out_dir: str, tbs: list[int], terms: list[str], columns=None):
+def _read_blocks_local(
+    out_dir: str, tbs: list[int], terms: list[str], columns=None,
+    committed: set[str] | None = None,
+):
     """Driver-side pyarrow read of the matched posting blocks (posix paths
     only): same pruning as the Spark scan — tb partition directories +
-    term row-group stats — but zero Spark jobs. Returns a pandas frame or
-    None when the index isn't locally readable."""
+    term row-group stats — but zero Spark jobs; ``committed`` restricts to
+    the stats.json read snapshot. Returns a pandas frame or None when the
+    index isn't locally readable."""
     import glob
 
     cols = list(columns or _BLOCK_COLS)
@@ -477,9 +524,9 @@ def _read_blocks_local(out_dir: str, tbs: list[int], terms: list[str], columns=N
 
     frames = []
     for tb in tbs:
-        files = glob.glob(f"{seg_dir}/tb={tb}/run=*/*.parquet") + glob.glob(
-            f"{seg_dir}/tb={tb}/*.parquet"  # legacy flat layout
-        )
+        files = _filter_committed_files(
+            glob.glob(f"{seg_dir}/tb={tb}/run=*/*.parquet"), committed
+        ) + glob.glob(f"{seg_dir}/tb={tb}/*.parquet")  # legacy flat layout
         if not files:
             continue
         tbl = ds.dataset(files, format="parquet").to_table(
@@ -530,7 +577,9 @@ def _bool_plan(
     not_terms = set(tokenize(must_not)) if must_not else set()
     scoring = sorted(should_terms | must_terms)  # ES: must terms also score
     lookup = lookup or (
-        lambda ts: _lookup_terms(spark, out_dir, ts, stats["n_term_buckets"])
+        lambda ts: _lookup_terms(
+            spark, out_dir, ts, stats["n_term_buckets"], committed=_committed(stats)
+        )
     )
     entries = lookup(sorted(set(scoring) | not_terms))
     by_term = {e["term"]: e for e in entries}
@@ -581,7 +630,7 @@ def bm25_topk(
         return empty  # fewer indexed SHOULD terms than required matches
 
     seg = (
-        spark.read.parquet(f"{out_dir}/segments")
+        _seg_scan(spark, out_dir, stats)
         .where(F.col("tb").isin(tbs) & F.col("term").isin(scan_terms))
         .select(*_BLOCK_COLS)
     )
@@ -690,7 +739,9 @@ def _phrase_plan(spark, out_dir, stats, phrase, lookup=None):
         return None
     distinct = sorted(set(phrase_tokens))
     lookup = lookup or (
-        lambda ts: _lookup_terms(spark, out_dir, ts, stats["n_term_buckets"])
+        lambda ts: _lookup_terms(
+            spark, out_dir, ts, stats["n_term_buckets"], committed=_committed(stats)
+        )
     )
     entries = {e["term"]: e for e in lookup(distinct)}
     if any(t not in entries for t in distinct):
@@ -713,7 +764,7 @@ def phrase_topk(
         return empty
     phrase_tokens, idf_sum, tbs, distinct = plan
     seg = (
-        spark.read.parquet(f"{out_dir}/segments")
+        _seg_scan(spark, out_dir, stats)
         .where(F.col("tb").isin(tbs) & F.col("term").isin(distinct))
         .select(*_BLOCK_COLS, "poss")
     )
@@ -729,13 +780,15 @@ def posting_docs(spark: SparkSession, out_dir: str, terms_query: str) -> DataFra
     and for boolean set ops."""
     stats = load_stats(out_dir)
     terms = sorted(set(tokenize(terms_query)))
-    entries = _lookup_terms(spark, out_dir, terms, stats["n_term_buckets"])
+    entries = _lookup_terms(
+        spark, out_dir, terms, stats["n_term_buckets"], committed=_committed(stats)
+    )
     if not entries:
         return spark.createDataFrame([], "doc_id long")
     tbs = sorted({int(e["tb"]) for e in entries})
     present = sorted({e["term"] for e in entries})
     seg = (
-        spark.read.parquet(f"{out_dir}/segments")
+        _seg_scan(spark, out_dir, stats)
         .where(F.col("tb").isin(tbs) & F.col("term").isin(present))
         .select("n", "docs")
     )
@@ -759,13 +812,15 @@ def term_doc_pairs(spark: SparkSession, out_dir: str, terms: list[str]) -> DataF
     set algebra over arbitrarily large matching sets."""
     stats = load_stats(out_dir)
     terms = sorted(set(terms))
-    entries = _lookup_terms(spark, out_dir, terms, stats["n_term_buckets"])
+    entries = _lookup_terms(
+        spark, out_dir, terms, stats["n_term_buckets"], committed=_committed(stats)
+    )
     if not entries:
         return spark.createDataFrame([], "term string, doc_id long")
     tbs = sorted({int(e["tb"]) for e in entries})
     present = sorted({e["term"] for e in entries})
     seg = (
-        spark.read.parquet(f"{out_dir}/segments")
+        _seg_scan(spark, out_dir, stats)
         .where(F.col("tb").isin(tbs) & F.col("term").isin(present))
         .select("term", "n", "docs")
     )
@@ -813,7 +868,10 @@ def bool_doc_ids(
         stats = load_stats(out_dir)
         present = {
             e["term"]
-            for e in _lookup_terms(spark, out_dir, must_terms, stats["n_term_buckets"])
+            for e in _lookup_terms(
+                spark, out_dir, must_terms, stats["n_term_buckets"],
+                committed=_committed(stats),
+            )
         }
         if any(mt not in present for mt in must_terms):
             return spark.createDataFrame([], "doc_id long")
@@ -1068,7 +1126,9 @@ def bm25_topk_sql(spark: SparkSession, out_dir: str, query: str, k: int = 10) ->
     """Oracle-mode scoring via exploded postings + joins (J2/J3 analogue)."""
     stats = load_stats(out_dir)
     terms = sorted(set(tokenize(query)))
-    entries = _lookup_terms(spark, out_dir, terms, stats["n_term_buckets"])
+    entries = _lookup_terms(
+        spark, out_dir, terms, stats["n_term_buckets"], committed=_committed(stats)
+    )
     if not entries:
         return spark.createDataFrame([], "doc_id long, score double")
     term_idf = {e["term"]: idf(stats["n_docs"], int(e["df"])) for e in entries}
@@ -1076,7 +1136,7 @@ def bm25_topk_sql(spark: SparkSession, out_dir: str, query: str, k: int = 10) ->
     k1, b, avgdl = stats["k1"], stats["b"], stats["avgdl"]
 
     seg = (
-        spark.read.parquet(f"{out_dir}/segments")
+        _seg_scan(spark, out_dir, stats)
         .where(F.col("tb").isin(tbs) & F.col("term").isin(sorted(term_idf)))
         .select("term", "n", "docs", "tfs", "dls")
     )
@@ -1156,7 +1216,8 @@ class Searcher:
         missing = [t for t in terms if t not in self._term_cache]
         if missing:
             found = {e["term"]: e for e in _lookup_terms(
-                self.spark, self.out_dir, missing, self.stats["n_term_buckets"]
+                self.spark, self.out_dir, missing, self.stats["n_term_buckets"],
+                committed=_committed(self.stats),
             )}
             for t in missing:
                 self._term_cache[t] = found.get(t)
@@ -1184,7 +1245,9 @@ class Searcher:
         if min_should > len(should_present):
             return []
         if self.mode in ("auto", "local"):
-            blocks = _read_blocks_local(self.out_dir, tbs, scan_terms)
+            blocks = _read_blocks_local(
+                self.out_dir, tbs, scan_terms, committed=_committed(self.stats)
+            )
             if blocks is not None:
                 return _score_local(
                     blocks, term_idf, k, self.stats, prune,
@@ -1235,7 +1298,8 @@ class Searcher:
             return []
         phrase_tokens, idf_sum, tbs, distinct = plan
         blocks = _read_blocks_local(
-            self.out_dir, tbs, distinct, columns=_BLOCK_COLS + ["poss"]
+            self.out_dir, tbs, distinct, columns=_BLOCK_COLS + ["poss"],
+            committed=_committed(self.stats),
         )
         if blocks is None:
             return [
@@ -1336,7 +1400,9 @@ class Searcher:
             return self.spark.createDataFrame([], "doc_id long, score double")
 
         if self.mode in ("auto", "local"):
-            blocks = _read_blocks_local(self.out_dir, tbs, scan_terms)
+            blocks = _read_blocks_local(
+                self.out_dir, tbs, scan_terms, committed=_committed(self.stats)
+            )
             if blocks is not None:
                 rows = _score_local(
                     blocks, term_idf, k, self.stats, prune,
@@ -1349,7 +1415,7 @@ class Searcher:
                 raise FileNotFoundError(f"{self.out_dir}/segments is not locally readable")
 
         seg = (
-            self.spark.read.parquet(f"{self.out_dir}/segments")
+            _seg_scan(self.spark, self.out_dir, self.stats)
             .where(F.col("tb").isin(tbs) & F.col("term").isin(scan_terms))
             .select(*_BLOCK_COLS)
         )

@@ -142,7 +142,11 @@ def test_segment_scan_plan_is_pruned(spark, tmp_path_factory):
     with contextlib.redirect_stdout(buf):
         bm25_topk(spark, out, "term00000 term00123", 5).explain("formatted")
     plan = buf.getvalue()
-    assert "PartitionFilters: [tb#" in plan and " IN (" in plan
+    import re
+
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    # both prunings in the partition filters: committed-run snapshot + tb
+    assert pf and re.search(r"run#\d+ IN \(", pf[0]) and re.search(r"tb#\d+ IN \(", pf[0])
     assert "PushedFilters: [In(term, [term00000,term00123])]" in plan
     # positional bytes pruned out of bag-of-words scans
     read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
