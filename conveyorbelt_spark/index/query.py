@@ -1226,14 +1226,22 @@ class Searcher:
     def search_rows(
         self, query: str, k: int = 10, prune: bool = True,
         must: str | None = None, must_not: str | None = None,
-        min_should: int = 0,
+        min_should: int = 0, offset: int = 0,
     ) -> list[tuple[int, float]]:
         """Serving-path search: [(doc_id, score)] straight from the driver
         kernel — no DataFrame round trip at all (the py4j createDataFrame +
         collect costs ~3× the actual scoring at small k). Supports the full
         bool-query surface (query=SHOULD, must, must_not, min_should = ES
-        minimum_should_match). Requires a locally readable index in mode
+        minimum_should_match); ``offset`` pages like ES from/size (the
+        kernel ranks the top offset+k then slices — same deep-pagination
+        cost profile as ES). Requires a locally readable index in mode
         auto/local; in mode spark it collects the distributed result."""
+        if offset:
+            rows = self.search_rows(
+                query, k + offset, prune, must=must, must_not=must_not,
+                min_should=min_should,
+            )
+            return rows[offset : offset + k]
         self._maybe_invalidate()
         plan = _bool_plan(
             self.spark, self.out_dir, self.stats, query, must, must_not,
@@ -1350,6 +1358,48 @@ class Searcher:
         if not terms:
             return []
         return self.search_rows(" ".join(terms), k)
+
+    def search_highlight(
+        self, query: str, k: int = 10, *,
+        must: str | None = None, must_not: str | None = None,
+        pre_tag: str = "<em>", post_tag: str = "</em>",
+        frag_size: int = 120, text_col: str = "text",
+    ) -> list[dict]:
+        """ES plain-highlighter analogue: hits with a snippet of the STORED
+        text (docstore must carry ``text_col`` via extra_cols) centered on
+        the first query-term occurrence, every query-term occurrence inside
+        the fragment wrapped in pre/post tags (token-boundary,
+        case-insensitive — the analyzer's tokenization rule)."""
+        import re as _re
+
+        from .build import lookup_docs
+
+        terms = sorted(set(tokenize(query)) | (set(tokenize(must)) if must else set()))
+        rx = _re.compile(
+            r"(?<![a-z0-9])(" + "|".join(_re.escape(t) for t in terms) + r")(?![a-z0-9])",
+            _re.IGNORECASE,
+        )
+        rows = self.search_rows(query, k, must=must, must_not=must_not)
+        meta = lookup_docs(self.out_dir, [d for d, _ in rows])
+        out = []
+        for d, s in rows:
+            row = {"doc_id": d, "score": s}
+            text = (meta.get(d) or {}).get(text_col)
+            if text:
+                m = rx.search(text)
+                if m:
+                    lo = max(0, m.start() - frag_size // 2)
+                    hi = min(len(text), lo + frag_size)
+                    frag = text[lo:hi]
+                    row["highlight"] = (
+                        ("…" if lo else "")
+                        + rx.sub(pre_tag + r"\1" + post_tag, frag)
+                        + ("…" if hi < len(text) else "")
+                    )
+            if "url" in (meta.get(d) or {}):
+                row["url"] = meta[d]["url"]
+            out.append(row)
+        return out
 
     def facet_counts(
         self, query: str, facet_col: str, k: int = 10,

@@ -130,3 +130,42 @@ def test_distributed_facets_match_driver_path(spark, tmp_path_factory):
     # saturation escalates: a tiny max_hits must still return EXACT counts
     exact = s.facet_counts("term00000", "lang", k=10)
     assert s.facet_counts("term00000", "lang", k=10, max_hits=3) == exact
+
+
+def test_pagination_offset(spark, tmp_path_factory):
+    """ES from/size: page 2 continues exactly where page 1 ended."""
+    out = str(tmp_path_factory.mktemp("page_idx"))
+    docs = corpus_spark_df(spark, 300, seed=21, n_parts=2)
+    build_index(spark, docs, out, n_buckets=8)
+    s = Searcher(spark, out)
+    full = s.search_rows("term00000 term00123", 30)
+    assert len(full) == 30
+    p1 = s.search_rows("term00000 term00123", 10)
+    p2 = s.search_rows("term00000 term00123", 10, offset=10)
+    p3 = s.search_rows("term00000 term00123", 10, offset=20)
+    assert p1 + p2 + p3 == full
+    assert s.search_rows("term00000", 10, offset=10**6) == []
+
+
+def test_search_highlight(spark, tmp_path_factory):
+    """Highlighter wraps every query-term occurrence in the fragment and
+    the fragment always contains a match."""
+    import re
+
+    from conveyorbelt_spark.index.build import write_docstore
+
+    out = str(tmp_path_factory.mktemp("hl_idx"))
+    docs = corpus_spark_df(spark, 200, seed=27, n_parts=1)
+    build_index(spark, docs, out, n_buckets=8)
+    write_docstore(spark, docs, out, extra_cols=("text",))
+    s = Searcher(spark, out)
+    hits = s.search_highlight("term00000 term00123", 5)
+    assert len(hits) == 5
+    for h in hits:
+        assert "highlight" in h, h
+        frag = h["highlight"]
+        marked = re.findall(r"<em>([a-z0-9]+)</em>", frag)
+        assert marked and set(marked) <= {"term00000", "term00123"}
+        # no unmarked occurrence of a query term survives in the fragment
+        bare = re.sub(r"<em>[a-z0-9]+</em>", "", frag)
+        assert "term00000" not in bare and "term00123" not in bare
