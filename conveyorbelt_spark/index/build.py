@@ -209,6 +209,57 @@ def _doclens_kernel(batches):
         )
 
 
+KEYWORD_SEP = ":"  # not a TOKEN_RE character — keyword terms can't collide with text terms
+
+
+def keyword_term(field: str, value) -> str:
+    """The indexed term for an exact (not analyzed) keyword field value —
+    the Lucene/ES keyword-field design: filters are postings intersections,
+    never docstore scans. Values compare as strings; encode numerics with
+    ``sortable_int`` so range filters order correctly."""
+    return f"{field}{KEYWORD_SEP}{value}"
+
+
+def sortable_int(n: int, width: int = 12) -> str:
+    """Zero-padded encoding whose string order equals numeric order for
+    0 ≤ n < 10^width (use for numeric keyword fields and range filters)."""
+    if n < 0:
+        raise ValueError("sortable_int encodes non-negative ints only")
+    return str(int(n)).zfill(width)
+
+
+def sortable_int_col(col, width: int = 12):
+    """Spark-column twin of ``sortable_int``."""
+    return F.lpad(F.col(col).cast("long").cast("string"), width, "0")
+
+
+def keyword_postings(
+    docs: DataFrame, keyword_cols, positions: bool = False,
+) -> DataFrame:
+    """(doc_id, term=field:value, tf=0, dl=0) rows for each keyword column —
+    pure JVM expressions, no shuffle of their own (they ride the tokenize
+    shuffle). tf=0 keeps every corpus-stat invariant intact (sum_dl = Σ tf,
+    BM25 weight 0); keyword terms are filter-context only and never score.
+    A column may also be given as ("name", column_expression) to index a
+    derived value (e.g. a sortable day string from a timestamp)."""
+    parts = []
+    for kc in keyword_cols:
+        name, expr = kc if isinstance(kc, tuple) else (kc, F.col(kc).cast("string"))
+        one = docs.where(expr.isNotNull()).select(
+            "doc_id",
+            F.concat(F.lit(name + KEYWORD_SEP), expr.cast("string")).alias("term"),
+            F.lit(0).cast("long").alias("tf"),
+            F.lit(0).cast("long").alias("dl"),
+        )
+        parts.append(one)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    if positions:
+        out = out.withColumn("posb", F.lit(bytearray(b"")).cast("binary"))
+    return out
+
+
 def _make_block_builder(block_size: int, with_positions: bool = False):
     """Kernel: sorted (term,bucket,doc_id) runs → compressed posting blocks.
     ``with_positions`` carries each posting's pre-encoded position bytes
@@ -352,8 +403,13 @@ def build_index(
     run_id: str = "full",
     store_docs: bool = False,
     positions: bool = False,
+    keyword_cols: tuple = (),
 ) -> dict:
     """Build the full index under ``out_dir``. Returns the stats dict.
+
+    ``keyword_cols`` names columns (or ("name", expr) pairs) indexed as
+    exact keyword terms (``field:value``, tf=0) for ES filter-context
+    queries — see ``keyword_postings``.
 
     ``commit_groups`` splits the doc-id bucket space into sequential commit
     units: each unit's segment files are written *before* its manifest rows
@@ -370,9 +426,17 @@ def build_index(
     # builder — so the only wide shuffle over text-derived data is the
     # (term, bucket) tokenize shuffle itself.
     docs_in = docs
+    # resolve keyword expressions against the FULL input row, then carry
+    # them as materialized __kw_ columns through the narrowing select
+    kw_resolved = [
+        kc if isinstance(kc, tuple) else (kc, F.col(kc).cast("string"))
+        for kc in keyword_cols
+    ]
+    kw_cols = [(name, F.col(f"__kw_{name}")) for name, _ in kw_resolved]
     # url_col=None → the input already carries a stable doc_id column
     docs = (with_doc_id(docs, url_col) if url_col else docs).select(
-        "doc_id", F.col(text_col).alias("text")
+        "doc_id", F.col(text_col).alias("text"),
+        *[expr.cast("string").alias(f"__kw_{name}") for name, expr in kw_resolved],
     )
 
     seg_dir = os.path.join(out_dir, "segments")
@@ -431,9 +495,10 @@ def build_index(
         # pre-filter docs BY DOC-ID RANGE before tokenizing, so c commit
         # groups tokenize each doc once, not c times (bucket = top id bits)
         docs_g = docs.where(bucket_expr.isin(group)) if len(group) < n_buckets else docs
-        tokens = tokenizer(docs_g, "doc_id", "text").withColumn(
-            "bucket", _bucket_col(n_buckets)
-        )
+        tokens = tokenizer(docs_g, "doc_id", "text")
+        if kw_cols:
+            tokens = tokens.unionByName(keyword_postings(docs_g, kw_cols, positions))
+        tokens = tokens.withColumn("bucket", _bucket_col(n_buckets))
         blocks = (
             tokens.repartition("term", "bucket")
             # tf/dl in the sort key: duplicate doc_ids keep-first is then

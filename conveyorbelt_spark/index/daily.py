@@ -233,13 +233,26 @@ class DailySearcher:
         self.root = root
         self.mode = mode
 
-    def _plan(self, time_range, query, must, must_not):
+    def _plan(self, time_range, query, must, must_not, filters=None, ranges=None):
         days = select_days(self.root, time_range)
         if not days:
             return None
         stats = _merged_stats(self.root, days)
         lookup = _merged_lookup(self.spark, self.root, days, stats["n_term_buckets"])
-        plan = _bool_plan(self.spark, self.root, stats, query, must, must_not, lookup=lookup)
+
+        def range_expand(lo: str, hi: str) -> list[str]:
+            # union of each selected day's indexed keyword terms in range
+            from .query import _term_range
+
+            terms: set[str] = set()
+            for day in days:
+                terms.update(_term_range(day_dir(self.root, day), lo, hi)["term"].tolist())
+            return sorted(terms)
+
+        plan = _bool_plan(
+            self.spark, self.root, stats, query, must, must_not, lookup=lookup,
+            filters=filters, ranges=ranges, range_expand=range_expand,
+        )
         if plan is None:
             return None
         return days, stats, plan
@@ -248,14 +261,16 @@ class DailySearcher:
         self, query: str, k: int = 10, *,
         time_range: tuple | None = None, prune: bool = True,
         must: str | None = None, must_not: str | None = None,
+        filters: dict | None = None, ranges: dict | None = None,
     ) -> list[tuple[int, float]]:
         """Serving path: per-day pruned pyarrow block reads concatenated,
         one kernel pass (buckets merge across days — the multi-run shape).
-        Zero Spark jobs."""
-        p = self._plan(time_range, query, must, must_not)
+        Zero Spark jobs. ``filters``/``ranges`` = ES filter context over
+        keyword fields (see ``bm25_topk``)."""
+        p = self._plan(time_range, query, must, must_not, filters, ranges)
         if p is None:
             return []
-        days, stats, (term_idf, must_terms, not_terms, tbs, scan_terms, _sp) = p
+        days, stats, (term_idf, must_terms, not_terms, tbs, scan_terms, _sp, fgroups) = p
         frames = []
         for day in days:
             b = _read_blocks_local(
@@ -273,22 +288,23 @@ class DailySearcher:
         blocks = pd.concat(frames, ignore_index=True)
         return _score_local(
             blocks, term_idf, k, stats, prune,
-            must_terms=must_terms, not_terms=not_terms,
+            must_terms=must_terms, not_terms=not_terms, filter_groups=fgroups,
         )
 
     def search(
         self, query: str, k: int = 10, *,
         time_range: tuple | None = None, prune: bool = True,
         must: str | None = None, must_not: str | None = None,
+        filters: dict | None = None, ranges: dict | None = None,
     ) -> DataFrame:
         """Distributed path: one Spark scan over ONLY the selected days'
         segment dirs (pruning by path construction + tb partitions + term
         row groups), same kernel, global top-k."""
         empty = self.spark.createDataFrame([], "doc_id long, score double")
-        p = self._plan(time_range, query, must, must_not)
+        p = self._plan(time_range, query, must, must_not, filters, ranges)
         if p is None:
             return empty
-        days, stats, (term_idf, must_terms, not_terms, tbs, scan_terms, _sp) = p
+        days, stats, (term_idf, must_terms, not_terms, tbs, scan_terms, _sp, fgroups) = p
         # one pruned read per selected day, unioned (a multi-root read trips
         # partition discovery on the day= ancestor dirs); each read keeps
         # its own tb-partition + term row-group pruning
@@ -305,7 +321,8 @@ class DailySearcher:
 
         seg = reduce(DataFrame.unionByName, [one_day(d) for d in days])
         kern = _score_kernel(
-            term_idf, k, prune=prune, must_terms=must_terms, not_terms=not_terms
+            term_idf, k, prune=prune, must_terms=must_terms, not_terms=not_terms,
+            filter_groups=fgroups,
         )
         kern.k1, kern.b, kern.avgdl = stats["k1"], stats["b"], stats["avgdl"]
         local = seg.groupBy("bucket").applyInPandas(kern, schema="doc_id long, score double")

@@ -260,6 +260,7 @@ def _score_kernel(
     not_terms: tuple[str, ...] = (),
     should_terms: tuple[str, ...] = (),
     min_should: int = 0,
+    filter_groups: tuple[tuple[str, ...], ...] = (),
 ):
     """Per-bucket kernel: boolean candidate set + block-max WAND pruning +
     exact rescoring. ES bool-query semantics: ``term_idf`` keys are the
@@ -342,6 +343,7 @@ def _score_kernel(
                 return _exhaustive(
                     pdf, term_idf, terms_sorted, k, k1, b, avgdl, must_terms, not_terms,
                     doc_range=doc_range, should_terms=should_terms, min_should=min_should,
+                    filter_groups=filter_groups,
                 )
             per_term[term] = tp
         if not any(t in per_term for t in terms_sorted):
@@ -374,6 +376,22 @@ def _score_kernel(
             tp = per_term.get(nt)
             if tp is not None:
                 cand = cand[~_in_sorted(cand, tp.sorted_docs)]
+        # ES filter context: each group is an OR over keyword terms, all
+        # groups AND. Keyword postings live in the same doc-range bucket as
+        # the doc's text postings, so per-bucket filtering is complete.
+        for grp in filter_groups:
+            if not len(cand):
+                return empty
+            keep = np.zeros(len(cand), dtype=bool)
+            present = False
+            for ft in grp:
+                tp = per_term.get(ft)
+                if tp is not None:
+                    present = True
+                    keep |= _in_sorted(cand, tp.sorted_docs)
+            if not present:
+                return empty  # no doc in this bucket carries any group value
+            cand = cand[keep]
         if not len(cand):
             return empty
 
@@ -441,7 +459,7 @@ def _score_kernel(
 
 def _exhaustive(
     pdf, term_idf, terms_sorted, k, k1, b, avgdl, must_terms=(), not_terms=(),
-    doc_range=None, should_terms=(), min_should=0,
+    doc_range=None, should_terms=(), min_should=0, filter_groups=(),
 ) -> pd.DataFrame:
     """Fallback exhaustive scorer (handles duplicate doc_ids from deltas),
     with the same boolean candidate semantics as the pruned kernel."""
@@ -482,6 +500,18 @@ def _exhaustive(
     for nt in not_terms:
         if nt in per_term:
             cand = cand[~_in_sorted(cand, sorted_docs[nt])]
+    for grp in filter_groups:
+        if not len(cand):
+            return empty
+        keep = np.zeros(len(cand), dtype=bool)
+        present = False
+        for ft in grp:
+            if ft in per_term:
+                present = True
+                keep |= _in_sorted(cand, sorted_docs[ft])
+        if not present:
+            return empty
+        cand = cand[keep]
     if not len(cand):
         return empty
     scores = np.zeros(cand.shape, dtype=np.float64)
@@ -544,13 +574,14 @@ def _score_local(
     must_terms: tuple[str, ...] = (), not_terms: tuple[str, ...] = (),
     max_candidates: int | None = None,
     should_terms: tuple[str, ...] = (), min_should: int = 0,
+    filter_groups: tuple[tuple[str, ...], ...] = (),
 ) -> list[tuple[int, float]]:
     """Run the SAME per-bucket scoring kernel in-driver and merge: buckets
     are disjoint docID ranges, so concat of per-bucket top-k + one global
     sort is exact."""
     kern = _score_kernel(
         term_idf, k, prune=prune, must_terms=must_terms, not_terms=not_terms,
-        should_terms=should_terms, min_should=min_should,
+        should_terms=should_terms, min_should=min_should, filter_groups=filter_groups,
     )
     kern.k1, kern.b, kern.avgdl = stats["k1"], stats["b"], stats["avgdl"]
     kern.max_candidates = max_candidates
@@ -563,15 +594,73 @@ def _score_local(
     return [(int(r.doc_id), float(r.score)) for r in allr.head(k).itertuples()]
 
 
+MAX_RANGE_EXPANSIONS = 4096  # range filters expand to ≤ this many keyword terms
+
+
+def _filter_want(filters, ranges, range_expand) -> list[list[str]] | None:
+    """ES filter context → desired term groups (AND of OR-groups), before
+    the dictionary probe. ``filters`` maps field → value or list of values
+    (exact keyword terms); ``ranges`` maps field → (lo, hi) INCLUSIVE string
+    bounds, expanded to the indexed keyword terms in that range via
+    ``range_expand(lo_term, hi_term_exclusive)``. Returns None when a range
+    matches no indexed value (provably empty)."""
+    from .build import KEYWORD_SEP
+
+    want: list[list[str]] = []
+    for field, vals in (filters or {}).items():
+        vv = vals if isinstance(vals, (list, tuple, set)) else [vals]
+        want.append([f"{field}{KEYWORD_SEP}{v}" for v in vv])
+    for field, (lo, hi) in (ranges or {}).items():
+        lo_t = f"{field}{KEYWORD_SEP}{lo}"
+        hi_t = f"{field}{KEYWORD_SEP}{hi}" + "\x00"  # inclusive upper bound
+        terms = range_expand(lo_t, hi_t)
+        if len(terms) > MAX_RANGE_EXPANSIONS:
+            raise ValueError(
+                f"range filter on {field!r} expands to {len(terms)} terms "
+                f"(> {MAX_RANGE_EXPANSIONS}); index a coarser granularity "
+                "keyword (e.g. a day string) for wide ranges"
+            )
+        if not terms:
+            return None
+        want.append(sorted(terms))
+    return want
+
+
+def _resolve_filters(stats, filters, ranges, lookup, range_expand):
+    """Probe the filter groups against the dictionary. Returns
+    (filter_groups, extra_tbs, extra_scan_terms), or None when some group
+    has no indexed member (no document can match)."""
+    want = _filter_want(filters, ranges, range_expand)
+    if want is None:
+        return None
+    if not want:
+        return (), set(), []
+    flat = sorted({t for grp in want for t in grp})
+    by_term = {e["term"]: e for e in lookup(flat)}
+    groups, tbs, scan = [], set(), []
+    for grp in want:
+        present = tuple(sorted(t for t in grp if t in by_term))
+        if not present:
+            return None
+        groups.append(present)
+        scan.extend(present)
+        tbs.update(int(by_term[t]["tb"]) for t in present)
+    return tuple(groups), tbs, sorted(set(scan))
+
+
 def _bool_plan(
     spark: SparkSession, out_dir: str, stats: dict,
     query: str, must: str | None, must_not: str | None,
     lookup=None,
+    filters: dict | None = None,
+    ranges: dict | None = None,
+    range_expand=None,
 ):
     """Resolve the bool-query term sets against the dictionary. Returns
-    (term_idf, must_terms, not_terms, tbs, scan_terms, should_present) or
-    None when the result is provably empty (no scoring term indexed / a
-    must term missing from the dictionary entirely)."""
+    (term_idf, must_terms, not_terms, tbs, scan_terms, should_present,
+    filter_groups) or None when the result is provably empty (no scoring
+    term indexed / a must term missing from the dictionary entirely / a
+    filter group with no indexed member)."""
     should_terms = set(tokenize(query)) if query else set()
     must_terms = set(tokenize(must)) if must else set()
     not_terms = set(tokenize(must_not)) if must_not else set()
@@ -592,9 +681,23 @@ def _bool_plan(
         return None  # a required term appears nowhere in the corpus
     not_found = tuple(sorted(t for t in not_terms if t in by_term))
     scan_terms = sorted(set(term_idf) | set(not_found))
-    tbs = sorted({int(by_term[t]["tb"]) for t in scan_terms})
+    tb_set = {int(by_term[t]["tb"]) for t in scan_terms}
+    filter_groups: tuple[tuple[str, ...], ...] = ()
+    if filters or ranges:
+        if range_expand is None:
+            range_expand = lambda lo, hi: _term_range(out_dir, lo, hi)["term"].tolist()  # noqa: E731
+        resolved = _resolve_filters(stats, filters, ranges, lookup, range_expand)
+        if resolved is None:
+            return None
+        filter_groups, f_tbs, f_scan = resolved
+        tb_set |= f_tbs
+        scan_terms = sorted(set(scan_terms) | set(f_scan))
+    tbs = sorted(tb_set)
     should_present = tuple(sorted(t for t in should_terms if t in by_term))
-    return term_idf, tuple(sorted(must_terms)), not_found, tbs, scan_terms, should_present
+    return (
+        term_idf, tuple(sorted(must_terms)), not_found, tbs, scan_terms,
+        should_present, filter_groups,
+    )
 
 
 def bm25_topk(
@@ -607,6 +710,8 @@ def bm25_topk(
     must: str | None = None,
     max_candidates: int | None = None,
     min_should: int = 0,
+    filters: dict | None = None,
+    ranges: dict | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, score) for ``query``, ranked by (score desc, doc_id
     asc). ``prune=False`` disables block-max WAND (identical results —
@@ -619,13 +724,23 @@ def bm25_topk(
     may contain (J4), ``min_should`` = ES minimum_should_match (hits must
     match ≥ that many SHOULD terms). Filtering happens inside the
     per-bucket kernel — doc-range buckets make per-bucket exclusion
-    complete, so no extra scan or anti-join is needed."""
+    complete, so no extra scan or anti-join is needed.
+
+    ES FILTER CONTEXT (keyword fields indexed via ``keyword_cols``):
+    ``filters`` = {field: value | [values]} exact keyword matches (list =
+    OR), ``ranges`` = {field: (lo, hi)} inclusive string-order range over
+    indexed values (expanded against the sorted term_index — encode
+    numerics with ``sortable_int``). Filter terms never contribute score
+    (ES filter-context semantics) — hits keep exactly the scores they'd
+    have unfiltered."""
     stats = load_stats(out_dir)
     empty = spark.createDataFrame([], "doc_id long, score double")
-    plan = _bool_plan(spark, out_dir, stats, query, must, must_not)
+    plan = _bool_plan(
+        spark, out_dir, stats, query, must, must_not, filters=filters, ranges=ranges
+    )
     if plan is None:
         return empty
-    term_idf, must_terms, not_terms, tbs, scan_terms, should_present = plan
+    term_idf, must_terms, not_terms, tbs, scan_terms, should_present, fgroups = plan
     if min_should > len(should_present):
         return empty  # fewer indexed SHOULD terms than required matches
 
@@ -636,7 +751,7 @@ def bm25_topk(
     )
     kern = _score_kernel(
         term_idf, k, prune=prune, must_terms=must_terms, not_terms=not_terms,
-        should_terms=should_present, min_should=min_should,
+        should_terms=should_present, min_should=min_should, filter_groups=fgroups,
     )
     kern.k1 = stats["k1"]
     kern.b = stats["b"]
@@ -849,6 +964,8 @@ def bool_doc_ids(
     must: str | None = None,
     must_not: str | None = None,
     min_should: int = 0,
+    filters: dict | None = None,
+    ranges: dict | None = None,
 ) -> DataFrame:
     """doc_ids of EVERY doc matching the bool query (no top-k, no cap) —
     fully distributed: one pruned (term, doc_id) scan, then a single hash
@@ -862,7 +979,18 @@ def bool_doc_ids(
     scoring = sorted(set(should_terms) | set(must_terms))
     if not scoring:
         return spark.createDataFrame([], "doc_id long")
-    pairs = term_doc_pairs(spark, out_dir, sorted(set(scoring) | set(not_terms)))
+    fgroups: list[list[str]] = []
+    if filters or ranges:
+        want = _filter_want(
+            filters, ranges, lambda lo, hi: _term_range(out_dir, lo, hi)["term"].tolist()
+        )
+        if want is None:
+            return spark.createDataFrame([], "doc_id long")
+        fgroups = want
+    flat_filters = sorted({t for g in fgroups for t in g})
+    pairs = term_doc_pairs(
+        spark, out_dir, sorted(set(scoring) | set(not_terms) | set(flat_filters))
+    )
     if must_terms:
         # a must term indexed nowhere ⇒ provably empty (cheap driver check)
         stats = load_stats(out_dir)
@@ -875,19 +1003,27 @@ def bool_doc_ids(
         }
         if any(mt not in present for mt in must_terms):
             return spark.createDataFrame([], "doc_id long")
-    agg = pairs.groupBy("doc_id").agg(
+    agg_cols = [
         F.sum(F.when(F.col("term").isin(must_terms), 1).otherwise(0)).alias("n_must"),
         F.max(F.when(F.col("term").isin(scoring), 1).otherwise(0)).alias("any_should"),
         # pairs are distinct, so this sums DISTINCT matched should terms
         F.sum(F.when(F.col("term").isin(should_terms), 1).otherwise(0)).alias("n_should"),
         F.max(F.when(F.col("term").isin(not_terms), 1).otherwise(0)).alias("any_not"),
-    )
-    return agg.where(
+    ] + [
+        # filter context: per group, does the doc carry ANY group value?
+        F.max(F.when(F.col("term").isin(list(g)), 1).otherwise(0)).alias(f"f{i}")
+        for i, g in enumerate(fgroups)
+    ]
+    agg = pairs.groupBy("doc_id").agg(*agg_cols)
+    cond = (
         (F.col("n_must") == len(must_terms))
         & (F.col("any_should") == 1)
         & (F.col("n_should") >= min_should)
         & (F.col("any_not") == 0)
-    ).select("doc_id")
+    )
+    for i in range(len(fgroups)):
+        cond = cond & (F.col(f"f{i}") == 1)
+    return agg.where(cond).select("doc_id")
 
 
 def facet_counts_spark(
@@ -899,6 +1035,8 @@ def facet_counts_spark(
     must: str | None = None,
     must_not: str | None = None,
     k: int | None = None,
+    filters: dict | None = None,
+    ranges: dict | None = None,
 ) -> DataFrame:
     """ES terms-aggregation over the FULL matching set, distributed end to
     end: matching doc_ids (``bool_doc_ids``) ⋈ docstore → one hash
@@ -907,7 +1045,10 @@ def facet_counts_spark(
     driver-side ``Searcher.facet_counts`` fast path saturates and escalates
     here instead of silently truncating). Ordered (count desc, value asc);
     ``k`` limits AFTER the full count (ES size semantics)."""
-    hits = bool_doc_ids(spark, out_dir, query, must=must, must_not=must_not)
+    hits = bool_doc_ids(
+        spark, out_dir, query, must=must, must_not=must_not,
+        filters=filters, ranges=ranges,
+    )
     store = spark.read.parquet(os.path.join(out_dir, "docstore"))
     out = (
         store.join(hits, "doc_id")
@@ -995,10 +1136,21 @@ def _term_range(out_dir: str, lo: str | None, hi: str | None) -> pd.DataFrame:
     return pdf
 
 
-def _rank_expansions(pdf: pd.DataFrame, max_expansions: int) -> list[str]:
-    """ES expansion rule: highest document frequency first, ties by term."""
+def _rank_expansions(
+    pdf: pd.DataFrame, max_expansions: int, pattern: str = ""
+) -> list[str]:
+    """ES expansion rule: highest document frequency first, ties by term.
+    Keyword-field terms (``field:value``) are filter-context internals —
+    excluded from text-query expansions unless the pattern itself targets
+    them (contains the separator)."""
     if not len(pdf):
         return []
+    from .build import KEYWORD_SEP
+
+    if KEYWORD_SEP not in pattern:
+        pdf = pdf[~pdf["term"].str.contains(KEYWORD_SEP, regex=False, na=False)]
+        if not len(pdf):
+            return []
     pdf = pdf.sort_values(["df", "term"], ascending=[False, True], kind="mergesort")
     return pdf["term"].head(max_expansions).tolist()
 
@@ -1011,7 +1163,7 @@ def expand_prefix(out_dir: str, prefix: str, max_expansions: int = 50) -> list[s
     layouts fall back to the full hash-dictionary metadata scan."""
     prefix = prefix.lower()
     return _rank_expansions(
-        _term_range(out_dir, prefix, _range_hi(prefix)), max_expansions
+        _term_range(out_dir, prefix, _range_hi(prefix)), max_expansions, prefix
     )
 
 
@@ -1033,7 +1185,7 @@ def expand_wildcard(out_dir: str, pattern: str, max_expansions: int = 50) -> lis
         ".*" if c == "*" else "." if c == "?" else _re.escape(c) for c in pattern
     ) + "$"
     pdf = pdf[pdf["term"].str.match(rx, na=False)]
-    return _rank_expansions(pdf, max_expansions)
+    return _rank_expansions(pdf, max_expansions, pattern)
 
 
 def _edit_distance_le(a: str, b: str, k: int) -> bool:
@@ -1090,7 +1242,7 @@ def expand_fuzzy(
     if not len(pdf):
         return []
     keep = pdf["term"].map(lambda t: _edit_distance_le(term, t, fuzziness))
-    return _rank_expansions(pdf[keep], max_expansions)
+    return _rank_expansions(pdf[keep], max_expansions, term)
 
 
 def index_info(spark: SparkSession, out_dir: str) -> dict:
@@ -1227,6 +1379,7 @@ class Searcher:
         self, query: str, k: int = 10, prune: bool = True,
         must: str | None = None, must_not: str | None = None,
         min_should: int = 0, offset: int = 0,
+        filters: dict | None = None, ranges: dict | None = None,
     ) -> list[tuple[int, float]]:
         """Serving-path search: [(doc_id, score)] straight from the driver
         kernel — no DataFrame round trip at all (the py4j createDataFrame +
@@ -1239,17 +1392,17 @@ class Searcher:
         if offset:
             rows = self.search_rows(
                 query, k + offset, prune, must=must, must_not=must_not,
-                min_should=min_should,
+                min_should=min_should, filters=filters, ranges=ranges,
             )
             return rows[offset : offset + k]
         self._maybe_invalidate()
         plan = _bool_plan(
             self.spark, self.out_dir, self.stats, query, must, must_not,
-            lookup=self._entries,
+            lookup=self._entries, filters=filters, ranges=ranges,
         )
         if plan is None:
             return []
-        term_idf, must_terms, not_terms, tbs, scan_terms, should_present = plan
+        term_idf, must_terms, not_terms, tbs, scan_terms, should_present, fgroups = plan
         if min_should > len(should_present):
             return []
         if self.mode in ("auto", "local"):
@@ -1262,6 +1415,7 @@ class Searcher:
                     must_terms=must_terms, not_terms=not_terms,
                     max_candidates=self.max_candidates,
                     should_terms=should_present, min_should=min_should,
+                    filter_groups=fgroups,
                 )
             if self.mode == "local":
                 raise FileNotFoundError(f"{self.out_dir}/segments is not locally readable")
@@ -1270,6 +1424,7 @@ class Searcher:
             for r in bm25_topk(
                 self.spark, self.out_dir, query, k, prune, must_not=must_not, must=must,
                 max_candidates=self.max_candidates, min_should=min_should,
+                filters=filters, ranges=ranges,
             ).collect()
         ]
 
@@ -1437,15 +1592,16 @@ class Searcher:
         self, query: str, k: int = 10, prune: bool = True,
         must: str | None = None, must_not: str | None = None,
         min_should: int = 0,
+        filters: dict | None = None, ranges: dict | None = None,
     ) -> DataFrame:
         self._maybe_invalidate()
         plan = _bool_plan(
             self.spark, self.out_dir, self.stats, query, must, must_not,
-            lookup=self._entries,
+            lookup=self._entries, filters=filters, ranges=ranges,
         )
         if plan is None:
             return self.spark.createDataFrame([], "doc_id long, score double")
-        term_idf, must_terms, not_terms, tbs, scan_terms, should_present = plan
+        term_idf, must_terms, not_terms, tbs, scan_terms, should_present, fgroups = plan
         if min_should > len(should_present):
             return self.spark.createDataFrame([], "doc_id long, score double")
 
@@ -1459,6 +1615,7 @@ class Searcher:
                     must_terms=must_terms, not_terms=not_terms,
                     max_candidates=self.max_candidates,
                     should_terms=should_present, min_should=min_should,
+                    filter_groups=fgroups,
                 )
                 return self.spark.createDataFrame(rows, "doc_id long, score double")
             if self.mode == "local":
@@ -1471,7 +1628,7 @@ class Searcher:
         )
         kern = _score_kernel(
             term_idf, k, prune=prune, must_terms=must_terms, not_terms=not_terms,
-            should_terms=should_present, min_should=min_should,
+            should_terms=should_present, min_should=min_should, filter_groups=fgroups,
         )
         kern.k1, kern.b, kern.avgdl = self.stats["k1"], self.stats["b"], self.stats["avgdl"]
         kern.max_candidates = self.max_candidates

@@ -1460,6 +1460,74 @@ FROM scored ORDER BY raw DESC, doc_id ASC LIMIT 20
 """
 
 
+def q35_filtered_search(spark, sf_dir):
+    """ES filter context through the REAL index: keyword-field postings
+    (``lang:xx`` + sortable ``nc:####`` terms, tf=0 — the Lucene keyword
+    design the reference gets from its not_analyzed ES mappings, e.g.
+    mappings/AzureIisLog.json) intersected inside the scoring kernel. Top-k
+    BM25 over docs with lang='en' AND 100 ≤ n_chars ≤ 300; scores are the
+    UNFILTERED corpus scores (filter context never rescores). DuckDB twin:
+    same BM25 over the whole corpus, hits restricted by a WHERE on the
+    documents table."""
+    import shutil
+    import tempfile
+
+    from .index.build import build_index, sortable_int, sortable_int_col
+    from .index.query import Searcher
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="cb_q35_idx_")
+    try:
+        build_index(
+            spark, docs, out, url_col=None, n_buckets=8,
+            keyword_cols=("lang", ("nc", sortable_int_col("n_chars", 4))),
+        )
+        rows = Searcher(spark, out).search_rows(
+            " ".join(BM25_QUERY_TERMS), 20,
+            filters={"lang": "en"},
+            ranges={"nc": (sortable_int(100, 4), sortable_int(300, 4))},
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    res = spark.createDataFrame(
+        [(int(d), float(s)) for d, s in rows], "doc_id long, score double"
+    )
+    return res.select("doc_id", F.round("score", 4).alias("score")).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+
+
+Q35_SQL = f"""
+WITH toks AS ({_TOKENS_SQL}),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks WHERE term != '' GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+q AS (SELECT unnest({BM25_QUERY_TERMS!r}) AS term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf
+       WHERE term IN (SELECT term FROM q) GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl)))) AS raw
+  FROM tf
+  JOIN df ON tf.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT s.doc_id, round(s.raw, 4) AS score
+FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+WHERE d.lang = 'en' AND d.n_chars BETWEEN 100 AND 300
+ORDER BY s.raw DESC, s.doc_id ASC LIMIT 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -1495,6 +1563,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q32_date_bounded_bm25": q32_date_bounded_bm25,
     "q33_facet_counts": q33_facet_counts,
     "q34_min_should_match": q34_min_should_match,
+    "q35_filtered_search": q35_filtered_search,
 }
 
 ORACLES: dict[str, str] = {
@@ -1532,4 +1601,5 @@ ORACLES: dict[str, str] = {
     "q32_date_bounded_bm25": Q32_SQL,
     "q33_facet_counts": Q33_SQL,
     "q34_min_should_match": Q34_SQL,
+    "q35_filtered_search": Q35_SQL,
 }

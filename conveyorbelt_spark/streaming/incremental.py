@@ -72,6 +72,7 @@ def index_batch(
     exact_stats: bool = False,
     store_docs: bool = False,
     positions: bool = False,
+    keyword_cols: tuple = (),
 ) -> bool:
     """Append one batch of documents as a delta segment run. O(delta): the
     doclens/dictionary/manifest/stats updates all derive from this batch's
@@ -106,9 +107,15 @@ def index_batch(
         return False
 
     docs_in = docs
+    kw_resolved = [
+        kc if isinstance(kc, tuple) else (kc, F.col(kc).cast("string"))
+        for kc in keyword_cols
+    ]
+    kw_cols = [(name, F.col(f"__kw_{name}")) for name, _ in kw_resolved]
     # url_col=None → the input already carries a stable doc_id column
     docs = (with_doc_id(docs, url_col) if url_col else docs).select(
-        "doc_id", F.col(text_col).alias("text")
+        "doc_id", F.col(text_col).alias("text"),
+        *[expr.cast("string").alias(f"__kw_{name}") for name, expr in kw_resolved],
     )
 
     # --- doclens delta (O(batch)); persisted: it feeds both the run write
@@ -134,9 +141,12 @@ def index_batch(
 
     # --- posting blocks for this run (the one wide shuffle)
     tokenizer = tokenize_to_postings_pos if cfg["positions"] else tokenize_to_postings
-    tokens = tokenizer(docs, "doc_id", "text").withColumn(
-        "bucket", _bucket_col(cfg["n_buckets"])
-    )
+    tokens = tokenizer(docs, "doc_id", "text")
+    if kw_cols:
+        from ..index.build import keyword_postings
+
+        tokens = tokens.unionByName(keyword_postings(docs, kw_cols, cfg["positions"]))
+    tokens = tokens.withColumn("bucket", _bucket_col(cfg["n_buckets"]))
     builder = _make_block_builder(cfg["block_size"], with_positions=cfg["positions"])
     blocks = (
         tokens.repartition("term", "bucket")
