@@ -194,6 +194,13 @@ def refresh_stats(spark: SparkSession, out_dir: str, defaults: dict | None = Non
         "committed_runs": committed_runs,
         **cfg,
     }
+    # deletes survive stats refreshes: the tombstone snapshot is index
+    # state, not a derived quantity (compaction clears it explicitly)
+    if os.path.exists(stats_path):
+        with open(stats_path) as f:
+            old = json.load(f)
+        if old.get("tombstone_runs"):
+            stats["tombstone_runs"] = old["tombstone_runs"]
     os.makedirs(out_dir, exist_ok=True)
     with open(stats_path, "w") as f:
         json.dump(stats, f, indent=2)
@@ -746,7 +753,9 @@ def load_stats(out_dir: str) -> dict:
         return json.load(f)
 
 
-def _recompact_df(seg: DataFrame, stats: dict, block_size: int, run_val: str) -> DataFrame:
+def _recompact_df(
+    seg: DataFrame, stats: dict, block_size: int, run_val: str, tomb: dict | None = None,
+) -> DataFrame:
     """Re-encode a set of segment blocks into dense ``block_size`` blocks
     under one new run. Delta segments interleave same-(term,bucket) blocks
     with colliding blk numbers and a group may span Arrow batches, so:
@@ -756,11 +765,18 @@ def _recompact_df(seg: DataFrame, stats: dict, block_size: int, run_val: str) ->
     stream. Positional indexes re-slice each posting's position bytes by
     re-deriving the canonical varint boundaries (positions travel through
     compaction byte-identical). Used by full compaction (all committed
-    runs) and tiered compaction (a subset of delta runs)."""
+    runs) and tiered compaction (a subset of delta runs). ``tomb`` ({run →
+    sorted dead doc_ids}) purges tombstoned postings while they're decoded
+    anyway — the Lucene merge-drops-deletes step at zero extra cost."""
     pos_flag = bool(stats.get("positions"))
 
     def recode(batches):
         from ..functions.codecs import varint_decode
+
+        if tomb:
+            from .delete import apply_tombstones
+
+            batches = (apply_tombstones(pdf, tomb) for pdf in batches)
 
         builder = _make_block_builder(block_size, with_positions=pos_flag)
         base_cols = ["term", "bucket", "doc_id", "tf", "dl"] + (["posb"] if pos_flag else [])
@@ -833,6 +849,88 @@ def _recompact_df(seg: DataFrame, stats: dict, block_size: int, run_val: str) ->
 
 
 
+def _tomb_df(spark: SparkSession, tomb: dict) -> DataFrame:
+    """(doc_id, run) DataFrame from a loaded tombstone map (for anti-joins
+    against run-partitioned ledgers)."""
+    rows = [(int(d), r) for r, ids in tomb.items() for d in ids]
+    return F.broadcast(spark.createDataFrame(rows, "doc_id long, run string"))
+
+
+def _doc_ledger_from_segments(seg: DataFrame) -> DataFrame:
+    """Exact (bucket, n_docs, sum_dl) decoded from posting blocks: one
+    narrow scan of the (bucket, n, docs, dls) columns (binary posting
+    payloads for tf stay pruned). A doc's text postings all carry the same
+    dl; keyword postings carry dl=0, so max(dl) per doc is the text dl."""
+
+    def decode(batches):
+        from ..functions.codecs import varint_decode as vd
+
+        for pdf in batches:
+            outs = []
+            for bucket, n, docs_b, dls_b in zip(
+                pdf["bucket"], pdf["n"], pdf["docs"], pdf["dls"]
+            ):
+                d = np.cumsum(vd(docs_b, int(n))).astype(np.int64)
+                dl = vd(dls_b, int(n)).astype(np.int64)
+                outs.append(pd.DataFrame({"bucket": int(bucket), "doc_id": d, "dl": dl}))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    rows = seg.select("bucket", "n", "docs", "dls").mapInPandas(
+        decode, "bucket int, doc_id long, dl long"
+    )
+    per_doc = rows.groupBy("bucket", "doc_id").agg(F.max("dl").alias("dl"))
+    return per_doc.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+
+
+def _gc_tombstones(spark: SparkSession, out_dir: str, live_runs: set[str]) -> None:
+    """Drop tombstone rows whose segment run no longer exists (their dead
+    postings were physically purged by a fold). Clears the store when
+    nothing survives; otherwise consolidates survivors into one new
+    committed tombstone run."""
+    import shutil
+
+    from .delete import _tomb_dir, load_tombstones
+
+    stats = load_stats(out_dir)
+    tomb = load_tombstones(out_dir, stats)
+    td = _tomb_dir(out_dir)
+    survivors = [(int(d), r) for r, ids in tomb.items() if r in live_runs for d in ids]
+    stats_path = os.path.join(out_dir, "stats.json")
+    with open(stats_path) as f:
+        s = json.load(f)
+    if not survivors:
+        s.pop("tombstone_runs", None)
+        with open(stats_path, "w") as f:
+            json.dump(s, f, indent=2)
+        if os.path.isdir(td):
+            shutil.rmtree(td)
+        return
+    import hashlib
+
+    gc_id = "gc_" + hashlib.md5(
+        json.dumps(sorted(s.get("tombstone_runs") or [])).encode()
+    ).hexdigest()[:12]
+    df = spark.createDataFrame(survivors, "doc_id long, run string").withColumn(
+        "trun", F.lit(gc_id)
+    )
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("trun")
+        .parquet(td)
+    )
+    s["tombstone_runs"] = [gc_id]
+    with open(stats_path, "w") as f:
+        json.dump(s, f, indent=2)
+    # reclaim superseded tombstone partitions
+    for d in os.listdir(td):
+        if d.startswith("trun=") and d != f"trun={gc_id}":
+            shutil.rmtree(os.path.join(td, d))
+
+
 def compact_segments(
     spark: SparkSession,
     out_dir: str,
@@ -877,10 +975,14 @@ def compact_segments(
     committed_runs = {r.run for r in old_man.select("run").distinct().collect()}
     old_run_ids = {r.run_id for r in old_man.select("run_id").distinct().collect()}
 
+    from .delete import load_tombstones
+
+    tomb = load_tombstones(out_dir, stats)
+
     seg = spark.read.parquet(seg_dir).where(F.col("run").isin(sorted(committed_runs)))
     blocks_before = seg.count()
 
-    recompacted = _recompact_df(seg, stats, block_size, "compacted")
+    recompacted = _recompact_df(seg, stats, block_size, "compacted", tomb=tomb)
     recompacted.write.mode("overwrite").partitionBy("tb", "run").parquet(tmp_dir)
 
     # carry over any UNCOMMITTED run partitions (in-flight streaming batch):
@@ -906,10 +1008,23 @@ def compact_segments(
 
     # exact doc ledger: doclens deltas → one deduplicated run (keep min dl,
     # the builder's keep-first rule), recount n_docs/sum_dl per bucket
+    # the doclens sidecar only supports an exact recount when it COVERS
+    # every committed segment run (a build_index base run writes none; a
+    # mixed base+batch index has a partial sidecar — recounting from it
+    # would undercount the corpus)
     dl_dir = os.path.join(out_dir, "doclens")
+    dl_covers = False
     if os.path.isdir(dl_dir):
+        dl_runs = {run_val for _, run_val in _run_dirs(dl_dir)}
+        dl_covers = committed_runs <= dl_runs
+    if dl_covers:
+        dl_src = spark.read.parquet(dl_dir)
+        if tomb:
+            # drop dead (doc, run) ledger rows — an UPDATED doc keeps its
+            # new run's row, a DELETED doc loses every row
+            dl_src = dl_src.join(_tomb_df(spark, tomb), ["doc_id", "run"], "left_anti")
         dl = (
-            spark.read.parquet(dl_dir)
+            dl_src
             .groupBy("doc_id")
             .agg(F.min("dl").alias("dl"))
             .withColumn("run", F.lit("compacted"))
@@ -929,6 +1044,13 @@ def compact_segments(
             .groupBy(_bucket_col(stats["n_buckets"]).alias("bucket"))
             .agg(F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl"))
         )
+    elif tomb or os.path.isdir(dl_dir):
+        # deletes happened and/or the sidecar is partial: recount EXACTLY
+        # from the purged compacted postings (one narrow docs/dls scan);
+        # a partial sidecar is discarded (the compacted recount supersedes)
+        doc_stats = _doc_ledger_from_segments(seg2)
+        if os.path.isdir(dl_dir):
+            shutil.rmtree(dl_dir)
     else:
         # no doclens sidecar (plain build_index output): carry the ledger
         # sums forward per bucket
@@ -957,6 +1079,10 @@ def compact_segments(
     os.rename(man_tmp, man_dir)
     shutil.rmtree(man_old)
     refresh_stats(spark, out_dir)
+    if tomb:
+        # every pre-compaction run was replaced — consumed tombstones go
+        live = {run_val for _, run_val in _run_dirs(seg_dir)}
+        _gc_tombstones(spark, out_dir, live)
     return {"blocks_before": int(blocks_before), "blocks_after": int(blocks_after)}
 
 
@@ -1029,11 +1155,16 @@ def compact_runs(
                 _clean_uncommitted_runs(p, committed | {"full", "compacted"})
         return {"folded_runs": 0, "blocks_before": 0, "blocks_after": 0, "cleanup": removed}
 
+    from .delete import load_tombstones
+
+    tomb_all = load_tombstones(out_dir, stats)
+    tomb_folded = {r: ids for r, ids in tomb_all.items() if r in set(runs)}
+
     seg = spark.read.parquet(seg_dir).where(F.col("run").isin(runs))
     blocks_before = seg.count()
 
     # --- 1. new-run artifacts (uncommitted until the manifest swap)
-    recompacted = _recompact_df(seg, stats, block_size, new_run)
+    recompacted = _recompact_df(seg, stats, block_size, new_run, tomb=tomb_folded)
     _dyn_overwrite(recompacted, seg_dir, ("tb", "run"))
     new_seg = spark.read.parquet(seg_dir).where(F.col("run") == new_run)
     blocks_after = new_seg.count()
@@ -1043,9 +1174,13 @@ def compact_runs(
     if os.path.isdir(dl_dir):
         dl_runs = {run_val for _, run_val in _run_dirs(dl_dir)}
         if set(runs) & dl_runs:
+            dl_src = spark.read.parquet(dl_dir).where(F.col("run").isin(runs))
+            if tomb_folded:
+                dl_src = dl_src.join(
+                    _tomb_df(spark, tomb_folded), ["doc_id", "run"], "left_anti"
+                )
             dl = (
-                spark.read.parquet(dl_dir)
-                .where(F.col("run").isin(runs))
+                dl_src
                 .groupBy("doc_id")
                 .agg(F.min("dl").alias("dl"))
                 .withColumn("run", F.lit(new_run))
@@ -1058,9 +1193,21 @@ def compact_runs(
     folded_ids = sorted(
         r.run_id for r in folded_rows.select("run_id").distinct().collect()
     )
-    doc_stats = folded_rows.groupBy("bucket").agg(
-        F.sum("n_docs").alias("n_docs"), F.sum("sum_dl").alias("sum_dl")
-    ).where(F.col("bucket") >= 0)
+    if tomb_folded and folded_dl:
+        # exact: recount the folded portion from its purged doclens
+        doc_stats = (
+            spark.read.parquet(dl_dir)
+            .where(F.col("run") == new_run)
+            .groupBy(_bucket_col(stats["n_buckets"]).alias("bucket"))
+            .agg(F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl"))
+        )
+    elif tomb_folded:
+        # exact: recount from the purged compacted postings themselves
+        doc_stats = _doc_ledger_from_segments(new_seg)
+    else:
+        doc_stats = folded_rows.groupBy("bucket").agg(
+            F.sum("n_docs").alias("n_docs"), F.sum("sum_dl").alias("sum_dl")
+        ).where(F.col("bucket") >= 0)
     man_new = _manifest_for_run(new_seg, doc_stats, new_run, new_run)
     tomb = spark.createDataFrame(
         [(int(-1), 0, 0, 0, 0, 0, 0, rid, new_run) for rid in folded_ids],
@@ -1105,6 +1252,12 @@ def compact_runs(
             json.dump(ranges, f, indent=0, sort_keys=True)
 
     refresh_stats(spark, out_dir)
+    if tomb_all:
+        # tombstones whose runs were just folded are consumed (their dead
+        # postings are physically gone); keep only those targeting runs
+        # that still exist
+        live = {run_val for _, run_val in _run_dirs(seg_dir)}
+        _gc_tombstones(spark, out_dir, live)
     return {
         "folded_runs": len(runs),
         "blocks_before": int(blocks_before),

@@ -230,6 +230,16 @@ class _TermPostings:
         return w
 
 
+def _tombs(out_dir: str, stats: dict) -> dict:
+    """Loaded tombstone map for the committed delete snapshot ({} when the
+    index has no deletes — the common fast path costs one dict lookup)."""
+    if not stats.get("tombstone_runs"):
+        return {}
+    from .delete import load_tombstones
+
+    return load_tombstones(out_dir, stats)
+
+
 def _seg_scan(spark: SparkSession, out_dir: str, stats: dict) -> DataFrame:
     """Segment scan restricted to the committed-run snapshot (see
     ``_committed``); run is a partition column, so the filter prunes whole
@@ -537,13 +547,14 @@ _BLOCK_COLS = [
 
 def _read_blocks_local(
     out_dir: str, tbs: list[int], terms: list[str], columns=None,
-    committed: set[str] | None = None,
+    committed: set[str] | None = None, with_run: bool = False,
 ):
     """Driver-side pyarrow read of the matched posting blocks (posix paths
     only): same pruning as the Spark scan — tb partition directories +
     term row-group stats — but zero Spark jobs; ``committed`` restricts to
-    the stats.json read snapshot. Returns a pandas frame or None when the
-    index isn't locally readable."""
+    the stats.json read snapshot. ``with_run=True`` attaches each block's
+    run partition value (needed to apply tombstones). Returns a pandas
+    frame or None when the index isn't locally readable."""
     import glob
 
     cols = list(columns or _BLOCK_COLS)
@@ -559,13 +570,28 @@ def _read_blocks_local(
         ) + glob.glob(f"{seg_dir}/tb={tb}/*.parquet")  # legacy flat layout
         if not files:
             continue
-        tbl = ds.dataset(files, format="parquet").to_table(
-            filter=ds.field("term").isin(terms), columns=cols
-        )
-        if tbl.num_rows:
-            frames.append(tbl.to_pandas())
+        if with_run:
+            by_run: dict[str, list[str]] = {}
+            for fp in files:
+                run = _run_of(fp) or ""
+                by_run.setdefault(run, []).append(fp)
+            for run, fps in sorted(by_run.items()):
+                tbl = ds.dataset(fps, format="parquet").to_table(
+                    filter=ds.field("term").isin(terms), columns=cols
+                )
+                if tbl.num_rows:
+                    pdf = tbl.to_pandas()
+                    pdf["run"] = run
+                    frames.append(pdf)
+        else:
+            tbl = ds.dataset(files, format="parquet").to_table(
+                filter=ds.field("term").isin(terms), columns=cols
+            )
+            if tbl.num_rows:
+                frames.append(tbl.to_pandas())
+    out_cols = cols + (["run"] if with_run else [])
     if not frames:
-        return pd.DataFrame(columns=cols)
+        return pd.DataFrame(columns=out_cols)
     return pd.concat(frames, ignore_index=True)
 
 
@@ -744,10 +770,11 @@ def bm25_topk(
     if min_should > len(should_present):
         return empty  # fewer indexed SHOULD terms than required matches
 
+    tomb = _tombs(out_dir, stats)
     seg = (
         _seg_scan(spark, out_dir, stats)
         .where(F.col("tb").isin(tbs) & F.col("term").isin(scan_terms))
-        .select(*_BLOCK_COLS)
+        .select(*_BLOCK_COLS, *(["run"] if tomb else []))
     )
     kern = _score_kernel(
         term_idf, k, prune=prune, must_terms=must_terms, not_terms=not_terms,
@@ -757,8 +784,21 @@ def bm25_topk(
     kern.b = stats["b"]
     kern.avgdl = stats["avgdl"]
     kern.max_candidates = max_candidates
-    local = seg.groupBy("bucket").applyInPandas(kern, schema="doc_id long, score double")
+    func = kern if not tomb else _with_tombstones(kern, tomb)
+    local = seg.groupBy("bucket").applyInPandas(func, schema="doc_id long, score double")
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def _with_tombstones(kern, tomb: dict):
+    """Wrap a per-bucket kernel so it scores the tombstone-purged view of
+    its block frame (the kernel itself stays delete-unaware)."""
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        from .delete import apply_tombstones
+
+        return kern(apply_tombstones(pdf, tomb).drop(columns=["run"]))
+
+    return run
 
 
 _POS_KEY_SHIFT = 33  # doc-index key space above the position bits
@@ -878,14 +918,16 @@ def phrase_topk(
     if plan is None:
         return empty
     phrase_tokens, idf_sum, tbs, distinct = plan
+    tomb = _tombs(out_dir, stats)
     seg = (
         _seg_scan(spark, out_dir, stats)
         .where(F.col("tb").isin(tbs) & F.col("term").isin(distinct))
-        .select(*_BLOCK_COLS, "poss")
+        .select(*_BLOCK_COLS, "poss", *(["run"] if tomb else []))
     )
     kern = _phrase_kernel(phrase_tokens, idf_sum, k)
     kern.k1, kern.b, kern.avgdl = stats["k1"], stats["b"], stats["avgdl"]
-    local = seg.groupBy("bucket").applyInPandas(kern, schema="doc_id long, score double")
+    func = kern if not tomb else _with_tombstones(kern, tomb)
+    local = seg.groupBy("bucket").applyInPandas(func, schema="doc_id long, score double")
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
@@ -902,22 +944,35 @@ def posting_docs(spark: SparkSession, out_dir: str, terms_query: str) -> DataFra
         return spark.createDataFrame([], "doc_id long")
     tbs = sorted({int(e["tb"]) for e in entries})
     present = sorted({e["term"] for e in entries})
+    tomb = _tombs(out_dir, stats)
     seg = (
         _seg_scan(spark, out_dir, stats)
         .where(F.col("tb").isin(tbs) & F.col("term").isin(present))
-        .select("n", "docs")
+        .select("n", "docs", *(["run"] if tomb else []))
     )
 
     def decode(batches):
         for pdf in batches:
-            outs = [
-                np.cumsum(varint_decode(bb, int(n))).astype(np.int64)
-                for bb, n in zip(pdf["docs"], pdf["n"])
-            ]
+            runs = pdf["run"] if tomb else [None] * len(pdf)
+            outs = []
+            for bb, n, run in zip(pdf["docs"], pdf["n"], runs):
+                d = np.cumsum(varint_decode(bb, int(n))).astype(np.int64)
+                if tomb:
+                    d = _drop_dead(d, run, tomb)
+                if len(d):
+                    outs.append(d)
             if outs:
                 yield pd.DataFrame({"doc_id": np.unique(np.concatenate(outs))})
 
     return seg.mapInPandas(decode, schema="doc_id long").distinct()
+
+
+def _drop_dead(docs: np.ndarray, run, tomb: dict) -> np.ndarray:
+    """Sorted doc-id array minus the run's tombstoned ids."""
+    ids = tomb.get(run)
+    if ids is None or not len(ids):
+        return docs
+    return docs[~_in_sorted(docs, ids)]
 
 
 def term_doc_pairs(spark: SparkSession, out_dir: str, terms: list[str]) -> DataFrame:
@@ -934,14 +989,26 @@ def term_doc_pairs(spark: SparkSession, out_dir: str, terms: list[str]) -> DataF
         return spark.createDataFrame([], "term string, doc_id long")
     tbs = sorted({int(e["tb"]) for e in entries})
     present = sorted({e["term"] for e in entries})
+    tomb = _tombs(out_dir, stats)
     seg = (
         _seg_scan(spark, out_dir, stats)
         .where(F.col("tb").isin(tbs) & F.col("term").isin(present))
-        .select("term", "n", "docs")
+        .select("term", "n", "docs", *(["run"] if tomb else []))
     )
 
     def decode(batches):
         for pdf in batches:
+            if tomb:
+                outs = []
+                for t, bb, n, run in zip(pdf["term"], pdf["docs"], pdf["n"], pdf["run"]):
+                    d = _drop_dead(
+                        np.cumsum(varint_decode(bb, int(n))).astype(np.int64), run, tomb
+                    )
+                    if len(d):
+                        outs.append(pd.DataFrame({"term": t, "doc_id": d}))
+                if outs:
+                    yield pd.concat(outs, ignore_index=True)
+                continue
             outs = [
                 pd.DataFrame(
                     {
@@ -1265,12 +1332,15 @@ def index_info(spark: SparkSession, out_dir: str) -> dict:
     ]
     for r in runs:
         r["committed_at"] = str(r["committed_at"])
+    from .delete import n_tombstoned
+
     return {
         "stats": stats,
         "n_runs": len(runs),
         "runs": runs,
         "total_postings": sum(r["n_postings"] for r in runs),
         "total_blocks": sum(r["n_blocks"] for r in runs),
+        "n_deleted": n_tombstoned(out_dir, stats),
     }
 
 
@@ -1287,22 +1357,32 @@ def bm25_topk_sql(spark: SparkSession, out_dir: str, query: str, k: int = 10) ->
     tbs = sorted({int(e["tb"]) for e in entries})
     k1, b, avgdl = stats["k1"], stats["b"], stats["avgdl"]
 
+    tomb = _tombs(out_dir, stats)
     seg = (
         _seg_scan(spark, out_dir, stats)
         .where(F.col("tb").isin(tbs) & F.col("term").isin(sorted(term_idf)))
-        .select("term", "n", "docs", "tfs", "dls")
+        .select("term", "n", "docs", "tfs", "dls", *(["run"] if tomb else []))
     )
 
     def explode(batches):
         for pdf in batches:
             outs = []
-            for term, bb, tb, db, n in zip(
-                pdf["term"], pdf["docs"], pdf["tfs"], pdf["dls"], pdf["n"]
+            runs = pdf["run"] if tomb else [None] * len(pdf)
+            for term, bb, tb, db, n, run in zip(
+                pdf["term"], pdf["docs"], pdf["tfs"], pdf["dls"], pdf["n"], runs
             ):
                 docs = np.cumsum(varint_decode(bb, int(n))).astype(np.int64)
                 tf = varint_decode(tb, int(n)).astype(np.int64)
                 dl = varint_decode(db, int(n)).astype(np.int64)
-                outs.append(pd.DataFrame({"term": term, "doc_id": docs, "tf": tf, "dl": dl}))
+                if tomb:
+                    ids = tomb.get(run)
+                    if ids is not None and len(ids):
+                        alive = ~_in_sorted(docs, ids)
+                        docs, tf, dl = docs[alive], tf[alive], dl[alive]
+                if len(docs):
+                    outs.append(
+                        pd.DataFrame({"term": term, "doc_id": docs, "tf": tf, "dl": dl})
+                    )
             if outs:
                 yield pd.concat(outs, ignore_index=True)
 
@@ -1353,6 +1433,7 @@ class Searcher:
         self.stats = load_stats(out_dir)
         self._stats_mtime = os.path.getmtime(os.path.join(out_dir, "stats.json"))
         self._term_cache: dict[str, dict | None] = {}
+        self._tomb = _tombs(out_dir, self.stats)
 
     def _maybe_invalidate(self) -> None:
         try:
@@ -1363,6 +1444,19 @@ class Searcher:
             self.stats = load_stats(self.out_dir)
             self._stats_mtime = m
             self._term_cache.clear()
+            self._tomb = _tombs(self.out_dir, self.stats)
+
+    def _local_blocks(self, tbs, scan_terms, columns=None):
+        """Pruned local block read with the delete snapshot applied."""
+        blocks = _read_blocks_local(
+            self.out_dir, tbs, scan_terms, columns=columns,
+            committed=_committed(self.stats), with_run=bool(self._tomb),
+        )
+        if blocks is not None and self._tomb and len(blocks):
+            from .delete import apply_tombstones
+
+            blocks = apply_tombstones(blocks, self._tomb).drop(columns=["run"])
+        return blocks
 
     def _entries(self, terms: list[str]) -> list[dict]:
         missing = [t for t in terms if t not in self._term_cache]
@@ -1406,9 +1500,7 @@ class Searcher:
         if min_should > len(should_present):
             return []
         if self.mode in ("auto", "local"):
-            blocks = _read_blocks_local(
-                self.out_dir, tbs, scan_terms, committed=_committed(self.stats)
-            )
+            blocks = self._local_blocks(tbs, scan_terms)
             if blocks is not None:
                 return _score_local(
                     blocks, term_idf, k, self.stats, prune,
@@ -1460,10 +1552,7 @@ class Searcher:
         if plan is None:
             return []
         phrase_tokens, idf_sum, tbs, distinct = plan
-        blocks = _read_blocks_local(
-            self.out_dir, tbs, distinct, columns=_BLOCK_COLS + ["poss"],
-            committed=_committed(self.stats),
-        )
+        blocks = self._local_blocks(tbs, distinct, columns=_BLOCK_COLS + ["poss"])
         if blocks is None:
             return [
                 (r.doc_id, r.score)
@@ -1606,9 +1695,7 @@ class Searcher:
             return self.spark.createDataFrame([], "doc_id long, score double")
 
         if self.mode in ("auto", "local"):
-            blocks = _read_blocks_local(
-                self.out_dir, tbs, scan_terms, committed=_committed(self.stats)
-            )
+            blocks = self._local_blocks(tbs, scan_terms)
             if blocks is not None:
                 rows = _score_local(
                     blocks, term_idf, k, self.stats, prune,
@@ -1624,7 +1711,7 @@ class Searcher:
         seg = (
             _seg_scan(self.spark, self.out_dir, self.stats)
             .where(F.col("tb").isin(tbs) & F.col("term").isin(scan_terms))
-            .select(*_BLOCK_COLS)
+            .select(*_BLOCK_COLS, *(["run"] if self._tomb else []))
         )
         kern = _score_kernel(
             term_idf, k, prune=prune, must_terms=must_terms, not_terms=not_terms,
@@ -1632,5 +1719,6 @@ class Searcher:
         )
         kern.k1, kern.b, kern.avgdl = self.stats["k1"], self.stats["b"], self.stats["avgdl"]
         kern.max_candidates = self.max_candidates
-        local = seg.groupBy("bucket").applyInPandas(kern, schema="doc_id long, score double")
+        func = kern if not self._tomb else _with_tombstones(kern, self._tomb)
+        local = seg.groupBy("bucket").applyInPandas(func, schema="doc_id long, score double")
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

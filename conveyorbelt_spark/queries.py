@@ -1528,6 +1528,67 @@ ORDER BY s.raw DESC, s.doc_id ASC LIMIT 20
 """
 
 
+def q36_delete_by_query(spark, sf_dir):
+    """ES _delete_by_query through the REAL index: tombstone every doc
+    containing 'window' (per-run tombstones, block surgery at read — see
+    index/delete.py), then BM25 top-k. Pre-compaction semantics pinned by
+    the oracle: hits exclude deleted docs while idf/avgdl still count them
+    (Lucene docFreq-includes-deletes). DuckDB twin: full-corpus BM25,
+    matching set restricted to docs without the deleted term."""
+    import shutil
+    import tempfile
+
+    from .index.build import build_index
+    from .index.delete import delete_by_query
+    from .index.query import Searcher
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="cb_q36_idx_")
+    try:
+        build_index(spark, docs.select("doc_id", "text"), out, url_col=None, n_buckets=8)
+        delete_by_query(spark, out, "", must="window", op_id="q36")
+        rows = Searcher(spark, out).search_rows(" ".join(BM25_QUERY_TERMS), 20)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    res = spark.createDataFrame(
+        [(int(d), float(s)) for d, s in rows], "doc_id long, score double"
+    )
+    return res.select("doc_id", F.round("score", 4).alias("score")).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+
+
+Q36_SQL = f"""
+WITH toks AS ({_TOKENS_SQL}),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks WHERE term != '' GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+q AS (SELECT unnest({BM25_QUERY_TERMS!r}) AS term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf
+       WHERE term IN (SELECT term FROM q) GROUP BY term),
+dead AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'window'),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl)))) AS raw
+  FROM tf
+  JOIN df ON tf.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  WHERE tf.doc_id NOT IN (SELECT doc_id FROM dead)
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(raw, 4) AS score
+FROM scored ORDER BY raw DESC, doc_id ASC LIMIT 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -1564,6 +1625,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q33_facet_counts": q33_facet_counts,
     "q34_min_should_match": q34_min_should_match,
     "q35_filtered_search": q35_filtered_search,
+    "q36_delete_by_query": q36_delete_by_query,
 }
 
 ORACLES: dict[str, str] = {
@@ -1602,4 +1664,5 @@ ORACLES: dict[str, str] = {
     "q33_facet_counts": Q33_SQL,
     "q34_min_should_match": Q34_SQL,
     "q35_filtered_search": Q35_SQL,
+    "q36_delete_by_query": Q36_SQL,
 }
