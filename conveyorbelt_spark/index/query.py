@@ -1126,6 +1126,101 @@ def facet_counts_spark(
     return out.limit(k) if k is not None else out
 
 
+_DH_TRUNC = {
+    "minute": "minute", "hour": "hour", "day": "day",
+    "week": "week", "month": "month", "year": "year",
+}
+
+
+def search_aggs(
+    spark: SparkSession,
+    out_dir: str,
+    aggs: dict,
+    query: str = "",
+    *,
+    must: str | None = None,
+    must_not: str | None = None,
+    min_should: int = 0,
+    filters: dict | None = None,
+    ranges: dict | None = None,
+) -> dict[str, DataFrame]:
+    """ES search aggregations over the FULL matching set of a bool query,
+    distributed end to end (the Kibana visualization workload the reference
+    serves from ES): one pruned posting scan resolves the matching doc_ids
+    (``bool_doc_ids`` — no cap, no driver materialization), one
+    bucket-aligned join against the docstore, then one hash aggregation per
+    requested agg. ``aggs`` uses the ES request shape::
+
+        {"by_day":   {"date_histogram": {"field": "ts", "interval": "day"}},
+         "sizes":    {"histogram":      {"field": "n_chars", "interval": 100}},
+         "langs":    {"terms":          {"field": "lang", "size": 10}},
+         "length":   {"stats":          {"field": "n_chars"}},
+         "uniq_src": {"cardinality":    {"field": "source"}},
+         "p_len":    {"percentiles":    {"field": "n_chars",
+                                         "percents": [50, 95, 99]}}}
+
+    Returns {name: DataFrame}. ``cardinality`` uses HyperLogLog++-style
+    ``approx_count_distinct`` like ES (pass ``"exact": True`` for a true
+    countDistinct); ``percentiles`` uses ``percentile_approx`` (ES's
+    t-digest analogue). Fields come from the docstore's stored columns
+    (``write_docstore(extra_cols=...)``)."""
+    hits = bool_doc_ids(
+        spark, out_dir, query, must=must, must_not=must_not,
+        min_should=min_should, filters=filters, ranges=ranges,
+    )
+    store = spark.read.parquet(os.path.join(out_dir, "docstore"))
+    joined = store.join(hits, "doc_id")
+    out: dict[str, DataFrame] = {}
+    for name, spec in aggs.items():
+        if len(spec) != 1:
+            raise ValueError(f"agg {name!r} must have exactly one type, got {list(spec)}")
+        ((kind, body),) = spec.items()
+        col = body["field"]
+        if kind == "terms":
+            df = (
+                joined.groupBy(F.col(col).alias("key"))
+                .agg(F.count("*").alias("n"))
+                .orderBy(F.desc("n"), F.asc("key"))
+            )
+            size = body.get("size")
+            out[name] = df.limit(size) if size else df
+        elif kind == "date_histogram":
+            unit = _DH_TRUNC[body.get("interval", "day")]
+            out[name] = (
+                joined.groupBy(F.date_trunc(unit, F.col(col)).alias("key"))
+                .agg(F.count("*").alias("n"))
+                .orderBy("key")
+            )
+        elif kind == "histogram":
+            step = float(body["interval"])
+            key = (F.floor(F.col(col) / step) * step).alias("key")
+            out[name] = (
+                joined.groupBy(key).agg(F.count("*").alias("n")).orderBy("key")
+            )
+        elif kind == "stats":
+            out[name] = joined.agg(
+                F.count(col).alias("count"),
+                F.min(col).alias("min"),
+                F.max(col).alias("max"),
+                F.avg(col).alias("avg"),
+                F.sum(col).alias("sum"),
+            )
+        elif kind == "cardinality":
+            fn = F.count_distinct if body.get("exact") else F.approx_count_distinct
+            out[name] = joined.agg(fn(F.col(col)).alias("value"))
+        elif kind == "percentiles":
+            pcts = [float(p) for p in body.get("percents", [50.0, 95.0, 99.0])]
+            out[name] = joined.agg(
+                *[
+                    F.percentile_approx(col, p / 100.0).alias(f"p{p:g}")
+                    for p in pcts
+                ]
+            )
+        else:
+            raise ValueError(f"unsupported agg type {kind!r} in {name!r}")
+    return out
+
+
 def _range_hi(prefix: str) -> str:
     """Smallest string greater than every string with this prefix."""
     return prefix[:-1] + chr(ord(prefix[-1]) + 1) if prefix else "￿"

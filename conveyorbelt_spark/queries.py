@@ -1589,6 +1589,58 @@ FROM scored ORDER BY raw DESC, doc_id ASC LIMIT 20
 """
 
 
+def q37_date_histogram(spark, sf_dir):
+    """ES date_histogram aggregation over the FULL matching set of a bool
+    query, through the real index (the Kibana time-chart workload):
+    matching doc_ids from one pruned posting scan ⋈ docstore → one hash
+    agg on the truncated day — fully distributed, no hit cap. The driver
+    table has no timestamp, so warc_ts is synthesized deterministically
+    from doc_id (doc_id % 4 → 4 consecutive days) on both sides, like
+    q32."""
+    import shutil
+    import tempfile
+
+    from .index.build import build_index, write_docstore
+    from .index.query import search_aggs
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "warc_ts",
+        F.expr(
+            "timestampadd(DAY, cast(pmod(doc_id, 4) as int), "
+            "timestamp '2016-09-16 12:00:00')"
+        ),
+    )
+    out = tempfile.mkdtemp(prefix="cb_q37_idx_")
+    try:
+        build_index(spark, docs.select("doc_id", "text"), out, url_col=None, n_buckets=8)
+        write_docstore(spark, docs, out, url_col=None, extra_cols=("warc_ts",))
+        res = search_aggs(
+            spark, out,
+            {"by_day": {"date_histogram": {"field": "warc_ts", "interval": "day"}}},
+            "spark join", must_not="window",
+        )["by_day"]
+        rows = [(r.key, int(r.n)) for r in res.collect()]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    out_df = spark.createDataFrame(rows, "day timestamp, n long")
+    return out_df.orderBy("day")
+
+
+Q37_SQL = f"""
+WITH toks AS ({_TOKENS_SQL}),
+hits AS (
+  SELECT doc_id FROM toks GROUP BY doc_id
+  HAVING max(CASE WHEN term IN ('spark', 'join') THEN 1 ELSE 0 END) = 1
+     AND max(CASE WHEN term = 'window' THEN 1 ELSE 0 END) = 0
+)
+SELECT date_trunc('day', TIMESTAMP '2016-09-16 12:00:00'
+                         + (d.doc_id % 4) * INTERVAL 1 DAY) AS day,
+       count(*) AS n
+FROM documents d JOIN hits USING (doc_id)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -1626,6 +1678,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q34_min_should_match": q34_min_should_match,
     "q35_filtered_search": q35_filtered_search,
     "q36_delete_by_query": q36_delete_by_query,
+    "q37_date_histogram": q37_date_histogram,
 }
 
 ORACLES: dict[str, str] = {
@@ -1665,4 +1718,5 @@ ORACLES: dict[str, str] = {
     "q34_min_should_match": Q34_SQL,
     "q35_filtered_search": Q35_SQL,
     "q36_delete_by_query": Q36_SQL,
+    "q37_date_histogram": Q37_SQL,
 }

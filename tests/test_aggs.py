@@ -1,0 +1,146 @@
+"""ES search aggregations (terms / date_histogram / histogram / stats /
+cardinality / percentiles) over the full matching set — distributed
+(bool_doc_ids ⋈ docstore → one hash agg each), verified against pandas
+truths computed from the raw rows."""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+
+import pytest
+
+from conveyorbelt_spark.index.build import build_index, write_docstore
+from conveyorbelt_spark.index.query import search_aggs
+
+WORDS = ["spark", "join", "window", "shuffle", "plan", "query", "index", "merge"]
+LANGS = ["en", "de", "fr"]
+
+
+def _mkrows(n=240, seed=5):
+    rng = random.Random(seed)
+    return [
+        (
+            i,
+            " ".join(rng.choices(WORDS, k=10)),
+            LANGS[i % 3],
+            (i * 7) % 500,
+            dt.datetime(2016, 9, 16 + (i % 4), (i * 3) % 24, 0, 0),
+        )
+        for i in range(n)
+    ]
+
+
+@pytest.fixture(scope="module")
+def aroot(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("aggidx"))
+    rows = _mkrows()
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long, ts timestamp"
+    )
+    build_index(spark, docs, out, url_col=None, n_buckets=4, n_term_buckets=8)
+    write_docstore(spark, docs, out, url_col=None, extra_cols=("lang", "n_chars", "ts"))
+    matching = {i for i, txt, *_ in rows if {"spark", "join"} & set(txt.split())}
+    return out, rows, matching
+
+
+def test_terms_date_histogram_histogram(spark, aroot):
+    out, rows, matching = aroot
+    res = search_aggs(
+        spark, out,
+        {
+            "langs": {"terms": {"field": "lang"}},
+            "by_day": {"date_histogram": {"field": "ts", "interval": "day"}},
+            "sizes": {"histogram": {"field": "n_chars", "interval": 100}},
+        },
+        "spark join",
+    )
+    want_terms: dict[str, int] = {}
+    want_day: dict[dt.datetime, int] = {}
+    want_hist: dict[float, int] = {}
+    for i, _, lang, nc, ts in rows:
+        if i not in matching:
+            continue
+        want_terms[lang] = want_terms.get(lang, 0) + 1
+        day = ts.replace(hour=0)
+        want_day[day] = want_day.get(day, 0) + 1
+        b = float((nc // 100) * 100)
+        want_hist[b] = want_hist.get(b, 0) + 1
+    assert {r.key: r.n for r in res["langs"].collect()} == want_terms
+    assert {r.key: r.n for r in res["by_day"].collect()} == want_day
+    assert {float(r.key): r.n for r in res["sizes"].collect()} == want_hist
+
+
+def test_stats_cardinality_percentiles(spark, aroot):
+    out, rows, matching = aroot
+    res = search_aggs(
+        spark, out,
+        {
+            "len": {"stats": {"field": "n_chars"}},
+            "uniq": {"cardinality": {"field": "lang", "exact": True}},
+            "p": {"percentiles": {"field": "n_chars", "percents": [50]}},
+        },
+        "spark join",
+    )
+    vals = sorted(nc for i, _, _, nc, _ in rows if i in matching)
+    st = res["len"].collect()[0]
+    assert st["count"] == len(vals)
+    assert st["min"] == vals[0] and st["max"] == vals[-1]
+    assert abs(st["avg"] - sum(vals) / len(vals)) < 1e-9
+    assert st["sum"] == sum(vals)
+    assert res["uniq"].collect()[0]["value"] == len(
+        {lang for i, _, lang, _, _ in rows if i in matching}
+    )
+    p50 = res["p"].collect()[0]["p50"]
+    assert vals[0] <= p50 <= vals[-1]
+
+
+def test_aggs_compose_with_filter_context(spark, aroot):
+    out, rows, matching = aroot
+    res = search_aggs(
+        spark, out,
+        {"langs": {"terms": {"field": "lang"}}},
+        "spark join",
+        filters={"lang": "en"},
+    )
+    # filter context: keyword postings were not indexed in this fixture, so
+    # an en-filter over a keyword-less index matches nothing — provably
+    assert res["langs"].count() == 0
+
+
+def test_aggs_with_keyword_filters(spark, tmp_path):
+    rows = _mkrows(120, seed=8)
+    out = str(tmp_path / "kidx")
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long, ts timestamp"
+    )
+    build_index(
+        spark, docs, out, url_col=None, n_buckets=4, n_term_buckets=8,
+        keyword_cols=("lang",),
+    )
+    write_docstore(spark, docs, out, url_col=None, extra_cols=("lang", "n_chars"))
+    res = search_aggs(
+        spark, out,
+        {"sizes": {"stats": {"field": "n_chars"}}},
+        "spark join",
+        filters={"lang": "de"},
+    )
+    matching = {
+        i for i, txt, lang, *_ in rows
+        if ({"spark", "join"} & set(txt.split())) and lang == "de"
+    }
+    vals = [nc for i, _, lang, nc, _ in rows if i in matching]
+    st = res["sizes"].collect()[0]
+    assert st["count"] == len(vals) and st["sum"] == sum(vals)
+
+
+def test_bad_agg_spec_raises(spark, aroot):
+    out, _, _ = aroot
+    with pytest.raises(ValueError):
+        search_aggs(spark, out, {"x": {"nope": {"field": "lang"}}}, "spark")
+    with pytest.raises(ValueError):
+        search_aggs(
+            spark, out,
+            {"x": {"terms": {"field": "lang"}, "stats": {"field": "n_chars"}}},
+            "spark",
+        )
