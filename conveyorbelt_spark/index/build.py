@@ -267,6 +267,33 @@ def keyword_postings(
     return out
 
 
+def field_postings(
+    docs: DataFrame, field_cols, positions: bool = False,
+) -> DataFrame:
+    """Analyzed ADDITIONAL-field postings (ES multi-field mappings: the
+    reference's analyzed columns beyond the main text, e.g. csUriStem in
+    mappings/AzureIisLog.json): each extra column is tokenized like text
+    and indexed under ``field:token`` terms carrying the FIELD's own tf and
+    dl — per-field BM25 falls out of the ordinary machinery because the
+    namespaced terms have their own df/cf in the dictionary. The main text
+    column stays unprefixed (back-compatible single-field queries)."""
+    from ..functions.tokenize import tokenize_to_postings, tokenize_to_postings_pos
+
+    tokenizer = tokenize_to_postings_pos if positions else tokenize_to_postings
+    parts = []
+    for fc in field_cols:
+        name, expr = fc if isinstance(fc, tuple) else (fc, F.col(fc).cast("string"))
+        sub = docs.select("doc_id", expr.cast("string").alias("text"))
+        toks = tokenizer(sub, "doc_id", "text").withColumn(
+            "term", F.concat(F.lit(name + KEYWORD_SEP), F.col("term"))
+        )
+        parts.append(toks)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _make_block_builder(block_size: int, with_positions: bool = False):
     """Kernel: sorted (term,bucket,doc_id) runs → compressed posting blocks.
     ``with_positions`` carries each posting's pre-encoded position bytes
@@ -411,12 +438,15 @@ def build_index(
     store_docs: bool = False,
     positions: bool = False,
     keyword_cols: tuple = (),
+    field_cols: tuple = (),
 ) -> dict:
     """Build the full index under ``out_dir``. Returns the stats dict.
 
     ``keyword_cols`` names columns (or ("name", expr) pairs) indexed as
     exact keyword terms (``field:value``, tf=0) for ES filter-context
-    queries — see ``keyword_postings``.
+    queries — see ``keyword_postings``. ``field_cols`` names columns
+    ANALYZED as additional searchable fields (``field:token`` postings with
+    per-field tf/dl) for multi_match queries — see ``field_postings``.
 
     ``commit_groups`` splits the doc-id bucket space into sequential commit
     units: each unit's segment files are written *before* its manifest rows
@@ -440,10 +470,16 @@ def build_index(
         for kc in keyword_cols
     ]
     kw_cols = [(name, F.col(f"__kw_{name}")) for name, _ in kw_resolved]
+    ff_resolved = [
+        fc if isinstance(fc, tuple) else (fc, F.col(fc).cast("string"))
+        for fc in field_cols
+    ]
+    ff_cols = [(name, F.col(f"__ff_{name}")) for name, _ in ff_resolved]
     # url_col=None → the input already carries a stable doc_id column
     docs = (with_doc_id(docs, url_col) if url_col else docs).select(
         "doc_id", F.col(text_col).alias("text"),
         *[expr.cast("string").alias(f"__kw_{name}") for name, expr in kw_resolved],
+        *[expr.cast("string").alias(f"__ff_{name}") for name, expr in ff_resolved],
     )
 
     seg_dir = os.path.join(out_dir, "segments")
@@ -505,6 +541,8 @@ def build_index(
         tokens = tokenizer(docs_g, "doc_id", "text")
         if kw_cols:
             tokens = tokens.unionByName(keyword_postings(docs_g, kw_cols, positions))
+        if ff_cols:
+            tokens = tokens.unionByName(field_postings(docs_g, ff_cols, positions))
         tokens = tokens.withColumn("bucket", _bucket_col(n_buckets))
         blocks = (
             tokens.repartition("term", "bucket")
@@ -532,9 +570,15 @@ def build_index(
             [(bkt, bstats.get(bkt, 0), 0) for bkt in group],
             "bucket int, n_docs long, sum_dl long",
         ).drop("sum_dl")
-        # sum_dl per bucket = Σ tf over kept postings (= Σ doc lengths,
-        # since every token of a kept doc lands in exactly one posting)
-        sum_dl = delta.groupBy("bucket").agg(F.sum("sum_tf").alias("sum_dl"))
+        # sum_dl per bucket = Σ tf over kept MAIN-field postings (= Σ doc
+        # lengths, since every text token lands in exactly one posting);
+        # namespaced keyword/field postings are excluded — keyword tf is 0
+        # and extra analyzed fields keep their own length stats
+        sum_dl = (
+            delta.where(~F.col("term").contains(KEYWORD_SEP))
+            .groupBy("bucket")
+            .agg(F.sum("sum_tf").alias("sum_dl"))
+        )
         doc_stats = doc_stats.join(sum_dl, "bucket", "left").na.fill({"sum_dl": 0})
         man = _manifest_for_run(delta, doc_stats, run_id, run_val)
         man.write.mode("append").parquet(man_dir)
@@ -683,8 +727,12 @@ def write_term_index(
     import pyarrow.parquet as _pq
 
     ti_dir = os.path.join(out_dir, "term_index")
+    if "cf" not in dictionary.columns:
+        dictionary = dictionary.withColumn("cf", F.lit(0).cast("long"))
     d = (
-        dictionary.select("term", "df")
+        # cf rides along so per-FIELD corpus stats (Σ cf over a field's
+        # term range → field avgdl for multi_match) are a pruned range read
+        dictionary.select("term", "df", "cf")
         .withColumn("run", F.lit(run_val))
         .repartitionByRange(n_files or max(2, DEFAULT_TERM_BUCKETS // 8), "term")
         .sortWithinPartitions("term")
@@ -876,8 +924,10 @@ def _doc_ledger_from_segments(seg: DataFrame) -> DataFrame:
             if outs:
                 yield pd.concat(outs, ignore_index=True)
 
-    rows = seg.select("bucket", "n", "docs", "dls").mapInPandas(
-        decode, "bucket int, doc_id long, dl long"
+    rows = (
+        seg.where(~F.col("term").contains(KEYWORD_SEP))
+        .select("bucket", "n", "docs", "dls")
+        .mapInPandas(decode, "bucket int, doc_id long, dl long")
     )
     per_doc = rows.groupBy("bucket", "doc_id").agg(F.max("dl").alias("dl"))
     return per_doc.groupBy("bucket").agg(

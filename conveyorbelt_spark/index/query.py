@@ -252,6 +252,25 @@ def _seg_scan(spark: SparkSession, out_dir: str, stats: dict) -> DataFrame:
 
 
 
+def _topk_idx(scores: np.ndarray, doc_ids: np.ndarray, k: int) -> np.ndarray:
+    """Indices of the top-k by (score desc, doc_id asc), DETERMINISTIC at
+    the cut boundary. A plain ``argpartition(-scores, k-1)[:k]`` keeps an
+    ARBITRARY subset of docs tied at the k-th score — two runs (or the
+    kernel vs an oracle) can disagree on which tied docs survive. Here the
+    k-th score is found with O(n) partition, docs strictly above it all
+    survive, and the tie group is ordered by doc_id; only the candidates at
+    or above the threshold pay the O(m log m) sort."""
+    n = len(scores)
+    if n <= k:
+        idx = np.arange(n)
+        order = np.lexsort((doc_ids[idx], -scores[idx]))
+        return idx[order]
+    thr = np.partition(scores, n - k)[n - k]  # the k-th largest score
+    cand = np.flatnonzero(scores >= thr)
+    order = np.lexsort((doc_ids[cand], -scores[cand]))
+    return cand[order][:k]
+
+
 def _in_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Boolean mask: which elements of ``a`` appear in SORTED-unique ``b``."""
     if not len(b):
@@ -343,6 +362,12 @@ def _score_kernel(
             {"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")}
         )
         k1, b, avgdl = score_bucket.k1, score_bucket.b, score_bucket.avgdl
+        abt = getattr(score_bucket, "avgdl_by_term", None)
+
+        def _avg(t: str) -> float:
+            # multi-field queries: each field-qualified term normalizes by
+            # ITS field's average length (ES per-field BM25 norms)
+            return abt.get(t, avgdl) if abt else avgdl
         per_term: dict[str, _TermPostings] = {}
         for term, grp in pdf.groupby("term", sort=True):
             tp = _TermPostings(grp)
@@ -353,7 +378,7 @@ def _score_kernel(
                 return _exhaustive(
                     pdf, term_idf, terms_sorted, k, k1, b, avgdl, must_terms, not_terms,
                     doc_range=doc_range, should_terms=should_terms, min_should=min_should,
-                    filter_groups=filter_groups,
+                    filter_groups=filter_groups, avgdl_by_term=abt,
                 )
             per_term[term] = tp
         if not any(t in per_term for t in terms_sorted):
@@ -414,7 +439,7 @@ def _score_kernel(
             seed_term = max(present, key=lambda t: term_idf[t])
             tp = per_term[seed_term]
             smask = _in_sorted(tp.docs, cand)
-            seed_scores = term_idf[seed_term] * tp.weights(k1, b, avgdl)[smask]
+            seed_scores = term_idf[seed_term] * tp.weights(k1, b, _avg(seed_term))[smask]
             if len(seed_scores) >= k:
                 theta = np.partition(seed_scores, len(seed_scores) - k)[len(seed_scores) - k]
             else:
@@ -428,7 +453,7 @@ def _score_kernel(
                     ok = pos < len(cand)
                     member = _in_sorted(tp2.docs, cand)
                     ub[pos[ok & member]] += (
-                        term_idf[term] * tp2.upper_bounds(k1, b, avgdl)[ok & member]
+                        term_idf[term] * tp2.upper_bounds(k1, b, _avg(term))[ok & member]
                     )
                 survivors = cand[ub >= theta]
 
@@ -448,7 +473,7 @@ def _score_kernel(
                     survivors, hi, side="right"
                 )
                 blocks = np.flatnonzero(has)
-            w = tp.weights(k1, b, avgdl, blocks)
+            w = tp.weights(k1, b, _avg(term), blocks)
             pos = np.searchsorted(survivors, tp.docs)
             ok = (pos < len(survivors)) & ~np.isnan(w)
             pos_ok = pos[ok]
@@ -456,12 +481,7 @@ def _score_kernel(
             idxs = pos_ok[member]
             scores[idxs] += term_idf[term] * w[ok][member]
 
-        if len(survivors) > k:
-            idx = np.argpartition(-scores, k - 1)[:k]
-        else:
-            idx = np.arange(len(survivors))
-        order = np.lexsort((survivors[idx], -scores[idx]))
-        idx = idx[order]
+        idx = _topk_idx(scores, survivors, k)
         return pd.DataFrame({"doc_id": survivors[idx], "score": scores[idx]})
 
     return score_bucket
@@ -470,6 +490,7 @@ def _score_kernel(
 def _exhaustive(
     pdf, term_idf, terms_sorted, k, k1, b, avgdl, must_terms=(), not_terms=(),
     doc_range=None, should_terms=(), min_should=0, filter_groups=(),
+    avgdl_by_term=None,
 ) -> pd.DataFrame:
     """Fallback exhaustive scorer (handles duplicate doc_ids from deltas),
     with the same boolean candidate semantics as the pruned kernel."""
@@ -480,7 +501,9 @@ def _exhaustive(
     sorted_docs: dict[str, np.ndarray] = {}
     for term, grp in pdf.groupby("term", sort=True):
         tp = _TermPostings(grp)
-        w = tp.weights(k1, b, avgdl)
+        w = tp.weights(
+            k1, b, avgdl_by_term.get(term, avgdl) if avgdl_by_term else avgdl
+        )
         docs = tp.docs
         if len(docs) > 1:
             uniq, first_idx = np.unique(docs, return_index=True)
@@ -530,12 +553,7 @@ def _exhaustive(
         member = _in_sorted(docs, cand)
         pos = np.searchsorted(cand, docs[member])
         scores[pos] += term_idf[term] * w[member]
-    if len(cand) > k:
-        idx = np.argpartition(-scores, k - 1)[:k]
-    else:
-        idx = np.arange(len(cand))
-    order = np.lexsort((cand[idx], -scores[idx]))
-    idx = idx[order]
+    idx = _topk_idx(scores, cand, k)
     return pd.DataFrame({"doc_id": cand[idx], "score": scores[idx]})
 
 
@@ -789,6 +807,148 @@ def bm25_topk(
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+MAIN_FIELD_NAMES = ("", "text", "_text")
+
+
+def _parse_fields(fields) -> list[tuple[str | None, float]]:
+    """ES field spec: ["title^2", "text"] → [("title", 2.0), (None, 1.0)]
+    (None = the main, unprefixed field)."""
+    out = []
+    for f in fields:
+        name, _, boost = f.partition("^")
+        b = float(boost) if boost else 1.0
+        out.append((None if name in MAIN_FIELD_NAMES else name, b))
+    return out
+
+
+def _multi_match_plan(spark, out_dir, stats, query, fields, lookup=None):
+    """Per-field term/idf/avgdl resolution for multi_match. Returns
+    (per_field, tbs, scan_terms) where per_field = [(field, boost,
+    term_idf, avgdl)] keeping only fields with ≥1 indexed term; None when
+    nothing matches anywhere."""
+    from .build import KEYWORD_SEP
+
+    toks = tokenize(query)
+    if not toks:
+        return None
+    parsed = _parse_fields(fields)
+    lookup = lookup or (
+        lambda ts: _lookup_terms(
+            spark, out_dir, ts, stats["n_term_buckets"], committed=_committed(stats)
+        )
+    )
+    want: dict[str, list[str]] = {}
+    all_terms: set[str] = set()
+    for fname, _ in parsed:
+        qual = [
+            t if fname is None else f"{fname}{KEYWORD_SEP}{t}" for t in sorted(set(toks))
+        ]
+        want[fname or ""] = qual
+        all_terms.update(qual)
+    by_term = {e["term"]: e for e in lookup(sorted(all_terms))}
+    per_field, tbs, scan = [], set(), set()
+    for fname, boost in parsed:
+        qual = [t for t in want[fname or ""] if t in by_term]
+        if not qual:
+            continue
+        term_idf = {
+            t: boost * idf(stats["n_docs"], int(by_term[t]["df"])) for t in qual
+        }
+        avgdl = (
+            stats["avgdl"] if fname is None else field_avgdl(out_dir, fname, stats)
+        )
+        per_field.append((fname, boost, term_idf, avgdl))
+        scan.update(qual)
+        tbs.update(int(by_term[t]["tb"]) for t in qual)
+    if not per_field:
+        return None
+    return per_field, sorted(tbs), sorted(scan)
+
+
+def _merge_best_fields(per_field_rows: list[list[tuple[int, float]]], k: int):
+    """dis_max with tie_breaker=0: score(doc) = max over fields. The union
+    of per-field top-k contains the global top-k (if a doc is outside field
+    f's top-k, ≥k docs beat its f-score, and each of those beats it
+    globally), and a global top-k doc appears in its argmax field's top-k —
+    so the union+max merge is exact."""
+    best: dict[int, float] = {}
+    for rows in per_field_rows:
+        for d, s in rows:
+            if s > best.get(d, float("-inf")):
+                best[d] = s
+    ranked = sorted(best.items(), key=lambda kv: (-kv[1], kv[0]))
+    return ranked[:k]
+
+
+def multi_match_topk(
+    spark: SparkSession,
+    out_dir: str,
+    query: str,
+    fields: list[str],
+    k: int = 10,
+    *,
+    type: str = "best_fields",  # noqa: A002 — the ES parameter name
+    prune: bool = True,
+) -> DataFrame:
+    """ES multi_match over an index built with ``field_cols``: search
+    ``query`` across several analyzed fields with per-field boosts
+    (``"title^2"``; ``"text"`` = the main field). ``type='best_fields'``
+    (ES default) ranks by the best single field's BM25 score (dis_max,
+    tie_breaker=0); ``type='most_fields'`` sums the per-field scores in ONE
+    kernel pass (each field-qualified term normalized by ITS field's
+    avgdl). Distributed path; `Searcher.multi_match_rows` is the serving
+    twin (asserted identical in tests)."""
+    stats = load_stats(out_dir)
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    plan = _multi_match_plan(spark, out_dir, stats, query, fields)
+    if plan is None:
+        return empty
+    per_field, tbs, scan_terms = plan
+    tomb = _tombs(out_dir, stats)
+    seg = (
+        _seg_scan(spark, out_dir, stats)
+        .where(F.col("tb").isin(tbs) & F.col("term").isin(scan_terms))
+        .select(*_BLOCK_COLS, *(["run"] if tomb else []))
+    )
+    if type == "most_fields":
+        term_idf = {t: v for _, _, ti, _ in per_field for t, v in ti.items()}
+        abt = {t: av for _, _, ti, av in per_field for t in ti}
+        kern = _score_kernel(term_idf, k, prune=prune)
+        kern.k1, kern.b, kern.avgdl = stats["k1"], stats["b"], stats["avgdl"]
+        kern.max_candidates = None
+        kern.avgdl_by_term = abt
+        func = kern if not tomb else _with_tombstones(kern, tomb)
+        local = seg.groupBy("bucket").applyInPandas(
+            func, schema="doc_id long, score double"
+        )
+        return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    if type != "best_fields":
+        raise ValueError(f"unsupported multi_match type {type!r}")
+    # best_fields: per-field top-k (each its own kernel over ITS terms,
+    # scalar per-field avgdl), then the exact union+max merge
+    rows_per_field = []
+    for _fname, _boost, term_idf, avgdl in per_field:
+        f_terms = sorted(term_idf)
+        f_seg = seg.where(F.col("term").isin(f_terms))
+        kern = _score_kernel(term_idf, k, prune=prune)
+        kern.k1, kern.b, kern.avgdl = stats["k1"], stats["b"], avgdl
+        kern.max_candidates = None
+        func = kern if not tomb else _with_tombstones(kern, tomb)
+        local = f_seg.groupBy("bucket").applyInPandas(
+            func, schema="doc_id long, score double"
+        )
+        rows_per_field.append(
+            [(r.doc_id, r.score) for r in
+             local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()]
+        )
+    merged = _merge_best_fields(rows_per_field, k)
+    if not merged:
+        return empty
+    return spark.createDataFrame(
+        [(int(d), float(s)) for d, s in merged], "doc_id long, score double"
+    ).orderBy(F.desc("score"), F.asc("doc_id"))
+
+
 def _with_tombstones(kern, tomb: dict):
     """Wrap a per-bucket kernel so it scores the tombstone-purged view of
     its block frame (the kernel itself stays delete-unaware)."""
@@ -875,12 +1035,7 @@ def _phrase_kernel(phrase_tokens: list[str], idf_sum: float, k: int):
         pf = pf.astype(np.float64)
         w = (pf * (k1 + 1.0)) / (pf + k1 * (1.0 - b + b * (dl / avgdl)))
         scores = idf_sum * w
-        if len(docs_hit) > k:
-            idx = np.argpartition(-scores, k - 1)[:k]
-        else:
-            idx = np.arange(len(docs_hit))
-        order = np.lexsort((docs_hit[idx], -scores[idx]))
-        idx = idx[order]
+        idx = _topk_idx(scores, docs_hit, k)
         return pd.DataFrame({"doc_id": docs_hit[idx], "score": scores[idx]})
 
     return phrase_bucket
@@ -1298,6 +1453,63 @@ def _term_range(out_dir: str, lo: str | None, hi: str | None) -> pd.DataFrame:
     return pdf
 
 
+def _range_cf_sum(out_dir: str, lo: str, hi: str) -> int:
+    """Σ collection frequency over the [lo, hi) term range — the per-field
+    total-token count for multi_match norms. Served from the sorted
+    term_index (sidecar-pruned, cf column) when present; pre-cf layouts
+    fall back to the hash-dictionary scan (cf always stored there)."""
+    import glob as _glob
+    import json as _json
+
+    import pyarrow.dataset as ds
+
+    from .build import TERM_RANGES_FILE
+
+    ti_dir = os.path.join(out_dir, "term_index")
+    sidecar = os.path.join(out_dir, TERM_RANGES_FILE)
+    if os.path.isdir(ti_dir) and os.path.exists(sidecar):
+        with open(sidecar) as f:
+            ranges = _json.load(f)
+        files = [
+            os.path.join(ti_dir, rel)
+            for rel, (mn, mx) in sorted(ranges.items())
+            if mn < hi and mx >= lo
+        ]
+        if files:
+            try:
+                tbl = ds.dataset(files, format="parquet").to_table(
+                    filter=(ds.field("term") >= lo) & (ds.field("term") < hi),
+                    columns=["cf"],
+                )
+                return int(pd.Series(tbl["cf"].to_pandas()).sum()) if tbl.num_rows else 0
+            except Exception:  # noqa: BLE001 — pre-cf term_index layout
+                pass
+        else:
+            return 0
+    dict_files = _glob.glob(f"{out_dir}/dictionary/tb=*/run=*/*.parquet") + _glob.glob(
+        f"{out_dir}/dictionary/tb=*/*.parquet"
+    )
+    if not dict_files:
+        return 0
+    tbl = ds.dataset(dict_files, format="parquet").to_table(
+        filter=(ds.field("term") >= lo) & (ds.field("term") < hi), columns=["cf"]
+    )
+    return int(pd.Series(tbl["cf"].to_pandas()).sum()) if tbl.num_rows else 0
+
+
+def field_avgdl(out_dir: str, field: str, stats: dict) -> float:
+    """The field's average length for BM25 norms: Σ cf over its term range
+    ÷ corpus n_docs (docs without the field count as length 0 — the
+    deterministic convention; ES's per-field docCount refinement would need
+    a per-field doc ledger)."""
+    from .build import KEYWORD_SEP
+
+    lo = field + KEYWORD_SEP
+    total = _range_cf_sum(out_dir, lo, _range_hi(lo))
+    n = stats.get("n_docs") or 0
+    return (total / n) if n else 0.0
+
+
 def _rank_expansions(
     pdf: pd.DataFrame, max_expansions: int, pattern: str = ""
 ) -> list[str]:
@@ -1697,6 +1909,59 @@ class Searcher:
         if not terms:
             return []
         return self.search_rows(" ".join(terms), k)
+
+    def multi_match_rows(
+        self, query: str, fields: list[str], k: int = 10, *,
+        type: str = "best_fields",  # noqa: A002 — the ES parameter name
+        prune: bool = True,
+    ) -> list[tuple[int, float]]:
+        """Serving-path ES multi_match (see ``multi_match_topk``): per-field
+        BM25 over field-qualified postings, dis_max (best_fields) or
+        one-pass sum with per-field norms (most_fields). Zero Spark jobs on
+        a locally readable index."""
+        self._maybe_invalidate()
+        plan = _multi_match_plan(
+            self.spark, self.out_dir, self.stats, query, fields, lookup=self._entries
+        )
+        if plan is None:
+            return []
+        per_field, tbs, scan_terms = plan
+        blocks = self._local_blocks(tbs, scan_terms)
+        if blocks is None:
+            rows = multi_match_topk(
+                self.spark, self.out_dir, query, fields, k, type=type, prune=prune
+            ).collect()
+            return [(r.doc_id, r.score) for r in rows]
+        if type == "most_fields":
+            term_idf = {t: v for _, _, ti, _ in per_field for t, v in ti.items()}
+            abt = {t: av for _, _, ti, av in per_field for t in ti}
+            kern = _score_kernel(term_idf, k, prune=prune)
+            kern.k1, kern.b, kern.avgdl = self.stats["k1"], self.stats["b"], self.stats["avgdl"]
+            kern.max_candidates = self.max_candidates
+            kern.avgdl_by_term = abt
+            outs = [kern(grp) for _, grp in blocks.groupby("bucket", sort=True)]
+            outs = [o for o in outs if len(o)]
+            if not outs:
+                return []
+            allr = pd.concat(outs, ignore_index=True).sort_values(
+                ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+            )
+            return [(int(r.doc_id), float(r.score)) for r in allr.head(k).itertuples()]
+        if type != "best_fields":
+            raise ValueError(f"unsupported multi_match type {type!r}")
+        rows_per_field = []
+        for _fname, _boost, term_idf, avgdl in per_field:
+            f_blocks = blocks[blocks["term"].isin(set(term_idf))]
+            st = dict(self.stats, avgdl=avgdl)
+            rows_per_field.append(
+                _score_local(
+                    f_blocks, term_idf, k, st, prune,
+                    max_candidates=self.max_candidates,
+                )
+            )
+        return [
+            (int(d), float(s)) for d, s in _merge_best_fields(rows_per_field, k)
+        ]
 
     def search_highlight(
         self, query: str, k: int = 10, *,

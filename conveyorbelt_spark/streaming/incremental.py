@@ -73,6 +73,7 @@ def index_batch(
     store_docs: bool = False,
     positions: bool = False,
     keyword_cols: tuple = (),
+    field_cols: tuple = (),
 ) -> bool:
     """Append one batch of documents as a delta segment run. O(delta): the
     doclens/dictionary/manifest/stats updates all derive from this batch's
@@ -112,10 +113,16 @@ def index_batch(
         for kc in keyword_cols
     ]
     kw_cols = [(name, F.col(f"__kw_{name}")) for name, _ in kw_resolved]
+    ff_resolved = [
+        fc if isinstance(fc, tuple) else (fc, F.col(fc).cast("string"))
+        for fc in field_cols
+    ]
+    ff_cols = [(name, F.col(f"__ff_{name}")) for name, _ in ff_resolved]
     # url_col=None → the input already carries a stable doc_id column
     docs = (with_doc_id(docs, url_col) if url_col else docs).select(
         "doc_id", F.col(text_col).alias("text"),
         *[expr.cast("string").alias(f"__kw_{name}") for name, expr in kw_resolved],
+        *[expr.cast("string").alias(f"__ff_{name}") for name, expr in ff_resolved],
     )
 
     # --- doclens delta (O(batch)); persisted: it feeds both the run write
@@ -146,6 +153,10 @@ def index_batch(
         from ..index.build import keyword_postings
 
         tokens = tokens.unionByName(keyword_postings(docs, kw_cols, cfg["positions"]))
+    if ff_cols:
+        from ..index.build import field_postings
+
+        tokens = tokens.unionByName(field_postings(docs, ff_cols, cfg["positions"]))
     tokens = tokens.withColumn("bucket", _bucket_col(cfg["n_buckets"]))
     builder = _make_block_builder(cfg["block_size"], with_positions=cfg["positions"])
     blocks = (
