@@ -1281,6 +1281,63 @@ def facet_counts_spark(
     return out.limit(k) if k is not None else out
 
 
+def search_sorted(
+    spark: SparkSession,
+    out_dir: str,
+    query: str,
+    sort: list[tuple[str, str]],
+    k: int = 10,
+    *,
+    must: str | None = None,
+    must_not: str | None = None,
+    min_should: int = 0,
+    filters: dict | None = None,
+    ranges: dict | None = None,
+    search_after: tuple | None = None,
+) -> DataFrame:
+    """ES sort-by-field + search_after: hits of a bool+filter query ordered
+    by stored docstore columns instead of relevance, with cursor-style deep
+    pagination. ``sort`` is [(field, 'asc'|'desc'), ...]; ``doc_id`` asc is
+    appended as the final tiebreak (the ES _shard_doc analogue), so the
+    total order is unambiguous. ``search_after`` is the LAST ROW's sort-key
+    tuple (including the trailing doc_id) from the previous page; the next
+    page applies the lexicographic after-predicate BEFORE the top-k, so
+    page N+1 costs the same as page 1 — unlike from/size, which re-ranks
+    offset+k rows. Fully distributed: matching ids (no cap) ⋈ docstore →
+    filter → global sort → limit."""
+    keys = list(sort) + [("doc_id", "asc")]
+    hits = bool_doc_ids(
+        spark, out_dir, query, must=must, must_not=must_not,
+        min_should=min_should, filters=filters, ranges=ranges,
+    )
+    store = spark.read.parquet(os.path.join(out_dir, "docstore"))
+    joined = store.join(hits, "doc_id").select(
+        "doc_id", *[f for f, _ in sort if f != "doc_id"]
+    )
+    if search_after is not None:
+        if len(search_after) != len(keys):
+            raise ValueError(
+                f"search_after needs {len(keys)} values (sort keys + doc_id), "
+                f"got {len(search_after)}"
+            )
+        # lexicographic "strictly after" predicate, per-key direction-aware
+        pred = None
+        for i, (field, direction) in enumerate(keys):
+            beyond = (
+                F.col(field) > F.lit(search_after[i])
+                if direction == "asc"
+                else F.col(field) < F.lit(search_after[i])
+            )
+            for j in range(i):
+                beyond = beyond & (F.col(keys[j][0]) == F.lit(search_after[j]))
+            pred = beyond if pred is None else (pred | beyond)
+        joined = joined.where(pred)
+    order = [
+        F.col(f).asc() if d == "asc" else F.col(f).desc() for f, d in keys
+    ]
+    return joined.orderBy(*order).limit(k)
+
+
 _DH_TRUNC = {
     "minute": "minute", "hour": "hour", "day": "day",
     "week": "week", "month": "month", "year": "year",
@@ -1962,6 +2019,72 @@ class Searcher:
         return [
             (int(d), float(s)) for d, s in _merge_best_fields(rows_per_field, k)
         ]
+
+    def sorted_rows(
+        self, query: str, sort: list[tuple[str, str]], k: int = 10, *,
+        must: str | None = None, must_not: str | None = None,
+        filters: dict | None = None, ranges: dict | None = None,
+        search_after: tuple | None = None,
+    ) -> list[tuple]:
+        """ES sort + search_after (see ``search_sorted``). Field sorting
+        ranks the FULL matching set by docstore columns, so it runs on the
+        distributed path regardless of mode — the serving fast path only
+        covers relevance ranking, where per-bucket top-k bounds the work."""
+        df = search_sorted(
+            self.spark, self.out_dir, query, sort, k,
+            must=must, must_not=must_not, filters=filters, ranges=ranges,
+            search_after=search_after,
+        )
+        return [tuple(r) for r in df.collect()]
+
+    def more_like_this(
+        self, like, k: int = 10, *,
+        max_query_terms: int = 25, min_doc_freq: int = 2, min_term_freq: int = 1,
+        exclude_self: bool = True,
+    ) -> list[tuple[int, float]]:
+        """ES more_like_this: select the ``like`` document's most
+        interesting terms (Lucene's tf·idf interestingness, capped at
+        ``max_query_terms``, terms rarer than ``min_doc_freq`` corpus docs
+        or fewer than ``min_term_freq`` in-doc occurrences dropped) and run
+        them as a SHOULD bag. ``like`` is raw text, or a doc_id resolved
+        from the docstore (requires the index to store a ``text`` column:
+        ``write_docstore(extra_cols=('text',))``)."""
+        from collections import Counter
+
+        self._maybe_invalidate()
+        self_id = None
+        if isinstance(like, int):
+            from .build import lookup_docs
+
+            self_id = like
+            row = lookup_docs(self.out_dir, [like]).get(like)
+            if row is None or "text" not in row or row["text"] is None:
+                raise ValueError(
+                    f"doc {like} has no stored text — build the docstore with "
+                    "extra_cols=('text',) to use more_like_this by id"
+                )
+            text = row["text"]
+        else:
+            text = like
+        tf = Counter(tokenize(text))
+        if not tf:
+            return []
+        entries = {e["term"]: e for e in self._entries(sorted(tf))}
+        scored_terms = []
+        for t, f in tf.items():
+            e = entries.get(t)
+            if e is None or f < min_term_freq or int(e["df"]) < min_doc_freq:
+                continue
+            interest = f * idf(self.stats["n_docs"], int(e["df"]))
+            scored_terms.append((interest, t))
+        if not scored_terms:
+            return []
+        scored_terms.sort(key=lambda iv: (-iv[0], iv[1]))
+        sel = [t for _, t in scored_terms[:max_query_terms]]
+        rows = self.search_rows(" ".join(sel), k + (1 if exclude_self else 0))
+        if exclude_self and self_id is not None:
+            rows = [(d, s) for d, s in rows if d != self_id]
+        return rows[:k]
 
     def search_highlight(
         self, query: str, k: int = 10, *,
