@@ -9,9 +9,11 @@ Layout:
 - ``textutils``   pinned text extraction + tokenizer (the per-row invariant)
 - ``corpus``      deterministic synthetic Common-Crawl-style corpus
 - ``functions``   codecs (varint/delta-gap), text stats, tokenize kernels
-- ``index``       inverted-index build / query / manifest / pure-python oracle
+- ``index``       inverted-index build / query / daily time-slicing /
+                  deletes (tombstones) / manifest / pure-python oracle
 - ``sources``     parsers (IIS W3C, Sitecore, JSON, metrics), shard planner,
-                  SimpleFilter, multimodal binary-column plumbing
+                  SimpleFilter, Iceberg/parquet corpus adapter, multimodal
+                  binary-column plumbing
 - ``operators``   dedup (exact/minhash/simhash), ANN similarity, top-k
 - ``streaming``   incremental index build via foreachBatch
 """
@@ -33,6 +35,17 @@ def __getattr__(name: str):
         "incremental_index_stream": (
             "conveyorbelt_spark.streaming.incremental", "incremental_index_stream",
         ),
+        "compact_runs": ("conveyorbelt_spark.index.build", "compact_runs"),
+        "delete_docs": ("conveyorbelt_spark.index.delete", "delete_docs"),
+        "delete_by_query": ("conveyorbelt_spark.index.delete", "delete_by_query"),
+        "update_docs": ("conveyorbelt_spark.index.delete", "update_docs"),
+        "search_aggs": ("conveyorbelt_spark.index.query", "search_aggs"),
+        "search_sorted": ("conveyorbelt_spark.index.query", "search_sorted"),
+        "multi_match_topk": ("conveyorbelt_spark.index.query", "multi_match_topk"),
+        "facet_counts_spark": ("conveyorbelt_spark.index.query", "facet_counts_spark"),
+        "DailySearcher": ("conveyorbelt_spark.index.daily", "DailySearcher"),
+        "build_daily_index": ("conveyorbelt_spark.index.daily", "build_daily_index"),
+        "read_corpus": ("conveyorbelt_spark.sources.tables", "read_corpus"),
         "SourceSpec": ("conveyorbelt_spark.conveyor", "SourceSpec"),
         "SourceRegistry": ("conveyorbelt_spark.conveyor", "SourceRegistry"),
         "run_sources": ("conveyorbelt_spark.conveyor", "run_sources"),

@@ -5,6 +5,9 @@
         [--must "required terms"] [--must-not "deprecated"] [--min-should 2]
         [--phrase "exact phrase"] [--prefix te | --wildcard "te*m" | --fuzzy term]
         [--facet source] [--daily --from 2016-09-17 --to 2016-09-19]
+        [--filter lang=en --filter status=200,304] [--range nc=0100..0300]
+        [--fields "title^2,text" [--mm-type most_fields]]
+        [--mlt <doc_id|raw text>] [--sort rank:desc,tag:asc]
         [--queries-file conveyorbelt_spark/queries.json]
 """
 
@@ -38,7 +41,29 @@ def main() -> None:
     ap.add_argument("--to", dest="to_ts", help="daily window upper bound (ISO)")
     ap.add_argument("--resolve", action="store_true",
                     help="resolve hits through the doc-store (urls, not ids)")
+    ap.add_argument("--filter", action="append", default=[],
+                    help="keyword filter field=value[,value...] (ES filter context)")
+    ap.add_argument("--range", dest="ranges", action="append", default=[],
+                    help="keyword range filter field=lo..hi (inclusive, string order)")
+    ap.add_argument("--fields", help="multi_match fields, e.g. 'title^2,text'")
+    ap.add_argument("--mm-type", default="best_fields",
+                    choices=("best_fields", "most_fields"))
+    ap.add_argument("--mlt", help="more_like_this: a doc_id or raw text")
+    ap.add_argument("--sort", help="sort-by-field spec, e.g. 'rank:desc,tag:asc'")
     args = ap.parse_args()
+
+    filters = {}
+    for spec in args.filter:
+        field, _, vals = spec.partition("=")
+        vv = vals.split(",")
+        filters[field] = vv if len(vv) > 1 else vv[0]
+    ranges = {}
+    for spec in args.ranges:
+        field, _, bounds = spec.partition("=")
+        lo, _, hi = bounds.partition("..")
+        ranges[field] = (lo, hi)
+    filters = filters or None
+    ranges = ranges or None
 
     from pyspark.sql import SparkSession
 
@@ -65,6 +90,7 @@ def main() -> None:
             else ds.search_rows(
                 args.query, args.k, time_range=tr,
                 must=args.must, must_not=args.must_not,
+                filters=filters, ranges=ranges,
             )
         )
         for d, sc in rows:
@@ -77,8 +103,36 @@ def main() -> None:
         for r in facet_counts_spark(
             spark, args.index, args.facet, args.query,
             must=args.must, must_not=args.must_not, k=args.k,
+            filters=filters, ranges=ranges,
         ).collect():
             print(f"{r['facet']}\t{r['n']}")
+        return
+
+    if args.mlt:
+        like = int(args.mlt) if args.mlt.isdigit() else args.mlt
+        for d, sc in Searcher(spark, args.index).more_like_this(like, args.k):
+            print(f"{d}\t{sc}")
+        return
+
+    if args.fields:
+        fields = [f.strip() for f in args.fields.split(",") if f.strip()]
+        rows = Searcher(spark, args.index).multi_match_rows(
+            args.query, fields, args.k, type=args.mm_type
+        )
+        for d, sc in rows:
+            print(f"{d}\t{sc}")
+        return
+
+    if args.sort:
+        spec = []
+        for part in args.sort.split(","):
+            f, _, d = part.partition(":")
+            spec.append((f.strip(), (d or "asc").strip()))
+        for row in Searcher(spark, args.index).sorted_rows(
+            args.query, spec, args.k, must=args.must, must_not=args.must_not,
+            filters=filters, ranges=ranges,
+        ):
+            print("\t".join(str(v) for v in row))
         return
 
     if args.queries_file:
@@ -116,6 +170,7 @@ def main() -> None:
         rows = bm25_topk(
             spark, args.index, args.query, args.k,
             must=args.must, must_not=args.must_not, min_should=args.min_should,
+            filters=filters, ranges=ranges,
         ).collect()
         for r in rows:
             print(f"{r.doc_id}\t{r.score}")
