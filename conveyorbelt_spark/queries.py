@@ -1641,6 +1641,109 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q38_multi_match(spark, sf_dir):
+    """ES multi_match (best_fields, title^2) through the REAL index: a
+    title field synthesized deterministically as the text's first five
+    tokens is indexed via ``field_cols`` (field:token postings, per-field
+    tf/dl/df/avgdl), and the query ranks by the best single field's BM25
+    (dis_max). DuckDB twin: two per-field BM25 scorings (title avgdl = Σ
+    title tokens / corpus n_docs, the engine's convention) merged with
+    greatest()."""
+    import shutil
+    import tempfile
+
+    from .index.build import build_index
+    from .index.query import Searcher
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "title",
+        F.array_join(
+            F.slice(
+                F.filter(
+                    F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != ""
+                ),
+                1, 5,
+            ),
+            " ",
+        ),
+    )
+    out = tempfile.mkdtemp(prefix="cb_q38_idx_")
+    try:
+        build_index(
+            spark, docs.select("doc_id", "text", "title"), out, url_col=None,
+            n_buckets=8, field_cols=("title",),
+        )
+        rows = Searcher(spark, out).multi_match_rows(
+            " ".join(BM25_QUERY_TERMS), ["title^2", "text"], 20
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    res = spark.createDataFrame(
+        [(int(d), float(s)) for d, s in rows], "doc_id long, score double"
+    )
+    return res.select("doc_id", F.round("score", 4).alias("score")).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+
+
+Q38_SQL = f"""
+WITH toks AS ({_TOKENS_SQL}),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks WHERE term != '' GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+n AS (SELECT count(*) AS n_docs FROM documents),
+stats AS (
+  SELECT n.n_docs, (SELECT sum(dl) FROM dl)::DOUBLE / n.n_docs AS avgdl FROM n
+),
+q AS (SELECT unnest({BM25_QUERY_TERMS!r}) AS term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf
+       WHERE term IN (SELECT term FROM q) GROUP BY term),
+text_scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl)))) AS raw
+  FROM tf
+  JOIN df ON tf.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+ttoks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> x <> '')[1:5]) AS term
+  FROM documents
+),
+ttf AS (SELECT doc_id, term, count(*) AS tf FROM ttoks GROUP BY doc_id, term),
+tdl AS (SELECT doc_id, sum(tf) AS dl FROM ttf GROUP BY doc_id),
+tstats AS (
+  SELECT n.n_docs, (SELECT sum(dl) FROM tdl)::DOUBLE / n.n_docs AS avgdl FROM n
+),
+tdf AS (SELECT term, count(DISTINCT doc_id) AS df FROM ttf
+        WHERE term IN (SELECT term FROM q) GROUP BY term),
+title_scored AS (
+  SELECT ttf.doc_id,
+         sum(2.0 * ln(1.0 + (tstats.n_docs - tdf.df + 0.5) / (tdf.df + 0.5))
+             * (ttf.tf * 2.2)
+             / (ttf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (tdl.dl / tstats.avgdl)))) AS raw
+  FROM ttf
+  JOIN tdf ON ttf.term = tdf.term
+  JOIN tdl ON ttf.doc_id = tdl.doc_id
+  CROSS JOIN tstats
+  GROUP BY ttf.doc_id
+),
+best AS (
+  SELECT coalesce(t.doc_id, s.doc_id) AS doc_id,
+         greatest(coalesce(t.raw, -1e18), coalesce(s.raw, -1e18)) AS raw
+  FROM text_scored s FULL JOIN title_scored t ON s.doc_id = t.doc_id
+)
+SELECT doc_id, round(raw, 4) AS score
+FROM best ORDER BY raw DESC, doc_id ASC LIMIT 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -1679,6 +1782,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q35_filtered_search": q35_filtered_search,
     "q36_delete_by_query": q36_delete_by_query,
     "q37_date_histogram": q37_date_histogram,
+    "q38_multi_match": q38_multi_match,
 }
 
 ORACLES: dict[str, str] = {
@@ -1719,4 +1823,5 @@ ORACLES: dict[str, str] = {
     "q35_filtered_search": Q35_SQL,
     "q36_delete_by_query": Q36_SQL,
     "q37_date_histogram": Q37_SQL,
+    "q38_multi_match": Q38_SQL,
 }
