@@ -12,12 +12,44 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F  # noqa: N812
 
-from ..textutils import TOKEN_RE
+from ..textutils import (
+    _STEM_ES_GUARD_RE,
+    _STEM_IES_RE,
+    _STEM_S_RE,
+    TOKEN_RE,
+)
 
 TOKENS_SCHEMA = "doc_id long, term string, tf long, dl long"
 
 
-def _tokenize_batch(pdf: pd.DataFrame, id_col: str, text_col: str) -> pd.DataFrame:
+def _analyze_exploded(ex: pd.DataFrame, analyzer: dict) -> pd.DataFrame:
+    """Vectorized analyzer chain over the exploded (_row, doc_id, dl, term)
+    frame — the same regexes as ``textutils.stem_s``/``analyze`` (query and
+    build agree by construction). ``dl`` is recomputed as the POST-filter
+    token count (the Lucene convention: stopwords don't count toward
+    length norms)."""
+    stop = analyzer.get("stopwords") or []
+    if stop:
+        ex = ex[~ex["term"].isin(set(stop))]
+    ml = int(analyzer.get("min_len", 1))
+    if ml > 1:
+        ex = ex[ex["term"].str.len() >= ml]
+    if analyzer.get("stem") == "s":
+        t = ex["term"]
+        t_ies = t.str.replace(_STEM_IES_RE, "y", regex=True)
+        ies_applied = t_ies.ne(t)
+        guard = t.str.contains(_STEM_ES_GUARD_RE, regex=True)
+        stripped = t.str.replace(_STEM_S_RE, "", regex=True)
+        ex = ex.assign(term=t_ies.where(ies_applied, t.where(guard, stripped)))
+    if not len(ex):
+        return ex
+    dl2 = ex.groupby("_row")["term"].transform("size").astype("int64")
+    return ex.assign(dl=dl2)
+
+
+def _tokenize_batch(
+    pdf: pd.DataFrame, id_col: str, text_col: str, analyzer: dict | None = None
+) -> pd.DataFrame:
     """One Arrow batch: explode tokens, count (doc, term) pairs, attach dl."""
     toks = pdf[text_col].str.lower().str.findall(TOKEN_RE)
     dl = toks.str.len().astype("int64")
@@ -29,6 +61,8 @@ def _tokenize_batch(pdf: pd.DataFrame, id_col: str, text_col: str) -> pd.DataFra
     ).reset_index(names="_row")
     ex = ex.explode("term", ignore_index=True)
     ex = ex.dropna(subset=["term"])
+    if analyzer:
+        ex = _analyze_exploded(ex, analyzer)
     grouped = (
         ex.groupby(["_row", "doc_id", "dl", "term"], sort=False).size().rename("tf").reset_index()
     )
@@ -37,17 +71,21 @@ def _tokenize_batch(pdf: pd.DataFrame, id_col: str, text_col: str) -> pd.DataFra
     )
 
 
-def tokenize_to_postings(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def tokenize_to_postings(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    analyzer: dict | None = None,
+) -> DataFrame:
     """documents(id, text) → (doc_id, term, tf, dl), one row per (doc, term).
 
     ``dl`` (document length in tokens) is denormalized onto every tuple so
     the scorer never needs a doc-length join (SURVEY §2.6 J3: denormalized
-    preferred)."""
+    preferred). ``analyzer`` applies the optional stopword/min_len/stem
+    chain (see textutils.analyze) vectorized."""
 
     def run(batches):
         for pdf in batches:
             if len(pdf):
-                yield _tokenize_batch(pdf, id_col, text_col)
+                yield _tokenize_batch(pdf, id_col, text_col, analyzer)
 
     return df.select(id_col, text_col).mapInPandas(run, schema=TOKENS_SCHEMA)
 

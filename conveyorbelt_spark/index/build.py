@@ -150,8 +150,8 @@ def refresh_stats(spark: SparkSession, out_dir: str, defaults: dict | None = Non
     totals until ``compact_segments`` recounts from doclens. Config knobs
     come from the existing stats.json (or ``defaults`` on first write)."""
     stats_path = os.path.join(out_dir, "stats.json")
-    keys = ("k1", "b", "n_buckets", "block_size", "n_term_buckets", "positions")
-    fallback = {"positions": False}
+    keys = ("k1", "b", "n_buckets", "block_size", "n_term_buckets", "positions", "analyzer")
+    fallback = {"positions": False, "analyzer": None}
     cfg: dict = {}
     if os.path.exists(stats_path):
         with open(stats_path) as f:
@@ -269,6 +269,7 @@ def keyword_postings(
 
 def field_postings(
     docs: DataFrame, field_cols, positions: bool = False,
+    analyzer: dict | None = None,
 ) -> DataFrame:
     """Analyzed ADDITIONAL-field postings (ES multi-field mappings: the
     reference's analyzed columns beyond the main text, e.g. csUriStem in
@@ -284,7 +285,12 @@ def field_postings(
     for fc in field_cols:
         name, expr = fc if isinstance(fc, tuple) else (fc, F.col(fc).cast("string"))
         sub = docs.select("doc_id", expr.cast("string").alias("text"))
-        toks = tokenizer(sub, "doc_id", "text").withColumn(
+        toks = (
+            tokenizer(sub, "doc_id", "text", analyzer=analyzer)
+            if analyzer and not positions
+            else tokenizer(sub, "doc_id", "text")
+        )
+        toks = toks.withColumn(
             "term", F.concat(F.lit(name + KEYWORD_SEP), F.col("term"))
         )
         parts.append(toks)
@@ -439,8 +445,16 @@ def build_index(
     positions: bool = False,
     keyword_cols: tuple = (),
     field_cols: tuple = (),
+    analyzer: dict | None = None,
 ) -> dict:
     """Build the full index under ``out_dir``. Returns the stats dict.
+
+    ``analyzer`` opts into the ES-custom-analyzer chain
+    ({"stopwords": "english"|[...], "min_len": n, "stem": "s"}) applied
+    vectorized at build AND automatically to queries (persisted in
+    stats.json — index and query agree by construction). Not supported
+    together with ``positions`` (stopword removal would need Lucene
+    position-increment bookkeeping).
 
     ``keyword_cols`` names columns (or ("name", expr) pairs) indexed as
     exact keyword terms (``field:value``, tf=0) for ES filter-context
@@ -462,6 +476,14 @@ def build_index(
     # doclens via a (doc_id → min dl) agg, postings inside the sorted block
     # builder — so the only wide shuffle over text-derived data is the
     # (term, bucket) tokenize shuffle itself.
+    from ..textutils import analyzer_config
+
+    analyzer = analyzer_config(analyzer)
+    if analyzer and positions:
+        raise ValueError(
+            "analyzer + positions is unsupported: stopword removal would "
+            "shift phrase positions (needs position-increment gaps)"
+        )
     docs_in = docs
     # resolve keyword expressions against the FULL input row, then carry
     # them as materialized __kw_ columns through the narrowing select
@@ -538,11 +560,17 @@ def build_index(
         # pre-filter docs BY DOC-ID RANGE before tokenizing, so c commit
         # groups tokenize each doc once, not c times (bucket = top id bits)
         docs_g = docs.where(bucket_expr.isin(group)) if len(group) < n_buckets else docs
-        tokens = tokenizer(docs_g, "doc_id", "text")
+        tokens = (
+            tokenizer(docs_g, "doc_id", "text", analyzer=analyzer)
+            if analyzer
+            else tokenizer(docs_g, "doc_id", "text")
+        )
         if kw_cols:
             tokens = tokens.unionByName(keyword_postings(docs_g, kw_cols, positions))
         if ff_cols:
-            tokens = tokens.unionByName(field_postings(docs_g, ff_cols, positions))
+            tokens = tokens.unionByName(
+                field_postings(docs_g, ff_cols, positions, analyzer=analyzer)
+            )
         tokens = tokens.withColumn("bucket", _bucket_col(n_buckets))
         blocks = (
             tokens.repartition("term", "bucket")
@@ -596,6 +624,7 @@ def build_index(
             "block_size": block_size,
             "n_term_buckets": n_term_buckets,
             "positions": positions,
+            "analyzer": analyzer,
         },
     )
     _mark("stats")

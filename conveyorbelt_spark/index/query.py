@@ -705,9 +705,12 @@ def _bool_plan(
     filter_groups) or None when the result is provably empty (no scoring
     term indexed / a must term missing from the dictionary entirely / a
     filter group with no indexed member)."""
-    should_terms = set(tokenize(query)) if query else set()
-    must_terms = set(tokenize(must)) if must else set()
-    not_terms = set(tokenize(must_not)) if must_not else set()
+    from ..textutils import analyze
+
+    az = stats.get("analyzer")
+    should_terms = set(analyze(query, az)) if query else set()
+    must_terms = set(analyze(must, az)) if must else set()
+    not_terms = set(analyze(must_not, az)) if must_not else set()
     scoring = sorted(should_terms | must_terms)  # ES: must terms also score
     lookup = lookup or (
         lambda ts: _lookup_terms(
@@ -826,9 +829,10 @@ def _multi_match_plan(spark, out_dir, stats, query, fields, lookup=None):
     (per_field, tbs, scan_terms) where per_field = [(field, boost,
     term_idf, avgdl)] keeping only fields with ≥1 indexed term; None when
     nothing matches anywhere."""
+    from ..textutils import analyze
     from .build import KEYWORD_SEP
 
-    toks = tokenize(query)
+    toks = analyze(query, stats.get("analyzer"))
     if not toks:
         return None
     parsed = _parse_fields(fields)
@@ -1090,8 +1094,10 @@ def posting_docs(spark: SparkSession, out_dir: str, terms_query: str) -> DataFra
     """All doc_ids containing ANY of the query's terms (pruned scan +
     decode-docs-only kernel) — the candidate generator for MUST_NOT (J4)
     and for boolean set ops."""
+    from ..textutils import analyze
+
     stats = load_stats(out_dir)
-    terms = sorted(set(tokenize(terms_query)))
+    terms = sorted(set(analyze(terms_query, stats.get("analyzer"))))
     entries = _lookup_terms(
         spark, out_dir, terms, stats["n_term_buckets"], committed=_committed(stats)
     )
@@ -1195,9 +1201,12 @@ def bool_doc_ids(
     conditions (``min_should`` = ES minimum_should_match). The candidate
     generator for terms-aggregations (facets) and boolean set ops over
     matching sets too large to enumerate on the driver."""
-    should_terms = sorted(set(tokenize(query))) if query else []
-    must_terms = sorted(set(tokenize(must))) if must else []
-    not_terms = sorted(set(tokenize(must_not))) if must_not else []
+    from ..textutils import analyze
+
+    az = load_stats(out_dir).get("analyzer")
+    should_terms = sorted(set(analyze(query, az))) if query else []
+    must_terms = sorted(set(analyze(must, az))) if must else []
+    not_terms = sorted(set(analyze(must_not, az))) if must_not else []
     scoring = sorted(set(should_terms) | set(must_terms))
     if not scoring:
         return spark.createDataFrame([], "doc_id long")
@@ -1710,8 +1719,10 @@ def index_info(spark: SparkSession, out_dir: str) -> dict:
 
 def bm25_topk_sql(spark: SparkSession, out_dir: str, query: str, k: int = 10) -> DataFrame:
     """Oracle-mode scoring via exploded postings + joins (J2/J3 analogue)."""
+    from ..textutils import analyze
+
     stats = load_stats(out_dir)
-    terms = sorted(set(tokenize(query)))
+    terms = sorted(set(analyze(query, stats.get("analyzer"))))
     entries = _lookup_terms(
         spark, out_dir, terms, stats["n_term_buckets"], committed=_committed(stats)
     )
@@ -2066,7 +2077,9 @@ class Searcher:
             text = row["text"]
         else:
             text = like
-        tf = Counter(tokenize(text))
+        from ..textutils import analyze
+
+        tf = Counter(analyze(text, self.stats.get("analyzer")))
         if not tf:
             return []
         entries = {e["term"]: e for e in self._entries(sorted(tf))}

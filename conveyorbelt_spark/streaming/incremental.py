@@ -74,6 +74,7 @@ def index_batch(
     positions: bool = False,
     keyword_cols: tuple = (),
     field_cols: tuple = (),
+    analyzer: dict | None = None,
 ) -> bool:
     """Append one batch of documents as a delta segment run. O(delta): the
     doclens/dictionary/manifest/stats updates all derive from this batch's
@@ -91,12 +92,14 @@ def index_batch(
     ``compact_segments``'s exact recount heal any drift; the config flag
     exists for pipelines that re-ingest heavily between compactions.
     Returns True if work was done."""
+    from ..textutils import analyzer_config
+
     run_id = f"batch_{batch_id}"
     man_dir = os.path.join(out_dir, "manifest")
     cfg = {
         "k1": k1, "b": b, "n_buckets": n_buckets,
         "block_size": block_size, "n_term_buckets": n_term_buckets,
-        "positions": positions,
+        "positions": positions, "analyzer": analyzer_config(analyzer),
     }
     stats_path = os.path.join(out_dir, "stats.json")
     if os.path.exists(stats_path):
@@ -127,11 +130,25 @@ def index_batch(
 
     # --- doclens delta (O(batch)); persisted: it feeds both the run write
     # and the per-bucket doc ledger
-    doclens = (
-        docs.mapInPandas(_doclens_kernel, schema="doc_id long, dl long")
-        .groupBy("doc_id")
-        .agg(F.min("dl").alias("dl"))
-    )
+    if cfg.get("analyzer"):
+        # the cheap no-explode length kernel counts RAW tokens; with an
+        # analyzer the ledger must count post-filter lengths — derive dl
+        # from the analyzer-aware tokenize (empty-after-analysis docs keep
+        # a dl=0 row via the left join)
+        dls = tokenize_to_postings(
+            docs, "doc_id", "text", analyzer=cfg["analyzer"]
+        ).groupBy("doc_id").agg(F.min("dl").alias("dl"))
+        doclens = (
+            docs.select("doc_id").distinct()
+            .join(dls, "doc_id", "left")
+            .na.fill({"dl": 0})
+        )
+    else:
+        doclens = (
+            docs.mapInPandas(_doclens_kernel, schema="doc_id long, dl long")
+            .groupBy("doc_id")
+            .agg(F.min("dl").alias("dl"))
+        )
     dl_dir = os.path.join(out_dir, "doclens")
     if exact_stats and os.path.isdir(dl_dir):
         # exclude THIS run's partition: a replay after a mid-crash would
@@ -148,7 +165,11 @@ def index_batch(
 
     # --- posting blocks for this run (the one wide shuffle)
     tokenizer = tokenize_to_postings_pos if cfg["positions"] else tokenize_to_postings
-    tokens = tokenizer(docs, "doc_id", "text")
+    tokens = (
+        tokenizer(docs, "doc_id", "text", analyzer=cfg["analyzer"])
+        if cfg.get("analyzer")
+        else tokenizer(docs, "doc_id", "text")
+    )
     if kw_cols:
         from ..index.build import keyword_postings
 

@@ -51,3 +51,72 @@ def tokenize(text: str) -> list[str]:
 # BM25 constants (ES defaults; SURVEY.md §2.6 J3)
 BM25_K1 = 1.2
 BM25_B = 0.75
+
+
+# --- Optional analyzer chain (ES custom-analyzer analogue) ------------------
+# The PINNED tokenizer above stays the default (the parity invariant); an
+# index may opt into an analyzer at build time (build_index(analyzer=...));
+# the config is persisted in stats.json and the query side applies the SAME
+# chain, so index and query agree by construction. Filters, in order:
+#   stopwords: "english" (the classic Lucene/ES 33-word list) or a list
+#   min_len:   drop tokens shorter than this (default 1 = keep all)
+#   stem:      "s" = minimal english plural stemmer (Lucene
+#              EnglishMinimalStemFilter semantics, regex-pinned below)
+ENGLISH_STOPWORDS = frozenset(
+    "a an and are as at be but by for if in into is it no not of on or such "
+    "that the their then there these they this to was will with".split()
+)
+
+# plural rules, applied in order (both sides use these exact regexes):
+# 1. -ies → -y when ≥2 chars precede and the one before 'ies' isn't [ae]
+#    (queries→query, bodies→body; dies/aies/eies untouched)
+# 2. else keep protected -[iaoe]es endings (goes, dies) intact
+# 3. else drop a final -s when ≥3 chars precede and it isn't -ss/-us
+#    (windows→window; glass, virus, gas untouched)
+_STEM_IES_RE = re.compile(r"(?<=\w\w)(?<![ae])ies$")
+_STEM_S_RE = re.compile(r"(?<=\w{3})(?<![su])s$")
+_STEM_ES_GUARD_RE = re.compile(r"[iaoe]es$")
+
+
+def stem_s(word: str) -> str:
+    """Minimal english plural stemmer — one word (query side / oracles).
+    The build applies the SAME regexes vectorized (pandas .str.replace)."""
+    w = _STEM_IES_RE.sub("y", word)
+    if w != word:
+        return w
+    if _STEM_ES_GUARD_RE.search(word):
+        return word
+    return _STEM_S_RE.sub("", word)
+
+
+def analyzer_config(analyzer) -> dict | None:
+    """Normalize an analyzer spec: None → None; dict keys stopwords
+    ("english" | list), min_len (int ≥1), stem ("s" | None)."""
+    if not analyzer:
+        return None
+    stop = analyzer.get("stopwords")
+    if stop == "english":
+        stop = sorted(ENGLISH_STOPWORDS)
+    return {
+        "stopwords": sorted(stop) if stop else [],
+        "min_len": int(analyzer.get("min_len", 1)),
+        "stem": analyzer.get("stem") or None,
+    }
+
+
+def analyze(text_or_tokens, analyzer: dict | None) -> list[str]:
+    """Tokenize + apply the analyzer chain (query-side / oracle use; the
+    build applies the same chain vectorized in the tokenize kernel)."""
+    toks = (
+        tokenize(text_or_tokens)
+        if isinstance(text_or_tokens, str)
+        else list(text_or_tokens)
+    )
+    if not analyzer:
+        return toks
+    stop = set(analyzer.get("stopwords") or [])
+    min_len = int(analyzer.get("min_len", 1))
+    out = [t for t in toks if t not in stop and len(t) >= min_len]
+    if analyzer.get("stem") == "s":
+        out = [stem_s(t) for t in out]
+    return out
