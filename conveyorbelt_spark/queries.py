@@ -1744,6 +1744,87 @@ FROM best ORDER BY raw DESC, doc_id ASC LIMIT 20
 """
 
 
+def q39_analyzed_search(spark, sf_dir):
+    """BM25 over an ANALYZED index (ES custom analyzer: english stopwords +
+    minimal plural stemming), queried with surface forms ('sparks joins
+    windows') that the query-side chain reduces to the indexed stems —
+    index and query agree through the persisted stats config. DuckDB twin:
+    the same chain as SQL (stopword NOT IN + a CASE stemmer equivalent to
+    textutils.stem_s — RE2 has no lookbehind, so the rules are expressed
+    with substr/length), then q10-style BM25."""
+    import shutil
+    import tempfile
+
+    from .index.build import build_index
+    from .index.query import Searcher
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="cb_q39_idx_")
+    try:
+        build_index(
+            spark, docs.select("doc_id", "text"), out, url_col=None, n_buckets=8,
+            analyzer={"stopwords": "english", "stem": "s"},
+        )
+        rows = Searcher(spark, out).search_rows("sparks joins windows", 20)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    res = spark.createDataFrame(
+        [(int(d), float(s)) for d, s in rows], "doc_id long, score double"
+    )
+    return res.select("doc_id", F.round("score", 4).alias("score")).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+
+
+def _q39_sql() -> str:
+    from .textutils import ENGLISH_STOPWORDS
+
+    stop_list = ", ".join(f"'{w}'" for w in sorted(ENGLISH_STOPWORDS))
+    stem_case = """
+  CASE
+    WHEN length(term) >= 5 AND substr(term, length(term)-3, 1) NOT IN ('a','e')
+         AND term LIKE '%ies'
+      THEN substr(term, 1, length(term)-3) || 'y'
+    WHEN regexp_matches(term, '[iaoe]es$') THEN term
+    WHEN length(term) >= 4 AND substr(term, length(term)-1, 1) NOT IN ('s','u')
+         AND term LIKE '%s'
+      THEN substr(term, 1, length(term)-1)
+    ELSE term
+  END"""
+    return f"""
+WITH rawtoks AS ({_TOKENS_SQL}),
+stoks AS (
+  SELECT doc_id, {stem_case} AS term
+  FROM rawtoks WHERE term <> '' AND term NOT IN ({stop_list})
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM stoks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+q AS (SELECT unnest(['spark', 'join', 'window']) AS term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf
+       WHERE term IN (SELECT term FROM q) GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl)))) AS raw
+  FROM tf
+  JOIN df ON tf.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(raw, 4) AS score
+FROM scored ORDER BY raw DESC, doc_id ASC LIMIT 20
+"""
+
+
+Q39_SQL = _q39_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -1783,6 +1864,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q36_delete_by_query": q36_delete_by_query,
     "q37_date_histogram": q37_date_histogram,
     "q38_multi_match": q38_multi_match,
+    "q39_analyzed_search": q39_analyzed_search,
 }
 
 ORACLES: dict[str, str] = {
@@ -1824,4 +1906,5 @@ ORACLES: dict[str, str] = {
     "q36_delete_by_query": Q36_SQL,
     "q37_date_histogram": Q37_SQL,
     "q38_multi_match": Q38_SQL,
+    "q39_analyzed_search": Q39_SQL,
 }
