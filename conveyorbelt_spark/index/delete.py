@@ -205,14 +205,20 @@ def apply_tombstones(pdf: pd.DataFrame, tomb: dict[str, np.ndarray]) -> pd.DataF
     runs = pdf["run"].to_numpy()
     min_d = pdf["min_doc"].to_numpy()
     max_d = pdf["max_doc"].to_numpy()
+    # vectorized per-run interval test (compaction purges whole batches
+    # through here): a block needs surgery iff its run has a tombstoned id
+    # inside [min_doc, max_doc]
     need = np.zeros(len(pdf), dtype=bool)
-    for i in range(len(pdf)):
-        ids = tomb.get(runs[i])
-        if ids is None or not len(ids):
+    for run, ids in tomb.items():
+        if not len(ids):
             continue
-        j = int(np.searchsorted(ids, min_d[i]))
-        if j < len(ids) and ids[j] <= max_d[i]:
-            need[i] = True
+        sel = runs == run
+        if not sel.any():
+            continue
+        j = np.searchsorted(ids, min_d[sel])
+        inb = j < len(ids)
+        hit = inb & (ids[np.minimum(j, len(ids) - 1)] <= max_d[sel])
+        need[sel] = hit
     if not need.any():
         return pdf
     has_pos = "poss" in pdf.columns

@@ -1391,6 +1391,11 @@ def search_aggs(
     )
     store = spark.read.parquet(os.path.join(out_dir, "docstore"))
     joined = store.join(hits, "doc_id")
+    if len(aggs) > 1:
+        # each agg is its own Spark action — materialize the matching-set
+        # join once instead of re-running the posting scan per agg
+        # (localCheckpoint, not persist: blocks are GC-released, r2 lesson)
+        joined = joined.localCheckpoint(eager=True)
     out: dict[str, DataFrame] = {}
     for name, spec in aggs.items():
         if len(spec) != 1:
