@@ -317,13 +317,31 @@ class DailySearcher:
         from functools import reduce
 
         def one_day(d):
+            d_stats = load_stats(day_dir(self.root, d))
             seg = self.spark.read.parquet(
                 os.path.join(day_dir(self.root, d), "segments")
             ).where(F.col("tb").isin(tbs) & F.col("term").isin(scan_terms))
-            snap = _committed(load_stats(day_dir(self.root, d)))
+            snap = _committed(d_stats)
             if snap is not None:
                 seg = seg.where(F.col("run").isin(sorted(snap)))
-            return seg.select(*_BLOCK_COLS)
+            base = seg.select(*_BLOCK_COLS)
+            tomb_d = _tombs(day_dir(self.root, d), d_stats)
+            if tomb_d:
+                # deletes apply PER DAY before the union: day sub-indexes
+                # reuse run names (full-g0, batch_N), so one merged
+                # tombstone map would cross-contaminate days; block surgery
+                # is row-local — no grouping needed here
+                from .delete import apply_tombstones
+
+                withrun = seg.select(*_BLOCK_COLS, "run")
+
+                def strip(it, _t=tomb_d):
+                    for pdf in it:
+                        out = apply_tombstones(pdf, _t)
+                        yield out.drop(columns=["run"])
+
+                base = withrun.mapInPandas(strip, schema=base.schema)
+            return base
 
         seg = reduce(DataFrame.unionByName, [one_day(d) for d in days])
         kern = _score_kernel(

@@ -210,3 +210,10 @@ def test_daily_searcher_respects_per_day_deletes(spark, tmp_path):
     after = dict(DailySearcher(spark, root).search_rows("spark join", 100))
     assert set(after) == set(range(1, 20))
     assert all(abs(after[d] - base[d]) < 1e-12 for d in after)
+    # the distributed path applies the same per-day tombstones (day
+    # sub-indexes reuse run names — surgery must happen before the union)
+    sp = {
+        r.doc_id
+        for r in DailySearcher(spark, root).search("spark join", 100).collect()
+    }
+    assert sp == set(after)
