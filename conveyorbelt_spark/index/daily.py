@@ -371,15 +371,20 @@ class DailySearcher:
         phrase_tokens, idf_sum, tbs, distinct = plan
         frames = []
         for day in days:
+            d_dir = day_dir(self.root, day)
+            d_stats = load_stats(d_dir)
+            d_tomb = _tombs(d_dir, d_stats)
             b = _read_blocks_local(
-                day_dir(self.root, day), tbs, distinct,
+                d_dir, tbs, distinct,
                 columns=_BLOCK_COLS + ["poss"],
-                committed=_committed(load_stats(day_dir(self.root, day))),
+                committed=_committed(d_stats), with_run=bool(d_tomb),
             )
             if b is None:
-                raise FileNotFoundError(
-                    f"{day_dir(self.root, day)}/segments is not locally readable"
-                )
+                raise FileNotFoundError(f"{d_dir}/segments is not locally readable")
+            if d_tomb and len(b):
+                from .delete import apply_tombstones
+
+                b = apply_tombstones(b, d_tomb).drop(columns=["run"])
             if len(b):
                 frames.append(b)
         if not frames:

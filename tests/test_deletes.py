@@ -217,3 +217,25 @@ def test_daily_searcher_respects_per_day_deletes(spark, tmp_path):
         for r in DailySearcher(spark, root).search("spark join", 100).collect()
     }
     assert sp == set(after)
+
+
+def test_daily_phrase_respects_deletes(spark, tmp_path):
+    import datetime as dt
+
+    from conveyorbelt_spark.index.daily import DailySearcher, build_daily_index, day_dir
+
+    root = str(tmp_path / "dphrase")
+    rows = [
+        (i, "big data spark join", dt.datetime(2016, 9, 16 + (i % 2), 12))
+        for i in range(8)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, warc_ts timestamp")
+    build_daily_index(
+        spark, docs, root, url_col=None, n_buckets=2, n_term_buckets=4,
+        positions=True,
+    )
+    base = {d for d, _ in DailySearcher(spark, root).phrase_rows("spark join", 50)}
+    assert base == set(range(8))
+    delete_docs(spark, day_dir(root, "20160916"), [0, 2])
+    after = {d for d, _ in DailySearcher(spark, root).phrase_rows("spark join", 50)}
+    assert after == set(range(8)) - {0, 2}
