@@ -46,6 +46,7 @@ def __getattr__(name: str):
         "DailySearcher": ("conveyorbelt_spark.index.daily", "DailySearcher"),
         "build_daily_index": ("conveyorbelt_spark.index.daily", "build_daily_index"),
         "read_corpus": ("conveyorbelt_spark.sources.tables", "read_corpus"),
+        "search_body": ("conveyorbelt_spark.index.dsl", "search_body"),
         "SourceSpec": ("conveyorbelt_spark.conveyor", "SourceSpec"),
         "SourceRegistry": ("conveyorbelt_spark.conveyor", "SourceRegistry"),
         "run_sources": ("conveyorbelt_spark.conveyor", "run_sources"),

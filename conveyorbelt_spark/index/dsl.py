@@ -1,0 +1,324 @@
+"""Elasticsearch-request-shaped query DSL over the engine.
+
+The reference's users talk to Elasticsearch with JSON request bodies
+(Kibana panels, NEST queries — e.g. the ES queries the dashboards in
+aliostad/ConveyorBelt's README issue against the pushed indexes). This
+module accepts that shape directly, so those queries run against this
+engine verbatim within the SUPPORTED SUBSET — the query types every other
+part of this repo already implements:
+
+query context:
+  match            {"match": {"text": "spark join"}}          → scored SHOULD
+  match_phrase     {"match_phrase": {"text": "exact phrase"}} → positional index
+  multi_match      {"multi_match": {"query": q, "fields": ["title^2","text"],
+                    "type": "best_fields"|"most_fields"}}
+  prefix/wildcard/fuzzy  {"prefix": {"text": "te"}} …          → expansion bag
+  more_like_this   {"more_like_this": {"like": <doc_id|text>, ...knobs}}
+  match_all        {"match_all": {}} (only with filters/sort — something
+                   must bound the result)
+  bool             {"bool": {"must": [...], "should": [...],
+                    "must_not": [...], "filter": [...],
+                    "minimum_should_match": n}}
+
+filter context (inside bool.filter, or top-level "filter"):
+  term   {"term":  {"lang": "en"}}        — keyword-field posting filter
+  terms  {"terms": {"status": ["200", "304"]}}
+  range  {"range": {"nc": {"gte": "0100", "lte": "0300"}}} (inclusive
+         string-order bounds over indexed keyword values)
+
+request level: "size", "from", "sort" ([{"field": "desc"}] or ["field"]),
+"search_after", "aggs" (the search_aggs shape), "highlight"
+{"fields": {col: {}}}, "_source" (bool), "track_total_hits" (bool —
+True runs the uncapped distributed count).
+
+Response is ES-shaped: {"hits": {"total": {"value": N, "relation":
+"eq"|"gte"}, "hits": [{"_id", "_score", "_source"?, "highlight"?}]},
+"aggregations": {name: rows}}.
+
+Simplifications vs real ES (documented, deliberate):
+- match inside bool.must means REQUIRED terms (they score, like ES must);
+  multiple must clauses concatenate their terms.
+- term/terms/range queries are filter-context only (constant-score query
+  context is not emulated).
+- one scoring clause kind per request (match XOR phrase XOR multi_match…);
+  compose via bool for the must/should/not/filter algebra.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from .query import Searcher, search_aggs, search_sorted
+
+
+class UnsupportedDSL(ValueError):
+    """The request uses a shape outside the supported subset."""
+
+
+def _one(d: dict) -> tuple[str, Any]:
+    if not isinstance(d, dict) or len(d) != 1:
+        raise UnsupportedDSL(f"expected a single-key clause, got {d!r}")
+    return next(iter(d.items()))
+
+
+def _match_text(clause: dict) -> str:
+    field, spec = _one(clause)
+    text = spec["query"] if isinstance(spec, dict) else spec
+    if field not in ("text", "_text", ""):
+        # a match on a non-main field is a single-field multi_match
+        raise _NonMainMatch(field, str(text))
+    return str(text)
+
+
+class _NonMainMatch(Exception):
+    def __init__(self, field: str, text: str):
+        self.field, self.text = field, text
+
+
+def _filter_clause(clause: dict, filters: dict, ranges: dict) -> None:
+    kind, body = _one(clause)
+    if kind == "term":
+        field, val = _one(body)
+        val = val["value"] if isinstance(val, dict) else val
+        filters[field] = str(val)
+    elif kind == "terms":
+        field, vals = _one(body)
+        filters[field] = [str(v) for v in vals]
+    elif kind == "range":
+        field, spec = _one(body)
+        lo = spec.get("gte", spec.get("gt"))
+        hi = spec.get("lte", spec.get("lt"))
+        if lo is None or hi is None or "gt" in spec or "lt" in spec:
+            raise UnsupportedDSL(
+                "range filters need inclusive gte+lte bounds (exclusive "
+                "gt/lt over string-ordered keyword terms are not emulated)"
+            )
+        ranges[field] = (str(lo), str(hi))
+    else:
+        raise UnsupportedDSL(f"unsupported filter clause {kind!r}")
+
+
+def parse_query(query: dict) -> dict:
+    """The query-context half of a request body → engine arguments."""
+    plan: dict[str, Any] = {
+        "query": "", "must": None, "must_not": None, "min_should": 0,
+        "filters": {}, "ranges": {}, "phrase": None, "mm": None,
+        "expand": None, "mlt": None, "match_all": False,
+    }
+    if query is None:
+        plan["match_all"] = True
+        return plan
+    kind, body = _one(query)
+    if kind == "match":
+        plan["query"] = _match_text(body)
+    elif kind == "match_all":
+        plan["match_all"] = True
+    elif kind == "match_phrase":
+        _field, spec = _one(body)
+        plan["phrase"] = spec["query"] if isinstance(spec, dict) else str(spec)
+    elif kind == "multi_match":
+        plan["mm"] = {
+            "query": body["query"],
+            "fields": list(body["fields"]),
+            "type": body.get("type", "best_fields"),
+        }
+    elif kind in ("prefix", "wildcard", "fuzzy"):
+        field, spec = _one(body)
+        val = spec["value"] if isinstance(spec, dict) else spec
+        plan["expand"] = (kind, str(val), spec if isinstance(spec, dict) else {})
+    elif kind == "more_like_this":
+        plan["mlt"] = dict(body)
+    elif kind == "bool":
+        shoulds, musts, must_nots = [], [], []
+        for clause in body.get("filter", []) or []:
+            _filter_clause(clause, plan["filters"], plan["ranges"])
+        for clause in body.get("should", []) or []:
+            k2, b2 = _one(clause)
+            if k2 != "match":
+                raise UnsupportedDSL(f"bool.should supports match, got {k2!r}")
+            shoulds.append(_match_text(b2))
+        for clause in body.get("must", []) or []:
+            k2, b2 = _one(clause)
+            if k2 == "match":
+                musts.append(_match_text(b2))
+            elif k2 in ("term", "terms", "range"):
+                # ES scores term-queries in must; here they filter (const-
+                # score emulation is out of subset — documented)
+                _filter_clause(clause, plan["filters"], plan["ranges"])
+            else:
+                raise UnsupportedDSL(f"bool.must supports match/term/terms/range, got {k2!r}")
+        for clause in body.get("must_not", []) or []:
+            k2, b2 = _one(clause)
+            if k2 != "match":
+                raise UnsupportedDSL(f"bool.must_not supports match, got {k2!r}")
+            must_nots.append(_match_text(b2))
+        plan["query"] = " ".join(shoulds)
+        plan["must"] = " ".join(musts) or None
+        plan["must_not"] = " ".join(must_nots) or None
+        plan["min_should"] = int(body.get("minimum_should_match", 0) or 0)
+        if not plan["query"] and not plan["must"]:
+            plan["match_all"] = True
+    else:
+        raise UnsupportedDSL(f"unsupported query clause {kind!r}")
+    return plan
+
+
+def search_body(spark: SparkSession, out_dir: str, body: dict) -> dict:
+    """Execute an ES-shaped request body; returns an ES-shaped response."""
+    body = dict(body or {})
+    plan = parse_query(body.get("query"))
+    size = int(body.get("size", 10))
+    from_ = int(body.get("from", 0))
+    filters = plan["filters"] or None
+    ranges = plan["ranges"] or None
+    s = Searcher(spark, out_dir)
+
+    sort_spec = body.get("sort")
+    rows: list[tuple[int, float]]
+    sorted_rows_cols: list[tuple] | None = None
+    if sort_spec:
+        keys = []
+        for item in sort_spec:
+            if isinstance(item, str):
+                keys.append((item, "asc"))
+            else:
+                f, d = _one(item)
+                keys.append((f, d.get("order", "asc") if isinstance(d, dict) else str(d)))
+        if (
+            plan["match_all"] and not plan["query"] and not plan["must"]
+            and not filters and not ranges
+        ):
+            raise UnsupportedDSL(
+                "sorted match_all needs at least a filter or match clause "
+                "(an unbounded full-corpus export is a scan, not a search)"
+            )
+        sorted_rows_cols = [
+            tuple(r)
+            for r in search_sorted(
+                spark, out_dir, plan["query"] or plan["must"] or "", keys,
+                size, must=plan["must"], must_not=plan["must_not"],
+                min_should=plan["min_should"], filters=filters, ranges=ranges,
+                search_after=tuple(body["search_after"]) if body.get("search_after") else None,
+            ).collect()
+        ]
+        rows = [(r[0], float("nan")) for r in sorted_rows_cols]
+    elif plan["phrase"] is not None:
+        rows = s.phrase_rows(plan["phrase"], size + from_)[from_:]
+    elif plan["mm"] is not None:
+        rows = s.multi_match_rows(
+            plan["mm"]["query"], plan["mm"]["fields"], size + from_,
+            type=plan["mm"]["type"],
+        )[from_:]
+    elif plan["expand"] is not None:
+        kind, val, spec = plan["expand"]
+        if kind == "prefix":
+            rows = s.prefix_rows(val, size + from_)[from_:]
+        elif kind == "wildcard":
+            rows = s.wildcard_rows(val, size + from_)[from_:]
+        else:
+            rows = s.fuzzy_rows(
+                val, size + from_, fuzziness=int(spec.get("fuzziness", 1)),
+            )[from_:]
+    elif plan["mlt"] is not None:
+        knobs = {
+            k: plan["mlt"][k]
+            for k in ("max_query_terms", "min_doc_freq", "min_term_freq")
+            if k in plan["mlt"]
+        }
+        rows = s.more_like_this(plan["mlt"]["like"], size + from_, **knobs)[from_:]
+    elif plan["match_all"]:
+        if not filters and not ranges:
+            raise UnsupportedDSL(
+                "match_all without sort or filters is unbounded; add a "
+                "filter, a sort (export), or a scoring clause"
+            )
+        # filter-only query (the Kibana "all docs where …" shape): ES
+        # scores these 1.0; order by doc_id for determinism
+        from .query import bool_doc_ids
+
+        ids = (
+            bool_doc_ids(spark, out_dir, "", filters=filters, ranges=ranges)
+            .orderBy("doc_id").limit(size + from_).collect()
+        )
+        rows = [(r.doc_id, 1.0) for r in ids][from_:]
+    else:
+        rows = s.search_rows(
+            plan["query"], size, must=plan["must"], must_not=plan["must_not"],
+            min_should=plan["min_should"], offset=from_,
+            filters=filters, ranges=ranges,
+        )
+
+    hits = []
+    want_source = body.get("_source", False)
+    meta = {}
+    if want_source or body.get("highlight"):
+        from .build import lookup_docs
+
+        meta = lookup_docs(out_dir, [d for d, _ in rows])
+    hl_cols = list((body.get("highlight") or {}).get("fields") or {})
+    for i, (d, sc) in enumerate(rows):
+        hit: dict[str, Any] = {"_id": int(d), "_score": None if sort_spec else float(sc)}
+        if sort_spec:
+            hit["sort"] = list(sorted_rows_cols[i][1:]) + [int(d)]
+        if want_source and d in meta:
+            src = {k: v for k, v in meta[d].items() if k not in ("bucket", "run")}
+            hit["_source"] = src
+        if hl_cols and d in meta and plan["query"]:
+            frags = {}
+            for col in hl_cols:
+                text = meta[d].get(col)
+                if text:
+                    frags[col] = _highlight_fragment(text, plan["query"])
+            hit["highlight"] = {k: [v] for k, v in frags.items() if v}
+        hits.append(hit)
+
+    total = {"value": len(hits) + from_, "relation": "gte"}
+    if body.get("track_total_hits"):
+        from .query import bool_doc_ids
+
+        total = {
+            "value": bool_doc_ids(
+                spark, out_dir, plan["query"], must=plan["must"],
+                must_not=plan["must_not"], min_should=plan["min_should"],
+                filters=filters, ranges=ranges,
+            ).count(),
+            "relation": "eq",
+        }
+
+    resp: dict[str, Any] = {"hits": {"total": total, "hits": hits}}
+    if body.get("aggs"):
+        aggs = search_aggs(
+            spark, out_dir, body["aggs"], plan["query"],
+            must=plan["must"], must_not=plan["must_not"],
+            min_should=plan["min_should"], filters=filters, ranges=ranges,
+        )
+        resp["aggregations"] = {
+            name: [r.asDict() for r in df.collect()] for name, df in aggs.items()
+        }
+    return resp
+
+
+def _highlight_fragment(text: str, query: str, width: int = 160) -> str | None:
+    """Plain-highlighter fragment: first query-term occurrence centered,
+    every query-term occurrence tagged (token-boundary, case-insensitive)."""
+    import re
+
+    from ..textutils import tokenize
+
+    terms = sorted(set(tokenize(query)))
+    if not terms:
+        return None
+    rx = re.compile(
+        r"(?<![a-z0-9])(" + "|".join(re.escape(t) for t in terms) + r")(?![a-z0-9])",
+        re.IGNORECASE,
+    )
+    m = rx.search(text)
+    if not m:
+        return None
+    lo = max(0, m.start() - width // 2)
+    hi = min(len(text), lo + width)
+    frag = text[lo:hi]
+    return rx.sub(lambda mm: f"<em>{mm.group(0)}</em>", frag)

@@ -1208,8 +1208,6 @@ def bool_doc_ids(
     must_terms = sorted(set(analyze(must, az))) if must else []
     not_terms = sorted(set(analyze(must_not, az))) if must_not else []
     scoring = sorted(set(should_terms) | set(must_terms))
-    if not scoring:
-        return spark.createDataFrame([], "doc_id long")
     fgroups: list[list[str]] = []
     if filters or ranges:
         want = _filter_want(
@@ -1218,6 +1216,8 @@ def bool_doc_ids(
         if want is None:
             return spark.createDataFrame([], "doc_id long")
         fgroups = want
+    if not scoring and not fgroups:
+        return spark.createDataFrame([], "doc_id long")
     flat_filters = sorted({t for g in fgroups for t in g})
     pairs = term_doc_pairs(
         spark, out_dir, sorted(set(scoring) | set(not_terms) | set(flat_filters))
@@ -1248,10 +1248,13 @@ def bool_doc_ids(
     agg = pairs.groupBy("doc_id").agg(*agg_cols)
     cond = (
         (F.col("n_must") == len(must_terms))
-        & (F.col("any_should") == 1)
         & (F.col("n_should") >= min_should)
         & (F.col("any_not") == 0)
     )
+    if scoring:
+        cond = cond & (F.col("any_should") == 1)
+    # else: filter-only query (ES match_all + filter) — candidates come
+    # from the keyword-term postings themselves
     for i in range(len(fgroups)):
         cond = cond & (F.col(f"f{i}") == 1)
     return agg.where(cond).select("doc_id")

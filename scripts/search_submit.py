@@ -50,6 +50,7 @@ def main() -> None:
                     choices=("best_fields", "most_fields"))
     ap.add_argument("--mlt", help="more_like_this: a doc_id or raw text")
     ap.add_argument("--sort", help="sort-by-field spec, e.g. 'rank:desc,tag:asc'")
+    ap.add_argument("--body", help="path to an ES-request-shaped JSON body (the DSL)")
     args = ap.parse_args()
 
     filters = {}
@@ -106,6 +107,14 @@ def main() -> None:
             filters=filters, ranges=ranges,
         ).collect():
             print(f"{r['facet']}\t{r['n']}")
+        return
+
+    if args.body:
+        from conveyorbelt_spark.index.dsl import search_body
+
+        with open(args.body) as f:
+            body = json.load(f)
+        print(json.dumps(search_body(spark, args.index, body), default=str))
         return
 
     if args.mlt:

@@ -1,0 +1,132 @@
+"""ES-request-body DSL: the JSON shapes the reference's users send to
+Elasticsearch run verbatim against this engine (supported subset), with
+ES-shaped responses. Each body is pinned against the direct API it
+dispatches to."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from conveyorbelt_spark.index.build import build_index, sortable_int_col, write_docstore
+from conveyorbelt_spark.index.dsl import UnsupportedDSL, search_body
+from conveyorbelt_spark.index.query import Searcher
+
+W = ["spark", "join", "window", "shuffle", "plan", "query", "index", "merge"]
+
+
+@pytest.fixture(scope="module")
+def droot(spark, tmp_path_factory):
+    rng = random.Random(41)
+    rows = [
+        (i, " ".join(rng.choices(W, k=10)), ["en", "de", "fr"][i % 3], (i * 13) % 400)
+        for i in range(150)
+    ]
+    out = str(tmp_path_factory.mktemp("dslidx"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, nc long")
+    build_index(
+        spark, docs, out, url_col=None, n_buckets=4, n_term_buckets=8,
+        keyword_cols=("lang", ("nc", sortable_int_col("nc", 4))),
+    )
+    write_docstore(spark, docs, out, url_col=None, extra_cols=("text", "lang", "nc"))
+    return out, rows
+
+
+def _ids(resp):
+    return [h["_id"] for h in resp["hits"]["hits"]]
+
+
+def test_match_equals_search_rows(spark, droot):
+    out, _ = droot
+    resp = search_body(spark, out, {"query": {"match": {"text": "spark join"}}, "size": 7})
+    want = Searcher(spark, out).search_rows("spark join", 7)
+    assert [(h["_id"], h["_score"]) for h in resp["hits"]["hits"]] == want
+
+
+def test_bool_with_filter_and_range(spark, droot):
+    out, _ = droot
+    body = {
+        "query": {"bool": {
+            "should": [{"match": {"text": "spark join"}}],
+            "must_not": [{"match": {"text": "merge"}}],
+            "filter": [
+                {"term": {"lang": "en"}},
+                {"range": {"nc": {"gte": "0000", "lte": "0200"}}},
+            ],
+        }},
+        "size": 50,
+    }
+    resp = search_body(spark, out, body)
+    want = Searcher(spark, out).search_rows(
+        "spark join", 50, must_not="merge",
+        filters={"lang": "en"}, ranges={"nc": ("0000", "0200")},
+    )
+    assert [(h["_id"], h["_score"]) for h in resp["hits"]["hits"]] == want
+
+
+def test_from_size_pagination(spark, droot):
+    out, _ = droot
+    p1 = search_body(spark, out, {"query": {"match": {"text": "spark"}}, "size": 5})
+    p2 = search_body(
+        spark, out, {"query": {"match": {"text": "spark"}}, "size": 5, "from": 5}
+    )
+    full = Searcher(spark, out).search_rows("spark", 10)
+    assert _ids(p1) + _ids(p2) == [d for d, _ in full]
+
+
+def test_sorted_export_with_search_after(spark, droot):
+    out, rows = droot
+    body = {
+        "query": {"bool": {"filter": [{"term": {"lang": "de"}}],
+                           "should": [{"match": {"text": "spark join window shuffle plan query index merge"}}]}},
+        "sort": [{"nc": {"order": "desc"}}],
+        "size": 5,
+    }
+    r1 = search_body(spark, out, body)
+    assert len(_ids(r1)) == 5
+    cursor = r1["hits"]["hits"][-1]["sort"]
+    r2 = search_body(spark, out, {**body, "search_after": cursor})
+    de = sorted(
+        (r for r in rows if r[2] == "de"), key=lambda r: (-r[3], r[0])
+    )
+    assert _ids(r1) + _ids(r2) == [r[0] for r in de[:10]]
+
+
+def test_match_all_filter_only_aggs(spark, droot):
+    out, rows = droot
+    body = {
+        "query": {"bool": {"filter": [{"term": {"lang": "fr"}}]}},
+        "size": 0,
+        "track_total_hits": True,
+        "aggs": {"sizes": {"stats": {"field": "nc"}}},
+    }
+    resp = search_body(spark, out, body)
+    fr = [r for r in rows if r[2] == "fr"]
+    assert resp["hits"]["total"] == {"value": len(fr), "relation": "eq"}
+    st = resp["aggregations"]["sizes"][0]
+    assert st["count"] == len(fr) and st["sum"] == sum(r[3] for r in fr)
+
+
+def test_source_and_highlight(spark, droot):
+    out, rows = droot
+    resp = search_body(spark, out, {
+        "query": {"match": {"text": "spark join"}},
+        "size": 3, "_source": True,
+        "highlight": {"fields": {"text": {}}},
+    })
+    h = resp["hits"]["hits"][0]
+    assert h["_source"]["lang"] in ("en", "de", "fr")
+    assert "<em>" in h["highlight"]["text"][0]
+
+
+def test_unsupported_shapes_raise(spark, droot):
+    out, _ = droot
+    with pytest.raises(UnsupportedDSL):
+        search_body(spark, out, {"query": {"match_all": {}}})
+    with pytest.raises(UnsupportedDSL):
+        search_body(spark, out, {"query": {"nested": {"path": "x"}}})
+    with pytest.raises(UnsupportedDSL):
+        search_body(spark, out, {"query": {"bool": {"filter": [
+            {"range": {"nc": {"gt": "0001"}}}
+        ]}}, "sort": ["nc"]})
