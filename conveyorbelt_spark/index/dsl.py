@@ -125,7 +125,7 @@ def parse_query(query: dict) -> dict:
             "fields": list(body["fields"]),
             "type": body.get("type", "best_fields"),
         }
-    elif kind in ("prefix", "wildcard", "fuzzy"):
+    elif kind in ("prefix", "wildcard", "fuzzy", "regexp"):
         field, spec = _one(body)
         val = spec["value"] if isinstance(spec, dict) else spec
         plan["expand"] = (kind, str(val), spec if isinstance(spec, dict) else {})
@@ -218,6 +218,8 @@ def search_body(spark: SparkSession, out_dir: str, body: dict) -> dict:
             rows = s.prefix_rows(val, size + from_)[from_:]
         elif kind == "wildcard":
             rows = s.wildcard_rows(val, size + from_)[from_:]
+        elif kind == "regexp":
+            rows = s.regexp_rows(val, size + from_)[from_:]
         else:
             rows = s.fuzzy_rows(
                 val, size + from_, fuzziness=int(spec.get("fuzziness", 1)),

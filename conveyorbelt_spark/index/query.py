@@ -1636,6 +1636,44 @@ def expand_wildcard(out_dir: str, pattern: str, max_expansions: int = 50) -> lis
     return _rank_expansions(pdf, max_expansions, pattern)
 
 
+def expand_regexp(out_dir: str, pattern: str, max_expansions: int = 50) -> list[str]:
+    """ES regexp-query expansion: dictionary terms fully matching the
+    pattern (Python re syntax; ES uses Lucene's — the common operators
+    agree). The literal prefix before the first metacharacter range-prunes
+    the sorted term_index scan, like wildcard; a leading metacharacter
+    degrades to a full term scan (ES documents the same warning)."""
+    import re as _re
+
+    pattern = pattern.lower()
+    lit = _re.match(r"^[a-z0-9]*", pattern).group(0)
+    lo, hi = (lit, _range_hi(lit)) if lit else (None, None)
+    pdf = _term_range(out_dir, lo, hi)
+    if not len(pdf):
+        return []
+    rx = _re.compile(pattern)
+    keep = pdf["term"].map(lambda t: rx.fullmatch(t) is not None)
+    return _rank_expansions(pdf[keep], max_expansions, pattern)
+
+
+def suggest_terms(
+    out_dir: str, prefix: str, k: int = 10
+) -> list[tuple[str, int]]:
+    """ES completion-suggester analogue: the highest-document-frequency
+    indexed terms completing ``prefix``, with their dfs (the suggester
+    payload). Served from the sorted term_index via the range sidecar —
+    zero parquet footers, zero Spark jobs."""
+    from .build import KEYWORD_SEP
+
+    prefix = prefix.lower()
+    pdf = _term_range(out_dir, prefix, _range_hi(prefix))
+    if not len(pdf):
+        return []
+    if KEYWORD_SEP not in prefix:
+        pdf = pdf[~pdf["term"].str.contains(KEYWORD_SEP, regex=False, na=False)]
+    pdf = pdf.sort_values(["df", "term"], ascending=[False, True], kind="mergesort")
+    return [(r.term, int(r.df)) for r in pdf.head(k).itertuples()]
+
+
 def _edit_distance_le(a: str, b: str, k: int) -> bool:
     """Banded Levenshtein ≤ k (early-exit band DP; k is 1 or 2 here)."""
     la, lb = len(a), len(b)
@@ -1972,6 +2010,23 @@ class Searcher:
         if not terms:
             return []
         return self.search_rows(" ".join(terms), k)
+
+    def regexp_rows(
+        self, pattern: str, k: int = 10, max_expansions: int = 50
+    ) -> list[tuple[int, float]]:
+        """ES regexp-query analogue: expand against the sorted term_index
+        (literal-prefix range-pruned) and score the expansion as a SHOULD
+        bag."""
+        terms = expand_regexp(self.out_dir, pattern, max_expansions)
+        if not terms:
+            return []
+        return self.search_rows(" ".join(terms), k)
+
+    def suggest(self, prefix: str, k: int = 10) -> list[tuple[str, int]]:
+        """ES completion-suggester analogue: top-df term completions with
+        their document frequencies (see ``suggest_terms``)."""
+        self._maybe_invalidate()
+        return suggest_terms(self.out_dir, prefix, k)
 
     def fuzzy_rows(
         self, term: str, k: int = 10, fuzziness: int = 1,

@@ -20,7 +20,9 @@ from conveyorbelt_spark.index.query import (
     _edit_distance_le,
     expand_fuzzy,
     expand_prefix,
+    expand_regexp,
     expand_wildcard,
+    suggest_terms,
 )
 from conveyorbelt_spark.streaming.incremental import index_batch
 
@@ -80,6 +82,25 @@ def test_wildcard_matches_bruteforce(eidx):
         )
         want = _rank(oracle, [t for t in oracle.postings if rx.match(t)])[:50]
         assert expand_wildcard(out, pat) == want, pat
+
+
+def test_regexp_matches_bruteforce(eidx):
+    out, oracle = eidx
+    for pat in ("term001[0-4]3", "term00(1|2)9", "term0{2}00[13]", "nope.*"):
+        rx = re.compile(pat)
+        want = _rank(oracle, [t for t in oracle.postings if rx.fullmatch(t)])[:50]
+        assert expand_regexp(out, pat) == want, pat
+
+
+def test_suggest_completions(eidx):
+    out, oracle = eidx
+    got = suggest_terms(out, "term00", 10)
+    want = sorted(
+        ((t, len(oracle.postings[t])) for t in oracle.postings if t.startswith("term00")),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:10]
+    assert got == want
+    assert suggest_terms(out, "zzz", 5) == []
 
 
 def test_fuzzy_matches_bruteforce(eidx):
