@@ -278,6 +278,16 @@ def search_body(spark: SparkSession, out_dir: str, body: dict) -> dict:
         hits.append(hit)
 
     total = {"value": len(hits) + from_, "relation": "gte"}
+    trackable = (
+        plan["phrase"] is None and plan["mm"] is None
+        and plan["expand"] is None and plan["mlt"] is None
+    )
+    if body.get("track_total_hits") and not trackable:
+        raise UnsupportedDSL(
+            "track_total_hits is supported for match/bool/filter queries "
+            "(phrase/multi_match/expansion totals are not wired to the "
+            "distributed counter)"
+        )
     if body.get("track_total_hits"):
         from .query import bool_doc_ids
 
