@@ -1845,16 +1845,23 @@ class Searcher:
 
     def __init__(
         self, spark: SparkSession, out_dir: str, mode: str = "auto",
-        max_candidates: int | None = None,
+        max_candidates: int | None = None, cache_terms: int = 256,
     ):
         self.spark = spark
         self.out_dir = out_dir
         self.mode = mode
         self.max_candidates = max_candidates
+        self.cache_terms = cache_terms
         self.stats = load_stats(out_dir)
         self._stats_mtime = os.path.getmtime(os.path.join(out_dir, "stats.json"))
         self._term_cache: dict[str, dict | None] = {}
         self._tomb = _tombs(out_dir, self.stats)
+        from collections import OrderedDict
+
+        # (term, with_poss) → post-tombstone block frame; the ES node-
+        # query-cache analogue (bounded LRU; invalidated with the stats
+        # snapshot, so deletes/batches/compactions clear it via mtime)
+        self._block_cache: OrderedDict[tuple[str, bool], pd.DataFrame] = OrderedDict()
 
     def _maybe_invalidate(self) -> None:
         try:
@@ -1865,19 +1872,57 @@ class Searcher:
             self.stats = load_stats(self.out_dir)
             self._stats_mtime = m
             self._term_cache.clear()
+            self._block_cache.clear()
             self._tomb = _tombs(self.out_dir, self.stats)
 
     def _local_blocks(self, tbs, scan_terms, columns=None):
-        """Pruned local block read with the delete snapshot applied."""
-        blocks = _read_blocks_local(
-            self.out_dir, tbs, scan_terms, columns=columns,
-            committed=_committed(self.stats), with_run=bool(self._tomb),
-        )
-        if blocks is not None and self._tomb and len(blocks):
-            from .delete import apply_tombstones
+        """Pruned local block read with the delete snapshot applied and a
+        term-keyed LRU over the decoded block frames: repeat terms skip the
+        parquet read entirely (head terms dominate real query logs)."""
+        with_poss = bool(columns) and "poss" in (columns or [])
+        cached: dict[str, pd.DataFrame] = {}
+        missing: list[str] = []
+        for t in scan_terms:
+            key = (t, with_poss)
+            if key in self._block_cache:
+                self._block_cache.move_to_end(key)
+                cached[t] = self._block_cache[key]
+            else:
+                missing.append(t)
+        frames = [f for f in cached.values() if len(f)]
+        if missing:
+            # tbs for ONLY the missing terms (the cached ones' tb dirs need
+            # no touch); callers pass the union, so re-derive from entries
+            ents = {e["term"]: e for e in self._entries(missing)}
+            miss_tbs = sorted({int(e["tb"]) for e in ents.values()}) or list(tbs)
+            blocks = _read_blocks_local(
+                self.out_dir, miss_tbs, missing, columns=columns,
+                committed=_committed(self.stats), with_run=bool(self._tomb),
+            )
+            if blocks is None:
+                return None  # not locally readable — caller falls back
+            if self._tomb and len(blocks):
+                from .delete import apply_tombstones
 
-            blocks = apply_tombstones(blocks, self._tomb).drop(columns=["run"])
-        return blocks
+                blocks = apply_tombstones(blocks, self._tomb).drop(columns=["run"])
+            by_term = {t: g for t, g in blocks.groupby("term")} if len(blocks) else {}
+            for t in missing:
+                f = by_term.get(t)
+                if f is None:
+                    f = blocks.iloc[0:0]
+                f = f.reset_index(drop=True)
+                self._block_cache[(t, with_poss)] = f
+                if len(f):
+                    frames.append(f)
+            while len(self._block_cache) > self.cache_terms:
+                self._block_cache.popitem(last=False)
+        if not frames:
+            # preserve the schema of an empty read
+            empty_cached = next(iter(cached.values()), None)
+            if empty_cached is not None:
+                return empty_cached.iloc[0:0]
+            return pd.DataFrame(columns=list(columns or _BLOCK_COLS))
+        return pd.concat(frames, ignore_index=True)
 
     def _entries(self, terms: list[str]) -> list[dict]:
         missing = [t for t in terms if t not in self._term_cache]

@@ -1,0 +1,78 @@
+"""Searcher posting-block LRU (the ES node-query-cache analogue): repeat
+terms skip the parquet read; results stay bit-identical to a cold
+Searcher; every index mutation invalidates via the stats mtime."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from conveyorbelt_spark.index.build import build_index
+from conveyorbelt_spark.index.delete import delete_docs
+from conveyorbelt_spark.index.query import Searcher
+
+W = ["spark", "join", "window", "shuffle", "plan", "query", "index", "merge"]
+
+
+@pytest.fixture()
+def cidx(spark, tmp_path):
+    rng = random.Random(51)
+    rows = [(i, " ".join(rng.choices(W, k=10))) for i in range(150)]
+    out = str(tmp_path / "cidx")
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    build_index(spark, docs, out, url_col=None, n_buckets=4, n_term_buckets=8)
+    return out, rows
+
+
+def test_warm_repeat_is_identical_and_cached(spark, cidx):
+    out, _ = cidx
+    s = Searcher(spark, out)
+    cold = s.search_rows("spark join", 20)
+    assert len(s._block_cache) == 2  # both terms cached
+    warm = s.search_rows("spark join", 20)
+    assert warm == cold
+    # overlapping query reuses one term, reads the other
+    mixed = s.search_rows("spark window", 20)
+    fresh = Searcher(spark, out).search_rows("spark window", 20)
+    assert mixed == fresh
+    assert len(s._block_cache) == 3
+
+
+def test_mutation_invalidates_cache(spark, cidx):
+    out, _ = cidx
+    s = Searcher(spark, out)
+    base = dict(s.search_rows("spark join", 500))
+    victim = sorted(base)[0]
+    delete_docs(spark, out, [victim])
+    after = dict(s.search_rows("spark join", 500))  # same handle, warm cache
+    assert victim not in after
+    assert set(after) == set(base) - {victim}
+
+
+def test_lru_cap(spark, cidx):
+    out, _ = cidx
+    s = Searcher(spark, out, cache_terms=2)
+    s.search_rows("spark join", 5)
+    s.search_rows("window plan", 5)
+    assert len(s._block_cache) <= 2
+    # still correct with the cap thrashing
+    assert s.search_rows("spark join", 5) == Searcher(spark, out).search_rows(
+        "spark join", 5
+    )
+
+
+def test_phrase_and_bag_caches_are_separate(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [(1, "big data spark join"), (2, "spark join big"), (3, "join spark")],
+        "doc_id long, text string",
+    )
+    out = str(tmp_path / "pidx")
+    build_index(spark, docs, out, url_col=None, n_buckets=2, n_term_buckets=4,
+                positions=True)
+    s = Searcher(spark, out)
+    bag = s.search_rows("spark join", 10)  # caches WITHOUT poss
+    ph = s.phrase_rows("spark join", 10)   # must not reuse the poss-less frames
+    assert {d for d, _ in ph} == {1, 2}
+    assert {d for d, _ in bag} == {1, 2, 3}
+    assert ph == Searcher(spark, out).phrase_rows("spark join", 10)
