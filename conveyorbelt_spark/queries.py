@@ -1825,6 +1825,84 @@ FROM scored ORDER BY raw DESC, doc_id ASC LIMIT 20
 Q39_SQL = _q39_sql()
 
 
+def q40_dsl_search(spark, sf_dir):
+    """An ES REQUEST BODY executed verbatim through ``search_body`` (the
+    DSL the reference's users actually write): bool query with should +
+    must_not + term-list filter + inclusive range filter over keyword
+    fields, against the real index. The DuckDB twin scores full-corpus
+    BM25 and restricts hits with the equivalent WHERE clause."""
+    import shutil
+    import tempfile
+
+    from .index.build import build_index, sortable_int_col
+    from .index.dsl import search_body
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="cb_q40_idx_")
+    try:
+        build_index(
+            spark, docs, out, url_col=None, n_buckets=8,
+            keyword_cols=("lang", ("nc", sortable_int_col("n_chars", 4))),
+        )
+        body = {
+            "query": {"bool": {
+                "should": [{"match": {"text": " ".join(BM25_QUERY_TERMS)}}],
+                "must_not": [{"match": {"text": "merge"}}],
+                "filter": [
+                    {"terms": {"lang": ["en", "de"]}},
+                    {"range": {"nc": {"gte": "0080", "lte": "0350"}}},
+                ],
+            }},
+            "size": 20,
+        }
+        resp = search_body(spark, out, body)
+        rows = [(h["_id"], h["_score"]) for h in resp["hits"]["hits"]]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    res = spark.createDataFrame(
+        [(int(d), float(s)) for d, s in rows], "doc_id long, score double"
+    )
+    return res.select("doc_id", F.round("score", 4).alias("score")).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+
+
+Q40_SQL = f"""
+WITH toks AS ({_TOKENS_SQL}),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks WHERE term != '' GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+q AS (SELECT unnest({BM25_QUERY_TERMS!r}) AS term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf
+       WHERE term IN (SELECT term FROM q) GROUP BY term),
+excl AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge'),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl)))) AS raw
+  FROM tf
+  JOIN df ON tf.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  WHERE tf.doc_id NOT IN (SELECT doc_id FROM excl)
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, score FROM (
+  SELECT s.doc_id, round(s.raw, 4) AS score, s.raw
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+  WHERE d.lang IN ('en', 'de') AND d.n_chars BETWEEN 80 AND 350
+  ORDER BY s.raw DESC, s.doc_id ASC LIMIT 20
+) t
+ORDER BY score DESC, doc_id ASC
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -1865,6 +1943,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q37_date_histogram": q37_date_histogram,
     "q38_multi_match": q38_multi_match,
     "q39_analyzed_search": q39_analyzed_search,
+    "q40_dsl_search": q40_dsl_search,
 }
 
 ORACLES: dict[str, str] = {
@@ -1907,4 +1986,5 @@ ORACLES: dict[str, str] = {
     "q37_date_histogram": Q37_SQL,
     "q38_multi_match": Q38_SQL,
     "q39_analyzed_search": Q39_SQL,
+    "q40_dsl_search": Q40_SQL,
 }
