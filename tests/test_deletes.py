@@ -219,6 +219,38 @@ def test_daily_searcher_respects_per_day_deletes(spark, tmp_path):
     assert sp == set(after)
 
 
+def test_delete_crash_window_and_retry(spark, built):
+    """Crash between the tombstone parquet write and the stats.json commit:
+    the orphan tombstone run is INVISIBLE to readers (the snapshot lists
+    committed tombstone runs only), and retrying the same delete (same
+    deterministic op_id) overwrites it idempotently and commits."""
+    import json
+
+    out, rows = built
+    s = Searcher(spark, out)
+    base = dict(s.search_rows("spark join", 500))
+    victim = sorted(base)[0]
+
+    stats_path = os.path.join(out, "stats.json")
+    delete_docs(spark, out, [victim])
+    # simulate the crash: roll back the stats commit, leave the parquet
+    with open(stats_path) as f:
+        st = json.load(f)
+    committed_truns = st.pop("tombstone_runs")
+    with open(stats_path, "w") as f:
+        json.dump(st, f)
+    assert os.path.isdir(os.path.join(out, "tombstones"))  # orphan exists
+    mid = dict(Searcher(spark, out).search_rows("spark join", 500))
+    assert mid == base  # uncommitted delete is invisible
+    # retry converges: same ids → same op_id → same partition overwritten
+    delete_docs(spark, out, [victim])
+    with open(stats_path) as f:
+        st2 = json.load(f)
+    assert st2["tombstone_runs"] == committed_truns
+    after = dict(Searcher(spark, out).search_rows("spark join", 500))
+    assert set(after) == set(base) - {victim}
+
+
 def test_daily_phrase_respects_deletes(spark, tmp_path):
     import datetime as dt
 
