@@ -397,7 +397,11 @@ def parse_sitecore_logs(
         lines.withColumn("split", (F.col("line_no") / F.lit(int(split_lines))).cast("long"))
         .groupBy("file", "split")
         .applyInPandas(_sc_classify, schema=_SC_CLASSIFY_SCHEMA)
-        .persist()
+        # feeds two branches (counts + numbered); localCheckpoint, not
+        # persist — the returned frame outlives this call, and persist()
+        # would pin CacheManager entries for the session (the r2 lesson);
+        # checkpoint blocks are GC-released with the plan
+        .localCheckpoint(eager=True)
     )
     counts = classified.groupBy("file", "split").agg(
         F.sum(F.when(F.col("kind") == _KIND_START, 1).otherwise(0)).alias("n_starts")
