@@ -442,6 +442,7 @@ def build_index(
     resume: bool = False,
     run_id: str = "full",
     store_docs: bool = False,
+    store_cols: tuple = (),
     positions: bool = False,
     keyword_cols: tuple = (),
     field_cols: tuple = (),
@@ -628,8 +629,8 @@ def build_index(
         },
     )
     _mark("stats")
-    if store_docs:
-        write_docstore(spark, docs_in, out_dir, run_id, url_col)
+    if store_docs or store_cols:
+        write_docstore(spark, docs_in, out_dir, run_id, url_col, extra_cols=store_cols)
         _mark("docstore")
     return stats
 

@@ -352,6 +352,43 @@ class DailySearcher:
         local = seg.groupBy("bucket").applyInPandas(kern, schema="doc_id long, score double")
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def facet_counts(
+        self, facet_col: str, query: str = "", *,
+        time_range: tuple | None = None,
+        must: str | None = None, must_not: str | None = None,
+        filters: dict | None = None, ranges: dict | None = None,
+        k: int | None = None,
+    ) -> list[tuple]:
+        """Windowed ES terms-aggregation — the Kibana time-chart-breakdown
+        shape ("top N <field> over the last 3 days"): each selected day
+        runs its own fully distributed ``facet_counts_spark`` (pruned
+        posting scan ⋈ that day's docstore, filters resolved against that
+        day's dictionary), and the per-day counts re-aggregate with one
+        tiny sum — counts are additive across the disjoint day corpora, so
+        the merge is exact at any matching-set size. Requires day indexes
+        built with ``store_cols=(facet_col, ...)``."""
+        from functools import reduce
+
+        from .query import facet_counts_spark
+
+        days = select_days(self.root, time_range)
+        if not days:
+            return []
+        frames = [
+            facet_counts_spark(
+                self.spark, day_dir(self.root, d), facet_col, query,
+                must=must, must_not=must_not, filters=filters, ranges=ranges,
+            )
+            for d in days
+        ]
+        u = reduce(DataFrame.unionByName, frames)
+        out = (
+            u.groupBy("facet").agg(F.sum("n").alias("n"))
+            .orderBy(F.desc("n"), F.asc("facet"))
+        )
+        rows = (out.limit(k) if k else out).collect()
+        return [(r.facet, int(r.n)) for r in rows]
+
     def phrase_rows(
         self, phrase: str, k: int = 10, *, time_range: tuple | None = None
     ) -> list[tuple[int, float]]:

@@ -71,6 +71,7 @@ def index_batch(
     refresh_dict: bool = True,
     exact_stats: bool = False,
     store_docs: bool = False,
+    store_cols: tuple = (),
     positions: bool = False,
     keyword_cols: tuple = (),
     field_cols: tuple = (),
@@ -204,10 +205,10 @@ def index_batch(
     man.write.mode("append").parquet(man_dir)  # ← THE commit
     doclens.unpersist()
     refresh_stats(spark, out_dir, defaults=cfg)
-    if store_docs:
+    if store_docs or store_cols:
         from ..index.build import write_docstore
 
-        write_docstore(spark, docs_in, out_dir, run_id, url_col)
+        write_docstore(spark, docs_in, out_dir, run_id, url_col, extra_cols=store_cols)
     return True
 
 

@@ -237,3 +237,47 @@ def test_daily_phrase_rows(spark, tmp_path_factory):
         assert s.phrase_rows(phrase, 10) == want_all
         hits += len(want_win)
     assert hits > 0
+
+
+def test_daily_facet_counts_windowed(spark, tmp_path_factory):
+    """Windowed terms-aggregation over a daily root: per-day distributed
+    facets re-aggregated exactly (counts are additive across the disjoint
+    day corpora)."""
+    import datetime as dt
+
+    from conveyorbelt_spark.index.daily import DailySearcher, build_daily_index
+
+    root = str(tmp_path_factory.mktemp("dfacet"))
+    rows = [
+        (
+            i,
+            "spark join" if i % 2 == 0 else "window plan",
+            ["web", "api", "batch"][i % 3],
+            dt.datetime(2016, 9, 16 + (i % 3), 12),
+        )
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, warc_ts timestamp"
+    )
+    build_daily_index(
+        spark, docs, root, url_col=None, n_buckets=2, n_term_buckets=4,
+        store_cols=("source",),
+    )
+    ds = DailySearcher(spark, root)
+    got = dict(ds.facet_counts("source", "spark join"))
+    want: dict[str, int] = {}
+    for i, txt, src, _ in rows:
+        if "spark" in txt:
+            want[src] = want.get(src, 0) + 1
+    assert got == want
+    # windowed: days 0 and 1 only (i % 3 in {0, 1})
+    got_w = dict(ds.facet_counts(
+        "source", "spark join",
+        time_range=(dt.datetime(2016, 9, 16), dt.datetime(2016, 9, 18)),
+    ))
+    want_w: dict[str, int] = {}
+    for i, txt, src, _ in rows:
+        if "spark" in txt and i % 3 in (0, 1):
+            want_w[src] = want_w.get(src, 0) + 1
+    assert got_w == want_w
