@@ -93,11 +93,19 @@ def tokenize_to_postings(
 POS_TOKENS_SCHEMA = "doc_id long, term string, tf long, dl long, posb binary"
 
 
-def _tokenize_batch_pos(pdf: pd.DataFrame, id_col: str, text_col: str) -> pd.DataFrame:
+def _tokenize_batch_pos(
+    pdf: pd.DataFrame, id_col: str, text_col: str, analyzer: dict | None = None
+) -> pd.DataFrame:
     """Positional variant: per (doc, term) also emit ``posb`` — the term's
     in-document token positions, delta-gapped + varint-encoded (ascending;
     first absolute). Everything vectorized: explode → cumcount →
-    stable-sort → one flat varint encode + per-group byte slicing."""
+    stable-sort → one flat varint encode + per-group byte slicing.
+
+    With an ``analyzer``, positions keep the ORIGINAL pre-filter slot index
+    (Lucene position-increment gaps: a removed stopword leaves a hole, it
+    does not shift later tokens), while ``dl`` is the POST-filter token
+    count (Lucene length-norm convention) — the query side mirrors both via
+    ``textutils.analyze_with_slots``."""
     import numpy as np
 
     from .codecs import varint_encode_ex
@@ -110,6 +118,11 @@ def _tokenize_batch_pos(pdf: pd.DataFrame, id_col: str, text_col: str) -> pd.Dat
     ex = ex.explode("term", ignore_index=True)
     ex["pos"] = ex.groupby("_row").cumcount()
     ex = ex.dropna(subset=["term"])
+    if analyzer:
+        # _analyze_exploded keeps extra columns (pos) intact: stopword/
+        # min_len rows drop (their pos slots become gaps), stems rewrite
+        # term, dl is recomputed post-filter
+        ex = _analyze_exploded(ex, analyzer)
     if not len(ex):
         return pd.DataFrame(
             {
@@ -153,15 +166,17 @@ def _tokenize_batch_pos(pdf: pd.DataFrame, id_col: str, text_col: str) -> pd.Dat
 
 
 def tokenize_to_postings_pos(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    analyzer: dict | None = None,
 ) -> DataFrame:
     """Positional postings: (doc_id, term, tf, dl, posb) — the input stream
-    for a positions=True index (phrase queries)."""
+    for a positions=True index (phrase queries). ``analyzer`` composes with
+    positions via increment gaps (see ``_tokenize_batch_pos``)."""
 
     def run(batches):
         for pdf in batches:
             if len(pdf):
-                yield _tokenize_batch_pos(pdf, id_col, text_col)
+                yield _tokenize_batch_pos(pdf, id_col, text_col, analyzer)
 
     return df.select(id_col, text_col).mapInPandas(run, schema=POS_TOKENS_SCHEMA)
 

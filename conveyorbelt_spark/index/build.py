@@ -287,7 +287,7 @@ def field_postings(
         sub = docs.select("doc_id", expr.cast("string").alias("text"))
         toks = (
             tokenizer(sub, "doc_id", "text", analyzer=analyzer)
-            if analyzer and not positions
+            if analyzer
             else tokenizer(sub, "doc_id", "text")
         )
         toks = toks.withColumn(
@@ -453,9 +453,11 @@ def build_index(
     ``analyzer`` opts into the ES-custom-analyzer chain
     ({"stopwords": "english"|[...], "min_len": n, "stem": "s"}) applied
     vectorized at build AND automatically to queries (persisted in
-    stats.json — index and query agree by construction). Not supported
-    together with ``positions`` (stopword removal would need Lucene
-    position-increment bookkeeping).
+    stats.json — index and query agree by construction). Composes with
+    ``positions`` via Lucene position-increment gaps: a removed stopword
+    leaves a hole in the position stream rather than shifting later
+    tokens, and the query side (``analyze_with_slots``) matches phrases on
+    the same original-slot offsets.
 
     ``keyword_cols`` names columns (or ("name", expr) pairs) indexed as
     exact keyword terms (``field:value``, tf=0) for ES filter-context
@@ -480,11 +482,6 @@ def build_index(
     from ..textutils import analyzer_config
 
     analyzer = analyzer_config(analyzer)
-    if analyzer and positions:
-        raise ValueError(
-            "analyzer + positions is unsupported: stopword removal would "
-            "shift phrase positions (needs position-increment gaps)"
-        )
     docs_in = docs
     # resolve keyword expressions against the FULL input row, then carry
     # them as materialized __kw_ columns through the narrowing select
@@ -1141,13 +1138,14 @@ def compact_segments(
     man = _manifest_for_run(seg2, doc_stats, "compact", "compacted")
     # tombstones keep _committed_runs() recognizing pre-compaction batch ids
     # (a replayed foreachBatch epoch must stay a no-op after compaction)
+    had_tombstones = bool(tomb)
     spark_rows = [(int(-1), 0, 0, 0, 0, 0, 0, rid, "compacted") for rid in sorted(old_run_ids)]
-    tomb = spark.createDataFrame(
+    fold_markers = spark.createDataFrame(
         spark_rows,
         "bucket int, n_terms long, n_blocks long, n_postings long, checksum long, "
         "n_docs long, sum_dl long, run_id string, run string",
     ).withColumn("committed_at", F.lit(time.time()).cast("timestamp"))
-    new_man = man.unionByName(tomb, allowMissingColumns=True)
+    new_man = man.unionByName(fold_markers, allowMissingColumns=True)
     man_tmp = os.path.join(out_dir, "manifest_compacting")
     if os.path.isdir(man_tmp):
         shutil.rmtree(man_tmp)
@@ -1159,7 +1157,7 @@ def compact_segments(
     os.rename(man_tmp, man_dir)
     shutil.rmtree(man_old)
     refresh_stats(spark, out_dir)
-    if tomb:
+    if had_tombstones:
         # every pre-compaction run was replaced — consumed tombstones go
         live = {run_val for _, run_val in _run_dirs(seg_dir)}
         _gc_tombstones(spark, out_dir, live)

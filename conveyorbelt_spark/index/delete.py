@@ -143,12 +143,29 @@ def update_docs(
     tombstones don't cover. A doc not previously indexed updates cleanly
     (its tombstone rows match nothing). Crash between the two steps hides
     the old version before the new one lands — the retry (same batch_id,
-    same deterministic op) converges."""
-    from ..functions.tokenize import with_doc_id
-    from ..streaming.incremental import index_batch
+    same deterministic op) converges.
 
-    ids_df = (with_doc_id(docs, url_col) if url_col else docs).select("doc_id")
-    delete_docs(spark, out_dir, ids_df, op_id=f"upd_{batch_id}")
+    Replay safety (at-least-once redelivery): if this update's run is
+    ALREADY committed in the manifest, the first attempt finished — its
+    delete step already tombstoned the old versions — so the replay skips
+    the delete entirely (tombstoning at that point would hit the NEW
+    versions: directly in their own run, or inside the ``compacted`` run
+    once a compaction has folded them) and lets ``index_batch`` no-op on
+    the committed run_id. For a replay of a MID-crashed update (run not
+    yet committed) the delete scope still excludes the target run, so a
+    partially-written delta is never self-tombstoned."""
+    from ..functions.tokenize import with_doc_id
+    from ..streaming.incremental import _committed_runs, index_batch
+    from .build import load_stats
+
+    run_id = f"batch_{batch_id}"
+    man_dir = os.path.join(out_dir, "manifest")
+    if run_id not in _committed_runs(spark, man_dir):
+        stats = load_stats(out_dir)
+        runs = [r for r in (stats.get("committed_runs") or []) if r != run_id]
+        ids_df = (with_doc_id(docs, url_col) if url_col else docs).select("doc_id")
+        if runs:
+            delete_docs(spark, out_dir, ids_df, runs=runs, op_id=f"upd_{batch_id}")
     return index_batch(
         spark, docs, out_dir, batch_id, url_col=url_col, **index_kw
     )

@@ -113,7 +113,12 @@ def parse_query(query: dict) -> dict:
         return plan
     kind, body = _one(query)
     if kind == "match":
-        plan["query"] = _match_text(body)
+        try:
+            plan["query"] = _match_text(body)
+        except _NonMainMatch as nm:
+            # ES semantics: match on a non-main field ≡ single-field
+            # multi_match over that field
+            plan["mm"] = {"query": nm.text, "fields": [nm.field], "type": "best_fields"}
     elif kind == "match_all":
         plan["match_all"] = True
     elif kind == "match_phrase":
@@ -135,15 +140,42 @@ def parse_query(query: dict) -> dict:
         shoulds, musts, must_nots = [], [], []
         for clause in body.get("filter", []) or []:
             _filter_clause(clause, plan["filters"], plan["ranges"])
-        for clause in body.get("should", []) or []:
+        should_clauses = body.get("should", []) or []
+        for clause in should_clauses:
             k2, b2 = _one(clause)
             if k2 != "match":
                 raise UnsupportedDSL(f"bool.should supports match, got {k2!r}")
-            shoulds.append(_match_text(b2))
+            try:
+                shoulds.append(_match_text(b2))
+            except _NonMainMatch as nm:
+                # a lone non-main should ≡ single-field multi_match; mixed
+                # with other clauses the field-vs-main score algebra is out
+                # of subset — reject cleanly instead of mis-scoring
+                if (
+                    len(should_clauses) == 1
+                    and not (body.get("must") or body.get("must_not"))
+                    and not plan["filters"] and not plan["ranges"]
+                ):
+                    plan["mm"] = {
+                        "query": nm.text, "fields": [nm.field],
+                        "type": "best_fields",
+                    }
+                    return plan
+                raise UnsupportedDSL(
+                    f"match on non-main field {nm.field!r} inside a bool "
+                    "with other clauses is unsupported (use multi_match)"
+                ) from None
         for clause in body.get("must", []) or []:
             k2, b2 = _one(clause)
             if k2 == "match":
-                musts.append(_match_text(b2))
+                try:
+                    musts.append(_match_text(b2))
+                except _NonMainMatch as nm:
+                    raise UnsupportedDSL(
+                        f"match on non-main field {nm.field!r} inside "
+                        "bool.must is unsupported (required semantics over "
+                        "a side field are not emulated; use multi_match)"
+                    ) from None
             elif k2 in ("term", "terms", "range"):
                 # ES scores term-queries in must; here they filter (const-
                 # score emulation is out of subset — documented)
@@ -154,7 +186,13 @@ def parse_query(query: dict) -> dict:
             k2, b2 = _one(clause)
             if k2 != "match":
                 raise UnsupportedDSL(f"bool.must_not supports match, got {k2!r}")
-            must_nots.append(_match_text(b2))
+            try:
+                must_nots.append(_match_text(b2))
+            except _NonMainMatch as nm:
+                raise UnsupportedDSL(
+                    f"match on non-main field {nm.field!r} inside "
+                    "bool.must_not is unsupported"
+                ) from None
         plan["query"] = " ".join(shoulds)
         plan["must"] = " ".join(musts) or None
         plan["must_not"] = " ".join(must_nots) or None

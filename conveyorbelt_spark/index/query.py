@@ -968,14 +968,20 @@ def _with_tombstones(kern, tomb: dict):
 _POS_KEY_SHIFT = 33  # doc-index key space above the position bits
 
 
-def _phrase_kernel(phrase_tokens: list[str], idf_sum: float, k: int):
+def _phrase_kernel(phrase_tokens: list[tuple[str, int]], idf_sum: float, k: int):
     """Per-bucket phrase scorer (Lucene PhraseQuery semantics, pinned):
     candidates = docs containing every distinct phrase term; a hit needs a
-    start position p with token i at p+i for all i; tf := phraseFreq (the
-    number of such starts); score = (Σ idf over phrase tokens, duplicates
-    included) · tfNorm(phraseFreq, dl). Fully vectorized: per-slot
-    (candidate-doc-index, position−slot) keys intersected across slots."""
-    distinct_terms = sorted(set(phrase_tokens))
+    start position p with the token of slot s at p+s for every (token, s);
+    tf := phraseFreq (the number of such starts); score = (Σ idf over
+    phrase tokens, duplicates included) · tfNorm(phraseFreq, dl).
+
+    ``phrase_tokens`` is a list of (term, slot) pairs. For an unanalyzed
+    index slots are 0..n-1 (exact adjacency); for an analyzed index the
+    slots carry Lucene position-increment gaps — "quick over dog" with
+    stopword "over" becomes [(quick,0),(dog,2)], requiring doc positions p
+    and p+2. Fully vectorized: per-slot (candidate-doc-index,
+    position−slot) keys intersected across slots."""
+    distinct_terms = sorted({t for t, _ in phrase_tokens})
 
     def phrase_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -1019,11 +1025,11 @@ def _phrase_kernel(phrase_tokens: list[str], idf_sum: float, k: int):
         dl_by_cand = np.zeros(len(cand), dtype=np.float64)
         dl_by_cand[np.searchsorted(cand, d0[first])] = l0[first]
 
-        for i, t in enumerate(phrase_tokens):
+        for t, slot in phrase_tokens:
             docs_t, pos_t, _ = occ_cache[t]
-            ok = pos_t >= i
+            ok = pos_t >= slot
             ci = np.searchsorted(cand, docs_t[ok])
-            keys = (ci.astype(np.int64) << _POS_KEY_SHIFT) + (pos_t[ok] - i)
+            keys = (ci.astype(np.int64) << _POS_KEY_SHIFT) + (pos_t[ok] - slot)
             keys_per_slot.append(np.unique(keys))
         inter = keys_per_slot[0]
         for ks in keys_per_slot[1:]:
@@ -1048,10 +1054,17 @@ def _phrase_kernel(phrase_tokens: list[str], idf_sum: float, k: int):
 def _phrase_plan(spark, out_dir, stats, phrase, lookup=None):
     if not stats.get("positions"):
         raise ValueError("phrase queries need an index built with positions=True")
-    phrase_tokens = tokenize(phrase)
-    if not phrase_tokens:
+    from ..textutils import analyze_with_slots
+
+    # (term, slot) pairs; with an analyzer the slots keep position-increment
+    # gaps across removed stopwords — the build-side twin stores the same
+    # original-slot positions, so matching stays exact on analyzed indexes
+    tok_slots = analyze_with_slots(phrase, stats.get("analyzer"))
+    if not tok_slots:
         return None
-    distinct = sorted(set(phrase_tokens))
+    base = tok_slots[0][1]
+    phrase_tokens = [(t, s - base) for t, s in tok_slots]
+    distinct = sorted({t for t, _ in phrase_tokens})
     lookup = lookup or (
         lambda ts: _lookup_terms(
             spark, out_dir, ts, stats["n_term_buckets"], committed=_committed(stats)
@@ -1060,7 +1073,7 @@ def _phrase_plan(spark, out_dir, stats, phrase, lookup=None):
     entries = {e["term"]: e for e in lookup(distinct)}
     if any(t not in entries for t in distinct):
         return None  # some phrase term indexed nowhere → no hits
-    idf_sum = sum(idf(stats["n_docs"], int(entries[t]["df"])) for t in phrase_tokens)
+    idf_sum = sum(idf(stats["n_docs"], int(entries[t]["df"])) for t, _ in phrase_tokens)
     tbs = sorted({int(entries[t]["tb"]) for t in distinct})
     return phrase_tokens, idf_sum, tbs, distinct
 

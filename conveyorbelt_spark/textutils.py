@@ -120,3 +120,28 @@ def analyze(text_or_tokens, analyzer: dict | None) -> list[str]:
     if analyzer.get("stem") == "s":
         out = [stem_s(t) for t in out]
     return out
+
+
+def analyze_with_slots(text: str, analyzer: dict | None) -> list[tuple[str, int]]:
+    """Tokenize + analyzer chain, KEEPING each surviving token's original
+    slot index (Lucene position-increment semantics: a removed stopword
+    leaves a gap, it doesn't shift later positions). This is the query-side
+    twin of the positional build kernel's analyzer path — phrase matching
+    over an analyzed index intersects on (term, original-slot) so "quick
+    over dog" with stopword "over" requires doc positions p and p+2."""
+    toks = tokenize(text)
+    if not analyzer:
+        return list(enumerate_tokens(toks))
+    stop = set(analyzer.get("stopwords") or [])
+    min_len = int(analyzer.get("min_len", 1))
+    stem = analyzer.get("stem") == "s"
+    out = []
+    for i, t in enumerate(toks):
+        if t in stop or len(t) < min_len:
+            continue
+        out.append((stem_s(t) if stem else t, i))
+    return out
+
+
+def enumerate_tokens(toks: list[str]) -> list[tuple[str, int]]:
+    return [(t, i) for i, t in enumerate(toks)]

@@ -121,10 +121,62 @@ def test_analyzer_with_incremental_batches(spark, tmp_path):
     assert [(d, round(v, 9)) for d, v in got] == [(d, round(v, 9)) for d, v in want]
 
 
-def test_analyzer_plus_positions_rejected(spark, tmp_path):
-    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
-    with pytest.raises(ValueError, match="positions"):
-        build_index(
-            spark, docs, str(tmp_path / "x"), url_col=None, positions=True,
-            analyzer=AZ,
-        )
+def test_analyzed_positions_phrase(spark, tmp_path):
+    """analyzer + positions compose via Lucene position-increment gaps:
+    a removed stopword leaves a hole in the position stream, and phrase
+    queries match across the hole at the original slot distance."""
+    from conveyorbelt_spark.index.query import phrase_topk
+
+    out = str(tmp_path / "apidx")
+    rows = [
+        (1, "the quick fox jumps over the lazy dog"),
+        (2, "quick fox and lazy dog"),
+        (3, "fox quick dog lazy"),
+        (4, "the quick brown fox"),
+        (5, "over lazy dog"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    build_index(
+        spark, docs, out, url_col=None, n_buckets=4, n_term_buckets=8,
+        positions=True, analyzer=AZ,
+    )
+    s = Searcher(spark, out)
+    # adjacency across surviving tokens (docs 1, 2; not 4: brown intervenes)
+    assert sorted(d for d, _ in s.phrase_rows("quick fox", 10)) == [1, 2]
+    # stopword INSIDE the phrase: "over the lazy" → over@0, lazy@2 — doc 1
+    # has over@4, lazy@6 (gap where 'the' was); doc 5 has over/lazy ADJACENT
+    # so the 2-slot pattern must NOT match it (Lucene increment semantics)
+    assert [d for d, _ in s.phrase_rows("over the lazy", 10)] == [1]
+    # stems participate in phrases: doc 1's 'jumps' indexed as 'jump', and
+    # the query side stems identically — surface and stem forms both hit
+    assert [d for d, _ in s.phrase_rows("fox jumps", 10)] == [1]
+    assert [d for d, _ in s.phrase_rows("fox jump", 10)] == [1]
+    # leading stopword is slot-normalized away
+    assert sorted(d for d, _ in s.phrase_rows("the quick fox", 10)) == [1, 2]
+    # distributed path agrees with the serving path
+    sp = [(r.doc_id, round(r.score, 9)) for r in phrase_topk(spark, out, "over the lazy", 10).collect()]
+    assert sp == [(d, round(v, 9)) for d, v in s.phrase_rows("over the lazy", 10)]
+
+
+def test_analyzed_positions_incremental(spark, tmp_path):
+    """index_batch supports analyzer+positions too (same gap semantics)."""
+    from conveyorbelt_spark.streaming.incremental import index_batch
+
+    out = str(tmp_path / "apinc")
+    rows = [
+        (1, "the quick fox jumps over the lazy dog"),
+        (2, "quick fox and lazy dog"),
+        (3, "over lazy dog"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    index_batch(
+        spark, df.where(df.doc_id <= 1), out, 0, url_col=None,
+        n_buckets=2, n_term_buckets=4, positions=True, analyzer=AZ,
+    )
+    index_batch(
+        spark, df.where(df.doc_id > 1), out, 1, url_col=None,
+        n_buckets=2, n_term_buckets=4,
+    )
+    s = Searcher(spark, out)
+    assert [d for d, _ in s.phrase_rows("over the lazy", 10)] == [1]
+    assert sorted(d for d, _ in s.phrase_rows("quick fox", 10)) == [1, 2]

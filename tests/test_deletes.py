@@ -271,3 +271,25 @@ def test_daily_phrase_respects_deletes(spark, tmp_path):
     delete_docs(spark, day_dir(root, "20160916"), [0, 2])
     after = {d for d, _ in DailySearcher(spark, root).phrase_rows("spark join", 50)}
     assert after == set(range(8)) - {0, 2}
+
+
+def test_update_replay_converges(spark, built):
+    """At-least-once redelivery of a fully successful update must converge:
+    the retried delete step excludes the update's own run from its
+    tombstone scope (else it would kill the NEW doc versions while the
+    replayed index_batch no-ops on the already-committed run)."""
+    out, rows = built
+    s = Searcher(spark, out)
+    live = sorted(dict(s.search_rows("spark join", 500)))[0]
+    upd = spark.createDataFrame([(live, "zebra quagga")], "doc_id long, text string")
+    update_docs(spark, upd, out, "r1", url_col=None, n_buckets=4, n_term_buckets=8)
+    first = Searcher(spark, out).search_rows("zebra", 10)
+    assert live in dict(first)
+    # full replay of the same update (worker redelivery after success)
+    update_docs(spark, upd, out, "r1", url_col=None, n_buckets=4, n_term_buckets=8)
+    again = Searcher(spark, out).search_rows("zebra", 10)
+    assert again == first  # new version still visible, scores identical
+    assert live not in dict(Searcher(spark, out).search_rows("spark join", 500))
+    # and a third replay after a COMPACTION also converges (runs renamed)
+    compact_segments(spark, out)
+    assert live in dict(Searcher(spark, out).search_rows("zebra", 10))

@@ -149,3 +149,38 @@ def test_unknown_type_and_absent_field(spark, mroot):
     # the fields that exist
     got = s.multi_match_rows("spark join", ["nosuch", "text"], 10)
     assert got == s.search_rows("spark join", 10)
+
+
+def test_dsl_non_main_match_is_single_field_multi_match(spark, mroot):
+    """ES: {"match": {"title": q}} on a side field ≡ multi_match over just
+    that field — previously escaped as an internal _NonMainMatch error."""
+    from conveyorbelt_spark.index.dsl import UnsupportedDSL, search_body
+
+    out, rows, _, _ = mroot
+    want = Searcher(spark, out).multi_match_rows("spark join", ["title"], 10)
+    resp = search_body(
+        spark, out, {"query": {"match": {"title": "spark join"}}, "size": 10}
+    )
+    assert [(h["_id"], h["_score"]) for h in resp["hits"]["hits"]] == want
+    # a lone bool.should non-main match takes the same path
+    resp2 = search_body(
+        spark, out,
+        {"query": {"bool": {"should": [{"match": {"title": "spark join"}}]}}, "size": 10},
+    )
+    assert [(h["_id"], h["_score"]) for h in resp2["hits"]["hits"]] == want
+    # inside must (required semantics over a side field) → clean rejection
+    import pytest as _pytest
+
+    with _pytest.raises(UnsupportedDSL, match="title"):
+        search_body(
+            spark, out,
+            {"query": {"bool": {"must": [{"match": {"title": "spark"}}]}}},
+        )
+    # mixed with other clauses → clean rejection, not mis-scoring
+    with _pytest.raises(UnsupportedDSL, match="title"):
+        search_body(
+            spark, out,
+            {"query": {"bool": {"should": [
+                {"match": {"title": "spark"}}, {"match": {"text": "join"}},
+            ]}}},
+        )
