@@ -178,7 +178,7 @@ def _merged_stats(root: str, days: list[str]) -> dict:
         if base is None:
             base = s
         else:
-            for k in ("k1", "b", "n_buckets", "n_term_buckets", "positions"):
+            for k in ("k1", "b", "n_buckets", "n_term_buckets", "positions", "analyzer"):
                 if s.get(k) != base.get(k):
                     raise ValueError(
                         f"day {day} config {k}={s.get(k)!r} differs from "
@@ -352,6 +352,82 @@ class DailySearcher:
         local = seg.groupBy("bucket").applyInPandas(kern, schema="doc_id long, score double")
         return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def bool_doc_ids(
+        self, query: str = "", *,
+        must: str | None = None, must_not: str | None = None,
+        min_should: int = 0,
+        filters: dict | None = None, ranges: dict | None = None,
+        time_range: tuple | None = None,
+    ) -> DataFrame:
+        """Windowed ``bool_doc_ids``: ONE plan over the whole window. The
+        selected days' pruned (term, doc_id) scans are unioned (narrow —
+        no per-day shuffle), deduplicated once, and pushed through the
+        single bool hash aggregation. Day corpora are doc-disjoint, so the
+        union is exact; every driver step (dictionary probes, range
+        expansion, must-presence) is a metadata read — the whole thing
+        costs one Spark action regardless of the day count (vs one job
+        wave per day in the per-day formulation: a 90-day Kibana window is
+        one scan, not 90 sequential waves of fixed overhead)."""
+        from functools import reduce
+
+        from ..textutils import analyze
+        from .query import (
+            _bool_match_ids,
+            _filter_want,
+            _term_range,
+            term_doc_pairs,
+        )
+
+        empty = self.spark.createDataFrame([], "doc_id long")
+        days = select_days(self.root, time_range)
+        if not days:
+            return empty
+        stats = _merged_stats(self.root, days)
+        az = stats.get("analyzer")
+        should_terms = sorted(set(analyze(query, az))) if query else []
+        must_terms = sorted(set(analyze(must, az))) if must else []
+        not_terms = sorted(set(analyze(must_not, az))) if must_not else []
+        scoring = sorted(set(should_terms) | set(must_terms))
+        fgroups: list[list[str]] = []
+        if filters or ranges:
+            def range_expand(lo: str, hi: str) -> list[str]:
+                # keyword terms are day-independent strings: the window's
+                # expansion is the union of each day's range-sidecar probe
+                terms: set[str] = set()
+                for day in days:
+                    terms.update(
+                        _term_range(day_dir(self.root, day), lo, hi)["term"].tolist()
+                    )
+                return sorted(terms)
+
+            want = _filter_want(filters, ranges, range_expand)
+            if want is None:
+                return empty
+            fgroups = want
+        if not scoring and not fgroups:
+            return empty
+        if must_terms:
+            lookup = _merged_lookup(
+                self.spark, self.root, days, stats["n_term_buckets"]
+            )
+            present = {e["term"] for e in lookup(must_terms)}
+            if any(mt not in present for mt in must_terms):
+                return empty  # provably empty across the whole window
+        flat = sorted({t for g in fgroups for t in g})
+        all_terms = sorted(set(scoring) | set(not_terms) | set(flat))
+        pairs = reduce(
+            DataFrame.unionByName,
+            [
+                term_doc_pairs(
+                    self.spark, day_dir(self.root, d), all_terms, distinct=False
+                )
+                for d in days
+            ],
+        ).distinct()
+        return _bool_match_ids(
+            pairs, should_terms, must_terms, not_terms, min_should, fgroups
+        )
+
     def facet_counts(
         self, facet_col: str, query: str = "", *,
         time_range: tuple | None = None,
@@ -360,30 +436,49 @@ class DailySearcher:
         k: int | None = None,
     ) -> list[tuple]:
         """Windowed ES terms-aggregation — the Kibana time-chart-breakdown
-        shape ("top N <field> over the last 3 days"): each selected day
-        runs its own fully distributed ``facet_counts_spark`` (pruned
-        posting scan ⋈ that day's docstore, filters resolved against that
-        day's dictionary), and the per-day counts re-aggregate with one
-        tiny sum — counts are additive across the disjoint day corpora, so
-        the merge is exact at any matching-set size. Requires day indexes
-        built with ``store_cols=(facet_col, ...)``."""
-        from functools import reduce
-
-        from .query import facet_counts_spark
-
+        shape ("top N <field> over the last 3 days") as ONE distributed
+        plan: the window's matching ids (``bool_doc_ids`` above — unioned
+        pruned scans, one dedup, one bool aggregation) join the unioned
+        day docstores and hash-aggregate once. Counts over disjoint day
+        corpora are additive, so one aggregation is exact at any
+        matching-set size; job count is independent of the window width.
+        Requires day indexes built with ``store_cols=(facet_col, ...)``."""
         days = select_days(self.root, time_range)
         if not days:
             return []
-        frames = [
-            facet_counts_spark(
-                self.spark, day_dir(self.root, d), facet_col, query,
-                must=must, must_not=must_not, filters=filters, ranges=ranges,
-            )
-            for d in days
-        ]
-        u = reduce(DataFrame.unionByName, frames)
+        hits = self.bool_doc_ids(
+            query, must=must, must_not=must_not,
+            filters=filters, ranges=ranges, time_range=time_range,
+        )
+        # one lazy read per day dir, unioned (a multi-path read trips
+        # partition discovery on the day= ancestor dirs); the union is
+        # narrow — still one plan, one action. Schema comes from ONE
+        # driver-side pyarrow footer probe (day configs agree — enforced
+        # by _merged_stats) so no per-day schema-inference Spark job runs.
+        from functools import reduce
+
+        import pyarrow.dataset as pds
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        store_schema = from_arrow_schema(
+            pds.dataset(
+                os.path.join(day_dir(self.root, days[0]), "docstore"),
+                format="parquet", partitioning="hive",
+            ).schema
+        )
+        store = reduce(
+            DataFrame.unionByName,
+            [
+                self.spark.read.schema(store_schema).parquet(
+                    os.path.join(day_dir(self.root, d), "docstore")
+                )
+                for d in days
+            ],
+        )
         out = (
-            u.groupBy("facet").agg(F.sum("n").alias("n"))
+            store.join(hits, "doc_id")
+            .groupBy(F.col(facet_col).alias("facet"))
+            .agg(F.count("*").alias("n"))
             .orderBy(F.desc("n"), F.asc("facet"))
         )
         rows = (out.limit(k) if k else out).collect()

@@ -243,8 +243,13 @@ def _tombs(out_dir: str, stats: dict) -> dict:
 def _seg_scan(spark: SparkSession, out_dir: str, stats: dict) -> DataFrame:
     """Segment scan restricted to the committed-run snapshot (see
     ``_committed``); run is a partition column, so the filter prunes whole
-    directories."""
-    seg = spark.read.parquet(f"{out_dir}/segments")
+    directories. The schema is EXPLICIT (derived from the stats config) so
+    the read never runs Spark's 1-task parquet schema-inference job — a
+    fixed cost per read that multiplies across DailySearcher windows."""
+    from .build import BLOCKS_POS_SCHEMA, BLOCKS_SCHEMA
+
+    base = BLOCKS_POS_SCHEMA if stats.get("positions") else BLOCKS_SCHEMA
+    seg = spark.read.schema(base + ", tb int, run string").parquet(f"{out_dir}/segments")
     c = _committed(stats)
     if c is not None:
         seg = seg.where(F.col("run").isin(sorted(c)))
@@ -1149,11 +1154,17 @@ def _drop_dead(docs: np.ndarray, run, tomb: dict) -> np.ndarray:
     return docs[~_in_sorted(docs, ids)]
 
 
-def term_doc_pairs(spark: SparkSession, out_dir: str, terms: list[str]) -> DataFrame:
+def term_doc_pairs(
+    spark: SparkSession, out_dir: str, terms: list[str], *, distinct: bool = True
+) -> DataFrame:
     """Distinct (term, doc_id) pairs for the given terms — one pruned
     segment scan (tb partitions + term row groups), docs-column decode only
     (tf/dl/poss pruned away). The building block for distributed boolean
-    set algebra over arbitrarily large matching sets."""
+    set algebra over arbitrarily large matching sets.
+
+    ``distinct=False`` skips the dedup shuffle — for callers that union
+    several indexes' pairs and dedup ONCE globally (DailySearcher windows:
+    one wide shuffle instead of one per day)."""
     stats = load_stats(out_dir)
     terms = sorted(set(terms))
     entries = _lookup_terms(
@@ -1195,7 +1206,8 @@ def term_doc_pairs(spark: SparkSession, out_dir: str, terms: list[str]) -> DataF
             if outs:
                 yield pd.concat(outs, ignore_index=True)
 
-    return seg.mapInPandas(decode, schema="term string, doc_id long").distinct()
+    out = seg.mapInPandas(decode, schema="term string, doc_id long")
+    return out.distinct() if distinct else out
 
 
 def bool_doc_ids(
@@ -1247,6 +1259,23 @@ def bool_doc_ids(
         }
         if any(mt not in present for mt in must_terms):
             return spark.createDataFrame([], "doc_id long")
+    return _bool_match_ids(pairs, should_terms, must_terms, not_terms, min_should, fgroups)
+
+
+def _bool_match_ids(
+    pairs: DataFrame,
+    should_terms: list[str],
+    must_terms: list[str],
+    not_terms: list[str],
+    min_should: int,
+    fgroups: list[list[str]],
+) -> DataFrame:
+    """The single hash aggregation at the heart of ``bool_doc_ids``:
+    DISTINCT (term, doc_id) pairs in, matching doc_ids out. Shared by the
+    single-index path and the DailySearcher window path (which unions
+    several days' pruned pair scans first — day corpora are doc-disjoint,
+    so one aggregation stays exact)."""
+    scoring = sorted(set(should_terms) | set(must_terms))
     agg_cols = [
         F.sum(F.when(F.col("term").isin(must_terms), 1).otherwise(0)).alias("n_must"),
         F.max(F.when(F.col("term").isin(scoring), 1).otherwise(0)).alias("any_should"),

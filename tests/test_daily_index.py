@@ -281,3 +281,79 @@ def test_daily_facet_counts_windowed(spark, tmp_path_factory):
         if "spark" in txt and i % 3 in (0, 1):
             want_w[src] = want_w.get(src, 0) + 1
     assert got_w == want_w
+
+
+def test_windowed_one_plan_job_count_and_bool_ids(spark, tmp_path_factory):
+    """The windowed facet/bool path is ONE unioned plan: the number of
+    Spark jobs must be independent of the number of selected days (a
+    90-day Kibana window costs one scan, not 90 sequential job waves),
+    and the windowed bool_doc_ids matches a brute-force python oracle."""
+    import datetime as dt
+
+    from conveyorbelt_spark.index.daily import DailySearcher, build_daily_index
+
+    root = str(tmp_path_factory.mktemp("djobs"))
+    rows = [
+        (
+            i,
+            "spark join" if i % 2 == 0 else "window plan",
+            ["web", "api", "batch"][i % 3],
+            dt.datetime(2016, 9, 16 + (i % 4), 12),
+        )
+        for i in range(80)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, warc_ts timestamp"
+    )
+    build_daily_index(
+        spark, docs, root, url_col=None, n_buckets=2, n_term_buckets=4,
+        store_cols=("source",),
+    )
+    ds = DailySearcher(spark, root)
+
+    sc = spark.sparkContext
+
+    def jobs_for(fn, group):
+        sc.setJobGroup(group, group)
+        try:
+            out = fn()
+        finally:
+            sc.setJobGroup(None, None)
+        return out, len(sc.statusTracker().getJobIdsForGroup(group))
+
+    def window(n_days):
+        return (dt.datetime(2016, 9, 16), dt.datetime(2016, 9, 16 + n_days))
+
+    got2, j2 = jobs_for(
+        lambda: dict(ds.facet_counts("source", "spark join", time_range=window(2))),
+        "facets-2d",
+    )
+    got4, j4 = jobs_for(
+        lambda: dict(ds.facet_counts("source", "spark join", time_range=window(4))),
+        "facets-4d",
+    )
+    assert j4 == j2, f"job count grew with window width: {j2} (2d) vs {j4} (4d)"
+
+    def brute(n_days):
+        want: dict[str, int] = {}
+        for i, txt, src, ts in rows:
+            if "spark" in txt and ts < dt.datetime(2016, 9, 16 + n_days):
+                want[src] = want.get(src, 0) + 1
+        return want
+
+    assert got2 == brute(2)
+    assert got4 == brute(4)
+
+    # windowed bool_doc_ids: must/must_not algebra across the window
+    ids = {
+        r.doc_id
+        for r in ds.bool_doc_ids(
+            "spark", must_not="plan", time_range=window(3)
+        ).collect()
+    }
+    want_ids = {
+        i
+        for i, txt, _, ts in rows
+        if "spark" in txt and "plan" not in txt and ts < dt.datetime(2016, 9, 19)
+    }
+    assert ids == want_ids
