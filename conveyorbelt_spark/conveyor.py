@@ -43,6 +43,67 @@ PARSER_REGISTRY = {
     "InsightMetricsParser": parse_insight_metrics,
 }
 
+# name-resolved ingest pipelines (the reference's server-side ES ingest
+# pipeline on bulk writes — NestBatchPusher.cs:76-77 routes the batch
+# through a named pipeline when EsPipelineEnabled,
+# ConfigurationKeys.cs:33). Here a pipeline is any DataFrame→DataFrame
+# transform applied between parse/filter and index_batch; register by name
+# like parsers, or declare ES-processor JSON via build_ingest_pipeline.
+PIPELINE_REGISTRY: dict = {}
+
+
+def register_pipeline(name: str, fn) -> None:
+    PIPELINE_REGISTRY[name] = fn
+
+
+def build_ingest_pipeline(processors: list[dict]):
+    """Compile an ES-ingest-pipeline processor list into a declarative
+    DataFrame transform (all JVM-side column expressions — no Python row
+    UDFs, so Catalyst folds the pipeline into the ingest plan). Supported
+    processors (the common ES set):
+
+      {"set":       {"field": f, "value": v}}          — constant column
+      {"copy":      {"field": f, "target_field": t}}   — duplicate a column
+      {"rename":    {"field": f, "target_field": t}}
+      {"remove":    {"field": f}}                      — f or list of fs
+      {"lowercase": {"field": f}} / {"uppercase": {"field": f}}
+      {"trim":      {"field": f}}
+      {"gsub":      {"field": f, "pattern": p, "replacement": r}}
+      {"convert":   {"field": f, "type": "long"|"double"|"string"|...}}
+    """
+
+    def _one(df: DataFrame, kind: str, body: dict) -> DataFrame:
+        f = body.get("field")
+        if kind == "set":
+            return df.withColumn(f, F.lit(body["value"]))
+        if kind == "copy":
+            return df.withColumn(body["target_field"], F.col(f))
+        if kind == "rename":
+            return df.withColumnRenamed(f, body["target_field"])
+        if kind == "remove":
+            return df.drop(*(f if isinstance(f, list) else [f]))
+        if kind == "lowercase":
+            return df.withColumn(f, F.lower(F.col(f)))
+        if kind == "uppercase":
+            return df.withColumn(f, F.upper(F.col(f)))
+        if kind == "trim":
+            return df.withColumn(f, F.trim(F.col(f)))
+        if kind == "gsub":
+            return df.withColumn(
+                f, F.regexp_replace(F.col(f), body["pattern"], body["replacement"])
+            )
+        if kind == "convert":
+            return df.withColumn(f, F.col(f).cast(body["type"]))
+        raise ValueError(f"unsupported ingest processor {kind!r}")
+
+    def apply(df: DataFrame) -> DataFrame:
+        for proc in processors:
+            (kind, body), = proc.items()
+            df = _one(df, kind, body)
+        return df
+
+    return apply
+
 
 @dataclass
 class SourceSpec:
@@ -60,6 +121,11 @@ class SourceSpec:
     grace_period_minutes: int = 3
     max_items_in_a_schedule_run: int = 100000
     is_active: bool = True
+    # ingest pipeline between parse/filter and the index write (the ES
+    # server-side pipeline the reference enables per environment,
+    # NestBatchPusher.cs:76-77): a PIPELINE_REGISTRY name, or None; an
+    # inline ES-processor list may live in custom["pipeline_processors"]
+    pipeline: str | None = None
     # True = route each doc to a day=YYYYMMDD sub-index under index_dir —
     # the reference's per-day ES indices (IndexNamer.cs:21-41, created by
     # MasterScheduler.cs:205-239); False = one flat index
@@ -158,6 +224,12 @@ def run_source(
         parsed = raw
     if spec.filter:
         parsed = parsed.where(simple_filter(spec.filter))
+    # ingest pipeline LAST before the index write (ES applies pipelines at
+    # bulk time, after the pusher has formed the batch)
+    if spec.pipeline:
+        parsed = PIPELINE_REGISTRY[spec.pipeline](parsed)
+    elif spec.custom.get("pipeline_processors"):
+        parsed = build_ingest_pipeline(spec.custom["pipeline_processors"])(parsed)
 
     # index the batch as a delta segment keyed by the schedule window
     run_id = f"{spec.key}_{keys[-1]}"

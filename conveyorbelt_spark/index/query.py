@@ -1888,12 +1888,14 @@ class Searcher:
     def __init__(
         self, spark: SparkSession, out_dir: str, mode: str = "auto",
         max_candidates: int | None = None, cache_terms: int = 256,
+        cache_bytes: int = 64 << 20,
     ):
         self.spark = spark
         self.out_dir = out_dir
         self.mode = mode
         self.max_candidates = max_candidates
         self.cache_terms = cache_terms
+        self.cache_bytes = cache_bytes
         self.stats = load_stats(out_dir)
         self._stats_mtime = os.path.getmtime(os.path.join(out_dir, "stats.json"))
         self._term_cache: dict[str, dict | None] = {}
@@ -1901,9 +1903,15 @@ class Searcher:
         from collections import OrderedDict
 
         # (term, with_poss) → post-tombstone block frame; the ES node-
-        # query-cache analogue (bounded LRU; invalidated with the stats
-        # snapshot, so deletes/batches/compactions clear it via mtime)
+        # query-cache analogue. Bounded LRU with a BYTE budget (default
+        # 64 MiB, summed over the varint buffer columns) plus a term-count
+        # cap: a stopword-grade term's block frame can be orders of
+        # magnitude bigger than a rare term's, so counting terms alone
+        # leaves the real memory unbounded. Invalidated with the stats
+        # snapshot (deletes/batches/compactions clear it via mtime).
         self._block_cache: OrderedDict[tuple[str, bool], pd.DataFrame] = OrderedDict()
+        self._block_cache_sizes: dict[tuple[str, bool], int] = {}
+        self._block_cache_total = 0
 
     def _maybe_invalidate(self) -> None:
         try:
@@ -1915,7 +1923,38 @@ class Searcher:
             self._stats_mtime = m
             self._term_cache.clear()
             self._block_cache.clear()
+            self._block_cache_sizes.clear()
+            self._block_cache_total = 0
             self._tomb = _tombs(self.out_dir, self.stats)
+
+    @staticmethod
+    def _frame_bytes(f: pd.DataFrame) -> int:
+        """Byte accounting for one cached block frame: the varint buffer
+        columns dominate; scalar columns cost ~8 B each per row."""
+        n = len(f)
+        total = 12 * 8 * n  # the scalar block columns
+        for c in ("docs", "tfs", "dls", "poss"):
+            if c in f.columns and n:
+                total += int(sum(len(v) for v in f[c] if v is not None))
+        return total
+
+    def _cache_put(self, key: tuple[str, bool], f: pd.DataFrame) -> None:
+        old = self._block_cache_sizes.pop(key, None)
+        if old is not None:
+            self._block_cache_total -= old
+            self._block_cache.pop(key, None)
+        size = self._frame_bytes(f)
+        self._block_cache[key] = f
+        self._block_cache_sizes[key] = size
+        self._block_cache_total += size
+        while self._block_cache and (
+            self._block_cache_total > self.cache_bytes
+            or len(self._block_cache) > self.cache_terms
+        ):
+            if len(self._block_cache) == 1 and self._block_cache_total <= self.cache_bytes:
+                break
+            k, _ = self._block_cache.popitem(last=False)
+            self._block_cache_total -= self._block_cache_sizes.pop(k, 0)
 
     def _local_blocks(self, tbs, scan_terms, columns=None):
         """Pruned local block read with the delete snapshot applied and a
@@ -1953,11 +1992,9 @@ class Searcher:
                 if f is None:
                     f = blocks.iloc[0:0]
                 f = f.reset_index(drop=True)
-                self._block_cache[(t, with_poss)] = f
+                self._cache_put((t, with_poss), f)
                 if len(f):
                     frames.append(f)
-            while len(self._block_cache) > self.cache_terms:
-                self._block_cache.popitem(last=False)
         if not frames:
             # preserve the schema of an empty read
             empty_cached = next(iter(cached.values()), None)

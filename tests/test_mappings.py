@@ -78,3 +78,67 @@ def test_ensure_mapping_ddl(tmp_path):
 
     with open(p1) as f:
         assert "properties" in next(iter(json.load(f).values()))
+
+
+def test_full_registry_ships_all_six():
+    """All six reference mapping declarations ship in the package
+    (reference mappings/: AzureIisLog, WADLogsTable,
+    WADPerformanceCountersTable, SLABLogsTable, SitecoreLogTable,
+    WADWindowsEventLogsTable)."""
+    assert {
+        "AzureIisLog", "WADLogsTable", "WADPerformanceCountersTable",
+        "SLABLogsTable", "SitecoreLogTable", "WADWindowsEventLogsTable",
+    } <= set(available_mappings())
+    # each one loads into a typed struct with ts first
+    for name in ("SLABLogsTable", "SitecoreLogTable", "WADWindowsEventLogsTable"):
+        st = mapping_struct(name)
+        assert st.fields[0].name == "ts"
+        assert isinstance(st.fields[0].dataType, T.TimestampType)
+
+
+def test_slab_two_date_fields_and_event_time(spark):
+    """SLABLogsTable is the SURVEY §1.2 two-date-field case (reference
+    mappings/SLABLogsTable.json:8-11 declares @timestamp AND EventDate):
+    both map to timestamps, and X7's event_time prefers EventDate over the
+    storage Timestamp (TableEntityExtensions.cs:12-31 ladder)."""
+    from conveyorbelt_spark.sources.mappings import fields_of_type
+    from conveyorbelt_spark.sources.parsers import event_time
+
+    assert fields_of_type("SLABLogsTable", "date") == ["ts", "EventDate"]
+    assert "Payload" in analyzed_fields("SLABLogsTable")
+    assert "ProviderId" in not_analyzed_fields("SLABLogsTable")
+
+    rows = [
+        # EventDate present → wins over Timestamp
+        ("p1", "r1", dt.datetime(2016, 9, 16, 10, 0), dt.datetime(2016, 9, 16, 12, 0)),
+        # EventDate null → falls back to Timestamp
+        ("p1", "r2", None, dt.datetime(2016, 9, 16, 12, 5)),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "PartitionKey string, RowKey string, EventDate timestamp, Timestamp timestamp",
+    )
+    got = {
+        r.RowKey: r.et
+        for r in df.withColumn("et", event_time(df)).collect()
+    }
+    assert got["r1"] == dt.datetime(2016, 9, 16, 10, 0)
+    assert got["r2"] == dt.datetime(2016, 9, 16, 12, 5)
+
+
+def test_windows_event_and_sitecore_flags(spark):
+    """WADWindowsEventLogsTable: RawXml is not_analyzed (exact blob),
+    Description analyzed; SitecoreLogTable: Payload analyzed."""
+    assert "RawXml" in not_analyzed_fields("WADWindowsEventLogsTable")
+    assert "Description" in analyzed_fields("WADWindowsEventLogsTable")
+    assert "Payload" in analyzed_fields("SitecoreLogTable")
+    assert "SitecoreLevel" in analyzed_fields("SitecoreLogTable")
+    # WADWindowsEventLogs rows route event_time through EventTickCount
+    from conveyorbelt_spark.sources.parsers import event_time
+
+    df = spark.createDataFrame(
+        [("p", "r", 636095808000000000, dt.datetime(2016, 9, 20))],
+        "PartitionKey string, RowKey string, EventTickCount long, Timestamp timestamp",
+    )
+    (row,) = df.withColumn("et", event_time(df)).collect()
+    assert row.et == dt.datetime(2016, 9, 16, 0, 0)

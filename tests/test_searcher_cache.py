@@ -76,3 +76,30 @@ def test_phrase_and_bag_caches_are_separate(spark, tmp_path):
     assert {d for d, _ in ph} == {1, 2}
     assert {d for d, _ in bag} == {1, 2, 3}
     assert ph == Searcher(spark, out).phrase_rows("spark join", 10)
+
+
+def test_byte_budget_evicts_by_bytes(spark, cidx):
+    """The LRU budget is BYTES, not term count: one stopword-grade term's
+    frame can dwarf many rare terms'. Eviction must track actual buffer
+    sizes, and warm results must stay identical through the thrash."""
+    out, _ = cidx
+    s = Searcher(spark, out)
+    s.search_rows("spark join window plan", 10)
+    assert s._block_cache_total == sum(s._block_cache_sizes.values())
+    assert s._block_cache_total > 0
+    per = dict(s._block_cache_sizes)
+    # budget that fits ~2 of the 4 cached frames: older entries must go
+    budget = sorted(per.values())[-1] + sorted(per.values())[-2] + 1
+    s2 = Searcher(spark, out, cache_bytes=budget)
+    cold = s2.search_rows("spark join window plan", 10)
+    assert s2._block_cache_total <= budget
+    assert len(s2._block_cache) < 4
+    assert s2._block_cache_total == sum(s2._block_cache_sizes.values())
+    # warm/cold parity unchanged under byte-eviction
+    assert s2.search_rows("spark join window plan", 10) == cold
+    # a frame larger than the whole budget is never pinned
+    s3 = Searcher(spark, out, cache_bytes=1)
+    r3 = s3.search_rows("spark join", 10)
+    assert len(s3._block_cache) == 0
+    assert s3._block_cache_total == 0
+    assert r3 == Searcher(spark, out).search_rows("spark join", 10)
