@@ -316,27 +316,8 @@ def search_body(spark: SparkSession, out_dir: str, body: dict) -> dict:
         hits.append(hit)
 
     total = {"value": len(hits) + from_, "relation": "gte"}
-    trackable = (
-        plan["phrase"] is None and plan["mm"] is None
-        and plan["expand"] is None and plan["mlt"] is None
-    )
-    if body.get("track_total_hits") and not trackable:
-        raise UnsupportedDSL(
-            "track_total_hits is supported for match/bool/filter queries "
-            "(phrase/multi_match/expansion totals are not wired to the "
-            "distributed counter)"
-        )
     if body.get("track_total_hits"):
-        from .query import bool_doc_ids
-
-        total = {
-            "value": bool_doc_ids(
-                spark, out_dir, plan["query"], must=plan["must"],
-                must_not=plan["must_not"], min_should=plan["min_should"],
-                filters=filters, ranges=ranges,
-            ).count(),
-            "relation": "eq",
-        }
+        total = {"value": _exact_total(spark, out_dir, s, plan, filters, ranges), "relation": "eq"}
 
     resp: dict[str, Any] = {"hits": {"total": total, "hits": hits}}
     if body.get("aggs"):
@@ -349,6 +330,75 @@ def search_body(spark: SparkSession, out_dir: str, body: dict) -> dict:
             name: [r.asDict() for r in df.collect()] for name, df in aggs.items()
         }
     return resp
+
+
+def _exact_total(spark, out_dir: str, s: Searcher, plan: dict, filters, ranges) -> int:
+    """Exact ``track_total_hits`` for EVERY supported query shape,
+    distributed and uncapped:
+
+    - match/bool/filter → ``bool_doc_ids`` (one pruned scan + hash agg)
+    - match_phrase      → ``phrase_doc_ids`` (positional kernel, top-k off)
+    - multi_match       → ``posting_docs_terms`` over the field-qualified
+                          expansion (a doc matches iff any field matches)
+    - prefix/wildcard/regexp/fuzzy → same expansion bag the scoring path
+                          uses, counted as a SHOULD union
+    - more_like_this    → the selected interestingness terms' union, minus
+                          the liked doc itself
+    """
+    from .query import (
+        _multi_match_plan,
+        bool_doc_ids,
+        expand_fuzzy,
+        expand_prefix,
+        expand_regexp,
+        expand_wildcard,
+        phrase_doc_ids,
+        posting_docs_terms,
+    )
+
+    if plan["phrase"] is not None:
+        return phrase_doc_ids(spark, out_dir, plan["phrase"]).count()
+    if plan["mm"] is not None:
+        mm_plan = _multi_match_plan(
+            spark, out_dir, s.stats, plan["mm"]["query"], plan["mm"]["fields"]
+        )
+        if mm_plan is None:
+            return 0
+        _per_field, _tbs, scan_terms = mm_plan
+        return posting_docs_terms(spark, out_dir, scan_terms).count()
+    if plan["expand"] is not None:
+        kind, val, spec = plan["expand"]
+        if kind == "prefix":
+            terms = expand_prefix(out_dir, val)
+        elif kind == "wildcard":
+            terms = expand_wildcard(out_dir, val)
+        elif kind == "regexp":
+            terms = expand_regexp(out_dir, val)
+        else:
+            terms = expand_fuzzy(out_dir, val, int(spec.get("fuzziness", 1)))
+        if not terms:
+            return 0
+        return posting_docs_terms(spark, out_dir, terms).count()
+    if plan["mlt"] is not None:
+        knobs = {
+            k: plan["mlt"][k]
+            for k in ("max_query_terms", "min_doc_freq", "min_term_freq")
+            if k in plan["mlt"]
+        }
+        sel, self_id = s.mlt_terms(plan["mlt"]["like"], **knobs)
+        if not sel:
+            return 0
+        ids = posting_docs_terms(spark, out_dir, sel)
+        if self_id is not None:
+            from pyspark.sql import functions as F  # noqa: N812
+
+            ids = ids.where(F.col("doc_id") != self_id)
+        return ids.count()
+    return bool_doc_ids(
+        spark, out_dir, plan["query"], must=plan["must"],
+        must_not=plan["must_not"], min_should=plan["min_should"],
+        filters=filters, ranges=ranges,
+    ).count()
 
 
 def _highlight_fragment(text: str, query: str, width: int = 160) -> str | None:

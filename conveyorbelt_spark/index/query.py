@@ -1050,6 +1050,9 @@ def _phrase_kernel(phrase_tokens: list[tuple[str, int]], idf_sum: float, k: int)
         pf = pf.astype(np.float64)
         w = (pf * (k1 + 1.0)) / (pf + k1 * (1.0 - b + b * (dl / avgdl)))
         scores = idf_sum * w
+        if k is None:
+            # uncapped: every matching doc (track_total_hits counting path)
+            return pd.DataFrame({"doc_id": docs_hit, "score": scores})
         idx = _topk_idx(scores, docs_hit, k)
         return pd.DataFrame({"doc_id": docs_hit[idx], "score": scores[idx]})
 
@@ -1108,6 +1111,34 @@ def phrase_topk(
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def phrase_doc_ids(spark: SparkSession, out_dir: str, phrase: str) -> DataFrame:
+    """EVERY doc containing the phrase (no top-k, no cap) — the positional
+    twin of ``bool_doc_ids``, distributed end to end: the same pruned
+    positional scan and per-bucket phrase kernel as ``phrase_topk``, with
+    the top-k slicing disabled. Feeds exact ``track_total_hits`` for
+    match_phrase requests."""
+    stats = load_stats(out_dir)
+    empty = spark.createDataFrame([], "doc_id long")
+    plan = _phrase_plan(spark, out_dir, stats, phrase)
+    if plan is None:
+        return empty
+    phrase_tokens, idf_sum, tbs, distinct = plan
+    tomb = _tombs(out_dir, stats)
+    seg = (
+        _seg_scan(spark, out_dir, stats)
+        .where(F.col("tb").isin(tbs) & F.col("term").isin(distinct))
+        .select(*_BLOCK_COLS, "poss", *(["run"] if tomb else []))
+    )
+    kern = _phrase_kernel(phrase_tokens, idf_sum, None)
+    kern.k1, kern.b, kern.avgdl = stats["k1"], stats["b"], stats["avgdl"]
+    func = kern if not tomb else _with_tombstones(kern, tomb)
+    return (
+        seg.groupBy("bucket")
+        .applyInPandas(func, schema="doc_id long, score double")
+        .select("doc_id")
+    )
+
+
 def posting_docs(spark: SparkSession, out_dir: str, terms_query: str) -> DataFrame:
     """All doc_ids containing ANY of the query's terms (pruned scan +
     decode-docs-only kernel) — the candidate generator for MUST_NOT (J4)
@@ -1116,6 +1147,15 @@ def posting_docs(spark: SparkSession, out_dir: str, terms_query: str) -> DataFra
 
     stats = load_stats(out_dir)
     terms = sorted(set(analyze(terms_query, stats.get("analyzer"))))
+    return posting_docs_terms(spark, out_dir, terms)
+
+
+def posting_docs_terms(spark: SparkSession, out_dir: str, terms: list[str]) -> DataFrame:
+    """``posting_docs`` over RAW index terms (no query-side analysis) —
+    the form multi_match totals need, whose field-qualified terms
+    (``field␟token``) must not round-trip through the tokenizer."""
+    stats = load_stats(out_dir)
+    terms = sorted(set(terms))
     entries = _lookup_terms(
         spark, out_dir, terms, stats["n_term_buckets"], committed=_committed(stats)
     )
@@ -2247,6 +2287,25 @@ class Searcher:
         them as a SHOULD bag. ``like`` is raw text, or a doc_id resolved
         from the docstore (requires the index to store a ``text`` column:
         ``write_docstore(extra_cols=('text',))``)."""
+        sel, self_id = self.mlt_terms(
+            like, max_query_terms=max_query_terms,
+            min_doc_freq=min_doc_freq, min_term_freq=min_term_freq,
+        )
+        if not sel:
+            return []
+        rows = self.search_rows(" ".join(sel), k + (1 if exclude_self else 0))
+        if exclude_self and self_id is not None:
+            rows = [(d, s) for d, s in rows if d != self_id]
+        return rows[:k]
+
+    def mlt_terms(
+        self, like, *,
+        max_query_terms: int = 25, min_doc_freq: int = 2, min_term_freq: int = 1,
+    ) -> tuple[list[str], int | None]:
+        """more_like_this term selection (Lucene tf·idf interestingness) —
+        returns (selected_terms, self_doc_id). Factored out so the DSL's
+        exact ``track_total_hits`` can count the same SHOULD bag the
+        scoring path runs."""
         from collections import Counter
 
         self._maybe_invalidate()
@@ -2268,7 +2327,7 @@ class Searcher:
 
         tf = Counter(analyze(text, self.stats.get("analyzer")))
         if not tf:
-            return []
+            return [], self_id
         entries = {e["term"]: e for e in self._entries(sorted(tf))}
         scored_terms = []
         for t, f in tf.items():
@@ -2277,14 +2336,8 @@ class Searcher:
                 continue
             interest = f * idf(self.stats["n_docs"], int(e["df"]))
             scored_terms.append((interest, t))
-        if not scored_terms:
-            return []
         scored_terms.sort(key=lambda iv: (-iv[0], iv[1]))
-        sel = [t for _, t in scored_terms[:max_query_terms]]
-        rows = self.search_rows(" ".join(sel), k + (1 if exclude_self else 0))
-        if exclude_self and self_id is not None:
-            rows = [(d, s) for d, s in rows if d != self_id]
-        return rows[:k]
+        return [t for _, t in scored_terms[:max_query_terms]], self_id
 
     def search_highlight(
         self, query: str, k: int = 10, *,

@@ -130,3 +130,56 @@ def test_unsupported_shapes_raise(spark, droot):
         search_body(spark, out, {"query": {"bool": {"filter": [
             {"range": {"nc": {"gt": "0001"}}}
         ]}}, "sort": ["nc"]})
+
+
+def test_track_total_hits_all_shapes(spark, tmp_path_factory):
+    """track_total_hits=True returns EXACT totals ("relation": "eq") on
+    every supported query shape — match/bool, phrase, multi_match,
+    prefix/fuzzy expansion, more_like_this — verified against brute-force
+    python over the corpus."""
+    rng = random.Random(77)
+    rows = [
+        (
+            i,
+            " ".join(rng.choices(W, k=8)) + (" exact phrase" if i % 5 == 0 else ""),
+            " ".join(rng.choices(W, k=3)),
+        )
+        for i in range(120)
+    ]
+    out = str(tmp_path_factory.mktemp("ttidx"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, title string")
+    build_index(
+        spark, docs, out, url_col=None, n_buckets=4, n_term_buckets=8,
+        positions=True, field_cols=("title",),
+    )
+    write_docstore(spark, docs, out, url_col=None, extra_cols=("text",))
+
+    def total(body):
+        resp = search_body(spark, out, {**body, "size": 3, "track_total_hits": True})
+        assert resp["hits"]["total"]["relation"] == "eq"
+        return resp["hits"]["total"]["value"]
+
+    # match (union of docs containing any term)
+    n = total({"query": {"match": {"text": "spark join"}}})
+    assert n == sum(1 for _, t, _ in rows if "spark" in t.split() or "join" in t.split())
+    # phrase
+    n = total({"query": {"match_phrase": {"text": "exact phrase"}}})
+    assert n == sum(1 for _, t, _ in rows if "exact phrase" in t)
+    # multi_match: any field matches
+    n = total({"query": {"multi_match": {"query": "spark", "fields": ["text", "title"]}}})
+    assert n == sum(
+        1 for _, t, ti in rows if "spark" in t.split() or "spark" in ti.split()
+    )
+    # prefix expansion: all terms starting sp/jo...
+    n = total({"query": {"prefix": {"text": "sh"}}})
+    assert n == sum(1 for _, t, _ in rows if any(w.startswith("sh") for w in t.split()))
+    # fuzzy: 1 edit from 'spork' (prefix_length 1 keeps s-)
+    n = total({"query": {"fuzzy": {"text": {"value": "spark", "fuzziness": 1}}}})
+    assert n >= sum(1 for _, t, _ in rows if "spark" in t.split())
+    # more_like_this by raw text, self not excluded (text form has no id)
+    n = total({"query": {"more_like_this": {"like": "spark join window", "min_doc_freq": 1}}})
+    assert n == sum(
+        1
+        for _, t, _ in rows
+        if {"spark", "join", "window"} & set(t.split())
+    )
