@@ -447,8 +447,14 @@ def build_index(
     keyword_cols: tuple = (),
     field_cols: tuple = (),
     analyzer: dict | None = None,
+    fuzzy_deletes: bool | dict = False,
 ) -> dict:
     """Build the full index under ``out_dir``. Returns the stats dict.
+
+    ``fuzzy_deletes=True`` (or a {"max_edits", "n_buckets"} dict) also
+    builds the SymSpell k-deletes sidecar so ``prefix_length=0`` fuzzy
+    queries probe hash buckets instead of scanning the dictionary; kept in
+    step by refresh_dictionary / incremental deltas thereafter.
 
     ``analyzer`` opts into the ES-custom-analyzer chain
     ({"stopwords": "english"|[...], "min_len": n, "stem": "s"}) applied
@@ -626,6 +632,10 @@ def build_index(
         },
     )
     _mark("stats")
+    if fuzzy_deletes:
+        kw = fuzzy_deletes if isinstance(fuzzy_deletes, dict) else {}
+        enable_fuzzy_deletes(spark, out_dir, **kw)
+        _mark("fuzzy_deletes")
     if store_docs or store_cols:
         write_docstore(spark, docs_in, out_dir, run_id, url_col, extra_cols=store_cols)
         _mark("docstore")
@@ -726,6 +736,15 @@ def refresh_dictionary(spark: SparkSession, out_dir: str, n_term_buckets: int) -
         "overwrite"
     ).partitionBy("tb", "run").parquet(os.path.join(out_dir, "dictionary"))
     write_term_index(dictionary.drop("run"), out_dir, "full", replace=True)
+    # keep the fuzzy k-deletes sidecar in step if the index opted in
+    meta_path = os.path.join(out_dir, FUZZY_DELETES_META)
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        write_fuzzy_deletes(
+            dictionary.drop("run"), out_dir, "full",
+            max_edits=meta["max_edits"], n_buckets=meta["n_buckets"], replace=True,
+        )
 
 
 TERM_RANGES_FILE = "term_ranges.json"
@@ -802,6 +821,110 @@ def write_term_index(
         json.dump(ranges, f, indent=0, sort_keys=True)
 
 
+FUZZY_DELETES_DIR = "fuzzy_deletes"
+FUZZY_DELETES_META = "fuzzy_deletes.json"
+
+
+def delete_variants(term: str, max_edits: int) -> set[str]:
+    """All strings reachable from ``term`` by deleting ≤ ``max_edits``
+    characters, including ``term`` itself — the SymSpell candidate key
+    set: if levenshtein(q, t) ≤ k then deletes(q, k) ∩ deletes(t, k) ≠ ∅,
+    so hash-joining the two delete sets yields a guaranteed superset of
+    the true fuzzy matches (the banded DP then verifies exactly)."""
+    out = {term}
+    frontier = {term}
+    for _ in range(max_edits):
+        nxt = set()
+        for t in frontier:
+            for i in range(len(t)):
+                nxt.add(t[:i] + t[i + 1 :])
+        out |= nxt
+        frontier = nxt
+    return out
+
+
+def delete_hash(s: str) -> int:
+    """Stable 63-bit key for a delete variant (md5-derived: deterministic
+    across processes/runs, unlike PYTHONHASHSEED-dependent hash())."""
+    import hashlib
+
+    return int.from_bytes(hashlib.md5(s.encode()).digest()[:8], "big") >> 1
+
+
+def write_fuzzy_deletes(
+    dictionary: DataFrame,
+    out_dir: str,
+    run_val: str,
+    *,
+    max_edits: int = 1,
+    n_buckets: int = 32,
+    replace: bool = False,
+) -> None:
+    """SymSpell k-deletes sidecar — the dictionary-scale structure for
+    ``prefix_length=0`` fuzzy queries (ES/Lucene walk a Levenshtein
+    automaton over the term FST; over parquet the equivalent O(1)-probe
+    structure is a precomputed delete-variant hash join). Layout:
+    ``fuzzy_deletes/db=<hash bucket>/run=<run>/`` rows of
+    (delhash, term, df) sorted by delhash, so a query opens only its
+    variants' hash-bucket dirs (≤ |variants| of ``n_buckets``) and parquet
+    row-group stats prune inside each file. Space is Σ_terms (1 + len)
+    rows at max_edits=1 (ES's default fuzziness band); delta runs append
+    their own partitions (merge-on-read df sums, like the term_index)."""
+    from pyspark.sql import functions as _F  # noqa: N812
+
+    nb = int(n_buckets)
+    me = int(max_edits)
+
+    def gen(batches):
+        for pdf in batches:
+            db, dh, tm, dfv = [], [], [], []
+            for term, dfval in zip(pdf["term"], pdf["df"]):
+                for v in delete_variants(term, me):
+                    h = delete_hash(v)
+                    db.append(h % nb)
+                    dh.append(h)
+                    tm.append(term)
+                    dfv.append(int(dfval))
+            yield pd.DataFrame({"db": db, "delhash": dh, "term": tm, "df": dfv})
+
+    d = (
+        dictionary.select("term", "df")
+        # keyword-field terms are filter-context internals — never fuzzy
+        .where(~F.col("term").contains(KEYWORD_SEP))
+        .mapInPandas(gen, schema="db int, delhash long, term string, df long")
+        .withColumn("run", _F.lit(run_val))
+        .repartition(nb, "db")
+        .sortWithinPartitions("delhash")
+    )
+    dd = os.path.join(out_dir, FUZZY_DELETES_DIR)
+    if replace:
+        import shutil
+
+        if os.path.isdir(dd):
+            shutil.rmtree(dd)
+        d.write.mode("overwrite").partitionBy("db", "run").parquet(dd)
+    else:
+        _dyn_overwrite(d, dd, ("db", "run"))
+    with open(os.path.join(out_dir, FUZZY_DELETES_META), "w") as f:
+        json.dump({"max_edits": me, "n_buckets": nb}, f)
+
+
+def enable_fuzzy_deletes(
+    spark: SparkSession, out_dir: str, *, max_edits: int = 1, n_buckets: int = 32
+) -> None:
+    """Opt an existing index into the k-deletes fuzzy sidecar (build it
+    from the current merged dictionary; refresh_dictionary and incremental
+    deltas keep it in step afterwards)."""
+    dict_df = spark.read.parquet(os.path.join(out_dir, "dictionary"))
+    merged = dict_df.groupBy("term").agg(F.sum("df").alias("df"))
+    # write the meta FIRST so a crash mid-build re-runs on the next refresh
+    with open(os.path.join(out_dir, FUZZY_DELETES_META), "w") as f:
+        json.dump({"max_edits": int(max_edits), "n_buckets": int(n_buckets)}, f)
+    write_fuzzy_deletes(
+        merged, out_dir, "full", max_edits=max_edits, n_buckets=n_buckets, replace=True
+    )
+
+
 def write_dictionary_delta(
     delta_blocks: DataFrame, out_dir: str, n_term_buckets: int, run_val: str
 ) -> None:
@@ -821,6 +944,14 @@ def write_dictionary_delta(
     _dyn_overwrite(d, os.path.join(out_dir, "dictionary"), ("tb", "run"))
     # keep the sorted expansion copy in step (O(delta), few range files)
     write_term_index(agg, out_dir, run_val, n_files=2)
+    # and the fuzzy k-deletes sidecar (only if the index opted in at build)
+    if os.path.exists(os.path.join(out_dir, FUZZY_DELETES_META)):
+        with open(os.path.join(out_dir, FUZZY_DELETES_META)) as f:
+            meta = json.load(f)
+        write_fuzzy_deletes(
+            agg, out_dir, run_val,
+            max_edits=meta["max_edits"], n_buckets=meta["n_buckets"],
+        )
 
 
 def load_stats(out_dir: str) -> dict:
@@ -1308,7 +1439,9 @@ def compact_runs(
     shutil.rmtree(man_old)
 
     # --- 3. reclaim the folded runs' partitions
-    roots = ["segments", "dictionary", "term_index"] + (["doclens"] if folded_dl else [])
+    roots = ["segments", "dictionary", "term_index", FUZZY_DELETES_DIR] + (
+        ["doclens"] if folded_dl else []
+    )
     for sub in roots:
         p = os.path.join(out_dir, sub)
         if not os.path.isdir(p):

@@ -1780,6 +1780,58 @@ def _edit_distance_le(a: str, b: str, k: int) -> bool:
     return prev[lb] <= k
 
 
+def _fuzzy_deletes_probe(
+    out_dir: str, term: str, fuzziness: int
+) -> tuple[pd.DataFrame, int] | None:
+    """SymSpell candidate probe against the k-deletes sidecar
+    (``build.write_fuzzy_deletes``): generate the query's delete variants,
+    hash them, open ONLY the matching hash-bucket partition dirs, and
+    return the candidate (term, df) frame (guaranteed superset of the true
+    fuzzy matches — the caller's DP verifies exactly). Returns
+    (candidates, n_files_read); None when the sidecar is absent or was
+    built with a smaller max_edits than requested."""
+    import glob as _glob
+    import json as _json
+
+    import pyarrow.dataset as ds
+
+    from .build import FUZZY_DELETES_DIR, FUZZY_DELETES_META, delete_hash, delete_variants
+
+    meta_path = os.path.join(out_dir, FUZZY_DELETES_META)
+    dd = os.path.join(out_dir, FUZZY_DELETES_DIR)
+    if not (os.path.exists(meta_path) and os.path.isdir(dd)):
+        return None
+    with open(meta_path) as f:
+        meta = _json.load(f)
+    if fuzziness > int(meta["max_edits"]):
+        return None
+    hashes = sorted({delete_hash(v) for v in delete_variants(term, fuzziness)})
+    buckets = sorted({h % int(meta["n_buckets"]) for h in hashes})
+    by_run: dict[str, list[str]] = {}
+    for b in buckets:
+        for p in _glob.glob(os.path.join(dd, f"db={b}", "run=*", "*.parquet")):
+            run = os.path.basename(os.path.dirname(p)).split("=", 1)[1]
+            by_run.setdefault(run, []).append(p)
+    empty = pd.DataFrame({"term": pd.Series(dtype=object), "df": pd.Series(dtype="int64")})
+    if not by_run:
+        return empty, 0
+    n_files = sum(len(v) for v in by_run.values())
+    parts = []
+    for run, files in by_run.items():
+        tbl = ds.dataset(files, format="parquet").to_table(
+            filter=ds.field("delhash").isin(hashes), columns=["term", "df"]
+        )
+        if tbl.num_rows:
+            # a term matches through SEVERAL of its delete variants — keep
+            # one row per (term, run) before summing df ACROSS runs
+            parts.append(tbl.to_pandas().drop_duplicates(subset=["term"]))
+    if not parts:
+        return empty, n_files
+    pdf = pd.concat(parts, ignore_index=True)
+    pdf = pdf.groupby("term", as_index=False, sort=True)["df"].sum()
+    return pdf, n_files
+
+
 def expand_fuzzy(
     out_dir: str,
     term: str,
@@ -1790,13 +1842,30 @@ def expand_fuzzy(
     """ES fuzzy-query expansion: terms within ``fuzziness`` edits
     (Levenshtein, ES caps at 2), sharing the first ``prefix_length``
     chars (ES's prefix_length knob — it both matches user intent and
-    range-prunes the sorted scan; 0 = full term scan). Candidates are
-    length-banded before the DP. Ranked df-desc like the other expansions.
-    ES/Lucene walk a term FST instead — at 10^8-term scale that (or a
-    k-deletes index) is the upgrade path; the sorted-copy scan is exact
-    and metadata-cheap at engine-test scale."""
+    range-prunes the sorted scan). Candidates are length-banded before the
+    DP. Ranked df-desc like the other expansions.
+
+    ``prefix_length=0`` (no shared-prefix pruning) consults the SymSpell
+    k-deletes sidecar when the index carries one
+    (``build.enable_fuzzy_deletes`` / ``build_index(fuzzy_deletes=True)``):
+    the probe opens only the query variants' hash-bucket files — the
+    parquet equivalent of Lucene's Levenshtein-automaton-over-FST walk —
+    instead of scanning every dictionary term. Without the sidecar it
+    falls back to the full sorted-copy scan (exact, but O(dictionary))."""
     term = term.lower()
     fuzziness = min(int(fuzziness), 2)
+    if prefix_length <= 0:
+        probed = _fuzzy_deletes_probe(out_dir, term, fuzziness)
+        if probed is not None:
+            pdf, _nf = probed
+            if not len(pdf):
+                return []
+            lens = pdf["term"].str.len()
+            pdf = pdf[(lens >= len(term) - fuzziness) & (lens <= len(term) + fuzziness)]
+            if not len(pdf):
+                return []
+            keep = pdf["term"].map(lambda t: _edit_distance_le(term, t, fuzziness))
+            return _rank_expansions(pdf[keep], max_expansions, term)
     if prefix_length > 0:
         lit = term[:prefix_length]
         lo, hi = lit, _range_hi(lit)

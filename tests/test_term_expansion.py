@@ -167,3 +167,57 @@ def test_incremental_batches_update_term_index(spark, eidx, tmp_path_factory):
     for prefix in ("term0012", "term000"):
         want = _rank(oracle, [t for t in oracle.postings if t.startswith(prefix)])[:50]
         assert expand_prefix(out, prefix) == want, prefix
+
+
+def test_fuzzy_deletes_sidecar_prefix0(spark, tmp_path_factory):
+    """prefix_length=0 fuzzy over the SymSpell k-deletes sidecar: exact
+    vs a brute-force full-vocabulary scan, AND bounded file reads — the
+    probe opens only the query variants' hash buckets, not the whole
+    dictionary (the Lucene automaton-over-FST role)."""
+    import glob
+
+    from conveyorbelt_spark.index.build import FUZZY_DELETES_DIR
+    from conveyorbelt_spark.index.query import _fuzzy_deletes_probe
+
+    out = str(tmp_path_factory.mktemp("fuzzdel"))
+    docs = corpus_spark_df(spark, 600, seed=47, n_parts=4)
+    build_index(spark, docs, out, n_buckets=4, fuzzy_deletes=True)
+    rows = with_doc_id(docs).select("doc_id", "text").collect()
+    oracle = BM25Oracle([(r.doc_id, r.text) for r in rows])
+
+    def lev(a, b):
+        d = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            nd = [i]
+            for j, cb in enumerate(b, 1):
+                nd.append(min(d[j] + 1, nd[j - 1] + 1, d[j - 1] + (ca != cb)))
+            d = nd
+        return d[-1]
+
+    for q in ("term00001", "xerm00012", "term0034"):
+        want = _rank(oracle, [t for t in oracle.postings if lev(q, t) <= 1])[:50]
+        got = expand_fuzzy(out, q, fuzziness=1, prefix_length=0)
+        assert got == want, q
+
+    # bounded-files: the probe reads a strict subset of the sidecar files
+    total_files = len(glob.glob(os.path.join(out, FUZZY_DELETES_DIR, "db=*", "run=*", "*.parquet")))
+    _pdf, n_read = _fuzzy_deletes_probe(out, "term00001", 1)
+    assert 0 < n_read < total_files
+    # fuzziness beyond the sidecar's max_edits falls back (returns None)
+    assert _fuzzy_deletes_probe(out, "term00001", 2) is None
+    # ...and expand_fuzzy still answers exactly via the full scan
+    want2 = _rank(oracle, [t for t in oracle.postings if lev("term00001", t) <= 2])[:50]
+    assert expand_fuzzy(out, "term00001", fuzziness=2, prefix_length=0) == want2
+
+
+def test_fuzzy_deletes_updated_by_delta(spark, tmp_path_factory):
+    """Incremental batches keep the k-deletes sidecar in step: a term that
+    only exists in a delta run is fuzzy-findable at prefix_length=0."""
+    out = str(tmp_path_factory.mktemp("fuzzdel2"))
+    docs = corpus_spark_df(spark, 200, seed=48, n_parts=2)
+    build_index(spark, docs, out, n_buckets=2, fuzzy_deletes=True)
+    delta = spark.createDataFrame(
+        [("https://d/1", "zebrafish zebrafish plan")], "url string, text string"
+    )
+    index_batch(spark, delta, out, "zb", n_buckets=2)
+    assert "zebrafish" in expand_fuzzy(out, "zebrafizh", fuzziness=1, prefix_length=0)
