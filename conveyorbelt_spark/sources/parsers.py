@@ -98,17 +98,27 @@ def _make_iis_kernel(
             glines = gpdf["line"]
             if gid == 0:
                 # governing header = latest '#Fields:' line BEFORE this
-                # split's first line (carried via the broadcast header map);
-                # without one, fields == null → lines dropped
-                # (IisLogParser.cs:95)
+                # split's first line; carried either by the broadcast-joined
+                # per-file header array (split path — no driver state) or
+                # the single-file map (cursor resume). Without one, fields
+                # == null → lines dropped (IisLogParser.cs:95)
                 hdr = None
+                first_off = int(gpdf["byte_offset"].iloc[0])
                 if headers_by_file:
-                    first_off = int(gpdf["byte_offset"].iloc[0])
                     for off, h in headers_by_file.get(fname, ()):
                         if off < first_off:
                             hdr = h
                         else:
                             break
+                elif "hdrs" in gpdf.columns:
+                    arr = gpdf["hdrs"].iloc[0]
+                    if arr is not None:
+                        for item in arr:  # sorted by h_off
+                            off = int(item["h_off"])
+                            if off < first_off:
+                                hdr = item["h_line"]
+                            else:
+                                break
                 if hdr is None:
                     continue
                 fields = _iis_field_names(hdr)
@@ -201,9 +211,11 @@ DEFAULT_SPLIT_BYTES = 64 * 1024 * 1024  # one task per 64 MiB byte window
 
 
 def _collect_headers(lines: DataFrame) -> dict[str, list[tuple[int, str]]]:
-    """Per-file '#Fields:' lines (offset-sorted) — tiny metadata collected
-    once on the driver and broadcast into the split kernels. One narrow
-    filtered scan, analogous to the reference re-reading headers on resume."""
+    """Per-file '#Fields:' lines (offset-sorted), collected on the driver —
+    used ONLY for single-file cursor resume (bounded: the caller filters to
+    the cursor's file first). The split path carries headers through a
+    broadcast JOIN instead (``_iis_parse``), so million-file batches never
+    accumulate driver state."""
     rows = (
         lines.where(F.col("line").startswith("#Fields: "))
         .select("file", "byte_offset", "line")
@@ -221,12 +233,33 @@ def _iis_parse(
     lines: DataFrame, source_type: str, sep: str, strip_quotes: bool,
     strict: bool, split_bytes: int | None, cursor=None,
 ) -> DataFrame:
-    need_headers = bool(split_bytes) or (cursor is not None and cursor.file_name)
-    headers = _collect_headers(lines) if need_headers else None
+    headers = None
+    hdr_dim = None
+    if split_bytes:
+        # governing headers as a broadcast-joined DIMENSION, not a driver
+        # dict: one filtered scan → per-file sorted (h_off, h_line) arrays
+        # (O(1) headers per file) joined onto the lines by file. The
+        # header map never materializes on the driver, so a batch of
+        # millions of log files adds no driver memory term.
+        hdr_dim = (
+            lines.where(F.col("line").startswith("#Fields: "))
+            .select(
+                "file",
+                F.struct(
+                    F.col("byte_offset").alias("h_off"), F.col("line").alias("h_line")
+                ).alias("h"),
+            )
+            .groupBy("file")
+            .agg(F.sort_array(F.collect_list("h")).alias("hdrs"))
+        )
+    elif cursor is not None and cursor.file_name:
+        # whole-file grouping + resume: only the CURSOR's file needs its
+        # pre-cursor headers re-read (IisLogParser.cs:121-128) — filter
+        # before collecting, so the driver holds one file's headers
+        headers = _collect_headers(lines.where(F.col("file") == cursor.file_name))
     if cursor is not None and cursor.file_name:
         # resume semantics: headers are (re-)read from byte 0, DATA restarts
-        # at the cursor — the reference's header re-read on resume
-        # (IisLogParser.cs:121-128) with ParseCursor mid-line landing
+        # at the cursor — with ParseCursor mid-line landing
         from .filescan import apply_parse_cursor
 
         lines = apply_parse_cursor(lines, cursor)
@@ -234,9 +267,10 @@ def _iis_parse(
         split = (F.col("byte_offset") / F.lit(int(split_bytes))).cast("long")
         return (
             lines.withColumn("split", split)
+            .join(F.broadcast(hdr_dim), "file", "left")
             .groupBy("file", "split")
             .applyInPandas(
-                _make_iis_kernel(source_type, sep, strip_quotes, strict, headers),
+                _make_iis_kernel(source_type, sep, strip_quotes, strict, None),
                 schema=_IIS_SCHEMA,
             )
         )
