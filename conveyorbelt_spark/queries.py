@@ -1903,6 +1903,130 @@ ORDER BY score DESC, doc_id ASC
 """
 
 
+def q41_analyzed_phrase(spark, sf_dir):
+    """Phrase search over an ANALYZED positional index (Lucene
+    position-increment gaps): the index removes english stopwords but
+    keeps each surviving token's original slot, so the phrase
+    "value the table" compiles to value@0, table@2 and matches docs with
+    those terms exactly two raw slots apart — whatever occupies the gap.
+    The DuckDB twin joins raw-position tokens at distance 2 and scores
+    BM25 with POST-FILTER dl/avgdl/df (the Lucene length-norm rule)."""
+    import shutil
+    import tempfile
+
+    from .index.build import build_index
+    from .index.query import phrase_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="cb_q41_idx_")
+    try:
+        build_index(
+            spark, docs.select("doc_id", "text"), out, url_col=None,
+            n_buckets=8, n_term_buckets=8, positions=True,
+            analyzer={"stopwords": "english"},
+        )
+        rows = [
+            (int(r.doc_id), float(r.score))
+            for r in phrase_topk(spark, out, "value the table", 20).collect()
+        ]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    res = spark.createDataFrame(rows, "doc_id long, score double")
+    return res.select("doc_id", F.round("score", 4).alias("score")).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+
+
+from .textutils import ENGLISH_STOPWORDS as _EN_STOP  # noqa: E402
+
+_STOPWORDS_SQL = ", ".join(f"'{w}'" for w in sorted(_EN_STOP))
+
+Q41_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t != '') AS arr
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) - 1 AS pos FROM base
+),
+an AS (SELECT * FROM toks WHERE term NOT IN ({_STOPWORDS_SQL})),
+dl AS (SELECT doc_id, count(*) AS dl FROM an GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT count(*) FROM an)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+dfs AS (
+  SELECT count(DISTINCT CASE WHEN term = 'value' THEN doc_id END) AS df0,
+         count(DISTINCT CASE WHEN term = 'table' THEN doc_id END) AS df1
+  FROM an
+),
+hits AS (
+  SELECT a.doc_id, count(*) AS pf
+  FROM an a JOIN an b ON a.doc_id = b.doc_id AND b.pos = a.pos + 2
+  WHERE a.term = 'value' AND b.term = 'table'
+  GROUP BY a.doc_id
+),
+scored AS (
+  SELECT h.doc_id,
+         (ln(1.0 + (s.n - d.df0 + 0.5) / (d.df0 + 0.5))
+          + ln(1.0 + (s.n - d.df1 + 0.5) / (d.df1 + 0.5)))
+         * (h.pf * 2.2) / (h.pf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / s.avgdl))) AS raw
+  FROM hits h
+  JOIN dl ON dl.doc_id = h.doc_id
+  CROSS JOIN stats s CROSS JOIN dfs d
+)
+SELECT doc_id, round(raw, 4) AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
+"""
+
+
+def q42_fuzzy_expansion(spark, sf_dir):
+    """prefix_length=0 fuzzy expansion through the SymSpell k-deletes
+    sidecar (build_index(fuzzy_deletes=True) → hash-bucket probe →
+    banded-DP verify), with each expansion's document frequency. The
+    DuckDB twin brute-forces levenshtein ≤ 1 over the full vocabulary —
+    the sidecar probe must reproduce it exactly despite opening only the
+    query variants' hash buckets."""
+    import shutil
+    import tempfile
+
+    from .index.build import build_index
+    from .index.query import _fuzzy_deletes_probe, expand_fuzzy
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="cb_q42_idx_")
+    try:
+        build_index(
+            spark, docs.select("doc_id", "text"), out, url_col=None,
+            n_buckets=8, n_term_buckets=8, fuzzy_deletes=True,
+        )
+        rows = []
+        for probe in ("valu", "tble", "joinn"):
+            cand, _nf = _fuzzy_deletes_probe(out, probe, 1)
+            dfmap = dict(zip(cand["term"], cand["df"])) if len(cand) else {}
+            for t in expand_fuzzy(out, probe, fuzziness=1, prefix_length=0):
+                rows.append((probe, t, int(dfmap[t])))
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    res = spark.createDataFrame(rows, "probe string, term string, df long")
+    return res.orderBy("probe", "term")
+
+
+Q42_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t != '')) AS term
+  FROM documents
+),
+vocab AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+probes AS (SELECT unnest(['valu', 'tble', 'joinn']) AS probe)
+SELECT p.probe, v.term, v.df
+FROM probes p JOIN vocab v ON levenshtein(p.probe, v.term) <= 1
+ORDER BY p.probe, v.term
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -1944,6 +2068,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q38_multi_match": q38_multi_match,
     "q39_analyzed_search": q39_analyzed_search,
     "q40_dsl_search": q40_dsl_search,
+    "q41_analyzed_phrase": q41_analyzed_phrase,
+    "q42_fuzzy_expansion": q42_fuzzy_expansion,
 }
 
 ORACLES: dict[str, str] = {
@@ -1987,4 +2113,6 @@ ORACLES: dict[str, str] = {
     "q38_multi_match": Q38_SQL,
     "q39_analyzed_search": Q39_SQL,
     "q40_dsl_search": Q40_SQL,
+    "q41_analyzed_phrase": Q41_SQL,
+    "q42_fuzzy_expansion": Q42_SQL,
 }
