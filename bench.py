@@ -82,6 +82,13 @@ def main() -> None:
     per_query["index_build"] = round(build_sec, 3)
     per_query["bm25_p50"] = round(p50, 4)
 
+    # --- ES-surface serving timings (bench hygiene) -----------------------
+    # The q32-q42 gate queries build a fresh index INSIDE the query, so
+    # their per-query seconds are dominated by build cost and mask
+    # serving-path regressions. Here the ES-surface indexes are built ONCE
+    # (cost reported separately) and each surface op is timed pure.
+    es_serving = _es_surface_bench(spark, sf_dir)
+
     total = time.time() - t0_all
     print(
         json.dumps(
@@ -99,11 +106,104 @@ def main() -> None:
                     "corpus_gen_sec": round(corpus_sec, 3),
                     "total_sec": round(total, 2),
                     "cpus": cpus,
+                    "es_serving": es_serving,
                 },
             }
         )
     )
     spark.stop()
+
+
+def _es_surface_bench(spark, sf_dir: str) -> dict:
+    """Build the ES-surface indexes over the sf documents table ONCE, then
+    time each user-facing operation pure (build cost reported separately —
+    the q32-q42 gates time build+query together)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from conveyorbelt_spark.index.build import sortable_int_col, write_docstore
+    from conveyorbelt_spark.index.daily import DailySearcher, build_daily_index
+    from conveyorbelt_spark.index.dsl import search_body
+    from conveyorbelt_spark.index.query import Searcher, search_aggs
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    flat_dir = tempfile.mkdtemp(prefix="cb_bench_es_")
+    daily_dir = tempfile.mkdtemp(prefix="cb_bench_daily_")
+    out: dict[str, float] = {}
+    try:
+        t0 = time.time()
+        build_index(
+            spark, docs.select("doc_id", "text", "lang", "n_chars"), flat_dir,
+            url_col=None, n_buckets=16, positions=True, fuzzy_deletes=True,
+            keyword_cols=("lang", ("nc", sortable_int_col("n_chars", 4))),
+        )
+        write_docstore(
+            spark, docs.select("doc_id", "text", "lang", "n_chars"), flat_dir,
+            url_col=None, extra_cols=("lang", "n_chars"),
+        )
+        out["es_build_sec"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        build_daily_index(
+            spark,
+            docs.select("doc_id", "text").withColumn(
+                "warc_ts",
+                F.expr(
+                    "timestampadd(DAY, cast(pmod(doc_id, 4) as int), "
+                    "timestamp '2016-09-16 12:00:00')"
+                ),
+            ),
+            daily_dir, url_col=None, n_buckets=8, store_cols=("text",),
+        )
+        out["daily_build_sec"] = round(time.time() - t0, 3)
+
+        s = Searcher(spark, flat_dir)
+        win = (dt.datetime(2016, 9, 17), dt.datetime(2016, 9, 19))
+        ds = DailySearcher(spark, daily_dir)
+        ops = {
+            "search": lambda: s.search_rows("spark join window", 20),
+            "filtered_search": lambda: s.search_rows(
+                "spark join", 20, filters={"lang": ["en", "de"]},
+                ranges={"nc": ("0080", "0350")},
+            ),
+            "min_should": lambda: s.search_rows(
+                "spark join window", 20, min_should=2
+            ),
+            "phrase": lambda: s.phrase_rows("value table", 20),
+            "fuzzy_prefix0": lambda: s.fuzzy_rows("valu", 20, prefix_length=0),
+            "dsl_body": lambda: search_body(spark, flat_dir, {
+                "query": {"bool": {
+                    "should": [{"match": {"text": "spark join window"}}],
+                    "filter": [{"terms": {"lang": ["en", "de"]}}],
+                }},
+                "size": 20,
+            }),
+            "date_histogram": lambda: {
+                name: df.collect()
+                for name, df in search_aggs(spark, flat_dir, {
+                    "langs": {"terms": {"field": "lang"}},
+                }, "spark join").items()
+            },
+            "daily_window_search": lambda: ds.search_rows(
+                "spark join window", 20, time_range=win
+            ),
+            "daily_window_facets": lambda: ds.facet_counts(
+                "text", "value", time_range=win, k=5
+            ),
+        }
+        for name, fn in ops.items():
+            # cold then warm: serving nodes run warm (block LRU populated)
+            t0 = time.time()
+            fn()
+            out[f"{name}_cold_sec"] = round(time.time() - t0, 4)
+            t0 = time.time()
+            fn()
+            out[f"{name}_warm_sec"] = round(time.time() - t0, 4)
+    finally:
+        shutil.rmtree(flat_dir, ignore_errors=True)
+        shutil.rmtree(daily_dir, ignore_errors=True)
+    return out
 
 
 if __name__ == "__main__":
