@@ -136,6 +136,62 @@ class SourceSpec:
     def key(self) -> str:
         return f"{self.partition_key}_{self.row_key}"
 
+    @property
+    def type_key(self) -> str:
+        """ES type name: AlternateTypeName override, else pk_rk
+        (DiagnosticsSource.cs:96-99 ToTypeKey)."""
+        return self.custom.get("AlternateTypeName") or self.key
+
+    def to_summary(self) -> "SourceSummary":
+        """The wire DTO handed to actors/parsers
+        (DiagnosticsSource.cs:175-193 ToSummary): identity + routing
+        fields plus every config knob flattened into dynamic_properties."""
+        dyn = dict(self.custom)
+        for k in (
+            "table_path", "scheduler_type", "parser", "ts_col",
+            "grace_period_minutes", "max_items_in_a_schedule_run",
+            "is_active", "daily_index", "pipeline",
+        ):
+            dyn.setdefault(k, getattr(self, k))
+        return SourceSummary(
+            partition_key=self.partition_key,
+            row_key=self.row_key,
+            type_name=self.type_key,
+            index_name=self.custom.get("IndexName") or self.key,
+            filter=self.filter,
+            last_time_offset=self.last_offset_point,
+            dynamic_properties=dyn,
+        )
+
+
+@dataclass
+class SourceSummary:
+    """Wire-DTO twin of the reference's DiagnosticsSourceSummary
+    (DiagnosticsSourceSummary.cs:12-49): the flattened, serializable view
+    of a source that actors receive — identity (pk/rk), ES routing
+    (type_name/index_name), the SimpleFilter expression, the parsed
+    last-offset time, and a dynamic property bag with typed lookup."""
+
+    partition_key: str
+    row_key: str
+    type_name: str
+    index_name: str
+    filter: str | None = None
+    last_time_offset: str | None = None
+    dynamic_properties: dict = field(default_factory=dict)
+
+    def get_dynamic_property(self, name: str, default=None):
+        """DiagnosticsSourceSummary.cs:44-48 GetDynamicProperty."""
+        v = self.dynamic_properties.get(name)
+        return default if v is None else v
+
+    def to_json(self) -> str:
+        return json.dumps(asdict(self), default=str)
+
+    @classmethod
+    def from_json(cls, s: str) -> "SourceSummary":
+        return cls(**json.loads(s))
+
 
 class SourceRegistry:
     """JSON-file-backed source table (S8: TableStorageConfigurationSource)."""

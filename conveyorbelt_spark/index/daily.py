@@ -317,13 +317,14 @@ class DailySearcher:
         from functools import reduce
 
         def one_day(d):
+            from .query import _seg_scan
+
             d_stats = load_stats(day_dir(self.root, d))
-            seg = self.spark.read.parquet(
-                os.path.join(day_dir(self.root, d), "segments")
-            ).where(F.col("tb").isin(tbs) & F.col("term").isin(scan_terms))
-            snap = _committed(d_stats)
-            if snap is not None:
-                seg = seg.where(F.col("run").isin(sorted(snap)))
+            # _seg_scan: committed-run snapshot + EXPLICIT schema (no
+            # per-day 1-task parquet schema-inference job)
+            seg = _seg_scan(self.spark, day_dir(self.root, d), d_stats).where(
+                F.col("tb").isin(tbs) & F.col("term").isin(scan_terms)
+            )
             base = seg.select(*_BLOCK_COLS)
             tomb_d = _tombs(day_dir(self.root, d), d_stats)
             if tomb_d:

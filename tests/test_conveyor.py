@@ -174,3 +174,34 @@ def test_conveyor_ingest_pipeline(spark, web_table, tmp_path_factory):
     run_sources(spark, reg2, idx2, now=start + dt.timedelta(minutes=30))
     n_docs = spark.read.parquet(f"{idx2}/doclens").count()
     assert n_docs == src.where(F.col("lang") == "en").count()
+
+
+def test_source_summary_dto():
+    """DiagnosticsSourceSummary twin (DiagnosticsSourceSummary.cs:12-49,
+    DiagnosticsSourceSummaryTests.cs:15-74): JSON round-trip, ToSummary
+    field mapping, dynamic property bag, AlternateTypeName override."""
+    from conveyorbelt_spark.conveyor import SourceSummary
+
+    spec = SourceSpec(
+        "pk", "rk", "/tbl",
+        filter="lang == en",
+        last_offset_point="2016-09-16T05:00:00+00:00",
+        custom={"dpi": 2, "dps": "man", "dpb": True},
+    )
+    s = spec.to_summary()
+    assert (s.partition_key, s.row_key) == ("pk", "rk")
+    assert s.type_name == "pk_rk" == spec.type_key
+    assert s.filter == "lang == en"
+    assert s.last_time_offset == spec.last_offset_point
+    assert s.get_dynamic_property("dpi") == 2
+    assert s.get_dynamic_property("dps") == "man"
+    assert s.get_dynamic_property("dpb") is True
+    assert s.get_dynamic_property("nope", "dflt") == "dflt"
+    # config knobs flatten into the bag (ToSummary copies entity props)
+    assert s.get_dynamic_property("scheduler_type") == "MinuteTableShardScheduler"
+    # JSON round-trip (CanBeSerialised/CanBeDeserialised)
+    s2 = SourceSummary.from_json(s.to_json())
+    assert s2 == s
+    # AlternateTypeName override (CanConvertFromSourceToSummary_WithAlternateTypeName)
+    spec2 = SourceSpec("pk", "rk", "/tbl", custom={"AlternateTypeName": "vahshi"})
+    assert spec2.to_summary().type_name == "vahshi"
