@@ -1342,6 +1342,20 @@ def _bool_match_ids(
     return agg.where(cond).select("doc_id")
 
 
+
+def _docstore_scan(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Docstore read with an EXPLICIT schema from one driver-side pyarrow
+    footer probe — skips Spark's 1-task parquet schema-inference job on
+    every facet/sort/agg query (same treatment as ``_seg_scan``)."""
+    import pyarrow.dataset as pds
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    path = os.path.join(out_dir, "docstore")
+    schema = from_arrow_schema(
+        pds.dataset(path, format="parquet", partitioning="hive").schema
+    )
+    return spark.read.schema(schema).parquet(path)
+
 def facet_counts_spark(
     spark: SparkSession,
     out_dir: str,
@@ -1365,7 +1379,7 @@ def facet_counts_spark(
         spark, out_dir, query, must=must, must_not=must_not,
         filters=filters, ranges=ranges,
     )
-    store = spark.read.parquet(os.path.join(out_dir, "docstore"))
+    store = _docstore_scan(spark, out_dir)
     out = (
         store.join(hits, "doc_id")
         .groupBy(F.col(facet_col).alias("facet"))
@@ -1404,7 +1418,7 @@ def search_sorted(
         spark, out_dir, query, must=must, must_not=must_not,
         min_should=min_should, filters=filters, ranges=ranges,
     )
-    store = spark.read.parquet(os.path.join(out_dir, "docstore"))
+    store = _docstore_scan(spark, out_dir)
     joined = store.join(hits, "doc_id").select(
         "doc_id", *[f for f, _ in sort if f != "doc_id"]
     )
@@ -1474,7 +1488,7 @@ def search_aggs(
         spark, out_dir, query, must=must, must_not=must_not,
         min_should=min_should, filters=filters, ranges=ranges,
     )
-    store = spark.read.parquet(os.path.join(out_dir, "docstore"))
+    store = _docstore_scan(spark, out_dir)
     joined = store.join(hits, "doc_id")
     if len(aggs) > 1:
         # each agg is its own Spark action — materialize the matching-set
@@ -2021,6 +2035,10 @@ class Searcher:
         self._block_cache: OrderedDict[tuple[str, bool], pd.DataFrame] = OrderedDict()
         self._block_cache_sizes: dict[tuple[str, bool], int] = {}
         self._block_cache_total = 0
+        # (lo, hi) -> expanded keyword terms; range filters on hot serving
+        # paths re-probe the term_index sidecar otherwise (mtime-invalidated
+        # with everything else)
+        self._range_cache: dict[tuple[str, str], list[str]] = {}
 
     def _maybe_invalidate(self) -> None:
         try:
@@ -2034,7 +2052,14 @@ class Searcher:
             self._block_cache.clear()
             self._block_cache_sizes.clear()
             self._block_cache_total = 0
+            self._range_cache.clear()
             self._tomb = _tombs(self.out_dir, self.stats)
+
+    def _range_expand(self, lo: str, hi: str) -> list[str]:
+        key = (lo, hi)
+        if key not in self._range_cache:
+            self._range_cache[key] = _term_range(self.out_dir, lo, hi)["term"].tolist()
+        return self._range_cache[key]
 
     @staticmethod
     def _frame_bytes(f: pd.DataFrame) -> int:
@@ -2147,6 +2172,7 @@ class Searcher:
         plan = _bool_plan(
             self.spark, self.out_dir, self.stats, query, must, must_not,
             lookup=self._entries, filters=filters, ranges=ranges,
+            range_expand=self._range_expand,
         )
         if plan is None:
             return []
@@ -2492,6 +2518,7 @@ class Searcher:
         plan = _bool_plan(
             self.spark, self.out_dir, self.stats, query, must, must_not,
             lookup=self._entries, filters=filters, ranges=ranges,
+            range_expand=self._range_expand,
         )
         if plan is None:
             return self.spark.createDataFrame([], "doc_id long, score double")
