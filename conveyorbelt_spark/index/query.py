@@ -230,6 +230,27 @@ class _TermPostings:
         return w
 
 
+def _tp_for(grp: pd.DataFrame, term: str, cache: dict | None) -> _TermPostings:
+    """Decoded postings for one (term, bucket) frame, memoized in ``cache``
+    when given (serving path: the Searcher owns the dict and clears it with
+    its other caches on index mutation). Key includes the bucket and
+    whether the frame carries positions — bag and phrase frames differ."""
+    if cache is None:
+        return _TermPostings(grp)
+    key = (
+        int(grp["bucket"].iloc[0]) if "bucket" in grp.columns else -1,
+        term,
+        "poss" in grp.columns,
+    )
+    tp = cache.get(key)
+    if tp is None:
+        tp = _TermPostings(grp)
+        if len(cache) > 16384:
+            cache.clear()  # runaway-guard; repopulates on the next queries
+        cache[key] = tp
+    return tp
+
+
 def _tombs(out_dir: str, stats: dict) -> dict:
     """Loaded tombstone map for the committed delete snapshot ({} when the
     index has no deletes — the common fast path costs one dict lookup)."""
@@ -373,9 +394,13 @@ def _score_kernel(
             # multi-field queries: each field-qualified term normalizes by
             # ITS field's average length (ES per-field BM25 norms)
             return abt.get(t, avgdl) if abt else avgdl
+        # the memo key is (bucket, term) = "ALL of this term's blocks in
+        # this bucket"; the max_candidates slicing path scores block
+        # SUBSETS per doc-range slice, which must not alias the full frame
+        tp_cache = getattr(score_bucket, "tp_cache", None) if doc_range is None else None
         per_term: dict[str, _TermPostings] = {}
         for term, grp in pdf.groupby("term", sort=True):
-            tp = _TermPostings(grp)
+            tp = _tp_for(grp, term, tp_cache)
             # incremental indexes may re-ingest a doc in a delta segment —
             # dedup disables block pruning for that term (block bookkeeping
             # no longer aligns), so fall back to exhaustive in that case
@@ -624,16 +649,22 @@ def _score_local(
     max_candidates: int | None = None,
     should_terms: tuple[str, ...] = (), min_should: int = 0,
     filter_groups: tuple[tuple[str, ...], ...] = (),
+    tp_cache: dict | None = None,
 ) -> list[tuple[int, float]]:
     """Run the SAME per-bucket scoring kernel in-driver and merge: buckets
     are disjoint docID ranges, so concat of per-bucket top-k + one global
-    sort is exact."""
+    sort is exact. ``tp_cache`` (serving path only) memoizes decoded
+    _TermPostings per (bucket, term) across queries — the Searcher owns and
+    mtime-invalidates it; wide filter expansions otherwise re-decode
+    hundreds of keyword terms' blocks every request."""
     kern = _score_kernel(
         term_idf, k, prune=prune, must_terms=must_terms, not_terms=not_terms,
         should_terms=should_terms, min_should=min_should, filter_groups=filter_groups,
     )
     kern.k1, kern.b, kern.avgdl = stats["k1"], stats["b"], stats["avgdl"]
     kern.max_candidates = max_candidates
+    if tp_cache is not None:
+        kern.tp_cache = tp_cache
     outs = [kern(grp) for _, grp in blocks.groupby("bucket", sort=True)]
     outs = [o for o in outs if len(o)]
     if not outs:
@@ -993,9 +1024,10 @@ def _phrase_kernel(phrase_tokens: list[tuple[str, int]], idf_sum: float, k: int)
             {"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")}
         )
         k1, b, avgdl = phrase_bucket.k1, phrase_bucket.b, phrase_bucket.avgdl
+        tp_cache = getattr(phrase_bucket, "tp_cache", None)
         per_term: dict[str, _TermPostings] = {}
         for term, grp in pdf.groupby("term", sort=True):
-            tp = _TermPostings(grp)
+            tp = _tp_for(grp, term, tp_cache)
             if len(np.unique(tp.docs)) != len(tp.docs):
                 # delta-duplicate doc (re-ingested, pre-compaction): keep
                 # the first occurrence — the builder/compaction keep-first rule
@@ -2010,7 +2042,7 @@ class Searcher:
 
     def __init__(
         self, spark: SparkSession, out_dir: str, mode: str = "auto",
-        max_candidates: int | None = None, cache_terms: int = 256,
+        max_candidates: int | None = None, cache_terms: int = 4096,
         cache_bytes: int = 64 << 20,
     ):
         self.spark = spark
@@ -2039,6 +2071,8 @@ class Searcher:
         # paths re-probe the term_index sidecar otherwise (mtime-invalidated
         # with everything else)
         self._range_cache: dict[tuple[str, str], list[str]] = {}
+        # (bucket, term, with_poss) -> decoded _TermPostings (serving path)
+        self._tp_cache: dict = {}
 
     def _maybe_invalidate(self) -> None:
         try:
@@ -2053,6 +2087,7 @@ class Searcher:
             self._block_cache_sizes.clear()
             self._block_cache_total = 0
             self._range_cache.clear()
+            self._tp_cache.clear()
             self._tomb = _tombs(self.out_dir, self.stats)
 
     def _range_expand(self, lo: str, hi: str) -> list[str]:
@@ -2187,7 +2222,7 @@ class Searcher:
                     must_terms=must_terms, not_terms=not_terms,
                     max_candidates=self.max_candidates,
                     should_terms=should_present, min_should=min_should,
-                    filter_groups=fgroups,
+                    filter_groups=fgroups, tp_cache=self._tp_cache,
                 )
             if self.mode == "local":
                 raise FileNotFoundError(f"{self.out_dir}/segments is not locally readable")
@@ -2240,6 +2275,7 @@ class Searcher:
             ]
         kern = _phrase_kernel(phrase_tokens, idf_sum, k)
         kern.k1, kern.b, kern.avgdl = self.stats["k1"], self.stats["b"], self.stats["avgdl"]
+        kern.tp_cache = self._tp_cache
         outs = [kern(grp) for _, grp in blocks.groupby("bucket", sort=True)]
         outs = [o for o in outs if len(o)]
         if not outs:
