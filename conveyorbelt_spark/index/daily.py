@@ -451,11 +451,22 @@ class DailySearcher:
             query, must=must, must_not=must_not,
             filters=filters, ranges=ranges, time_range=time_range,
         )
-        # one lazy read per day dir, unioned (a multi-path read trips
-        # partition discovery on the day= ancestor dirs); the union is
-        # narrow — still one plan, one action. Schema comes from ONE
-        # driver-side pyarrow footer probe (day configs agree — enforced
-        # by _merged_stats) so no per-day schema-inference Spark job runs.
+        out = (
+            self._window_docstore(days).join(hits, "doc_id")
+            .groupBy(F.col(facet_col).alias("facet"))
+            .agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), F.asc("facet"))
+        )
+        rows = (out.limit(k) if k else out).collect()
+        return [(r.facet, int(r.n)) for r in rows]
+
+    def _window_docstore(self, days: list[str]) -> DataFrame:
+        """Union of the selected days' docstores: one lazy read per day
+        dir (a multi-path read trips partition discovery on the day=
+        ancestor dirs), narrow union — still one plan, one action. Schema
+        comes from ONE driver-side pyarrow footer probe (day configs agree
+        — enforced by _merged_stats) so no per-day schema-inference Spark
+        job runs."""
         from functools import reduce
 
         import pyarrow.dataset as pds
@@ -467,7 +478,7 @@ class DailySearcher:
                 format="parquet", partitioning="hive",
             ).schema
         )
-        store = reduce(
+        return reduce(
             DataFrame.unionByName,
             [
                 self.spark.read.schema(store_schema).parquet(
@@ -476,14 +487,58 @@ class DailySearcher:
                 for d in days
             ],
         )
-        out = (
-            store.join(hits, "doc_id")
-            .groupBy(F.col(facet_col).alias("facet"))
-            .agg(F.count("*").alias("n"))
-            .orderBy(F.desc("n"), F.asc("facet"))
+
+    def search_aggs(
+        self, aggs: dict, query: str = "", *,
+        time_range: tuple | None = None,
+        must: str | None = None, must_not: str | None = None,
+        min_should: int = 0,
+        filters: dict | None = None, ranges: dict | None = None,
+    ) -> dict[str, DataFrame]:
+        """Windowed ES search aggregations — THE Kibana workload
+        (date_histogram / terms / stats / cardinality / percentiles over
+        "the last N days"): the window's matching ids (one unioned plan,
+        ``bool_doc_ids``) join the unioned day docstores once, then one
+        hash aggregation per agg (``query.aggs_over_join``). Aggregations
+        over disjoint day corpora compose exactly — same spec shape as the
+        single-index ``search_aggs``."""
+        from .query import aggs_over_join
+
+        days = select_days(self.root, time_range)
+        if not days:
+            return {name: self.spark.createDataFrame([], "key string, n long")
+                    for name in aggs}
+        hits = self.bool_doc_ids(
+            query, must=must, must_not=must_not, min_should=min_should,
+            filters=filters, ranges=ranges, time_range=time_range,
         )
-        rows = (out.limit(k) if k else out).collect()
-        return [(r.facet, int(r.n)) for r in rows]
+        return aggs_over_join(self._window_docstore(days).join(hits, "doc_id"), aggs)
+
+    def search_sorted(
+        self, query: str, sort: list[tuple[str, str]], k: int = 10, *,
+        time_range: tuple | None = None,
+        must: str | None = None, must_not: str | None = None,
+        min_should: int = 0,
+        filters: dict | None = None, ranges: dict | None = None,
+        search_after: tuple | None = None,
+    ) -> DataFrame:
+        """Windowed sort-by-field + search_after export (the ES
+        PIT/search_after deep-pagination shape over a time window): the
+        window's matching ids join the unioned day docstores, then the
+        direction-aware order + lexicographic after-predicate
+        (``query.sorted_over_join``) — page N+1 costs the same as page 1."""
+        from .query import sorted_over_join
+
+        days = select_days(self.root, time_range)
+        if not days:
+            return self.spark.createDataFrame([], "doc_id long")
+        hits = self.bool_doc_ids(
+            query, must=must, must_not=must_not, min_should=min_should,
+            filters=filters, ranges=ranges, time_range=time_range,
+        )
+        return sorted_over_join(
+            self._window_docstore(days).join(hits, "doc_id"), sort, k, search_after
+        )
 
     def phrase_rows(
         self, phrase: str, k: int = 10, *, time_range: tuple | None = None

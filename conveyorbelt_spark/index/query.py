@@ -1445,15 +1445,25 @@ def search_sorted(
     page N+1 costs the same as page 1 — unlike from/size, which re-ranks
     offset+k rows. Fully distributed: matching ids (no cap) ⋈ docstore →
     filter → global sort → limit."""
-    keys = list(sort) + [("doc_id", "asc")]
     hits = bool_doc_ids(
         spark, out_dir, query, must=must, must_not=must_not,
         min_should=min_should, filters=filters, ranges=ranges,
     )
     store = _docstore_scan(spark, out_dir)
-    joined = store.join(hits, "doc_id").select(
-        "doc_id", *[f for f, _ in sort if f != "doc_id"]
-    )
+    return sorted_over_join(store.join(hits, "doc_id"), sort, k, search_after)
+
+
+def sorted_over_join(
+    joined: DataFrame,
+    sort: list[tuple[str, str]],
+    k: int,
+    search_after: tuple | None = None,
+) -> DataFrame:
+    """The sort half of ``search_sorted``: direction-aware order + the
+    lexicographic after-predicate over an already-joined (matching ids ⋈
+    stored columns) frame. Shared with the DailySearcher window path."""
+    keys = list(sort) + [("doc_id", "asc")]
+    joined = joined.select("doc_id", *[f for f, _ in sort if f != "doc_id"])
     if search_after is not None:
         if len(search_after) != len(keys):
             raise ValueError(
@@ -1521,7 +1531,13 @@ def search_aggs(
         min_should=min_should, filters=filters, ranges=ranges,
     )
     store = _docstore_scan(spark, out_dir)
-    joined = store.join(hits, "doc_id")
+    return aggs_over_join(store.join(hits, "doc_id"), aggs)
+
+
+def aggs_over_join(joined: DataFrame, aggs: dict) -> dict[str, DataFrame]:
+    """The aggregation half of ``search_aggs``: ES-shaped agg specs over an
+    already-joined (matching ids ⋈ stored columns) frame. Shared with the
+    DailySearcher window path, whose join unions several days' docstores."""
     if len(aggs) > 1:
         # each agg is its own Spark action — materialize the matching-set
         # join once instead of re-running the posting scan per agg

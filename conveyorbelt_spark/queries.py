@@ -2027,6 +2027,75 @@ ORDER BY p.probe, v.term
 """
 
 
+
+def q43_windowed_histogram(spark, sf_dir):
+    """Windowed date_histogram + terms aggs over REAL daily sub-indexes —
+    the Kibana time-chart workload (IndexNamer daily indexes + ES aggs):
+    the window's matching ids resolve as ONE unioned plan across the
+    selected days, join the unioned day docstores, and hash-aggregate per
+    day. Days synthesized from doc_id (doc_id % 4 → 4 consecutive days),
+    window = days 1-2; the DuckDB twin filters and groups directly."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from .index.daily import DailySearcher, build_daily_index
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "warc_ts",
+        F.expr(
+            "timestampadd(DAY, cast(pmod(doc_id, 4) as int), "
+            "timestamp '2016-09-16 12:00:00')"
+        ),
+    )
+    root = tempfile.mkdtemp(prefix="cb_q43_idx_")
+    try:
+        build_daily_index(
+            spark, docs.select("doc_id", "text", "lang", "warc_ts"), root,
+            url_col=None, n_buckets=4, n_term_buckets=8,
+            store_cols=("lang", "warc_ts"),
+        )
+        aggs = DailySearcher(spark, root).search_aggs(
+            {
+                "by_day": {"date_histogram": {"field": "warc_ts", "interval": "day"}},
+                "langs": {"terms": {"field": "lang"}},
+            },
+            " ".join(BM25_QUERY_TERMS),
+            time_range=(dt.datetime(2016, 9, 17), dt.datetime(2016, 9, 19)),
+        )
+        day_rows = [
+            ("day:" + r.key.strftime("%Y-%m-%d"), int(r.n))
+            for r in aggs["by_day"].collect()
+        ]
+        lang_rows = [("lang:" + r.key, int(r.n)) for r in aggs["langs"].collect()]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    res = spark.createDataFrame(day_rows + lang_rows, "key string, n long")
+    return res.orderBy("key")
+
+
+Q43_SQL = f"""
+WITH docs AS (
+  SELECT *, date_add(DATE '2016-09-16', (doc_id % 4)::INT) AS day
+  FROM documents WHERE doc_id % 4 IN (1, 2)
+),
+toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+  FROM docs
+),
+hits AS (
+  SELECT DISTINCT doc_id FROM toks WHERE term IN (SELECT unnest({BM25_QUERY_TERMS!r}))
+),
+m AS (SELECT d.* FROM docs d JOIN hits h ON d.doc_id = h.doc_id)
+SELECT key, n FROM (
+  SELECT 'day:' || strftime(day, '%Y-%m-%d') AS key, count(*) AS n FROM m GROUP BY day
+  UNION ALL
+  SELECT 'lang:' || lang AS key, count(*) AS n FROM m GROUP BY lang
+) t ORDER BY key
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -2070,6 +2139,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q40_dsl_search": q40_dsl_search,
     "q41_analyzed_phrase": q41_analyzed_phrase,
     "q42_fuzzy_expansion": q42_fuzzy_expansion,
+    "q43_windowed_histogram": q43_windowed_histogram,
 }
 
 ORACLES: dict[str, str] = {
@@ -2115,4 +2185,5 @@ ORACLES: dict[str, str] = {
     "q40_dsl_search": Q40_SQL,
     "q41_analyzed_phrase": Q41_SQL,
     "q42_fuzzy_expansion": Q42_SQL,
+    "q43_windowed_histogram": Q43_SQL,
 }

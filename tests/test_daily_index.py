@@ -357,3 +357,69 @@ def test_windowed_one_plan_job_count_and_bool_ids(spark, tmp_path_factory):
         if "spark" in txt and "plan" not in txt and ts < dt.datetime(2016, 9, 19)
     }
     assert ids == want_ids
+
+
+def test_windowed_aggs_and_sorted_export(spark, tmp_path_factory):
+    """Windowed ES aggregations (the Kibana date_histogram/terms shape
+    over 'the last N days') and windowed sort+search_after export — one
+    unioned plan each, verified against brute-force python."""
+    import datetime as dt
+
+    from conveyorbelt_spark.index.daily import DailySearcher, build_daily_index
+
+    root = str(tmp_path_factory.mktemp("daggs"))
+    rows = [
+        (
+            i,
+            "spark join" if i % 2 == 0 else "window plan",
+            ["web", "api", "batch"][i % 3],
+            100 + (i * 7) % 300,
+            dt.datetime(2016, 9, 16 + (i % 4), 12),
+        )
+        for i in range(80)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, nc long, warc_ts timestamp"
+    )
+    build_daily_index(
+        spark, docs, root, url_col=None, n_buckets=2, n_term_buckets=4,
+        store_cols=("source", "nc", "warc_ts"),
+    )
+    ds = DailySearcher(spark, root)
+    win = (dt.datetime(2016, 9, 16), dt.datetime(2016, 9, 19))  # days 0-2
+    match = [r for r in rows if "spark" in r[1] and r[0] % 4 in (0, 1, 2)]
+
+    aggs = ds.search_aggs(
+        {
+            "by_day": {"date_histogram": {"field": "warc_ts", "interval": "day"}},
+            "srcs": {"terms": {"field": "source"}},
+            "len": {"stats": {"field": "nc"}},
+        },
+        "spark join", time_range=win,
+    )
+    by_day = {r.key: r.n for r in aggs["by_day"].collect()}
+    want_day: dict = {}
+    for _i, _t, _s, _n, ts in match:
+        d0 = ts.replace(hour=0)
+        want_day[d0] = want_day.get(d0, 0) + 1
+    assert by_day == want_day
+    srcs = {r.key: r.n for r in aggs["srcs"].collect()}
+    want_src: dict = {}
+    for _i, _t, s2, _n, _ts in match:
+        want_src[s2] = want_src.get(s2, 0) + 1
+    assert srcs == want_src
+    st = aggs["len"].collect()[0]
+    ncs = [n for _, _, _, n, _ in match]
+    assert (st["count"], st["min"], st["max"], st["sum"]) == (
+        len(ncs), min(ncs), max(ncs), sum(ncs)
+    )
+
+    # sorted export with a cursor: two pages stitch seamlessly
+    p1 = ds.search_sorted("spark join", [("nc", "desc")], 5, time_range=win).collect()
+    after = (p1[-1]["nc"], p1[-1]["doc_id"])
+    p2 = ds.search_sorted(
+        "spark join", [("nc", "desc")], 5, time_range=win, search_after=after
+    ).collect()
+    got = [(r.nc, r.doc_id) for r in p1 + p2]
+    want = sorted(((n, i) for i, _t, _s, n, _ts in match), key=lambda t: (-t[0], t[1]))[:10]
+    assert got == want
