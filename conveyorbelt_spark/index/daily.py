@@ -262,6 +262,7 @@ class DailySearcher:
         self, query: str, k: int = 10, *,
         time_range: tuple | None = None, prune: bool = True,
         must: str | None = None, must_not: str | None = None,
+        min_should: int = 0,
         filters: dict | None = None, ranges: dict | None = None,
     ) -> list[tuple[int, float]]:
         """Serving path: per-day pruned pyarrow block reads concatenated,
@@ -271,7 +272,9 @@ class DailySearcher:
         p = self._plan(time_range, query, must, must_not, filters, ranges)
         if p is None:
             return []
-        days, stats, (term_idf, must_terms, not_terms, tbs, scan_terms, _sp, fgroups) = p
+        days, stats, (term_idf, must_terms, not_terms, tbs, scan_terms, sp, fgroups) = p
+        if min_should > len(sp):
+            return []
         frames = []
         for day in days:
             d_dir = day_dir(self.root, day)
@@ -295,6 +298,7 @@ class DailySearcher:
         return _score_local(
             blocks, term_idf, k, stats, prune,
             must_terms=must_terms, not_terms=not_terms, filter_groups=fgroups,
+            should_terms=sp, min_should=min_should,
         )
 
     def search(

@@ -332,6 +332,136 @@ def search_body(spark: SparkSession, out_dir: str, body: dict) -> dict:
     return resp
 
 
+def search_body_daily(
+    spark: SparkSession, root: str, body: dict, *, time_range: tuple | None = None
+) -> dict:
+    """Execute an ES-shaped request body against a DAILY index root with a
+    time window — the Kibana shape (an index pattern like
+    ``logs-2016.09.*`` selects day indexes; here ``time_range`` does,
+    pruning to the overlapping day dirs before any file opens). Supported
+    subset: match / bool (+ filter context), match_phrase, match_all +
+    filters, sort + search_after, aggs, track_total_hits — each dispatched
+    to the DailySearcher one-plan window path. multi_match / expansion /
+    more_like_this over windows are out of subset (their merged per-field /
+    dictionary-expansion stats are not wired across days) and raise
+    ``UnsupportedDSL`` cleanly."""
+    from .daily import DailySearcher
+    from .query import phrase_doc_ids
+
+    body = dict(body or {})
+    plan = parse_query(body.get("query"))
+    size = int(body.get("size", 10))
+    from_ = int(body.get("from", 0))
+    filters = plan["filters"] or None
+    ranges = plan["ranges"] or None
+    ds = DailySearcher(spark, root)
+    for shape in ("mm", "expand", "mlt"):
+        if plan[shape] is not None:
+            raise UnsupportedDSL(
+                f"{shape} queries over a daily window are unsupported "
+                "(multi_match/expansion/MLT stats are not merged across days)"
+            )
+
+    sort_spec = body.get("sort")
+    rows: list[tuple[int, float]]
+    sorted_rows_cols: list[tuple] | None = None
+    if sort_spec:
+        keys = []
+        for item in sort_spec:
+            if isinstance(item, str):
+                keys.append((item, "asc"))
+            else:
+                f, d = _one(item)
+                keys.append((f, d.get("order", "asc") if isinstance(d, dict) else str(d)))
+        if (
+            plan["match_all"] and not plan["query"] and not plan["must"]
+            and not filters and not ranges
+        ):
+            raise UnsupportedDSL(
+                "sorted match_all needs at least a filter or match clause"
+            )
+        sorted_rows_cols = [
+            tuple(r)
+            for r in ds.search_sorted(
+                plan["query"] or plan["must"] or "", keys, size,
+                time_range=time_range, must=plan["must"],
+                must_not=plan["must_not"], min_should=plan["min_should"],
+                filters=filters, ranges=ranges,
+                search_after=tuple(body["search_after"]) if body.get("search_after") else None,
+            ).collect()
+        ]
+        rows = [(r[0], float("nan")) for r in sorted_rows_cols]
+    elif plan["phrase"] is not None:
+        rows = ds.phrase_rows(plan["phrase"], size + from_, time_range=time_range)[from_:]
+    elif plan["match_all"]:
+        if not filters and not ranges:
+            raise UnsupportedDSL(
+                "match_all without sort or filters is unbounded; add a "
+                "filter, a sort (export), or a scoring clause"
+            )
+        from pyspark.sql import functions as F  # noqa: N812
+
+        ids = (
+            ds.bool_doc_ids(
+                "", filters=filters, ranges=ranges, time_range=time_range
+            )
+            .orderBy(F.asc("doc_id")).limit(size + from_).collect()
+        )
+        rows = [(r.doc_id, 1.0) for r in ids][from_:]
+    else:
+        rows = ds.search_rows(
+            plan["query"], size + from_, must=plan["must"],
+            must_not=plan["must_not"], min_should=plan["min_should"],
+            filters=filters, ranges=ranges, time_range=time_range,
+        )[from_:]
+
+    hits = [
+        {"_id": int(d), "_score": None if sort_spec else float(sc)}
+        for d, sc in rows
+    ]
+    if sort_spec:
+        for i, h in enumerate(hits):
+            h["sort"] = list(sorted_rows_cols[i][1:]) + [h["_id"]]
+
+    total = {"value": len(hits) + from_, "relation": "gte"}
+    if body.get("track_total_hits"):
+        if plan["phrase"] is not None:
+            from functools import reduce
+
+            from pyspark.sql import DataFrame as _DF
+
+            from .daily import day_dir, select_days
+
+            days = select_days(root, time_range)
+            n = (
+                reduce(
+                    _DF.unionByName,
+                    [phrase_doc_ids(spark, day_dir(root, d), plan["phrase"]) for d in days],
+                ).count()
+                if days
+                else 0
+            )
+        else:
+            n = ds.bool_doc_ids(
+                plan["query"], must=plan["must"], must_not=plan["must_not"],
+                min_should=plan["min_should"], filters=filters, ranges=ranges,
+                time_range=time_range,
+            ).count()
+        total = {"value": n, "relation": "eq"}
+
+    resp: dict[str, Any] = {"hits": {"total": total, "hits": hits}}
+    if body.get("aggs"):
+        aggs = ds.search_aggs(
+            body["aggs"], plan["query"], time_range=time_range,
+            must=plan["must"], must_not=plan["must_not"],
+            min_should=plan["min_should"], filters=filters, ranges=ranges,
+        )
+        resp["aggregations"] = {
+            name: [r.asDict() for r in df.collect()] for name, df in aggs.items()
+        }
+    return resp
+
+
 def _exact_total(spark, out_dir: str, s: Searcher, plan: dict, filters, ranges) -> int:
     """Exact ``track_total_hits`` for EVERY supported query shape,
     distributed and uncapped:

@@ -183,3 +183,93 @@ def test_track_total_hits_all_shapes(spark, tmp_path_factory):
         for _, t, _ in rows
         if {"spark", "join", "window"} & set(t.split())
     )
+
+
+def test_search_body_daily_window(spark, tmp_path_factory):
+    """ES request bodies against a DAILY root with a time window (the
+    Kibana index-pattern shape): match/bool, phrase, filters, sort, aggs,
+    exact totals — each pinned against the DailySearcher direct APIs or
+    brute force; unsupported window shapes reject cleanly."""
+    import datetime as dt
+
+    from conveyorbelt_spark.index.daily import DailySearcher, build_daily_index
+    from conveyorbelt_spark.index.dsl import search_body_daily
+
+    root = str(tmp_path_factory.mktemp("ddsl"))
+    rows = [
+        (
+            i,
+            ("spark join window" if i % 2 == 0 else "shuffle plan merge")
+            + (" exact phrase" if i % 5 == 0 else ""),
+            ["en", "de"][i % 2],
+            100 + (i * 7) % 300,
+            dt.datetime(2016, 9, 16 + (i % 4), 12),
+        )
+        for i in range(80)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, nc long, warc_ts timestamp"
+    )
+    build_daily_index(
+        spark, docs, root, url_col=None, n_buckets=2, n_term_buckets=4,
+        positions=True, keyword_cols=("lang",), store_cols=("lang", "nc"),
+    )
+    ds = DailySearcher(spark, root)
+    win = (dt.datetime(2016, 9, 16), dt.datetime(2016, 9, 19))
+
+    # match == DailySearcher.search_rows
+    resp = search_body_daily(
+        spark, root, {"query": {"match": {"text": "spark join"}}, "size": 7},
+        time_range=win,
+    )
+    want = ds.search_rows("spark join", 7, time_range=win)
+    assert [(h["_id"], h["_score"]) for h in resp["hits"]["hits"]] == want
+
+    # phrase + exact total
+    resp = search_body_daily(
+        spark, root,
+        {"query": {"match_phrase": {"text": "exact phrase"}}, "size": 5,
+         "track_total_hits": True},
+        time_range=win,
+    )
+    n_want = sum(1 for i, t, _l, _n, ts in rows if "exact phrase" in t and i % 4 <= 2)
+    assert resp["hits"]["total"] == {"value": n_want, "relation": "eq"}
+    assert len(resp["hits"]["hits"]) == min(5, n_want)
+
+    # bool + aggs + total
+    resp = search_body_daily(
+        spark, root,
+        {"query": {"bool": {"should": [{"match": {"text": "spark"}}],
+                            "filter": [{"term": {"lang": "en"}}]}},
+         "size": 3, "track_total_hits": True,
+         "aggs": {"langs": {"terms": {"field": "lang"}}}},
+        time_range=win,
+    )
+    match = [r for r in rows if "spark" in r[1] and r[2] == "en" and r[0] % 4 <= 2]
+    assert resp["hits"]["total"] == {"value": len(match), "relation": "eq"}
+    assert resp["aggregations"]["langs"] == [{"key": "en", "n": len(match)}]
+
+    # sorted export
+    resp = search_body_daily(
+        spark, root,
+        {"query": {"bool": {"should": [{"match": {"text": "spark"}}]}},
+         "sort": [{"nc": "desc"}], "size": 4},
+        time_range=win,
+    )
+    ids = [h["_id"] for h in resp["hits"]["hits"]]
+    want_ids = [
+        i for _, i in sorted(
+            ((-n, i) for i, t, _l, n, _ts in rows if "spark" in t and i % 4 <= 2)
+        )
+    ][:4]
+    assert ids == want_ids
+
+    # unsupported window shapes reject cleanly
+    import pytest as _pytest
+
+    with _pytest.raises(UnsupportedDSL):
+        search_body_daily(
+            spark, root,
+            {"query": {"multi_match": {"query": "spark", "fields": ["text"]}}},
+            time_range=win,
+        )
