@@ -165,6 +165,45 @@ def daily_index_batch(
     return out
 
 
+def drop_days(root: str, *, before: dt.datetime | dt.date) -> list[str]:
+    """Retention: delete every day partition strictly OLDER than ``before``
+    (the reference deletes aged ES indexes by name; here it's a directory
+    delete per day — no index rewrite, no tombstones). Returns the dropped
+    day strings."""
+    import shutil
+
+    cut = day_str(before)
+    dropped = []
+    for d in list_days(root):
+        if d < cut:
+            shutil.rmtree(day_dir(root, d))
+            dropped.append(d)
+    return dropped
+
+
+def compact_closed_days(
+    spark: SparkSession, root: str, *, current_day: dt.datetime | dt.date | str,
+) -> dict[str, dict]:
+    """Fold every CLOSED day's delta runs into dense blocks (full
+    ``compact_segments`` per day — each runs once, ever: only the hot
+    current day keeps accumulating deltas). Days already compacted (a
+    single ``compacted`` run) are skipped, so a nightly cron call is
+    idempotent and O(yesterday), not O(history)."""
+    from .build import compact_segments
+
+    cur = current_day if isinstance(current_day, str) else day_str(current_day)
+    out: dict[str, dict] = {}
+    for d in list_days(root):
+        if d >= cur:
+            continue
+        s = load_stats(day_dir(root, d))
+        runs = s.get("committed_runs") or []
+        if runs == ["compacted"]:
+            continue  # already folded
+        out[d] = compact_segments(spark, day_dir(root, d))
+    return out
+
+
 def _merged_stats(root: str, days: list[str]) -> dict:
     """Exact window-corpus stats: Σ n_docs / Σ total_tokens over the
     selected days' stats.json (driver-side, O(days) tiny file reads).

@@ -423,3 +423,48 @@ def test_windowed_aggs_and_sorted_export(spark, tmp_path_factory):
     got = [(r.nc, r.doc_id) for r in p1 + p2]
     want = sorted(((n, i) for i, _t, _s, n, _ts in match), key=lambda t: (-t[0], t[1]))[:10]
     assert got == want
+
+
+def test_retention_and_closed_day_compaction(spark, tmp_path_factory):
+    """Ops loop over a daily root: compact_closed_days folds every closed
+    day's delta runs exactly once (idempotent nightly call); drop_days
+    deletes aged partitions; queries stay exact throughout."""
+    import datetime as dt
+
+    from conveyorbelt_spark.index.daily import (
+        DailySearcher,
+        compact_closed_days,
+        daily_index_batch,
+        drop_days,
+        list_days,
+    )
+
+    root = str(tmp_path_factory.mktemp("dops"))
+    rows = [
+        (i, "spark join window", dt.datetime(2016, 9, 16 + (i % 3), 12))
+        for i in range(60)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, warc_ts timestamp")
+    # two delta batches per day (so closed days have runs to fold)
+    daily_index_batch(spark, docs.where("doc_id < 30"), root, 0, url_col=None,
+                      n_buckets=2, n_term_buckets=4)
+    daily_index_batch(spark, docs.where("doc_id >= 30"), root, 1, url_col=None,
+                      n_buckets=2, n_term_buckets=4)
+    ds = DailySearcher(spark, root)
+    base = ds.search_rows("spark join", 100)
+    assert len(base) == 60
+
+    # current day = 18th → 16th and 17th fold; the hot day keeps its deltas
+    res = compact_closed_days(spark, root, current_day=dt.date(2016, 9, 18))
+    assert sorted(res) == ["20160916", "20160917"]
+    # idempotent: second call folds nothing
+    assert compact_closed_days(spark, root, current_day=dt.date(2016, 9, 18)) == {}
+    after = DailySearcher(spark, root).search_rows("spark join", 100)
+    assert [(d, round(v, 9)) for d, v in after] == [(d, round(v, 9)) for d, v in base]
+
+    # retention: drop the oldest day
+    dropped = drop_days(root, before=dt.date(2016, 9, 17))
+    assert dropped == ["20160916"]
+    assert list_days(root) == ["20160917", "20160918"]
+    left = DailySearcher(spark, root).search_rows("spark join", 100)
+    assert len(left) == sum(1 for i, _t, ts in rows if ts.day >= 17)
