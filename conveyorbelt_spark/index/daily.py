@@ -314,13 +314,26 @@ class DailySearcher:
         days, stats, (term_idf, must_terms, not_terms, tbs, scan_terms, sp, fgroups) = p
         if min_should > len(sp):
             return []
+        blocks = self._window_blocks(days, tbs, scan_terms)
+        if blocks is None or not len(blocks):
+            return []
+        return _score_local(
+            blocks, term_idf, k, stats, prune,
+            must_terms=must_terms, not_terms=not_terms, filter_groups=fgroups,
+            should_terms=sp, min_should=min_should,
+        )
+
+    def _window_blocks(self, days, tbs, scan_terms, columns=None):
+        """Concatenated per-day pruned pyarrow block reads with each day's
+        delete snapshot applied — the window serving-path scan (zero Spark
+        jobs). None when some day is not locally readable."""
         frames = []
         for day in days:
             d_dir = day_dir(self.root, day)
             d_stats = load_stats(d_dir)
             d_tomb = _tombs(d_dir, d_stats)
             b = _read_blocks_local(
-                d_dir, tbs, scan_terms,
+                d_dir, tbs, scan_terms, columns=columns,
                 committed=_committed(d_stats), with_run=bool(d_tomb),
             )
             if b is None:
@@ -332,13 +345,8 @@ class DailySearcher:
             if len(b):
                 frames.append(b)
         if not frames:
-            return []
-        blocks = pd.concat(frames, ignore_index=True)
-        return _score_local(
-            blocks, term_idf, k, stats, prune,
-            must_terms=must_terms, not_terms=not_terms, filter_groups=fgroups,
-            should_terms=sp, min_should=min_should,
-        )
+            return pd.DataFrame()
+        return pd.concat(frames, ignore_index=True)
 
     def search(
         self, query: str, k: int = 10, *,
@@ -600,27 +608,9 @@ class DailySearcher:
         if plan is None:
             return []
         phrase_tokens, idf_sum, tbs, distinct = plan
-        frames = []
-        for day in days:
-            d_dir = day_dir(self.root, day)
-            d_stats = load_stats(d_dir)
-            d_tomb = _tombs(d_dir, d_stats)
-            b = _read_blocks_local(
-                d_dir, tbs, distinct,
-                columns=_BLOCK_COLS + ["poss"],
-                committed=_committed(d_stats), with_run=bool(d_tomb),
-            )
-            if b is None:
-                raise FileNotFoundError(f"{d_dir}/segments is not locally readable")
-            if d_tomb and len(b):
-                from .delete import apply_tombstones
-
-                b = apply_tombstones(b, d_tomb).drop(columns=["run"])
-            if len(b):
-                frames.append(b)
-        if not frames:
+        blocks = self._window_blocks(days, tbs, distinct, columns=_BLOCK_COLS + ["poss"])
+        if blocks is None or not len(blocks):
             return []
-        blocks = pd.concat(frames, ignore_index=True)
         kern = _phrase_kernel(phrase_tokens, idf_sum, k)
         kern.k1, kern.b, kern.avgdl = stats["k1"], stats["b"], stats["avgdl"]
         outs = [kern(grp) for _, grp in blocks.groupby("bucket", sort=True)]
@@ -632,6 +622,184 @@ class DailySearcher:
             ["score", "doc_id"], ascending=[False, True], kind="mergesort"
         )
         return [(int(r.doc_id), float(r.score)) for r in allr.head(k).itertuples()]
+
+    def multi_match_rows(
+        self, query: str, fields: list[str], k: int = 10, *,
+        type: str = "best_fields",  # noqa: A002 — the ES parameter name
+        prune: bool = True, time_range: tuple | None = None,
+    ) -> list[tuple[int, float]]:
+        """Windowed ES multi_match: per-field BM25 with WINDOW-merged
+        stats — per-term df from the merged dictionary probe, per-field
+        avgdl = Σ over the selected days of the field's term-range cf sums
+        / merged n_docs (each day probe is a sidecar-pruned metadata
+        read). Scoring runs over the concatenated per-day pruned block
+        reads — zero Spark jobs, dis_max (best_fields) or one-pass
+        per-term norms (most_fields) exactly like the single-index path."""
+        import pandas as _pd
+
+        from .build import KEYWORD_SEP
+        from .query import (
+            _merge_best_fields,
+            _multi_match_plan,
+            _range_cf_sum,
+            _range_hi,
+            _score_kernel,
+        )
+
+        days = select_days(self.root, time_range)
+        if not days:
+            return []
+        stats = _merged_stats(self.root, days)
+        lookup = _merged_lookup(self.spark, self.root, days, stats["n_term_buckets"])
+
+        def field_avg(fname: str) -> float:
+            lo = fname + KEYWORD_SEP
+            total = sum(
+                _range_cf_sum(day_dir(self.root, d), lo, _range_hi(lo)) for d in days
+            )
+            n = stats.get("n_docs") or 0
+            return (total / n) if n else 0.0
+
+        plan = _multi_match_plan(
+            self.spark, self.root, stats, query, fields,
+            lookup=lookup, field_avg=field_avg,
+        )
+        if plan is None:
+            return []
+        per_field, tbs, scan_terms = plan
+        blocks = self._window_blocks(days, tbs, scan_terms)
+        if blocks is None or not len(blocks):
+            return []
+        if type == "most_fields":
+            term_idf = {t: v for _, _, ti, _ in per_field for t, v in ti.items()}
+            abt = {t: av for _, _, ti, av in per_field for t in ti}
+            kern = _score_kernel(term_idf, k, prune=prune)
+            kern.k1, kern.b, kern.avgdl = stats["k1"], stats["b"], stats["avgdl"]
+            kern.max_candidates = None
+            kern.avgdl_by_term = abt
+            outs = [kern(grp) for _, grp in blocks.groupby("bucket", sort=True)]
+            outs = [o for o in outs if len(o)]
+            if not outs:
+                return []
+            allr = _pd.concat(outs, ignore_index=True).sort_values(
+                ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+            )
+            return [(int(r.doc_id), float(r.score)) for r in allr.head(k).itertuples()]
+        if type != "best_fields":
+            raise ValueError(f"unsupported multi_match type {type!r}")
+        rows_per_field = []
+        for _fname, _boost, term_idf, avgdl in per_field:
+            f_blocks = blocks[blocks["term"].isin(set(term_idf))]
+            st = dict(stats, avgdl=avgdl)
+            rows_per_field.append(_score_local(f_blocks, term_idf, k, st, prune))
+        return [(int(d), float(s)) for d, s in _merge_best_fields(rows_per_field, k)]
+
+    def expand_terms(
+        self, kind: str, value: str, *,
+        fuzziness: int = 1, prefix_length: int = 1, max_expansions: int = 50,
+        time_range: tuple | None = None,
+    ) -> list[str]:
+        """Windowed prefix/wildcard/regexp/fuzzy expansion: each selected
+        day contributes its UNRANKED (term, df) candidates
+        (``query.expansion_candidates`` — range-sidecar / k-deletes
+        pruned), dfs SUM per term across the disjoint day corpora, and the
+        ES df-desc ranking applies ONCE to the merged frame — exact global
+        ranking (a union of per-day top-N would not be)."""
+        import pandas as _pd
+
+        from .query import _rank_expansions, expansion_candidates
+
+        days = select_days(self.root, time_range)
+        if not days:
+            return []
+        frames = [
+            expansion_candidates(
+                day_dir(self.root, d), kind, value,
+                fuzziness=fuzziness, prefix_length=prefix_length,
+            )
+            for d in days
+        ]
+        frames = [f for f in frames if len(f)]
+        if not frames:
+            return []
+        merged = (
+            _pd.concat(frames, ignore_index=True)
+            .groupby("term", as_index=False, sort=True)["df"].sum()
+        )
+        return _rank_expansions(merged, max_expansions, value.lower())
+
+    def expansion_rows(
+        self, kind: str, value: str, k: int = 10, *,
+        fuzziness: int = 1, prefix_length: int = 1, max_expansions: int = 50,
+        time_range: tuple | None = None,
+    ) -> list[tuple[int, float]]:
+        """Windowed expansion query: the merged expansion bag scored as a
+        SHOULD bag over the window (window-merged stats)."""
+        terms = self.expand_terms(
+            kind, value, fuzziness=fuzziness, prefix_length=prefix_length,
+            max_expansions=max_expansions, time_range=time_range,
+        )
+        if not terms:
+            return []
+        return self.search_rows(" ".join(terms), k, time_range=time_range)
+
+    def more_like_this(
+        self, like, k: int = 10, *,
+        time_range: tuple | None = None,
+        max_query_terms: int = 25, min_doc_freq: int = 2, min_term_freq: int = 1,
+        exclude_self: bool = True,
+    ) -> list[tuple[int, float]]:
+        """Windowed more_like_this: term interestingness (tf·idf) against
+        the WINDOW-merged dictionary (Σ df across the selected days),
+        executed as a SHOULD bag over the window. ``like`` is raw text or
+        a doc_id resolved from the selected days' docstores."""
+        from collections import Counter
+
+        from ..textutils import analyze
+        from .build import lookup_docs
+        from .query import idf
+
+        days = select_days(self.root, time_range)
+        if not days:
+            return []
+        stats = _merged_stats(self.root, days)
+        self_id = None
+        if isinstance(like, int):
+            self_id = like
+            text = None
+            for d in days:
+                row = lookup_docs(day_dir(self.root, d), [like]).get(like)
+                if row is not None and row.get("text") is not None:
+                    text = row["text"]
+                    break
+            if text is None:
+                raise ValueError(
+                    f"doc {like} has no stored text in the selected days — "
+                    "build the day docstores with extra_cols=('text',)"
+                )
+        else:
+            text = like
+        tf = Counter(analyze(text, stats.get("analyzer")))
+        if not tf:
+            return []
+        lookup = _merged_lookup(self.spark, self.root, days, stats["n_term_buckets"])
+        entries = {e["term"]: e for e in lookup(sorted(tf))}
+        scored_terms = []
+        for t, f in tf.items():
+            e = entries.get(t)
+            if e is None or f < min_term_freq or int(e["df"]) < min_doc_freq:
+                continue
+            scored_terms.append((f * idf(stats["n_docs"], int(e["df"])), t))
+        if not scored_terms:
+            return []
+        scored_terms.sort(key=lambda iv: (-iv[0], iv[1]))
+        sel = [t for _, t in scored_terms[:max_query_terms]]
+        rows = self.search_rows(
+            " ".join(sel), k + (1 if exclude_self else 0), time_range=time_range
+        )
+        if exclude_self and self_id is not None:
+            rows = [(d, s) for d, s in rows if d != self_id]
+        return rows[:k]
 
     def search_docs(
         self, query: str, k: int = 10, *,

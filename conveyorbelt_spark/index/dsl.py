@@ -355,12 +355,6 @@ def search_body_daily(
     filters = plan["filters"] or None
     ranges = plan["ranges"] or None
     ds = DailySearcher(spark, root)
-    for shape in ("mm", "expand", "mlt"):
-        if plan[shape] is not None:
-            raise UnsupportedDSL(
-                f"{shape} queries over a daily window are unsupported "
-                "(multi_match/expansion/MLT stats are not merged across days)"
-            )
 
     sort_spec = body.get("sort")
     rows: list[tuple[int, float]]
@@ -393,6 +387,27 @@ def search_body_daily(
         rows = [(r[0], float("nan")) for r in sorted_rows_cols]
     elif plan["phrase"] is not None:
         rows = ds.phrase_rows(plan["phrase"], size + from_, time_range=time_range)[from_:]
+    elif plan["mm"] is not None:
+        rows = ds.multi_match_rows(
+            plan["mm"]["query"], plan["mm"]["fields"], size + from_,
+            type=plan["mm"]["type"], time_range=time_range,
+        )[from_:]
+    elif plan["expand"] is not None:
+        kind, val, spec = plan["expand"]
+        rows = ds.expansion_rows(
+            kind, val, size + from_,
+            fuzziness=int(spec.get("fuzziness", 1)) if isinstance(spec, dict) else 1,
+            time_range=time_range,
+        )[from_:]
+    elif plan["mlt"] is not None:
+        knobs = {
+            kk: plan["mlt"][kk]
+            for kk in ("max_query_terms", "min_doc_freq", "min_term_freq")
+            if kk in plan["mlt"]
+        }
+        rows = ds.more_like_this(
+            plan["mlt"]["like"], size + from_, time_range=time_range, **knobs
+        )[from_:]
     elif plan["match_all"]:
         if not filters and not ranges:
             raise UnsupportedDSL(
@@ -425,6 +440,11 @@ def search_body_daily(
 
     total = {"value": len(hits) + from_, "relation": "gte"}
     if body.get("track_total_hits"):
+        if plan["mm"] is not None or plan["expand"] is not None or plan["mlt"] is not None:
+            raise UnsupportedDSL(
+                "track_total_hits over daily windows supports match/bool/"
+                "phrase shapes (mm/expansion/MLT window totals not wired)"
+            )
         if plan["phrase"] is not None:
             from functools import reduce
 

@@ -860,7 +860,7 @@ def _parse_fields(fields) -> list[tuple[str | None, float]]:
     return out
 
 
-def _multi_match_plan(spark, out_dir, stats, query, fields, lookup=None):
+def _multi_match_plan(spark, out_dir, stats, query, fields, lookup=None, field_avg=None):
     """Per-field term/idf/avgdl resolution for multi_match. Returns
     (per_field, tbs, scan_terms) where per_field = [(field, boost,
     term_idf, avgdl)] keeping only fields with ≥1 indexed term; None when
@@ -895,7 +895,9 @@ def _multi_match_plan(spark, out_dir, stats, query, fields, lookup=None):
             t: boost * idf(stats["n_docs"], int(by_term[t]["df"])) for t in qual
         }
         avgdl = (
-            stats["avgdl"] if fname is None else field_avgdl(out_dir, fname, stats)
+            stats["avgdl"]
+            if fname is None
+            else (field_avg(fname) if field_avg else field_avgdl(out_dir, fname, stats))
         )
         per_field.append((fname, boost, term_idf, avgdl))
         scan.update(qual)
@@ -1747,6 +1749,65 @@ def _rank_expansions(
     return pdf["term"].head(max_expansions).tolist()
 
 
+def expansion_candidates(
+    out_dir: str, kind: str, value: str, *,
+    fuzziness: int = 1, prefix_length: int = 1,
+) -> pd.DataFrame:
+    """UNRANKED (term, df) expansion candidates for ONE index — the
+    per-index half of every term expansion. ``expand_*`` rank these for a
+    single index; the DailySearcher window path unions several days'
+    candidate frames, SUMS df per term, and ranks once (exact global
+    df-desc ranking — per-day top-N unions would not be)."""
+    import re as _re
+
+    value = value.lower()
+    empty = pd.DataFrame({"term": pd.Series(dtype=object), "df": pd.Series(dtype="int64")})
+    if kind == "prefix":
+        return _term_range(out_dir, value, _range_hi(value))
+    if kind == "wildcard":
+        lit = _re.match(r"^[^*?]*", value).group(0)
+        lo, hi = (lit, _range_hi(lit)) if lit else (None, None)
+        pdf = _term_range(out_dir, lo, hi)
+        if not len(pdf):
+            return empty
+        rx = "^" + "".join(
+            ".*" if c == "*" else "." if c == "?" else _re.escape(c) for c in value
+        ) + "$"
+        return pdf[pdf["term"].str.match(rx, na=False)]
+    if kind == "regexp":
+        lit = _re.match(r"^[a-z0-9]*", value).group(0)
+        lo, hi = (lit, _range_hi(lit)) if lit else (None, None)
+        pdf = _term_range(out_dir, lo, hi)
+        if not len(pdf):
+            return empty
+        rx = _re.compile(value)
+        keep = pdf["term"].map(lambda t: rx.fullmatch(t) is not None)
+        return pdf[keep]
+    if kind == "fuzzy":
+        fuzziness = min(int(fuzziness), 2)
+        pdf = None
+        if prefix_length <= 0:
+            probed = _fuzzy_deletes_probe(out_dir, value, fuzziness)
+            if probed is not None:
+                pdf = probed[0]
+        if pdf is None:
+            if prefix_length > 0:
+                lit = value[:prefix_length]
+                lo, hi = lit, _range_hi(lit)
+            else:
+                lo = hi = None
+            pdf = _term_range(out_dir, lo, hi)
+        if not len(pdf):
+            return empty
+        lens = pdf["term"].str.len()
+        pdf = pdf[(lens >= len(value) - fuzziness) & (lens <= len(value) + fuzziness)]
+        if not len(pdf):
+            return empty
+        keep = pdf["term"].map(lambda t: _edit_distance_le(value, t, fuzziness))
+        return pdf[keep]
+    raise ValueError(f"unknown expansion kind {kind!r}")
+
+
 def expand_prefix(out_dir: str, prefix: str, max_expansions: int = 50) -> list[str]:
     """Terms starting with ``prefix``, highest document frequency first,
     capped at ``max_expansions`` (the ES prefix-query expansion rule).
@@ -1755,7 +1816,7 @@ def expand_prefix(out_dir: str, prefix: str, max_expansions: int = 50) -> list[s
     layouts fall back to the full hash-dictionary metadata scan."""
     prefix = prefix.lower()
     return _rank_expansions(
-        _term_range(out_dir, prefix, _range_hi(prefix)), max_expansions, prefix
+        expansion_candidates(out_dir, "prefix", prefix), max_expansions, prefix
     )
 
 
@@ -1765,19 +1826,10 @@ def expand_wildcard(out_dir: str, pattern: str, max_expansions: int = 50) -> lis
     term_index scan (``te*m`` reads only the ``te`` range); a leading
     wildcard degrades to a full term scan — exactly ES's documented
     warning for leading-wildcard queries."""
-    import re as _re
-
     pattern = pattern.lower()
-    lit = _re.match(r"^[^*?]*", pattern).group(0)
-    lo, hi = (lit, _range_hi(lit)) if lit else (None, None)
-    pdf = _term_range(out_dir, lo, hi)
-    if not len(pdf):
-        return []
-    rx = "^" + "".join(
-        ".*" if c == "*" else "." if c == "?" else _re.escape(c) for c in pattern
-    ) + "$"
-    pdf = pdf[pdf["term"].str.match(rx, na=False)]
-    return _rank_expansions(pdf, max_expansions, pattern)
+    return _rank_expansions(
+        expansion_candidates(out_dir, "wildcard", pattern), max_expansions, pattern
+    )
 
 
 def expand_regexp(out_dir: str, pattern: str, max_expansions: int = 50) -> list[str]:
@@ -1786,17 +1838,10 @@ def expand_regexp(out_dir: str, pattern: str, max_expansions: int = 50) -> list[
     agree). The literal prefix before the first metacharacter range-prunes
     the sorted term_index scan, like wildcard; a leading metacharacter
     degrades to a full term scan (ES documents the same warning)."""
-    import re as _re
-
     pattern = pattern.lower()
-    lit = _re.match(r"^[a-z0-9]*", pattern).group(0)
-    lo, hi = (lit, _range_hi(lit)) if lit else (None, None)
-    pdf = _term_range(out_dir, lo, hi)
-    if not len(pdf):
-        return []
-    rx = _re.compile(pattern)
-    keep = pdf["term"].map(lambda t: rx.fullmatch(t) is not None)
-    return _rank_expansions(pdf[keep], max_expansions, pattern)
+    return _rank_expansions(
+        expansion_candidates(out_dir, "regexp", pattern), max_expansions, pattern
+    )
 
 
 def suggest_terms(
@@ -1915,33 +1960,12 @@ def expand_fuzzy(
     instead of scanning every dictionary term. Without the sidecar it
     falls back to the full sorted-copy scan (exact, but O(dictionary))."""
     term = term.lower()
-    fuzziness = min(int(fuzziness), 2)
-    if prefix_length <= 0:
-        probed = _fuzzy_deletes_probe(out_dir, term, fuzziness)
-        if probed is not None:
-            pdf, _nf = probed
-            if not len(pdf):
-                return []
-            lens = pdf["term"].str.len()
-            pdf = pdf[(lens >= len(term) - fuzziness) & (lens <= len(term) + fuzziness)]
-            if not len(pdf):
-                return []
-            keep = pdf["term"].map(lambda t: _edit_distance_le(term, t, fuzziness))
-            return _rank_expansions(pdf[keep], max_expansions, term)
-    if prefix_length > 0:
-        lit = term[:prefix_length]
-        lo, hi = lit, _range_hi(lit)
-    else:
-        lo = hi = None
-    pdf = _term_range(out_dir, lo, hi)
-    if not len(pdf):
-        return []
-    lens = pdf["term"].str.len()
-    pdf = pdf[(lens >= len(term) - fuzziness) & (lens <= len(term) + fuzziness)]
-    if not len(pdf):
-        return []
-    keep = pdf["term"].map(lambda t: _edit_distance_le(term, t, fuzziness))
-    return _rank_expansions(pdf[keep], max_expansions, term)
+    return _rank_expansions(
+        expansion_candidates(
+            out_dir, "fuzzy", term, fuzziness=fuzziness, prefix_length=prefix_length
+        ),
+        max_expansions, term,
+    )
 
 
 def index_info(spark: SparkSession, out_dir: str) -> dict:

@@ -264,12 +264,104 @@ def test_search_body_daily_window(spark, tmp_path_factory):
     ][:4]
     assert ids == want_ids
 
-    # unsupported window shapes reject cleanly
+    # mm/expansion/MLT window totals are the remaining honest rejection
     import pytest as _pytest
 
     with _pytest.raises(UnsupportedDSL):
         search_body_daily(
             spark, root,
-            {"query": {"multi_match": {"query": "spark", "fields": ["text"]}}},
+            {"query": {"multi_match": {"query": "spark", "fields": ["text"]}},
+             "track_total_hits": True},
             time_range=win,
         )
+
+
+def test_daily_window_mm_expansion_mlt_rank_identity(spark, tmp_path_factory):
+    """Windowed multi_match / expansion / more_like_this are rank- AND
+    score-identical to a single flat index built over EXACTLY the window's
+    documents (merged window stats == window sub-corpus stats), and run
+    verbatim through search_body_daily."""
+    import datetime as dt
+
+    from conveyorbelt_spark.index.build import build_index, write_docstore
+    from conveyorbelt_spark.index.daily import DailySearcher, build_daily_index
+    from conveyorbelt_spark.index.dsl import search_body_daily
+
+    rng = random.Random(91)
+    rows = [
+        (
+            i,
+            " ".join(rng.choices(W, k=10)),
+            " ".join(rng.choices(W, k=3)),
+            dt.datetime(2016, 9, 16 + (i % 4), 12),
+        )
+        for i in range(120)
+    ]
+    root = str(tmp_path_factory.mktemp("dmm"))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, title string, warc_ts timestamp"
+    )
+    build_daily_index(
+        spark, docs, root, url_col=None, n_buckets=2, n_term_buckets=4,
+        field_cols=("title",), store_cols=("text",),
+    )
+    win = (dt.datetime(2016, 9, 16), dt.datetime(2016, 9, 19))  # days 0-2
+    flat = str(tmp_path_factory.mktemp("dmmflat"))
+    win_docs = docs.where("pmod(doc_id, 4) <= 2")
+    build_index(
+        spark, win_docs.select("doc_id", "text", "title"), flat, url_col=None,
+        n_buckets=2, n_term_buckets=4, field_cols=("title",),
+    )
+    write_docstore(spark, win_docs, flat, url_col=None, extra_cols=("text",))
+    from conveyorbelt_spark.index.query import Searcher
+
+    ds = DailySearcher(spark, root)
+    s_flat = Searcher(spark, flat)
+
+    def _r(rows_):
+        return [(d, round(v, 9)) for d, v in rows_]
+
+    for mtype in ("best_fields", "most_fields"):
+        got = ds.multi_match_rows("spark join", ["text", "title^2"], 10,
+                                  type=mtype, time_range=win)
+        want = s_flat.multi_match_rows("spark join", ["text", "title^2"], 10, type=mtype)
+        assert _r(got) == _r(want), mtype
+    # expansions (prefix + fuzzy) — merged-df ranking == flat ranking
+    got = ds.expansion_rows("prefix", "sh", 10, time_range=win)
+    assert _r(got) == _r(s_flat.prefix_rows("sh", 10))
+    got = ds.expansion_rows("fuzzy", "spark", 10, fuzziness=1, time_range=win)
+    assert _r(got) == _r(s_flat.fuzzy_rows("spark", 10, fuzziness=1))
+    # MLT by raw text and by docstore-resolved id
+    got = ds.more_like_this("spark join window", 10, time_range=win, min_doc_freq=1)
+    want = s_flat.more_like_this("spark join window", 10, min_doc_freq=1)
+    assert _r(got) == _r(want)
+    some_id = rows[0][0]
+    got = ds.more_like_this(some_id, 5, time_range=win, min_doc_freq=1)
+    want = s_flat.more_like_this(some_id, 5, min_doc_freq=1)
+    assert _r(got) == _r(want)
+    # the DSL routes all three shapes over the window
+    resp = search_body_daily(
+        spark, root,
+        {"query": {"multi_match": {"query": "spark join",
+                                   "fields": ["text", "title^2"]}}, "size": 10},
+        time_range=win,
+    )
+    assert [(h["_id"], round(h["_score"], 9)) for h in resp["hits"]["hits"]] == _r(
+        s_flat.multi_match_rows("spark join", ["text", "title^2"], 10)
+    )
+    resp = search_body_daily(
+        spark, root, {"query": {"prefix": {"text": "sh"}}, "size": 10},
+        time_range=win,
+    )
+    assert [h["_id"] for h in resp["hits"]["hits"]] == [
+        d for d, _ in s_flat.prefix_rows("sh", 10)
+    ]
+    resp = search_body_daily(
+        spark, root,
+        {"query": {"more_like_this": {"like": "spark join window",
+                                      "min_doc_freq": 1}}, "size": 10},
+        time_range=win,
+    )
+    assert [h["_id"] for h in resp["hits"]["hits"]] == [
+        d for d, _ in s_flat.more_like_this("spark join window", 10, min_doc_freq=1)
+    ]
