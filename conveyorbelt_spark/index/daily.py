@@ -753,6 +753,25 @@ class DailySearcher:
         the WINDOW-merged dictionary (Σ df across the selected days),
         executed as a SHOULD bag over the window. ``like`` is raw text or
         a doc_id resolved from the selected days' docstores."""
+        sel, self_id = self.mlt_terms(
+            like, time_range=time_range, max_query_terms=max_query_terms,
+            min_doc_freq=min_doc_freq, min_term_freq=min_term_freq,
+        )
+        if not sel:
+            return []
+        rows = self.search_rows(
+            " ".join(sel), k + (1 if exclude_self else 0), time_range=time_range
+        )
+        if exclude_self and self_id is not None:
+            rows = [(d, s) for d, s in rows if d != self_id]
+        return rows[:k]
+
+    def mlt_terms(
+        self, like, *, time_range: tuple | None = None,
+        max_query_terms: int = 25, min_doc_freq: int = 2, min_term_freq: int = 1,
+    ) -> tuple[list[str], int | None]:
+        """The windowed MLT term selection (window-merged interestingness)
+        — factored out so exact totals can count the same bag."""
         from collections import Counter
 
         from ..textutils import analyze
@@ -761,7 +780,7 @@ class DailySearcher:
 
         days = select_days(self.root, time_range)
         if not days:
-            return []
+            return [], None
         stats = _merged_stats(self.root, days)
         self_id = None
         if isinstance(like, int):
@@ -781,7 +800,7 @@ class DailySearcher:
             text = like
         tf = Counter(analyze(text, stats.get("analyzer")))
         if not tf:
-            return []
+            return [], self_id
         lookup = _merged_lookup(self.spark, self.root, days, stats["n_term_buckets"])
         entries = {e["term"]: e for e in lookup(sorted(tf))}
         scored_terms = []
@@ -790,16 +809,8 @@ class DailySearcher:
             if e is None or f < min_term_freq or int(e["df"]) < min_doc_freq:
                 continue
             scored_terms.append((f * idf(stats["n_docs"], int(e["df"])), t))
-        if not scored_terms:
-            return []
         scored_terms.sort(key=lambda iv: (-iv[0], iv[1]))
-        sel = [t for _, t in scored_terms[:max_query_terms]]
-        rows = self.search_rows(
-            " ".join(sel), k + (1 if exclude_self else 0), time_range=time_range
-        )
-        if exclude_self and self_id is not None:
-            rows = [(d, s) for d, s in rows if d != self_id]
-        return rows[:k]
+        return [t for _, t in scored_terms[:max_query_terms]], self_id
 
     def search_docs(
         self, query: str, k: int = 10, *,

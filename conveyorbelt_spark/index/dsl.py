@@ -440,27 +440,66 @@ def search_body_daily(
 
     total = {"value": len(hits) + from_, "relation": "gte"}
     if body.get("track_total_hits"):
-        if plan["mm"] is not None or plan["expand"] is not None or plan["mlt"] is not None:
-            raise UnsupportedDSL(
-                "track_total_hits over daily windows supports match/bool/"
-                "phrase shapes (mm/expansion/MLT window totals not wired)"
-            )
+        from functools import reduce
+
+        from pyspark.sql import DataFrame as _DF
+
+        from .daily import day_dir, select_days
+        from .query import _multi_match_plan, posting_docs_terms
+
+        days = select_days(root, time_range)
+
+        def _union_count(per_day):
+            # day corpora are doc-disjoint: the union of per-day matching
+            # sets is exact, counted in one action
+            dfs = [per_day(day_dir(root, d)) for d in days]
+            return reduce(_DF.unionByName, dfs).count() if dfs else 0
+
         if plan["phrase"] is not None:
-            from functools import reduce
+            n = _union_count(lambda dd: phrase_doc_ids(spark, dd, plan["phrase"]))
+        elif plan["mm"] is not None:
+            from .daily import _merged_lookup, _merged_stats
 
-            from pyspark.sql import DataFrame as _DF
-
-            from .daily import day_dir, select_days
-
-            days = select_days(root, time_range)
-            n = (
-                reduce(
-                    _DF.unionByName,
-                    [phrase_doc_ids(spark, day_dir(root, d), plan["phrase"]) for d in days],
-                ).count()
-                if days
-                else 0
+            stats = _merged_stats(root, days) if days else None
+            mm_plan = _multi_match_plan(
+                spark, root, stats, plan["mm"]["query"], plan["mm"]["fields"],
+                lookup=_merged_lookup(spark, root, days, stats["n_term_buckets"]),
+                field_avg=lambda _f: 1.0,  # totals need terms only, not norms
+            ) if days else None
+            n = 0 if mm_plan is None else _union_count(
+                lambda dd: posting_docs_terms(spark, dd, mm_plan[2])
             )
+        elif plan["expand"] is not None:
+            kind, val, spec = plan["expand"]
+            terms = ds.expand_terms(
+                kind, val,
+                fuzziness=int(spec.get("fuzziness", 1)) if isinstance(spec, dict) else 1,
+                time_range=time_range,
+            )
+            n = 0 if not terms else _union_count(
+                lambda dd: posting_docs_terms(spark, dd, terms)
+            )
+        elif plan["mlt"] is not None:
+            # the selected interestingness bag (same terms the scoring path
+            # ran), counted as a SHOULD union minus the liked doc
+            knobs = {
+                kk: plan["mlt"][kk]
+                for kk in ("max_query_terms", "min_doc_freq", "min_term_freq")
+                if kk in plan["mlt"]
+            }
+            sel, self_id = ds.mlt_terms(plan["mlt"]["like"], time_range=time_range, **knobs)
+            if not sel:
+                n = 0
+            else:
+                from pyspark.sql import functions as _FF  # noqa: N812
+
+                ids = reduce(
+                    _DF.unionByName,
+                    [posting_docs_terms(spark, day_dir(root, d), sel) for d in days],
+                )
+                if self_id is not None:
+                    ids = ids.where(_FF.col("doc_id") != self_id)
+                n = ids.count()
         else:
             n = ds.bool_doc_ids(
                 plan["query"], must=plan["must"], must_not=plan["must_not"],

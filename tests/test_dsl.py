@@ -264,16 +264,15 @@ def test_search_body_daily_window(spark, tmp_path_factory):
     ][:4]
     assert ids == want_ids
 
-    # mm/expansion/MLT window totals are the remaining honest rejection
-    import pytest as _pytest
-
-    with _pytest.raises(UnsupportedDSL):
-        search_body_daily(
-            spark, root,
-            {"query": {"multi_match": {"query": "spark", "fields": ["text"]}},
-             "track_total_hits": True},
-            time_range=win,
-        )
+    # multi_match window totals are exact too (main-field multi_match)
+    resp = search_body_daily(
+        spark, root,
+        {"query": {"multi_match": {"query": "spark", "fields": ["text"]}},
+         "size": 3, "track_total_hits": True},
+        time_range=win,
+    )
+    n_mm = sum(1 for i, t, _l, _n, _ts in rows if "spark" in t and i % 4 <= 2)
+    assert resp["hits"]["total"] == {"value": n_mm, "relation": "eq"}
 
 
 def test_daily_window_mm_expansion_mlt_rank_identity(spark, tmp_path_factory):
@@ -365,3 +364,60 @@ def test_daily_window_mm_expansion_mlt_rank_identity(spark, tmp_path_factory):
     assert [h["_id"] for h in resp["hits"]["hits"]] == [
         d for d, _ in s_flat.more_like_this("spark join window", 10, min_doc_freq=1)
     ]
+
+
+def test_daily_window_totals_all_shapes(spark, tmp_path_factory):
+    """Windowed track_total_hits is exact on EVERY shape — match/bool,
+    phrase, multi_match, expansion, MLT — verified against brute force."""
+    import datetime as dt
+
+    from conveyorbelt_spark.index.daily import build_daily_index
+    from conveyorbelt_spark.index.dsl import search_body_daily
+
+    rng = random.Random(93)
+    rows = [
+        (
+            i,
+            " ".join(rng.choices(W, k=8)) + (" exact phrase" if i % 5 == 0 else ""),
+            " ".join(rng.choices(W, k=3)),
+            dt.datetime(2016, 9, 16 + (i % 4), 12),
+        )
+        for i in range(100)
+    ]
+    root = str(tmp_path_factory.mktemp("dtot"))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, title string, warc_ts timestamp"
+    )
+    build_daily_index(
+        spark, docs, root, url_col=None, n_buckets=2, n_term_buckets=4,
+        positions=True, field_cols=("title",), store_cols=("text",),
+    )
+    win = (dt.datetime(2016, 9, 16), dt.datetime(2016, 9, 19))  # days 0-2
+    inwin = [r for r in rows if r[0] % 4 <= 2]
+
+    def total(body):
+        resp = search_body_daily(
+            spark, root, {**body, "size": 3, "track_total_hits": True},
+            time_range=win,
+        )
+        assert resp["hits"]["total"]["relation"] == "eq"
+        return resp["hits"]["total"]["value"]
+
+    n = total({"query": {"match": {"text": "spark join"}}})
+    assert n == sum(
+        1 for _, t, _ti, _ts in inwin if {"spark", "join"} & set(t.split())
+    )
+    n = total({"query": {"match_phrase": {"text": "exact phrase"}}})
+    assert n == sum(1 for _, t, _ti, _ts in inwin if "exact phrase" in t)
+    n = total({"query": {"multi_match": {"query": "spark", "fields": ["text", "title"]}}})
+    assert n == sum(
+        1 for _, t, ti, _ts in inwin if "spark" in t.split() or "spark" in ti.split()
+    )
+    n = total({"query": {"prefix": {"text": "sh"}}})
+    assert n == sum(
+        1 for _, t, _ti, _ts in inwin if any(w.startswith("sh") for w in t.split())
+    )
+    n = total({"query": {"more_like_this": {"like": "spark join window", "min_doc_freq": 1}}})
+    assert n == sum(
+        1 for _, t, _ti, _ts in inwin if {"spark", "join", "window"} & set(t.split())
+    )
