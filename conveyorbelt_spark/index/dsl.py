@@ -321,14 +321,26 @@ def search_body(spark: SparkSession, out_dir: str, body: dict) -> dict:
 
     resp: dict[str, Any] = {"hits": {"total": total, "hits": hits}}
     if body.get("aggs"):
-        aggs = search_aggs(
-            spark, out_dir, body["aggs"], plan["query"],
-            must=plan["must"], must_not=plan["must_not"],
-            min_should=plan["min_should"], filters=filters, ranges=ranges,
-        )
-        resp["aggregations"] = {
-            name: [r.asDict() for r in df.collect()] for name, df in aggs.items()
-        }
+        kinds = {next(iter(spec)) for spec in body["aggs"].values()}
+        if kinds <= {"terms", "date_histogram", "histogram", "stats"}:
+            # serving fast path: row-for-row identical to the distributed
+            # plan for these kinds (escalates itself past max_hits);
+            # cardinality/percentiles keep ES's approximate semantics on
+            # the distributed path below
+            resp["aggregations"] = s.aggs_rows(
+                body["aggs"], plan["query"], must=plan["must"],
+                must_not=plan["must_not"], min_should=plan["min_should"],
+                filters=filters, ranges=ranges,
+            )
+        else:
+            aggs = search_aggs(
+                spark, out_dir, body["aggs"], plan["query"],
+                must=plan["must"], must_not=plan["must_not"],
+                min_should=plan["min_should"], filters=filters, ranges=ranges,
+            )
+            resp["aggregations"] = {
+                name: [r.asDict() for r in df.collect()] for name, df in aggs.items()
+            }
     return resp
 
 

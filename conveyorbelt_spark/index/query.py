@@ -1596,6 +1596,74 @@ def aggs_over_join(joined: DataFrame, aggs: dict) -> dict[str, DataFrame]:
     return out
 
 
+def _aggs_pandas(pdf: pd.DataFrame, aggs: dict) -> dict[str, list[dict]]:
+    """Driver-side twin of ``aggs_over_join`` over a pandas frame of the
+    hits' stored columns — row-for-row identical output shapes (terms /
+    date_histogram / histogram / stats match the Spark results exactly;
+    cardinality / percentiles are exact where the Spark path approximates)."""
+    import numpy as np
+
+    out: dict[str, list[dict]] = {}
+    for name, spec in aggs.items():
+        if len(spec) != 1:
+            raise ValueError(f"agg {name!r} must have exactly one type, got {list(spec)}")
+        ((kind, body),) = spec.items()
+        col = body["field"]
+        vals = pdf[col] if col in getattr(pdf, "columns", []) else pd.Series(dtype=object)
+        if kind == "terms":
+            c = vals.dropna().value_counts()
+            rows = sorted(
+                ((str(k_), int(n)) for k_, n in c.items()), key=lambda kv: (-kv[1], kv[0])
+            )
+            size = body.get("size")
+            if size:
+                rows = rows[:size]
+            out[name] = [{"key": k_, "n": n} for k_, n in rows]
+        elif kind == "date_histogram":
+            unit = body.get("interval", "day")
+            ts = pd.to_datetime(vals.dropna())
+            if unit in ("minute", "hour", "day"):
+                key = ts.dt.floor({"minute": "min", "hour": "h", "day": "D"}[unit])
+            elif unit == "week":
+                # Spark date_trunc('week') = Monday start
+                key = (ts - pd.to_timedelta(ts.dt.weekday, unit="D")).dt.normalize()
+            elif unit in ("month", "year"):
+                key = ts.dt.to_period("M" if unit == "month" else "Y").dt.to_timestamp()
+            else:
+                raise ValueError(f"unsupported date_histogram interval {unit!r}")
+            c = key.value_counts().sort_index()
+            out[name] = [
+                {"key": k_.to_pydatetime(), "n": int(n)} for k_, n in c.items()
+            ]
+        elif kind == "histogram":
+            step = float(body["interval"])
+            v = pd.to_numeric(vals.dropna())
+            key = (np.floor(v / step) * step)
+            c = key.value_counts().sort_index()
+            out[name] = [{"key": float(k_), "n": int(n)} for k_, n in c.items()]
+        elif kind == "stats":
+            v = pd.to_numeric(vals.dropna())
+            out[name] = [{
+                "count": int(v.count()),
+                "min": None if not len(v) else v.min().item(),
+                "max": None if not len(v) else v.max().item(),
+                "avg": None if not len(v) else float(v.mean()),
+                "sum": None if not len(v) else v.sum().item(),
+            }]
+        elif kind == "cardinality":
+            out[name] = [{"value": int(vals.dropna().nunique())}]
+        elif kind == "percentiles":
+            pcts = [float(p) for p in body.get("percents", [50.0, 95.0, 99.0])]
+            v = pd.to_numeric(vals.dropna()).to_numpy()
+            out[name] = [{
+                f"p{p:g}": (float(np.percentile(v, p)) if len(v) else None)
+                for p in pcts
+            }]
+        else:
+            raise ValueError(f"unsupported agg type {kind!r} in {name!r}")
+    return out
+
+
 def _range_hi(prefix: str) -> str:
     """Smallest string greater than every string with this prefix."""
     return prefix[:-1] + chr(ord(prefix[-1]) + 1) if prefix else "￿"
@@ -2583,6 +2651,43 @@ class Searcher:
             meta[d][facet_col] for d, _ in rows if d in meta and facet_col in meta[d]
         )
         return sorted(c.items(), key=lambda kv: (-kv[1], str(kv[0])))[:k]
+
+    def aggs_rows(
+        self, aggs: dict, query: str = "", *,
+        must: str | None = None, must_not: str | None = None,
+        min_should: int = 0,
+        filters: dict | None = None, ranges: dict | None = None,
+        max_hits: int = 100_000,
+    ) -> dict[str, list[dict]]:
+        """Serving-path search aggregations (the dashboard workload): the
+        bool kernel enumerates hits, the bucket-pruned docstore resolves
+        the agg fields, and pandas computes the aggregations — zero Spark
+        jobs. Semantics mirror ``search_aggs`` exactly for terms /
+        date_histogram / histogram / stats; ``cardinality`` and
+        ``percentiles`` are EXACT here (the distributed path approximates
+        like ES — HLL++ / t-digest). If the matching set saturates
+        ``max_hits`` the counts would be silently wrong, so it escalates
+        to the fully distributed ``search_aggs`` instead."""
+        scoring = bool((query or "").strip() or (must or "").strip())
+        rows = self.search_rows(
+            query, max_hits, must=must, must_not=must_not,
+            min_should=min_should, filters=filters, ranges=ranges,
+        ) if scoring else []
+        if not scoring or len(rows) >= max_hits:
+            # filter-only (match_all) requests have no scoring terms for
+            # the kernel to enumerate — candidates come from the keyword
+            # postings on the distributed path; saturation escalates too
+            out = search_aggs(
+                self.spark, self.out_dir, aggs, query, must=must,
+                must_not=must_not, min_should=min_should,
+                filters=filters, ranges=ranges,
+            )
+            return {name: [r.asDict() for r in df.collect()] for name, df in out.items()}
+        from .build import lookup_docs
+
+        meta = lookup_docs(self.out_dir, [d for d, _ in rows])
+        pdf = pd.DataFrame(list(meta.values())) if meta else pd.DataFrame()
+        return _aggs_pandas(pdf, aggs)
 
     def search(
         self, query: str, k: int = 10, prune: bool = True,

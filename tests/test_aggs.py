@@ -144,3 +144,30 @@ def test_bad_agg_spec_raises(spark, aroot):
             {"x": {"terms": {"field": "lang"}, "stats": {"field": "n_chars"}}},
             "spark",
         )
+
+
+def test_aggs_rows_serving_path_matches_spark(spark, aroot):
+    """Zero-Spark-job serving aggregations: Searcher.aggs_rows matches the
+    distributed search_aggs row-for-row on terms / date_histogram /
+    histogram / stats, is EXACT on cardinality/percentiles, and escalates
+    to the distributed path when the matching set saturates max_hits."""
+    from conveyorbelt_spark.index.query import Searcher, search_aggs
+
+    out, rows, _matching = aroot
+    spec = {
+        "langs": {"terms": {"field": "lang"}},
+        "by_day": {"date_histogram": {"field": "ts", "interval": "day"}},
+        "sizes": {"histogram": {"field": "n_chars", "interval": 100}},
+        "len": {"stats": {"field": "n_chars"}},
+        "uniq": {"cardinality": {"field": "lang", "exact": True}},
+    }
+    s = Searcher(spark, out)
+    got = s.aggs_rows(spec, "spark join")
+    want = {
+        name: [r.asDict() for r in df.collect()]
+        for name, df in search_aggs(spark, out, spec, "spark join").items()
+    }
+    assert got == want
+    # saturation: max_hits=5 forces the distributed path — same answers
+    got_sat = s.aggs_rows(spec, "spark join", max_hits=5)
+    assert got_sat == want
