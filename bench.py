@@ -185,6 +185,11 @@ def _es_surface_bench(spark, sf_dir: str) -> dict:
                     "langs": {"terms": {"field": "lang"}},
                 }, "spark join").items()
             },
+            "aggs_serving": lambda: s.aggs_rows(
+                {"langs": {"terms": {"field": "lang"}},
+                 "lens": {"stats": {"field": "n_chars"}}},
+                "spark join",
+            ),
             "daily_window_search": lambda: ds.search_rows(
                 "spark join window", 20, time_range=win
             ),
