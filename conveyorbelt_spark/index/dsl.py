@@ -353,10 +353,12 @@ def search_body_daily(
     pruning to the overlapping day dirs before any file opens). Supported
     subset: match / bool (+ filter context), match_phrase, match_all +
     filters, sort + search_after, aggs, track_total_hits — each dispatched
-    to the DailySearcher one-plan window path. multi_match / expansion /
-    more_like_this over windows are out of subset (their merged per-field /
-    dictionary-expansion stats are not wired across days) and raise
-    ``UnsupportedDSL`` cleanly."""
+    to the DailySearcher one-plan window path. multi_match / expansion
+    (prefix/wildcard/regexp/fuzzy) / more_like_this are supported over
+    windows too — their per-field stats, dictionary expansions, and MLT
+    interestingness merge across the selected days (window-exact, see
+    ``DailySearcher.multi_match_rows`` / ``expand_terms`` /
+    ``mlt_terms``)."""
     from .daily import DailySearcher
     from .query import phrase_doc_ids
 

@@ -230,11 +230,74 @@ class _TermPostings:
         return w
 
 
-def _tp_for(grp: pd.DataFrame, term: str, cache: dict | None) -> _TermPostings:
+class _TpCache:
+    """Byte-accounted LRU over decoded ``_TermPostings`` — the level below
+    the Searcher's block-frame LRU. Decoded postings (int64 numpy arrays)
+    are strictly LARGER than the varint frames they came from, so an
+    entry-count bound leaves real memory unbounded (a ~270-term range
+    expansion of stopword-grade terms can hold GBs before a count guard
+    trips, then drop everything at once — a latency cliff). Here every
+    put is charged its ndarray ``.nbytes`` + buffer bytes and the
+    least-recently-used entries are evicted until the budget holds; warm
+    results stay bit-identical through any eviction pattern (entries are
+    pure decode products of immutable frames)."""
+
+    def __init__(self, budget_bytes: int = 64 << 20):
+        from collections import OrderedDict
+
+        self.budget = budget_bytes
+        self._d: dict = OrderedDict()
+        self._sizes: dict = {}
+        self.total = 0
+
+    @staticmethod
+    def _tp_bytes(tp: _TermPostings) -> int:
+        # decoded docs charged ×2 — sorted_docs lazily materializes an
+        # equally-sized sorted copy for multi-run groups
+        n = tp.docs.nbytes * 2
+        for arr in (tp.blk_bounds, tp.blk_max_tf, tp.blk_min_dl):
+            n += arr.nbytes
+        n += getattr(tp.blk_n, "nbytes", 8 * len(tp.blk_n))
+        for bufs in (tp.tf_bufs, tp.dl_bufs, tp.pos_bufs or []):
+            n += sum(len(b) for b in bufs if b is not None)
+        return n
+
+    def get(self, key):
+        tp = self._d.get(key)
+        if tp is not None:
+            self._d.move_to_end(key)
+        return tp
+
+    def put(self, key, tp: _TermPostings) -> None:
+        old = self._sizes.pop(key, None)
+        if old is not None:
+            self.total -= old
+            self._d.pop(key, None)
+        size = self._tp_bytes(tp)
+        self._d[key] = tp
+        self._sizes[key] = size
+        self.total += size
+        while self._d and self.total > self.budget:
+            # evicts even the fresh entry when it alone exceeds the budget
+            # (callers hold the returned object; nothing giant stays pinned)
+            k, _ = self._d.popitem(last=False)
+            self.total -= self._sizes.pop(k, 0)
+
+    def clear(self) -> None:
+        self._d.clear()
+        self._sizes.clear()
+        self.total = 0
+
+    def __len__(self) -> int:
+        return len(self._d)
+
+
+def _tp_for(grp: pd.DataFrame, term: str, cache) -> _TermPostings:
     """Decoded postings for one (term, bucket) frame, memoized in ``cache``
-    when given (serving path: the Searcher owns the dict and clears it with
-    its other caches on index mutation). Key includes the bucket and
-    whether the frame carries positions — bag and phrase frames differ."""
+    when given (serving path: the Searcher owns a ``_TpCache`` and clears
+    it with its other caches on index mutation). Key includes the bucket
+    and whether the frame carries positions — bag and phrase frames
+    differ."""
     if cache is None:
         return _TermPostings(grp)
     key = (
@@ -245,9 +308,12 @@ def _tp_for(grp: pd.DataFrame, term: str, cache: dict | None) -> _TermPostings:
     tp = cache.get(key)
     if tp is None:
         tp = _TermPostings(grp)
-        if len(cache) > 16384:
-            cache.clear()  # runaway-guard; repopulates on the next queries
-        cache[key] = tp
+        if isinstance(cache, _TpCache):
+            cache.put(key, tp)
+        else:  # plain dict (ad-hoc kernel attr): keep the count guard
+            if len(cache) > 16384:
+                cache.clear()
+            cache[key] = tp
     return tp
 
 
@@ -1557,7 +1623,11 @@ def aggs_over_join(joined: DataFrame, aggs: dict) -> dict[str, DataFrame]:
                 .agg(F.count("*").alias("n"))
                 .orderBy(F.desc("n"), F.asc("key"))
             )
-            size = body.get("size")
+            # ES defaults terms-agg size to 10; an absent size must NOT
+            # return the unbounded distinct set (a high-cardinality keyword
+            # would otherwise be collected whole by the DSL serving path —
+            # a driver OOM an ES user never hits). size=0 = explicit all.
+            size = int(body.get("size", 10))
             out[name] = df.limit(size) if size else df
         elif kind == "date_histogram":
             unit = _DH_TRUNC[body.get("interval", "day")]
@@ -1612,10 +1682,17 @@ def _aggs_pandas(pdf: pd.DataFrame, aggs: dict) -> dict[str, list[dict]]:
         vals = pdf[col] if col in getattr(pdf, "columns", []) else pd.Series(dtype=object)
         if kind == "terms":
             c = vals.dropna().value_counts()
+            # native key types (numpy scalars unwrapped): tie order (n desc,
+            # key asc) must match the Spark path's — string-sorting a
+            # numeric key would rank "100" before "99"
             rows = sorted(
-                ((str(k_), int(n)) for k_, n in c.items()), key=lambda kv: (-kv[1], kv[0])
+                (
+                    (k_.item() if hasattr(k_, "item") else k_, int(n))
+                    for k_, n in c.items()
+                ),
+                key=lambda kv: (-kv[1], kv[0]),
             )
-            size = body.get("size")
+            size = int(body.get("size", 10))  # ES default; 0 = explicit all
             if size:
                 rows = rows[:size]
             out[name] = [{"key": k_, "n": n} for k_, n in rows]
@@ -2179,8 +2256,10 @@ class Searcher:
         # paths re-probe the term_index sidecar otherwise (mtime-invalidated
         # with everything else)
         self._range_cache: dict[tuple[str, str], list[str]] = {}
-        # (bucket, term, with_poss) -> decoded _TermPostings (serving path)
-        self._tp_cache: dict = {}
+        # (bucket, term, with_poss) -> decoded _TermPostings (serving
+        # path): byte-accounted LRU with its own sibling budget — decoded
+        # int64 arrays outweigh the varint frames the block LRU accounts
+        self._tp_cache = _TpCache(cache_bytes)
 
     def _maybe_invalidate(self) -> None:
         try:

@@ -171,3 +171,33 @@ def test_aggs_rows_serving_path_matches_spark(spark, aroot):
     # saturation: max_hits=5 forces the distributed path — same answers
     got_sat = s.aggs_rows(spec, "spark join", max_hits=5)
     assert got_sat == want
+
+
+def test_terms_agg_default_size_is_es_10(spark, aroot):
+    """ES defaults terms-agg ``size`` to 10: a sizeless terms agg over a
+    high-cardinality field returns exactly the top 10 buckets ordered by
+    (count desc, key asc) — never the unbounded distinct set (which the
+    DSL serving path would collect to the driver). ``size: 0`` is the
+    explicit engine extension for 'all buckets'."""
+    from conveyorbelt_spark.index.query import Searcher
+
+    out, rows, matching = aroot
+    counts: dict[int, int] = {}
+    for i, _, _, nc, _ in rows:
+        if i in matching:
+            counts[nc] = counts.get(nc, 0) + 1
+    assert len(counts) > 10  # the fixture really is high-cardinality
+    want_all = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    res = search_aggs(spark, out, {"ncs": {"terms": {"field": "n_chars"}}}, "spark join")
+    got = [(r.key, r.n) for r in res["ncs"].collect()]
+    assert got == want_all[:10]
+    # serving twin agrees bucket-for-bucket
+    srv = Searcher(spark, out).aggs_rows({"ncs": {"terms": {"field": "n_chars"}}}, "spark join")
+    assert [(int(r["key"]), r["n"]) for r in srv["ncs"]] == [
+        (k, n) for k, n in want_all[:10]
+    ]
+    # size: 0 = explicit all
+    res0 = search_aggs(
+        spark, out, {"ncs": {"terms": {"field": "n_chars", "size": 0}}}, "spark join"
+    )
+    assert [(r.key, r.n) for r in res0["ncs"].collect()] == want_all

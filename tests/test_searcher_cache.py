@@ -103,3 +103,48 @@ def test_byte_budget_evicts_by_bytes(spark, cidx):
     assert len(s3._block_cache) == 0
     assert s3._block_cache_total == 0
     assert r3 == Searcher(spark, out).search_rows("spark join", 10)
+
+
+def test_tp_cache_byte_budget(spark, cidx):
+    """The decoded-postings memo (the level below the block LRU) is also
+    byte-accounted: one stopword-grade decoded frame plus many small ones
+    must evict by BYTES (LRU order), never clear-all, and warm results
+    stay bit-identical through the thrash."""
+    from conveyorbelt_spark.index.query import _TpCache
+
+    out, _ = cidx
+    s = Searcher(spark, out)
+    truth = s.search_rows("spark join window plan", 10)
+    assert isinstance(s._tp_cache, _TpCache)
+    assert len(s._tp_cache) > 0
+    assert s._tp_cache.total == sum(s._tp_cache._sizes.values())
+    assert s._tp_cache.total > 0
+    sizes = sorted(s._tp_cache._sizes.values())
+    # budget fitting ~half the decoded entries: older ones must go, the
+    # accounting invariant must hold, and results must not change
+    budget = sum(sizes[len(sizes) // 2 :]) + 1
+    s2 = Searcher(spark, out)
+    s2._tp_cache = _TpCache(budget)
+    cold = s2.search_rows("spark join window plan", 10)
+    assert cold == truth
+    assert s2._tp_cache.total <= budget
+    assert 0 < len(s2._tp_cache) < len(s._tp_cache)
+    assert s2._tp_cache.total == sum(s2._tp_cache._sizes.values())
+    assert s2.search_rows("spark join window plan", 10) == truth
+    # a decoded frame larger than the whole budget is never pinned
+    s3 = Searcher(spark, out)
+    s3._tp_cache = _TpCache(1)
+    r3 = s3.search_rows("spark join", 10)
+    assert len(s3._tp_cache) == 0 and s3._tp_cache.total == 0
+    assert r3 == Searcher(spark, out).search_rows("spark join", 10)
+
+
+def test_tp_cache_invalidates_with_mutation(spark, cidx):
+    out, _ = cidx
+    s = Searcher(spark, out)
+    base = dict(s.search_rows("spark join", 500))
+    assert len(s._tp_cache) > 0
+    victim = sorted(base)[0]
+    delete_docs(spark, out, [victim])
+    after = dict(s.search_rows("spark join", 500))
+    assert victim not in after and set(after) == set(base) - {victim}
