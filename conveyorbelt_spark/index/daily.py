@@ -273,29 +273,38 @@ class DailySearcher:
         self.root = root
         self.mode = mode
 
-    def _plan(self, time_range, query, must, must_not, filters=None, ranges=None):
+    def _plan(
+        self, time_range, query, must, must_not, filters=None, ranges=None,
+        or_groups=None, not_atoms=None,
+    ):
         days = select_days(self.root, time_range)
         if not days:
             return None
         stats = _merged_stats(self.root, days)
         lookup = _merged_lookup(self.spark, self.root, days, stats["n_term_buckets"])
+        plan = _bool_plan(
+            self.spark, self.root, stats, query, must, must_not, lookup=lookup,
+            filters=filters, ranges=ranges,
+            range_expand=self._range_expand(days),
+            or_groups=or_groups, not_atoms=not_atoms,
+        )
+        if plan is None:
+            return None
+        return days, stats, plan
+
+    def _range_expand(self, days: list[str]):
+        """Window keyword-range expansion: union of each selected day's
+        indexed terms in range (each day probe is a range-sidecar-pruned
+        metadata read)."""
+        from .query import _term_range
 
         def range_expand(lo: str, hi: str) -> list[str]:
-            # union of each selected day's indexed keyword terms in range
-            from .query import _term_range
-
             terms: set[str] = set()
             for day in days:
                 terms.update(_term_range(day_dir(self.root, day), lo, hi)["term"].tolist())
             return sorted(terms)
 
-        plan = _bool_plan(
-            self.spark, self.root, stats, query, must, must_not, lookup=lookup,
-            filters=filters, ranges=ranges, range_expand=range_expand,
-        )
-        if plan is None:
-            return None
-        return days, stats, plan
+        return range_expand
 
     def search_rows(
         self, query: str, k: int = 10, *,
@@ -303,12 +312,17 @@ class DailySearcher:
         must: str | None = None, must_not: str | None = None,
         min_should: int = 0,
         filters: dict | None = None, ranges: dict | None = None,
+        or_groups: list | None = None, not_atoms: list | None = None,
     ) -> list[tuple[int, float]]:
         """Serving path: per-day pruned pyarrow block reads concatenated,
         one kernel pass (buckets merge across days — the multi-run shape).
         Zero Spark jobs. ``filters``/``ranges`` = ES filter context over
-        keyword fields (see ``bm25_topk``)."""
-        p = self._plan(time_range, query, must, must_not, filters, ranges)
+        keyword fields (see ``bm25_topk``); ``or_groups``/``not_atoms`` =
+        the nested-bool atom forms (``query._atom_terms``)."""
+        p = self._plan(
+            time_range, query, must, must_not, filters, ranges,
+            or_groups, not_atoms,
+        )
         if p is None:
             return []
         days, stats, (term_idf, must_terms, not_terms, tbs, scan_terms, sp, fgroups) = p
@@ -409,6 +423,7 @@ class DailySearcher:
         must: str | None = None, must_not: str | None = None,
         min_should: int = 0,
         filters: dict | None = None, ranges: dict | None = None,
+        or_groups: list | None = None, not_atoms: list | None = None,
         time_range: tuple | None = None,
     ) -> DataFrame:
         """Windowed ``bool_doc_ids``: ONE plan over the whole window. The
@@ -425,8 +440,8 @@ class DailySearcher:
         from ..textutils import analyze
         from .query import (
             _bool_match_ids,
+            _expand_atoms,
             _filter_want,
-            _term_range,
             term_doc_pairs,
         )
 
@@ -439,20 +454,17 @@ class DailySearcher:
         should_terms = sorted(set(analyze(query, az))) if query else []
         must_terms = sorted(set(analyze(must, az))) if must else []
         not_terms = sorted(set(analyze(must_not, az))) if must_not else []
+        # keyword terms are day-independent strings: the window's expansion
+        # is the union of each day's range-sidecar probe
+        range_expand = self._range_expand(days)
+        if not_atoms:
+            not_terms = sorted(
+                set(not_terms) | set(_expand_atoms(not_atoms, range_expand))
+            )
         scoring = sorted(set(should_terms) | set(must_terms))
         fgroups: list[list[str]] = []
-        if filters or ranges:
-            def range_expand(lo: str, hi: str) -> list[str]:
-                # keyword terms are day-independent strings: the window's
-                # expansion is the union of each day's range-sidecar probe
-                terms: set[str] = set()
-                for day in days:
-                    terms.update(
-                        _term_range(day_dir(self.root, day), lo, hi)["term"].tolist()
-                    )
-                return sorted(terms)
-
-            want = _filter_want(filters, ranges, range_expand)
+        if filters or ranges or or_groups:
+            want = _filter_want(filters, ranges, range_expand, or_groups)
             if want is None:
                 return empty
             fgroups = want
@@ -545,6 +557,7 @@ class DailySearcher:
         must: str | None = None, must_not: str | None = None,
         min_should: int = 0,
         filters: dict | None = None, ranges: dict | None = None,
+        or_groups: list | None = None, not_atoms: list | None = None,
     ) -> dict[str, DataFrame]:
         """Windowed ES search aggregations — THE Kibana workload
         (date_histogram / terms / stats / cardinality / percentiles over
@@ -561,7 +574,8 @@ class DailySearcher:
                     for name in aggs}
         hits = self.bool_doc_ids(
             query, must=must, must_not=must_not, min_should=min_should,
-            filters=filters, ranges=ranges, time_range=time_range,
+            filters=filters, ranges=ranges, or_groups=or_groups,
+            not_atoms=not_atoms, time_range=time_range,
         )
         return aggs_over_join(self._window_docstore(days).join(hits, "doc_id"), aggs)
 
@@ -572,6 +586,7 @@ class DailySearcher:
         min_should: int = 0,
         filters: dict | None = None, ranges: dict | None = None,
         search_after: tuple | None = None,
+        or_groups: list | None = None, not_atoms: list | None = None,
     ) -> DataFrame:
         """Windowed sort-by-field + search_after export (the ES
         PIT/search_after deep-pagination shape over a time window): the
@@ -585,7 +600,8 @@ class DailySearcher:
             return self.spark.createDataFrame([], "doc_id long")
         hits = self.bool_doc_ids(
             query, must=must, must_not=must_not, min_should=min_should,
-            filters=filters, ranges=ranges, time_range=time_range,
+            filters=filters, ranges=ranges, or_groups=or_groups,
+            not_atoms=not_atoms, time_range=time_range,
         )
         return sorted_over_join(
             self._window_docstore(days).join(hits, "doc_id"), sort, k, search_after

@@ -18,18 +18,35 @@ query context:
                    must bound the result)
   bool             {"bool": {"must": [...], "should": [...],
                     "must_not": [...], "filter": [...],
-                    "minimum_should_match": n}}
+                    "minimum_should_match": n}} — bools NEST: a bool
+                   inside must flattens (its should group may carry the
+                   request's one minimum_should_match); a bool inside
+                   filter becomes cross-field AND/OR posting groups (the
+                   Kibana multi-pill shape); a bool inside must_not must
+                   be a pure OR (De Morgan flattens it to exclusions)
+  query_string     {"query_string": {"query": "+spark join -merge
+                    lang:en", "default_operator": "or"}} — the Lucene
+                   subset: terms, +required, -excluded, field:value
+                   filters, or one quoted "phrase"
+  term/terms/range/exists — allowed TOP-LEVEL too (filter-context query,
+                   constant score 1.0, doc_id order)
 
-filter context (inside bool.filter, or top-level "filter"):
-  term   {"term":  {"lang": "en"}}        — keyword-field posting filter
-  terms  {"terms": {"status": ["200", "304"]}}
-  range  {"range": {"nc": {"gte": "0100", "lte": "0300"}}} (inclusive
-         string-order bounds over indexed keyword values)
+filter context (inside bool.filter / bool.must, or top-level):
+  term    {"term":  {"lang": "en"}}        — keyword-field posting filter
+  terms   {"terms": {"status": ["200", "304"]}}
+  range   {"range": {"nc": {"gte": "0100", "lte": "0300"}}} (inclusive
+          string-order bounds over indexed keyword values)
+  exists  {"exists": {"field": "lang"}}    — any indexed value
+  match   — EXACT non-scoring text constraint: its analyzed tokens as
+          posting requirements (OR by default, AND with operator=and);
+          works on the main field and on multi-field side fields
+  bool    — nested: must/filter AND, should (minimum_should_match ≤ 1)
+          one OR group, must_not exclusions
 
 request level: "size", "from", "sort" ([{"field": "desc"}] or ["field"]),
-"search_after", "aggs" (the search_aggs shape), "highlight"
-{"fields": {col: {}}}, "_source" (bool), "track_total_hits" (bool —
-True runs the uncapped distributed count).
+"search_after", "aggs" (the search_aggs shape, incl. one level of
+sub-"aggs"), "highlight" {"fields": {col: {}}}, "_source" (bool),
+"track_total_hits" (bool — True runs the uncapped distributed count).
 
 Response is ES-shaped: {"hits": {"total": {"value": N, "relation":
 "eq"|"gte"}, "hits": [{"_id", "_score", "_source"?, "highlight"?}]},
@@ -38,8 +55,12 @@ Response is ES-shaped: {"hits": {"total": {"value": N, "relation":
 Simplifications vs real ES (documented, deliberate):
 - match inside bool.must means REQUIRED terms (they score, like ES must);
   multiple must clauses concatenate their terms.
-- term/terms/range queries are filter-context only (constant-score query
-  context is not emulated).
+- term/terms/range/exists queries FILTER wherever they appear (constant-
+  score query context is not emulated; in a should list they constrain
+  only when minimum_should_match ≥ 1, exactly like ES filter context).
+- minimum_should_match counts DISTINCT MATCHED TERMS (ES counts clauses;
+  identical when each should clause is a single term). One
+  minimum_should_match group per request.
 - one scoring clause kind per request (match XOR phrase XOR multi_match…);
   compose via bool for the must/should/not/filter algebra.
 """
@@ -64,13 +85,23 @@ def _one(d: dict) -> tuple[str, Any]:
     return next(iter(d.items()))
 
 
+MAIN_FIELDS = ("text", "_text", "")
+
+
+def _match_spec(body: dict) -> tuple[str, str, str]:
+    """(field, text, operator) from a match clause body."""
+    field, spec = _one(body)
+    if isinstance(spec, dict):
+        return field, str(spec["query"]), str(spec.get("operator", "or")).lower()
+    return field, str(spec), "or"
+
+
 def _match_text(clause: dict) -> str:
-    field, spec = _one(clause)
-    text = spec["query"] if isinstance(spec, dict) else spec
-    if field not in ("text", "_text", ""):
+    field, text, _op = _match_spec(clause)
+    if field not in MAIN_FIELDS:
         # a match on a non-main field is a single-field multi_match
-        raise _NonMainMatch(field, str(text))
-    return str(text)
+        raise _NonMainMatch(field, text)
+    return text
 
 
 class _NonMainMatch(Exception):
@@ -78,35 +109,333 @@ class _NonMainMatch(Exception):
         self.field, self.text = field, text
 
 
-def _filter_clause(clause: dict, filters: dict, ranges: dict) -> None:
+def _range_atom(body: dict) -> tuple:
+    field, spec = _one(body)
+    lo = spec.get("gte", spec.get("gt"))
+    hi = spec.get("lte", spec.get("lt"))
+    if lo is None or hi is None or "gt" in spec or "lt" in spec:
+        raise UnsupportedDSL(
+            "range filters need inclusive gte+lte bounds (exclusive "
+            "gt/lt over string-ordered keyword terms are not emulated)"
+        )
+    return ("range", field, str(lo), str(hi))
+
+
+def _match_atoms(body: dict, analyzer) -> tuple[list[tuple], str]:
+    """A match clause in FILTER context → its token atoms + operator.
+    Main-field tokens become ``("tok", t)`` (raw text-posting terms),
+    side-field tokens ``("eq", field, t)`` (the multi-field posting
+    encoding) — exact non-scoring constraints either way."""
+    from ..textutils import analyze
+
+    field, text, op = _match_spec(body)
+    toks = analyze(text, analyzer)
+    if field in MAIN_FIELDS:
+        atoms = [("tok", t) for t in toks]
+    else:
+        atoms = [("eq", field, t) for t in toks]
+    return atoms, op
+
+
+def _filter_atoms(clause: dict, analyzer) -> list[tuple]:
+    """One filter-context clause → atoms composing as an OR (used inside
+    a should group). AND-shaped clauses (match operator=and) cannot
+    OR-compose and are rejected here."""
     kind, body = _one(clause)
     if kind == "term":
         field, val = _one(body)
         val = val["value"] if isinstance(val, dict) else val
-        filters[field] = str(val)
-    elif kind == "terms":
+        return [("eq", field, str(val))]
+    if kind == "terms":
         field, vals = _one(body)
-        filters[field] = [str(v) for v in vals]
-    elif kind == "range":
-        field, spec = _one(body)
-        lo = spec.get("gte", spec.get("gt"))
-        hi = spec.get("lte", spec.get("lt"))
-        if lo is None or hi is None or "gt" in spec or "lt" in spec:
+        return [("in", field, [str(v) for v in vals])]
+    if kind == "range":
+        return [_range_atom(body)]
+    if kind == "exists":
+        return [("exists", str(body["field"]))]
+    if kind == "match":
+        atoms, op = _match_atoms(body, analyzer)
+        if op == "and" and len(atoms) > 1:
             raise UnsupportedDSL(
-                "range filters need inclusive gte+lte bounds (exclusive "
-                "gt/lt over string-ordered keyword terms are not emulated)"
+                "match with operator=and cannot appear inside an OR group "
+                "(a should of filter clauses)"
             )
-        ranges[field] = (str(lo), str(hi))
+        return atoms
+    raise UnsupportedDSL(f"unsupported clause {kind!r} in filter-context OR group")
+
+
+def _parse_filter_clause(clause: dict, plan: dict, analyzer) -> None:
+    """One clause in FILTER context (required, non-scoring) → plan atoms.
+    term / terms / range / exists / match (exact: its analyzed tokens as
+    posting constraints — OR by default, AND with operator=and) / nested
+    bool (recursive) / match_all (no-op)."""
+    kind, body = _one(clause)
+    if kind in ("term", "terms", "range", "exists"):
+        plan["or_groups"].append(_filter_atoms(clause, analyzer))
+    elif kind == "match":
+        atoms, op = _match_atoms(body, analyzer)
+        if not atoms:
+            return
+        if op == "and":
+            for a in atoms:  # every token required: one AND group per token
+                plan["or_groups"].append([a])
+        else:
+            plan["or_groups"].append(atoms)  # ES default operator: OR
+    elif kind == "match_all":
+        pass
+    elif kind == "bool":
+        _parse_filter_bool(body, plan, analyzer)
     else:
         raise UnsupportedDSL(f"unsupported filter clause {kind!r}")
 
 
-def parse_query(query: dict) -> dict:
-    """The query-context half of a request body → engine arguments."""
+def _parse_filter_not(clause: dict, plan: dict, ctx: "_BoolCtx", analyzer) -> None:
+    """One clause in NOT context (must_not): docs carrying ANY of its
+    expansion are excluded. match on the main field rides the analyzed
+    must_not text; everything else becomes keyword/token not-atoms."""
+    kind, body = _one(clause)
+    if kind == "match":
+        field, text, op = _match_spec(body)
+        if op == "and":
+            raise UnsupportedDSL(
+                "match with operator=and inside must_not is unsupported "
+                "(NOT(all tokens) is not a posting exclusion)"
+            )
+        if field in MAIN_FIELDS:
+            ctx.must_nots.append(text)
+        else:
+            atoms, _ = _match_atoms(body, analyzer)
+            plan["not_atoms"].extend(atoms)
+    elif kind in ("term", "terms", "range", "exists"):
+        plan["not_atoms"].extend(_filter_atoms(clause, analyzer))
+    elif kind == "bool":
+        _parse_not_bool(body, plan, ctx, analyzer)
+    else:
+        raise UnsupportedDSL(f"unsupported must_not clause {kind!r}")
+
+
+def _parse_filter_bool(body: dict, plan: dict, analyzer) -> None:
+    """A ``bool`` nested in FILTER context — the Kibana multi-pill shape.
+    must/filter recurse as AND; must_not becomes exclusions; should with
+    minimum_should_match 1 (or the ES default when the bool has no
+    must/filter) becomes ONE cross-field OR group; should with an
+    effective minimum_should_match of 0 is dropped exactly like ES (it
+    neither filters nor scores in filter context)."""
+    ctx = _BoolCtx()
+    for clause in (body.get("must") or []) + (body.get("filter") or []):
+        _parse_filter_clause(clause, plan, analyzer)
+    for clause in body.get("must_not") or []:
+        _parse_filter_not(clause, plan, ctx, analyzer)
+    if ctx.must_nots:
+        # main-field match exclusions from inside a filter bool still ride
+        # the analyzed must_not text (non-scoring either way)
+        plan["extra_not_text"].extend(ctx.must_nots)
+    shoulds = body.get("should") or []
+    if shoulds:
+        msm = body.get("minimum_should_match")
+        if msm is None:
+            msm = 0 if (body.get("must") or body.get("filter")) else 1
+        msm = int(msm or 0)
+        if msm == 0:
+            return  # ES: optional should inside filter context is a no-op
+        if msm > 1:
+            raise UnsupportedDSL(
+                "minimum_should_match > 1 inside a filter-context bool is "
+                "unsupported (use several single-clause bools)"
+            )
+        group: list[tuple] = []
+        for clause in shoulds:
+            group.extend(_filter_atoms(clause, analyzer))
+        plan["or_groups"].append(group)
+
+
+def _parse_not_bool(body: dict, plan: dict, ctx: "_BoolCtx", analyzer) -> None:
+    """A ``bool`` nested in must_not. NOT of an OR flattens exactly
+    (NOT(a OR b) = NOT a AND NOT b), so the inner bool must be a pure OR:
+    a should list with minimum_should_match ≤ 1, or a single must/filter
+    clause. Anything else (NOT of a conjunction) is not a posting-level
+    exclusion and is rejected."""
+    musts = (body.get("must") or []) + (body.get("filter") or [])
+    shoulds = body.get("should") or []
+    if body.get("must_not"):
+        raise UnsupportedDSL("bool.must_not nested inside must_not is unsupported")
+    if shoulds and not musts:
+        if int(body.get("minimum_should_match", 1) or 1) > 1:
+            raise UnsupportedDSL(
+                "minimum_should_match > 1 inside a must_not bool is unsupported"
+            )
+        for clause in shoulds:
+            _parse_filter_not(clause, plan, ctx, analyzer)
+    elif len(musts) == 1 and not shoulds:
+        _parse_filter_not(musts[0], plan, ctx, analyzer)
+    else:
+        raise UnsupportedDSL(
+            "bool inside must_not must be a pure OR (should with "
+            "minimum_should_match<=1) or a single must/filter clause "
+            "(NOT of a conjunction is not expressible as posting exclusions)"
+        )
+
+
+class _BoolCtx:
+    """Accumulator for the recursive query-context bool flattening."""
+
+    def __init__(self):
+        self.shoulds: list[str] = []
+        self.musts: list[str] = []
+        self.must_nots: list[str] = []
+        self.min_should = 0
+        self.msm_locked = False  # a required-should group claimed min_should
+
+
+def _merge_required(ctx: _BoolCtx, sub: _BoolCtx) -> None:
+    """Merge a nested bool that sits in a REQUIRED position (must) into
+    its parent: musts/must_nots AND-flatten; a should group with an
+    effective minimum_should_match ≥ 1 becomes the single global
+    should+min_should set (the kernel has one — a second one anywhere in
+    the tree is rejected); optional shoulds (msm 0) merge as extra
+    scoring terms."""
+    ctx.musts.extend(sub.musts)
+    ctx.must_nots.extend(sub.must_nots)
+    if not sub.shoulds:
+        return
+    if sub.min_should >= 1:
+        if ctx.shoulds or ctx.msm_locked:
+            raise UnsupportedDSL(
+                "only one should group with minimum_should_match >= 1 is "
+                "supported per request (the kernel has a single "
+                "minimum_should_match counter)"
+            )
+        ctx.shoulds = list(sub.shoulds)
+        ctx.min_should = sub.min_should
+        ctx.msm_locked = True
+    else:
+        if ctx.msm_locked:
+            raise UnsupportedDSL(
+                "mixing a minimum_should_match group with extra optional "
+                "should clauses is unsupported"
+            )
+        ctx.shoulds.extend(sub.shoulds)
+
+
+def _parse_bool_core(body: dict, plan: dict, analyzer, top: bool = False) -> _BoolCtx:
+    """Recursive query-context bool flattening into the engine's single
+    (should, must, must_not, min_should, filter-groups) shape. Documented
+    simplifications: term/terms/range/exists anywhere in query context
+    FILTER (never constant-score); ``minimum_should_match`` counts
+    DISTINCT MATCHED TERMS (identical to ES clause counting when each
+    should clause is a single term, which is the common shape — q34);
+    only one minimum_should_match group per tree."""
+    ctx = _BoolCtx()
+    # a bool whose ONLY content is a single nested should-bool is that
+    # bool (ES: lone should defaults to required via minimum_should_match=1)
+    should_clauses = body.get("should") or []
+    if (
+        len(should_clauses) == 1
+        and not (body.get("must") or body.get("filter") or body.get("must_not"))
+        and _one(should_clauses[0])[0] == "bool"
+        and body.get("minimum_should_match") in (None, 1)
+    ):
+        return _parse_bool_core(_one(should_clauses[0])[1], plan, analyzer, top=top)
+
+    for clause in body.get("filter") or []:
+        _parse_filter_clause(clause, plan, analyzer)
+    for clause in body.get("must") or []:
+        k2, b2 = _one(clause)
+        if k2 == "match":
+            try:
+                ctx.musts.append(_match_text(b2))
+            except _NonMainMatch as nm:
+                raise UnsupportedDSL(
+                    f"match on non-main field {nm.field!r} inside bool.must "
+                    "is unsupported (required SCORING over a side field is "
+                    "not emulated; use multi_match, or filter context for "
+                    "the non-scoring constraint)"
+                ) from None
+        elif k2 in ("term", "terms", "range", "exists"):
+            # ES scores term-queries in must; here they filter (constant-
+            # score emulation is out of subset — documented)
+            _parse_filter_clause(clause, plan, analyzer)
+        elif k2 == "bool":
+            _merge_required(ctx, _parse_bool_core(b2, plan, analyzer))
+        else:
+            raise UnsupportedDSL(
+                f"bool.must supports match/term/terms/range/exists/bool, got {k2!r}"
+            )
+    for clause in body.get("must_not") or []:
+        _parse_filter_not(clause, plan, ctx, analyzer)
+
+    own_shoulds: list[str] = []
+    for clause in should_clauses:
+        k2, b2 = _one(clause)
+        if k2 == "match":
+            try:
+                own_shoulds.append(_match_text(b2))
+            except _NonMainMatch as nm:
+                # a lone non-main should in an otherwise-empty TOP bool ≡
+                # single-field multi_match; in any other position the
+                # field-vs-main score algebra is out of subset
+                if (
+                    top
+                    and len(should_clauses) == 1
+                    and not (body.get("must") or body.get("must_not"))
+                    and not plan["or_groups"] and not plan["not_atoms"]
+                ):
+                    raise  # parse_query converts to the mm plan
+                raise UnsupportedDSL(
+                    f"match on non-main field {nm.field!r} inside a bool "
+                    "with other clauses is unsupported (use multi_match)"
+                ) from None
+        elif k2 in ("term", "terms", "range", "exists"):
+            pass  # keyword shoulds — grouped below
+        elif k2 == "bool":
+            raise UnsupportedDSL(
+                "bool nested inside should alongside other clauses is "
+                "unsupported (a LONE should-bool collapses to the bool itself)"
+            )
+        else:
+            raise UnsupportedDSL(
+                f"bool.should supports match/term/terms/range/exists/bool, got {k2!r}"
+            )
+
+    kw_should = [c for c in should_clauses if _one(c)[0] in ("term", "terms", "range", "exists")]
+    msm = body.get("minimum_should_match")
+    if msm is None:
+        msm = 0 if (body.get("must") or body.get("filter")) else (1 if should_clauses else 0)
+    msm = int(msm or 0)
+    if kw_should:
+        if own_shoulds:
+            raise UnsupportedDSL(
+                "mixing match and term/terms clauses in one should list is "
+                "unsupported (scoring vs filter semantics diverge)"
+            )
+        if msm == 0:
+            pass  # ES: optional keyword shoulds only add constant score — dropped
+        elif msm == 1:
+            group: list[tuple] = []
+            for clause in kw_should:
+                group.extend(_filter_atoms(clause, analyzer))
+            plan["or_groups"].append(group)
+        else:
+            raise UnsupportedDSL(
+                "minimum_should_match > 1 over term/terms should clauses is unsupported"
+            )
+    elif own_shoulds:
+        sub = _BoolCtx()
+        sub.shoulds = own_shoulds
+        sub.min_should = msm
+        _merge_required(ctx, sub)
+    return ctx
+
+
+def parse_query(query: dict, analyzer=None) -> dict:
+    """The query-context half of a request body → engine arguments.
+    ``analyzer`` is the index's analyzer config (stats.json), used to
+    tokenize filter-context match clauses exactly like the index did."""
     plan: dict[str, Any] = {
         "query": "", "must": None, "must_not": None, "min_should": 0,
         "filters": {}, "ranges": {}, "phrase": None, "mm": None,
         "expand": None, "mlt": None, "match_all": False,
+        "or_groups": [], "not_atoms": [], "extra_not_text": [],
     }
     if query is None:
         plan["match_all"] = True
@@ -136,67 +465,24 @@ def parse_query(query: dict) -> dict:
         plan["expand"] = (kind, str(val), spec if isinstance(spec, dict) else {})
     elif kind == "more_like_this":
         plan["mlt"] = dict(body)
+    elif kind in ("term", "terms", "range", "exists"):
+        # top-level filter-context query (ES scores these constant 1.0)
+        _parse_filter_clause({kind: body}, plan, analyzer)
+        plan["match_all"] = True
+    elif kind == "query_string":
+        _parse_query_string(body, plan, analyzer)
     elif kind == "bool":
-        shoulds, musts, must_nots = [], [], []
-        for clause in body.get("filter", []) or []:
-            _filter_clause(clause, plan["filters"], plan["ranges"])
-        should_clauses = body.get("should", []) or []
-        for clause in should_clauses:
-            k2, b2 = _one(clause)
-            if k2 != "match":
-                raise UnsupportedDSL(f"bool.should supports match, got {k2!r}")
-            try:
-                shoulds.append(_match_text(b2))
-            except _NonMainMatch as nm:
-                # a lone non-main should ≡ single-field multi_match; mixed
-                # with other clauses the field-vs-main score algebra is out
-                # of subset — reject cleanly instead of mis-scoring
-                if (
-                    len(should_clauses) == 1
-                    and not (body.get("must") or body.get("must_not"))
-                    and not plan["filters"] and not plan["ranges"]
-                ):
-                    plan["mm"] = {
-                        "query": nm.text, "fields": [nm.field],
-                        "type": "best_fields",
-                    }
-                    return plan
-                raise UnsupportedDSL(
-                    f"match on non-main field {nm.field!r} inside a bool "
-                    "with other clauses is unsupported (use multi_match)"
-                ) from None
-        for clause in body.get("must", []) or []:
-            k2, b2 = _one(clause)
-            if k2 == "match":
-                try:
-                    musts.append(_match_text(b2))
-                except _NonMainMatch as nm:
-                    raise UnsupportedDSL(
-                        f"match on non-main field {nm.field!r} inside "
-                        "bool.must is unsupported (required semantics over "
-                        "a side field are not emulated; use multi_match)"
-                    ) from None
-            elif k2 in ("term", "terms", "range"):
-                # ES scores term-queries in must; here they filter (const-
-                # score emulation is out of subset — documented)
-                _filter_clause(clause, plan["filters"], plan["ranges"])
-            else:
-                raise UnsupportedDSL(f"bool.must supports match/term/terms/range, got {k2!r}")
-        for clause in body.get("must_not", []) or []:
-            k2, b2 = _one(clause)
-            if k2 != "match":
-                raise UnsupportedDSL(f"bool.must_not supports match, got {k2!r}")
-            try:
-                must_nots.append(_match_text(b2))
-            except _NonMainMatch as nm:
-                raise UnsupportedDSL(
-                    f"match on non-main field {nm.field!r} inside "
-                    "bool.must_not is unsupported"
-                ) from None
-        plan["query"] = " ".join(shoulds)
-        plan["must"] = " ".join(musts) or None
+        try:
+            ctx = _parse_bool_core(body, plan, analyzer, top=True)
+        except _NonMainMatch as nm:
+            plan["mm"] = {"query": nm.text, "fields": [nm.field], "type": "best_fields"}
+            return plan
+        plan["query"] = " ".join(ctx.shoulds)
+        must_nots = ctx.must_nots + plan.pop("extra_not_text")
+        plan["extra_not_text"] = []
+        plan["must"] = " ".join(ctx.musts) or None
         plan["must_not"] = " ".join(must_nots) or None
-        plan["min_should"] = int(body.get("minimum_should_match", 0) or 0)
+        plan["min_should"] = ctx.min_should
         if not plan["query"] and not plan["must"]:
             plan["match_all"] = True
     else:
@@ -204,15 +490,79 @@ def parse_query(query: dict) -> dict:
     return plan
 
 
+def _parse_query_string(body, plan: dict, analyzer) -> None:
+    """Lucene ``query_string`` SUBSET: whitespace terms (should), ``+term``
+    (must), ``-term`` (must_not), ``field:value`` (keyword filter, with
+    +/- for required/excluded — required is the default since a filter is
+    already a constraint), and a quoted ``"phrase"`` when it is the ENTIRE
+    query. ``default_operator: AND`` makes plain terms must. Full Lucene
+    syntax (parens, boosts ^, fuzz ~, wildcards, AND/OR/NOT connectives)
+    raises UnsupportedDSL — no silent misparse."""
+    import re
+
+    if isinstance(body, dict):
+        q = str(body["query"])
+        default_op = str(body.get("default_operator", "or")).lower()
+    else:
+        q, default_op = str(body), "or"
+    for bad, why in (
+        ("(", "parentheses"), (")", "parentheses"), ("^", "boosts"),
+        ("~", "fuzziness"), ("*", "wildcards"), ("?", "wildcards"),
+        (" AND ", "boolean connectives"), (" OR ", "boolean connectives"),
+        (" NOT ", "boolean connectives"),
+    ):
+        if bad in q:
+            raise UnsupportedDSL(f"query_string {why} are not supported")
+    parts = re.findall(r'[+-]?"[^"]*"|[^\s]+', q)
+    shoulds: list[str] = []
+    for part in parts:
+        sign = ""
+        if part[:1] in "+-":
+            sign, part = part[0], part[1:]
+        if part.startswith('"') and part.endswith('"') and len(part) >= 2:
+            if sign or len(parts) != 1:
+                raise UnsupportedDSL(
+                    'a query_string "phrase" must be the entire query '
+                    "(one scoring clause kind per request)"
+                )
+            plan["phrase"] = part[1:-1]
+            return
+        if ":" in part:
+            field, _, val = part.partition(":")
+            if not field or not val:
+                raise UnsupportedDSL(f"malformed field:value term {part!r}")
+            atom = ("eq", field, val)
+            if sign == "-":
+                plan["not_atoms"].append(atom)
+            else:
+                plan["or_groups"].append([atom])
+        elif sign == "+":
+            plan["must"] = f"{plan['must']} {part}" if plan["must"] else part
+        elif sign == "-":
+            plan["must_not"] = (
+                f"{plan['must_not']} {part}" if plan["must_not"] else part
+            )
+        elif default_op == "and":
+            plan["must"] = f"{plan['must']} {part}" if plan["must"] else part
+        else:
+            shoulds.append(part)
+    plan["query"] = " ".join(shoulds)
+    if not plan["query"] and not plan["must"]:
+        plan["match_all"] = True
+
+
 def search_body(spark: SparkSession, out_dir: str, body: dict) -> dict:
     """Execute an ES-shaped request body; returns an ES-shaped response."""
     body = dict(body or {})
-    plan = parse_query(body.get("query"))
+    s = Searcher(spark, out_dir)
+    plan = parse_query(body.get("query"), analyzer=s.stats.get("analyzer"))
     size = int(body.get("size", 10))
     from_ = int(body.get("from", 0))
     filters = plan["filters"] or None
     ranges = plan["ranges"] or None
-    s = Searcher(spark, out_dir)
+    or_groups = plan["or_groups"] or None
+    not_atoms = plan["not_atoms"] or None
+    bounded = bool(filters or ranges or or_groups)
 
     sort_spec = body.get("sort")
     rows: list[tuple[int, float]]
@@ -227,7 +577,7 @@ def search_body(spark: SparkSession, out_dir: str, body: dict) -> dict:
                 keys.append((f, d.get("order", "asc") if isinstance(d, dict) else str(d)))
         if (
             plan["match_all"] and not plan["query"] and not plan["must"]
-            and not filters and not ranges
+            and not bounded
         ):
             raise UnsupportedDSL(
                 "sorted match_all needs at least a filter or match clause "
@@ -239,6 +589,7 @@ def search_body(spark: SparkSession, out_dir: str, body: dict) -> dict:
                 spark, out_dir, plan["query"] or plan["must"] or "", keys,
                 size, must=plan["must"], must_not=plan["must_not"],
                 min_should=plan["min_should"], filters=filters, ranges=ranges,
+                or_groups=or_groups, not_atoms=not_atoms,
                 search_after=tuple(body["search_after"]) if body.get("search_after") else None,
             ).collect()
         ]
@@ -270,7 +621,7 @@ def search_body(spark: SparkSession, out_dir: str, body: dict) -> dict:
         }
         rows = s.more_like_this(plan["mlt"]["like"], size + from_, **knobs)[from_:]
     elif plan["match_all"]:
-        if not filters and not ranges:
+        if not bounded:
             raise UnsupportedDSL(
                 "match_all without sort or filters is unbounded; add a "
                 "filter, a sort (export), or a scoring clause"
@@ -280,7 +631,10 @@ def search_body(spark: SparkSession, out_dir: str, body: dict) -> dict:
         from .query import bool_doc_ids
 
         ids = (
-            bool_doc_ids(spark, out_dir, "", filters=filters, ranges=ranges)
+            bool_doc_ids(
+                spark, out_dir, "", filters=filters, ranges=ranges,
+                or_groups=or_groups, not_atoms=not_atoms,
+            )
             .orderBy("doc_id").limit(size + from_).collect()
         )
         rows = [(r.doc_id, 1.0) for r in ids][from_:]
@@ -289,6 +643,7 @@ def search_body(spark: SparkSession, out_dir: str, body: dict) -> dict:
             plan["query"], size, must=plan["must"], must_not=plan["must_not"],
             min_should=plan["min_should"], offset=from_,
             filters=filters, ranges=ranges,
+            or_groups=or_groups, not_atoms=not_atoms,
         )
 
     hits = []
@@ -317,11 +672,21 @@ def search_body(spark: SparkSession, out_dir: str, body: dict) -> dict:
 
     total = {"value": len(hits) + from_, "relation": "gte"}
     if body.get("track_total_hits"):
-        total = {"value": _exact_total(spark, out_dir, s, plan, filters, ranges), "relation": "eq"}
+        total = {
+            "value": _exact_total(
+                spark, out_dir, s, plan, filters, ranges,
+                or_groups=or_groups, not_atoms=not_atoms,
+            ),
+            "relation": "eq",
+        }
 
     resp: dict[str, Any] = {"hits": {"total": total, "hits": hits}}
     if body.get("aggs"):
-        kinds = {next(iter(spec)) for spec in body["aggs"].values()}
+        kinds = set()
+        for spec in body["aggs"].values():
+            kinds.update(k for k in spec if k != "aggs")
+            for cspec in (spec.get("aggs") or {}).values():
+                kinds.update(k for k in cspec if k != "aggs")
         if kinds <= {"terms", "date_histogram", "histogram", "stats"}:
             # serving fast path: row-for-row identical to the distributed
             # plan for these kinds (escalates itself past max_hits);
@@ -331,12 +696,14 @@ def search_body(spark: SparkSession, out_dir: str, body: dict) -> dict:
                 body["aggs"], plan["query"], must=plan["must"],
                 must_not=plan["must_not"], min_should=plan["min_should"],
                 filters=filters, ranges=ranges,
+                or_groups=or_groups, not_atoms=not_atoms,
             )
         else:
             aggs = search_aggs(
                 spark, out_dir, body["aggs"], plan["query"],
                 must=plan["must"], must_not=plan["must_not"],
                 min_should=plan["min_should"], filters=filters, ranges=ranges,
+                or_groups=or_groups, not_atoms=not_atoms,
             )
             resp["aggregations"] = {
                 name: [r.asDict() for r in df.collect()] for name, df in aggs.items()
@@ -359,15 +726,20 @@ def search_body_daily(
     interestingness merge across the selected days (window-exact, see
     ``DailySearcher.multi_match_rows`` / ``expand_terms`` /
     ``mlt_terms``)."""
-    from .daily import DailySearcher
+    from .daily import DailySearcher, _merged_stats, select_days
     from .query import phrase_doc_ids
 
     body = dict(body or {})
-    plan = parse_query(body.get("query"))
+    sel_days = select_days(root, time_range)
+    az = _merged_stats(root, sel_days).get("analyzer") if sel_days else None
+    plan = parse_query(body.get("query"), analyzer=az)
     size = int(body.get("size", 10))
     from_ = int(body.get("from", 0))
     filters = plan["filters"] or None
     ranges = plan["ranges"] or None
+    or_groups = plan["or_groups"] or None
+    not_atoms = plan["not_atoms"] or None
+    bounded = bool(filters or ranges or or_groups)
     ds = DailySearcher(spark, root)
 
     sort_spec = body.get("sort")
@@ -383,7 +755,7 @@ def search_body_daily(
                 keys.append((f, d.get("order", "asc") if isinstance(d, dict) else str(d)))
         if (
             plan["match_all"] and not plan["query"] and not plan["must"]
-            and not filters and not ranges
+            and not bounded
         ):
             raise UnsupportedDSL(
                 "sorted match_all needs at least a filter or match clause"
@@ -395,6 +767,7 @@ def search_body_daily(
                 time_range=time_range, must=plan["must"],
                 must_not=plan["must_not"], min_should=plan["min_should"],
                 filters=filters, ranges=ranges,
+                or_groups=or_groups, not_atoms=not_atoms,
                 search_after=tuple(body["search_after"]) if body.get("search_after") else None,
             ).collect()
         ]
@@ -423,7 +796,7 @@ def search_body_daily(
             plan["mlt"]["like"], size + from_, time_range=time_range, **knobs
         )[from_:]
     elif plan["match_all"]:
-        if not filters and not ranges:
+        if not bounded:
             raise UnsupportedDSL(
                 "match_all without sort or filters is unbounded; add a "
                 "filter, a sort (export), or a scoring clause"
@@ -432,7 +805,8 @@ def search_body_daily(
 
         ids = (
             ds.bool_doc_ids(
-                "", filters=filters, ranges=ranges, time_range=time_range
+                "", filters=filters, ranges=ranges, or_groups=or_groups,
+                not_atoms=not_atoms, time_range=time_range,
             )
             .orderBy(F.asc("doc_id")).limit(size + from_).collect()
         )
@@ -441,7 +815,8 @@ def search_body_daily(
         rows = ds.search_rows(
             plan["query"], size + from_, must=plan["must"],
             must_not=plan["must_not"], min_should=plan["min_should"],
-            filters=filters, ranges=ranges, time_range=time_range,
+            filters=filters, ranges=ranges, or_groups=or_groups,
+            not_atoms=not_atoms, time_range=time_range,
         )[from_:]
 
     hits = [
@@ -518,6 +893,7 @@ def search_body_daily(
             n = ds.bool_doc_ids(
                 plan["query"], must=plan["must"], must_not=plan["must_not"],
                 min_should=plan["min_should"], filters=filters, ranges=ranges,
+                or_groups=or_groups, not_atoms=not_atoms,
                 time_range=time_range,
             ).count()
         total = {"value": n, "relation": "eq"}
@@ -528,6 +904,7 @@ def search_body_daily(
             body["aggs"], plan["query"], time_range=time_range,
             must=plan["must"], must_not=plan["must_not"],
             min_should=plan["min_should"], filters=filters, ranges=ranges,
+            or_groups=or_groups, not_atoms=not_atoms,
         )
         resp["aggregations"] = {
             name: [r.asDict() for r in df.collect()] for name, df in aggs.items()
@@ -535,7 +912,10 @@ def search_body_daily(
     return resp
 
 
-def _exact_total(spark, out_dir: str, s: Searcher, plan: dict, filters, ranges) -> int:
+def _exact_total(
+    spark, out_dir: str, s: Searcher, plan: dict, filters, ranges,
+    or_groups=None, not_atoms=None,
+) -> int:
     """Exact ``track_total_hits`` for EVERY supported query shape,
     distributed and uncapped:
 
@@ -600,7 +980,8 @@ def _exact_total(spark, out_dir: str, s: Searcher, plan: dict, filters, ranges) 
     return bool_doc_ids(
         spark, out_dir, plan["query"], must=plan["must"],
         must_not=plan["must_not"], min_should=plan["min_should"],
-        filters=filters, ranges=ranges,
+        filters=filters, ranges=ranges, or_groups=or_groups,
+        not_atoms=not_atoms,
     ).count()
 
 

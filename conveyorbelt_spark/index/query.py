@@ -743,12 +743,68 @@ def _score_local(
 MAX_RANGE_EXPANSIONS = 4096  # range filters expand to ≤ this many keyword terms
 
 
-def _filter_want(filters, ranges, range_expand) -> list[list[str]] | None:
+def _atom_terms(atom: tuple, range_expand) -> list[str]:
+    """One filter ATOM → the raw index terms it matches. Atoms are the
+    engine-level currency nested DSL bools compile to (``index.dsl``):
+
+    - ``("eq", field, value)``      — one keyword posting term
+    - ``("in", field, [values])``   — several keyword posting terms
+    - ``("range", field, lo, hi)``  — inclusive string-order expansion
+                                      against the sorted term_index
+    - ``("exists", field)``         — EVERY indexed value of the field
+                                      (the field's keyword-prefix range)
+    - ``("tok", token)``            — a raw MAIN-FIELD token (non-scoring
+                                      text constraint: ES match inside
+                                      filter context)
+    """
+    from .build import KEYWORD_SEP
+
+    kind = atom[0]
+    if kind == "eq":
+        _, field, val = atom
+        return [f"{field}{KEYWORD_SEP}{val}"]
+    if kind == "in":
+        _, field, vals = atom
+        return [f"{field}{KEYWORD_SEP}{v}" for v in vals]
+    if kind == "tok":
+        return [atom[1]]
+    if kind == "range":
+        _, field, lo, hi = atom
+        lo_t = f"{field}{KEYWORD_SEP}{lo}"
+        hi_t = f"{field}{KEYWORD_SEP}{hi}" + "\x00"  # inclusive upper bound
+    elif kind == "exists":
+        _, field = atom
+        lo_t = f"{field}{KEYWORD_SEP}"
+        hi_t = _range_hi(lo_t)
+    else:
+        raise ValueError(f"unknown filter atom kind {kind!r}")
+    terms = range_expand(lo_t, hi_t)
+    if len(terms) > MAX_RANGE_EXPANSIONS:
+        raise ValueError(
+            f"filter on {atom[1]!r} expands to {len(terms)} terms "
+            f"(> {MAX_RANGE_EXPANSIONS}); index a coarser granularity "
+            "keyword (e.g. a day string) for wide ranges"
+        )
+    return list(terms)
+
+
+def _expand_atoms(atoms, range_expand) -> list[str]:
+    """Flat expansion of several atoms (the must_not keyword set)."""
+    out: set[str] = set()
+    for atom in atoms or []:
+        out.update(_atom_terms(atom, range_expand))
+    return sorted(out)
+
+
+def _filter_want(filters, ranges, range_expand, or_groups=None) -> list[list[str]] | None:
     """ES filter context → desired term groups (AND of OR-groups), before
     the dictionary probe. ``filters`` maps field → value or list of values
     (exact keyword terms); ``ranges`` maps field → (lo, hi) INCLUSIVE string
     bounds, expanded to the indexed keyword terms in that range via
-    ``range_expand(lo_term, hi_term_exclusive)``. Returns None when a range
+    ``range_expand(lo_term, hi_term_exclusive)``; ``or_groups`` is a list
+    of ATOM groups (see ``_atom_terms``) — each group is an OR across its
+    atoms' terms (possibly across DIFFERENT fields: the nested-bool /
+    Kibana multi-pill shape), all groups AND. Returns None when some group
     matches no indexed value (provably empty)."""
     from .build import KEYWORD_SEP
 
@@ -757,26 +813,23 @@ def _filter_want(filters, ranges, range_expand) -> list[list[str]] | None:
         vv = vals if isinstance(vals, (list, tuple, set)) else [vals]
         want.append([f"{field}{KEYWORD_SEP}{v}" for v in vv])
     for field, (lo, hi) in (ranges or {}).items():
-        lo_t = f"{field}{KEYWORD_SEP}{lo}"
-        hi_t = f"{field}{KEYWORD_SEP}{hi}" + "\x00"  # inclusive upper bound
-        terms = range_expand(lo_t, hi_t)
-        if len(terms) > MAX_RANGE_EXPANSIONS:
-            raise ValueError(
-                f"range filter on {field!r} expands to {len(terms)} terms "
-                f"(> {MAX_RANGE_EXPANSIONS}); index a coarser granularity "
-                "keyword (e.g. a day string) for wide ranges"
-            )
+        terms = _atom_terms(("range", field, lo, hi), range_expand)
         if not terms:
             return None
         want.append(sorted(terms))
+    for grp in or_groups or []:
+        terms = sorted({t for atom in grp for t in _atom_terms(atom, range_expand)})
+        if not terms:
+            return None
+        want.append(terms)
     return want
 
 
-def _resolve_filters(stats, filters, ranges, lookup, range_expand):
+def _resolve_filters(stats, filters, ranges, lookup, range_expand, or_groups=None):
     """Probe the filter groups against the dictionary. Returns
     (filter_groups, extra_tbs, extra_scan_terms), or None when some group
     has no indexed member (no document can match)."""
-    want = _filter_want(filters, ranges, range_expand)
+    want = _filter_want(filters, ranges, range_expand, or_groups)
     if want is None:
         return None
     if not want:
@@ -801,18 +854,29 @@ def _bool_plan(
     filters: dict | None = None,
     ranges: dict | None = None,
     range_expand=None,
+    or_groups: list | None = None,
+    not_atoms: list | None = None,
 ):
     """Resolve the bool-query term sets against the dictionary. Returns
     (term_idf, must_terms, not_terms, tbs, scan_terms, should_present,
     filter_groups) or None when the result is provably empty (no scoring
     term indexed / a must term missing from the dictionary entirely / a
-    filter group with no indexed member)."""
+    filter group with no indexed member). ``or_groups`` adds cross-field
+    OR filter groups and ``not_atoms`` keyword-level exclusions (both in
+    ATOM form — see ``_atom_terms``; the nested-bool DSL compiles to
+    these)."""
     from ..textutils import analyze
 
     az = stats.get("analyzer")
     should_terms = set(analyze(query, az)) if query else set()
     must_terms = set(analyze(must, az)) if must else set()
     not_terms = set(analyze(must_not, az)) if must_not else set()
+    if range_expand is None:
+        range_expand = lambda lo, hi: _term_range(out_dir, lo, hi)["term"].tolist()  # noqa: E731
+    if not_atoms:
+        # keyword-level must_not (raw index terms, never analyzed): they
+        # ride the same not-set as analyzed text exclusions
+        not_terms |= set(_expand_atoms(not_atoms, range_expand))
     scoring = sorted(should_terms | must_terms)  # ES: must terms also score
     lookup = lookup or (
         lambda ts: _lookup_terms(
@@ -832,10 +896,10 @@ def _bool_plan(
     scan_terms = sorted(set(term_idf) | set(not_found))
     tb_set = {int(by_term[t]["tb"]) for t in scan_terms}
     filter_groups: tuple[tuple[str, ...], ...] = ()
-    if filters or ranges:
-        if range_expand is None:
-            range_expand = lambda lo, hi: _term_range(out_dir, lo, hi)["term"].tolist()  # noqa: E731
-        resolved = _resolve_filters(stats, filters, ranges, lookup, range_expand)
+    if filters or ranges or or_groups:
+        resolved = _resolve_filters(
+            stats, filters, ranges, lookup, range_expand, or_groups
+        )
         if resolved is None:
             return None
         filter_groups, f_tbs, f_scan = resolved
@@ -861,6 +925,8 @@ def bm25_topk(
     min_should: int = 0,
     filters: dict | None = None,
     ranges: dict | None = None,
+    or_groups: list | None = None,
+    not_atoms: list | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, score) for ``query``, ranked by (score desc, doc_id
     asc). ``prune=False`` disables block-max WAND (identical results —
@@ -885,7 +951,8 @@ def bm25_topk(
     stats = load_stats(out_dir)
     empty = spark.createDataFrame([], "doc_id long, score double")
     plan = _bool_plan(
-        spark, out_dir, stats, query, must, must_not, filters=filters, ranges=ranges
+        spark, out_dir, stats, query, must, must_not, filters=filters,
+        ranges=ranges, or_groups=or_groups, not_atoms=not_atoms,
     )
     if plan is None:
         return empty
@@ -1359,25 +1426,29 @@ def bool_doc_ids(
     min_should: int = 0,
     filters: dict | None = None,
     ranges: dict | None = None,
+    or_groups: list | None = None,
+    not_atoms: list | None = None,
 ) -> DataFrame:
     """doc_ids of EVERY doc matching the bool query (no top-k, no cap) —
     fully distributed: one pruned (term, doc_id) scan, then a single hash
     aggregation per doc testing the must-count / should-count / any-not
     conditions (``min_should`` = ES minimum_should_match). The candidate
     generator for terms-aggregations (facets) and boolean set ops over
-    matching sets too large to enumerate on the driver."""
+    matching sets too large to enumerate on the driver. ``or_groups`` /
+    ``not_atoms`` are the nested-bool atom forms (see ``_atom_terms``)."""
     from ..textutils import analyze
 
+    range_expand = lambda lo, hi: _term_range(out_dir, lo, hi)["term"].tolist()  # noqa: E731
     az = load_stats(out_dir).get("analyzer")
     should_terms = sorted(set(analyze(query, az))) if query else []
     must_terms = sorted(set(analyze(must, az))) if must else []
     not_terms = sorted(set(analyze(must_not, az))) if must_not else []
+    if not_atoms:
+        not_terms = sorted(set(not_terms) | set(_expand_atoms(not_atoms, range_expand)))
     scoring = sorted(set(should_terms) | set(must_terms))
     fgroups: list[list[str]] = []
-    if filters or ranges:
-        want = _filter_want(
-            filters, ranges, lambda lo, hi: _term_range(out_dir, lo, hi)["term"].tolist()
-        )
+    if filters or ranges or or_groups:
+        want = _filter_want(filters, ranges, range_expand, or_groups)
         if want is None:
             return spark.createDataFrame([], "doc_id long")
         fgroups = want
@@ -1502,6 +1573,8 @@ def search_sorted(
     filters: dict | None = None,
     ranges: dict | None = None,
     search_after: tuple | None = None,
+    or_groups: list | None = None,
+    not_atoms: list | None = None,
 ) -> DataFrame:
     """ES sort-by-field + search_after: hits of a bool+filter query ordered
     by stored docstore columns instead of relevance, with cursor-style deep
@@ -1516,6 +1589,7 @@ def search_sorted(
     hits = bool_doc_ids(
         spark, out_dir, query, must=must, must_not=must_not,
         min_should=min_should, filters=filters, ranges=ranges,
+        or_groups=or_groups, not_atoms=not_atoms,
     )
     store = _docstore_scan(spark, out_dir)
     return sorted_over_join(store.join(hits, "doc_id"), sort, k, search_after)
@@ -1573,6 +1647,8 @@ def search_aggs(
     min_should: int = 0,
     filters: dict | None = None,
     ranges: dict | None = None,
+    or_groups: list | None = None,
+    not_atoms: list | None = None,
 ) -> dict[str, DataFrame]:
     """ES search aggregations over the FULL matching set of a bool query,
     distributed end to end (the Kibana visualization workload the reference
@@ -1597,15 +1673,41 @@ def search_aggs(
     hits = bool_doc_ids(
         spark, out_dir, query, must=must, must_not=must_not,
         min_should=min_should, filters=filters, ranges=ranges,
+        or_groups=or_groups, not_atoms=not_atoms,
     )
     store = _docstore_scan(spark, out_dir)
     return aggs_over_join(store.join(hits, "doc_id"), aggs)
 
 
+def _agg_spec(name: str, spec: dict) -> tuple[str, dict, dict | None]:
+    """Validate one ES agg spec → (kind, body, sub_aggs). A spec holds
+    exactly one agg type plus an optional ``aggs`` child block."""
+    kinds = [k for k in spec if k != "aggs"]
+    if len(kinds) != 1:
+        raise ValueError(f"agg {name!r} must have exactly one type, got {list(spec)}")
+    return kinds[0], spec[kinds[0]], spec.get("aggs")
+
+
+def _bucket_expr(kind: str, body: dict):
+    """The bucket-key column for a bucketing agg kind (shared by the flat
+    and sub-bucket paths so their key semantics can never drift)."""
+    col = body["field"]
+    if kind == "terms":
+        return F.col(col)
+    if kind == "date_histogram":
+        return F.date_trunc(_DH_TRUNC[body.get("interval", "day")], F.col(col))
+    if kind == "histogram":
+        step = float(body["interval"])
+        return F.floor(F.col(col) / step) * step
+    raise ValueError(f"agg kind {kind!r} is not a bucketing agg (cannot hold sub-aggs)")
+
+
 def aggs_over_join(joined: DataFrame, aggs: dict) -> dict[str, DataFrame]:
     """The aggregation half of ``search_aggs``: ES-shaped agg specs over an
     already-joined (matching ids ⋈ stored columns) frame. Shared with the
-    DailySearcher window path, whose join unions several days' docstores."""
+    DailySearcher window path, whose join unions several days' docstores.
+    A spec may carry one level of ES sub-aggregations (``"aggs"`` inside a
+    bucketing agg — the Kibana split-series shape); see ``_sub_bucket_df``."""
     if len(aggs) > 1:
         # each agg is its own Spark action — materialize the matching-set
         # join once instead of re-running the posting scan per agg
@@ -1613,9 +1715,10 @@ def aggs_over_join(joined: DataFrame, aggs: dict) -> dict[str, DataFrame]:
         joined = joined.localCheckpoint(eager=True)
     out: dict[str, DataFrame] = {}
     for name, spec in aggs.items():
-        if len(spec) != 1:
-            raise ValueError(f"agg {name!r} must have exactly one type, got {list(spec)}")
-        ((kind, body),) = spec.items()
+        kind, body, sub = _agg_spec(name, spec)
+        if sub is not None:
+            out[name] = _sub_bucket_df(joined, name, kind, body, sub)
+            continue
         col = body["field"]
         if kind == "terms":
             df = (
@@ -1666,18 +1769,128 @@ def aggs_over_join(joined: DataFrame, aggs: dict) -> dict[str, DataFrame]:
     return out
 
 
+def _sub_bucket_df(
+    joined: DataFrame, name: str, pkind: str, pbody: dict, sub: dict
+) -> DataFrame:
+    """ES sub-aggregations, one nesting level: parent terms /
+    date_histogram / histogram buckets each broken down by ONE child agg —
+    the Kibana split-series chart (terms → date_histogram over the daily
+    IIS indexes is the reference's canonical dashboard). Flattened rows:
+    ``(key, doc_count, child cols…)`` — doc_count is the ES parent-bucket
+    count. Parent terms keep ES's top-``size`` selection by (count desc,
+    key asc) computed over ALL buckets BEFORE the child breakdown; child
+    terms keep per-parent top-``size`` via a window rank. Just one extra
+    groupBy key per level — no extra scan of the matching set."""
+    if len(sub) != 1:
+        raise ValueError(
+            f"agg {name!r}: exactly one sub-agg is supported, got {list(sub)}"
+        )
+    ((cname, cspec),) = sub.items()
+    ckind, cbody, csub = _agg_spec(cname, cspec)
+    if csub is not None:
+        raise ValueError(f"agg {name!r}: sub-aggs nest one level only")
+    keyed = joined.withColumn("key", _bucket_expr(pkind, pbody))
+    parents = keyed.groupBy("key").agg(F.count("*").alias("doc_count"))
+    if pkind == "terms":
+        psize = int(pbody.get("size", 10))
+        if psize:
+            parents = parents.orderBy(F.desc("doc_count"), F.asc("key")).limit(psize)
+    # the selected parent set is ≤ size rows — broadcast, no shuffle
+    sel = keyed.join(F.broadcast(parents), "key")
+    p_order = (
+        [F.desc("doc_count"), F.asc("key")] if pkind == "terms" else [F.asc("key")]
+    )
+    if ckind in ("terms", "date_histogram", "histogram"):
+        df = (
+            sel.groupBy("key", "doc_count", _bucket_expr(ckind, cbody).alias("child_key"))
+            .agg(F.count("*").alias("n"))
+        )
+        if ckind == "terms":
+            csize = int(cbody.get("size", 10))
+            if csize:
+                from pyspark.sql import Window
+
+                w = Window.partitionBy("key").orderBy(F.desc("n"), F.asc("child_key"))
+                df = (
+                    df.withColumn("_rk", F.row_number().over(w))
+                    .where(F.col("_rk") <= csize).drop("_rk")
+                )
+            c_order = [F.desc("n"), F.asc("child_key")]
+        else:
+            c_order = [F.asc("child_key")]
+        return df.orderBy(*p_order, *c_order)
+    col = cbody["field"]
+    g = sel.groupBy("key", "doc_count")
+    if ckind == "stats":
+        df = g.agg(
+            F.count(col).alias("count"),
+            F.min(col).alias("min"),
+            F.max(col).alias("max"),
+            F.avg(col).alias("avg"),
+            F.sum(col).alias("sum"),
+        )
+    elif ckind == "cardinality":
+        fn = F.count_distinct if cbody.get("exact") else F.approx_count_distinct
+        df = g.agg(fn(F.col(col)).alias("value"))
+    elif ckind == "percentiles":
+        pcts = [float(p) for p in cbody.get("percents", [50.0, 95.0, 99.0])]
+        df = g.agg(
+            *[F.percentile_approx(col, p / 100.0).alias(f"p{p:g}") for p in pcts]
+        )
+    else:
+        raise ValueError(f"unsupported sub-agg type {ckind!r} in {name!r}")
+    return df.orderBy(*p_order)
+
+
+def _pd_bucket_key(pdf: pd.DataFrame, kind: str, body: dict) -> pd.Series:
+    """pandas twin of ``_bucket_expr``: the bucket-key series, aligned
+    with ``pdf``'s index (nulls propagate; counting drops them — same as
+    Spark's groupBy on a null key being excluded by value_counts)."""
+    import numpy as np
+
+    col = body["field"]
+    vals = pdf[col] if col in getattr(pdf, "columns", []) else pd.Series(dtype=object)
+    if kind == "terms":
+        return vals
+    if kind == "date_histogram":
+        unit = body.get("interval", "day")
+        ts = pd.to_datetime(vals)
+        if unit in ("minute", "hour", "day"):
+            return ts.dt.floor({"minute": "min", "hour": "h", "day": "D"}[unit])
+        if unit == "week":
+            # Spark date_trunc('week') = Monday start
+            return (ts - pd.to_timedelta(ts.dt.weekday, unit="D")).dt.normalize()
+        if unit in ("month", "year"):
+            return ts.dt.to_period("M" if unit == "month" else "Y").dt.to_timestamp()
+        raise ValueError(f"unsupported date_histogram interval {unit!r}")
+    if kind == "histogram":
+        step = float(body["interval"])
+        return np.floor(pd.to_numeric(vals) / step) * step
+    raise ValueError(f"agg kind {kind!r} is not a bucketing agg (cannot hold sub-aggs)")
+
+
+def _key_out(k):
+    """Native python value for an output key (Timestamp → datetime,
+    numpy scalar → python scalar) — what Spark's Row.asDict() yields."""
+    if isinstance(k, pd.Timestamp):
+        return k.to_pydatetime()
+    return k.item() if hasattr(k, "item") else k
+
+
 def _aggs_pandas(pdf: pd.DataFrame, aggs: dict) -> dict[str, list[dict]]:
     """Driver-side twin of ``aggs_over_join`` over a pandas frame of the
     hits' stored columns — row-for-row identical output shapes (terms /
-    date_histogram / histogram / stats match the Spark results exactly;
-    cardinality / percentiles are exact where the Spark path approximates)."""
+    date_histogram / histogram / stats and the sub-bucket path match the
+    Spark results exactly; cardinality / percentiles are exact where the
+    Spark path approximates)."""
     import numpy as np
 
     out: dict[str, list[dict]] = {}
     for name, spec in aggs.items():
-        if len(spec) != 1:
-            raise ValueError(f"agg {name!r} must have exactly one type, got {list(spec)}")
-        ((kind, body),) = spec.items()
+        kind, body, sub = _agg_spec(name, spec)
+        if sub is not None:
+            out[name] = _sub_bucket_pandas(pdf, name, kind, body, sub)
+            continue
         col = body["field"]
         vals = pdf[col] if col in getattr(pdf, "columns", []) else pd.Series(dtype=object)
         if kind == "terms":
@@ -1686,38 +1899,17 @@ def _aggs_pandas(pdf: pd.DataFrame, aggs: dict) -> dict[str, list[dict]]:
             # key asc) must match the Spark path's — string-sorting a
             # numeric key would rank "100" before "99"
             rows = sorted(
-                (
-                    (k_.item() if hasattr(k_, "item") else k_, int(n))
-                    for k_, n in c.items()
-                ),
+                ((_key_out(k_), int(n)) for k_, n in c.items()),
                 key=lambda kv: (-kv[1], kv[0]),
             )
             size = int(body.get("size", 10))  # ES default; 0 = explicit all
             if size:
                 rows = rows[:size]
             out[name] = [{"key": k_, "n": n} for k_, n in rows]
-        elif kind == "date_histogram":
-            unit = body.get("interval", "day")
-            ts = pd.to_datetime(vals.dropna())
-            if unit in ("minute", "hour", "day"):
-                key = ts.dt.floor({"minute": "min", "hour": "h", "day": "D"}[unit])
-            elif unit == "week":
-                # Spark date_trunc('week') = Monday start
-                key = (ts - pd.to_timedelta(ts.dt.weekday, unit="D")).dt.normalize()
-            elif unit in ("month", "year"):
-                key = ts.dt.to_period("M" if unit == "month" else "Y").dt.to_timestamp()
-            else:
-                raise ValueError(f"unsupported date_histogram interval {unit!r}")
+        elif kind in ("date_histogram", "histogram"):
+            key = _pd_bucket_key(pdf, kind, body)
             c = key.value_counts().sort_index()
-            out[name] = [
-                {"key": k_.to_pydatetime(), "n": int(n)} for k_, n in c.items()
-            ]
-        elif kind == "histogram":
-            step = float(body["interval"])
-            v = pd.to_numeric(vals.dropna())
-            key = (np.floor(v / step) * step)
-            c = key.value_counts().sort_index()
-            out[name] = [{"key": float(k_), "n": int(n)} for k_, n in c.items()]
+            out[name] = [{"key": _key_out(k_), "n": int(n)} for k_, n in c.items()]
         elif kind == "stats":
             v = pd.to_numeric(vals.dropna())
             out[name] = [{
@@ -1739,6 +1931,79 @@ def _aggs_pandas(pdf: pd.DataFrame, aggs: dict) -> dict[str, list[dict]]:
         else:
             raise ValueError(f"unsupported agg type {kind!r} in {name!r}")
     return out
+
+
+def _sub_bucket_pandas(
+    pdf: pd.DataFrame, name: str, pkind: str, pbody: dict, sub: dict
+) -> list[dict]:
+    """pandas twin of ``_sub_bucket_df`` — identical flattened rows in
+    identical order."""
+    import numpy as np
+
+    if len(sub) != 1:
+        raise ValueError(
+            f"agg {name!r}: exactly one sub-agg is supported, got {list(sub)}"
+        )
+    ((cname, cspec),) = sub.items()
+    ckind, cbody, csub = _agg_spec(cname, cspec)
+    if csub is not None:
+        raise ValueError(f"agg {name!r}: sub-aggs nest one level only")
+    pk = _pd_bucket_key(pdf, pkind, pbody)
+    pc = pk.value_counts()
+    parents = [(k_, int(n)) for k_, n in pc.items()]
+    if pkind == "terms":
+        parents.sort(key=lambda kv: (-kv[1], _key_out(kv[0])))
+        psize = int(pbody.get("size", 10))
+        if psize:
+            parents = parents[:psize]
+    else:
+        parents.sort(key=lambda kv: _key_out(kv[0]))
+    rows: list[dict] = []
+    for k_raw, dc in parents:
+        sel = pdf[(pk == k_raw).fillna(False)]
+        k_out = _key_out(k_raw)
+        if ckind in ("terms", "date_histogram", "histogram"):
+            cc = _pd_bucket_key(sel, ckind, cbody).value_counts()
+            children = [(_key_out(ck), int(cn)) for ck, cn in cc.items()]
+            if ckind == "terms":
+                children.sort(key=lambda kv: (-kv[1], kv[0]))
+                csize = int(cbody.get("size", 10))
+                if csize:
+                    children = children[:csize]
+            else:
+                children.sort(key=lambda kv: kv[0])
+            rows.extend(
+                {"key": k_out, "doc_count": dc, "child_key": ck, "n": cn}
+                for ck, cn in children
+            )
+        elif ckind == "stats":
+            v = pd.to_numeric(sel[cbody["field"]].dropna())
+            rows.append({
+                "key": k_out, "doc_count": dc,
+                "count": int(v.count()),
+                "min": None if not len(v) else v.min().item(),
+                "max": None if not len(v) else v.max().item(),
+                "avg": None if not len(v) else float(v.mean()),
+                "sum": None if not len(v) else v.sum().item(),
+            })
+        elif ckind == "cardinality":
+            rows.append({
+                "key": k_out, "doc_count": dc,
+                "value": int(sel[cbody["field"]].dropna().nunique()),
+            })
+        elif ckind == "percentiles":
+            pcts = [float(p) for p in cbody.get("percents", [50.0, 95.0, 99.0])]
+            v = pd.to_numeric(sel[cbody["field"]].dropna()).to_numpy()
+            rows.append({
+                "key": k_out, "doc_count": dc,
+                **{
+                    f"p{p:g}": (float(np.percentile(v, p)) if len(v) else None)
+                    for p in pcts
+                },
+            })
+        else:
+            raise ValueError(f"unsupported sub-agg type {ckind!r} in {name!r}")
+    return rows
 
 
 def _range_hi(prefix: str) -> str:
@@ -2375,6 +2640,7 @@ class Searcher:
         must: str | None = None, must_not: str | None = None,
         min_should: int = 0, offset: int = 0,
         filters: dict | None = None, ranges: dict | None = None,
+        or_groups: list | None = None, not_atoms: list | None = None,
     ) -> list[tuple[int, float]]:
         """Serving-path search: [(doc_id, score)] straight from the driver
         kernel — no DataFrame round trip at all (the py4j createDataFrame +
@@ -2388,13 +2654,15 @@ class Searcher:
             rows = self.search_rows(
                 query, k + offset, prune, must=must, must_not=must_not,
                 min_should=min_should, filters=filters, ranges=ranges,
+                or_groups=or_groups, not_atoms=not_atoms,
             )
             return rows[offset : offset + k]
         self._maybe_invalidate()
         plan = _bool_plan(
             self.spark, self.out_dir, self.stats, query, must, must_not,
             lookup=self._entries, filters=filters, ranges=ranges,
-            range_expand=self._range_expand,
+            range_expand=self._range_expand, or_groups=or_groups,
+            not_atoms=not_atoms,
         )
         if plan is None:
             return []
@@ -2418,7 +2686,8 @@ class Searcher:
             for r in bm25_topk(
                 self.spark, self.out_dir, query, k, prune, must_not=must_not, must=must,
                 max_candidates=self.max_candidates, min_should=min_should,
-                filters=filters, ranges=ranges,
+                filters=filters, ranges=ranges, or_groups=or_groups,
+                not_atoms=not_atoms,
             ).collect()
         ]
 
@@ -2581,6 +2850,7 @@ class Searcher:
         must: str | None = None, must_not: str | None = None,
         filters: dict | None = None, ranges: dict | None = None,
         search_after: tuple | None = None,
+        or_groups: list | None = None, not_atoms: list | None = None,
     ) -> list[tuple]:
         """ES sort + search_after (see ``search_sorted``). Field sorting
         ranks the FULL matching set by docstore columns, so it runs on the
@@ -2589,7 +2859,7 @@ class Searcher:
         df = search_sorted(
             self.spark, self.out_dir, query, sort, k,
             must=must, must_not=must_not, filters=filters, ranges=ranges,
-            search_after=search_after,
+            search_after=search_after, or_groups=or_groups, not_atoms=not_atoms,
         )
         return [tuple(r) for r in df.collect()]
 
@@ -2736,6 +3006,7 @@ class Searcher:
         must: str | None = None, must_not: str | None = None,
         min_should: int = 0,
         filters: dict | None = None, ranges: dict | None = None,
+        or_groups: list | None = None, not_atoms: list | None = None,
         max_hits: int = 100_000,
     ) -> dict[str, list[dict]]:
         """Serving-path search aggregations (the dashboard workload): the
@@ -2751,6 +3022,7 @@ class Searcher:
         rows = self.search_rows(
             query, max_hits, must=must, must_not=must_not,
             min_should=min_should, filters=filters, ranges=ranges,
+            or_groups=or_groups, not_atoms=not_atoms,
         ) if scoring else []
         if not scoring or len(rows) >= max_hits:
             # filter-only (match_all) requests have no scoring terms for
@@ -2759,7 +3031,8 @@ class Searcher:
             out = search_aggs(
                 self.spark, self.out_dir, aggs, query, must=must,
                 must_not=must_not, min_should=min_should,
-                filters=filters, ranges=ranges,
+                filters=filters, ranges=ranges, or_groups=or_groups,
+                not_atoms=not_atoms,
             )
             return {name: [r.asDict() for r in df.collect()] for name, df in out.items()}
         from .build import lookup_docs
@@ -2773,12 +3046,14 @@ class Searcher:
         must: str | None = None, must_not: str | None = None,
         min_should: int = 0,
         filters: dict | None = None, ranges: dict | None = None,
+        or_groups: list | None = None, not_atoms: list | None = None,
     ) -> DataFrame:
         self._maybe_invalidate()
         plan = _bool_plan(
             self.spark, self.out_dir, self.stats, query, must, must_not,
             lookup=self._entries, filters=filters, ranges=ranges,
-            range_expand=self._range_expand,
+            range_expand=self._range_expand, or_groups=or_groups,
+            not_atoms=not_atoms,
         )
         if plan is None:
             return self.spark.createDataFrame([], "doc_id long, score double")

@@ -2096,6 +2096,233 @@ SELECT key, n FROM (
 """
 
 
+def q44_nested_bool(spark, sf_dir):
+    """A TWO-LEVEL-NESTED ES bool body through ``search_body`` — the shape
+    query builders (Kibana filter pills, NEST) generate: scoring should +
+    a nested FILTER bool OR-ing constraints across DIFFERENT fields (lang
+    term vs n_chars range — one cross-field posting group) + a nested
+    MUST_NOT bool (De Morgan: NOT(text 'merge' OR lang 'fr')). Reference
+    contract: users query the ElasticsearchClient-managed indexes with
+    arbitrary bodies (ElasticsearchClient.cs:31-135). DuckDB twin:
+    full-corpus BM25 restricted by the equivalent WHERE."""
+    import shutil
+    import tempfile
+
+    from .index.build import build_index, sortable_int_col
+    from .index.dsl import search_body
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="cb_q44_idx_")
+    try:
+        build_index(
+            spark, docs, out, url_col=None, n_buckets=8,
+            keyword_cols=("lang", ("nc", sortable_int_col("n_chars", 4))),
+        )
+        body = {
+            "query": {"bool": {
+                "should": [{"match": {"text": " ".join(BM25_QUERY_TERMS)}}],
+                "must_not": [{"bool": {"should": [
+                    {"match": {"text": "merge"}},
+                    {"term": {"lang": "fr"}},
+                ]}}],
+                "filter": [{"bool": {"should": [
+                    {"term": {"lang": "en"}},
+                    {"range": {"nc": {"gte": "0300", "lte": "0400"}}},
+                ]}}],
+            }},
+            "size": 20,
+        }
+        resp = search_body(spark, out, body)
+        rows = [(h["_id"], h["_score"]) for h in resp["hits"]["hits"]]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    res = spark.createDataFrame(
+        [(int(d), float(s)) for d, s in rows], "doc_id long, score double"
+    )
+    return res.select("doc_id", F.round("score", 4).alias("score")).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+
+
+Q44_SQL = f"""
+WITH toks AS ({_TOKENS_SQL}),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks WHERE term != '' GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+q AS (SELECT unnest({BM25_QUERY_TERMS!r}) AS term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf
+       WHERE term IN (SELECT term FROM q) GROUP BY term),
+excl AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge'),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl)))) AS raw
+  FROM tf
+  JOIN df ON tf.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  WHERE tf.doc_id NOT IN (SELECT doc_id FROM excl)
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, score FROM (
+  SELECT s.doc_id, round(s.raw, 4) AS score, s.raw
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+  WHERE d.lang != 'fr' AND (d.lang = 'en' OR d.n_chars BETWEEN 300 AND 400)
+  ORDER BY s.raw DESC, s.doc_id ASC LIMIT 20
+) t
+ORDER BY score DESC, doc_id ASC
+"""
+
+
+def q45_sub_bucket_aggs(spark, sf_dir):
+    """Windowed ES SUB-AGGREGATIONS over real daily sub-indexes: terms
+    (lang) → child date_histogram (day) — the Kibana split-series chart,
+    the canonical dashboard over the reference's daily IIS indexes
+    (IndexNamer.cs:21-41). One unioned window plan resolves the matching
+    ids, one docstore join, parent top-size selection by (count desc, key
+    asc), then ONE hash aggregation with an extra group key. DuckDB twin:
+    GROUP BY (lang, day) with a window parent count."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from .index.daily import DailySearcher, build_daily_index
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "warc_ts",
+        F.expr(
+            "timestampadd(DAY, cast(pmod(doc_id, 4) as int), "
+            "timestamp '2016-09-16 12:00:00')"
+        ),
+    )
+    root = tempfile.mkdtemp(prefix="cb_q45_idx_")
+    try:
+        build_daily_index(
+            spark, docs.select("doc_id", "text", "lang", "warc_ts"), root,
+            url_col=None, n_buckets=4, n_term_buckets=8,
+            store_cols=("lang", "warc_ts"),
+        )
+        aggs = DailySearcher(spark, root).search_aggs(
+            {"by_lang": {
+                "terms": {"field": "lang"},
+                "aggs": {"per_day": {
+                    "date_histogram": {"field": "warc_ts", "interval": "day"},
+                }},
+            }},
+            " ".join(BM25_QUERY_TERMS),
+            time_range=(dt.datetime(2016, 9, 17), dt.datetime(2016, 9, 19)),
+        )
+        rows = [
+            (r.key, int(r.doc_count), r.child_key.strftime("%Y-%m-%d"), int(r.n))
+            for r in aggs["by_lang"].collect()
+        ]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    res = spark.createDataFrame(rows, "lang string, doc_count long, day string, n long")
+    return res.orderBy("lang", "day")
+
+
+Q45_SQL = f"""
+WITH docs AS (
+  SELECT *, date_add(DATE '2016-09-16', (doc_id % 4)::INT) AS day
+  FROM documents WHERE doc_id % 4 IN (1, 2)
+),
+toks AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+  FROM docs
+),
+hits AS (
+  SELECT DISTINCT doc_id FROM toks WHERE term IN (SELECT unnest({BM25_QUERY_TERMS!r}))
+),
+m AS (SELECT d.* FROM docs d JOIN hits h ON d.doc_id = h.doc_id),
+pc AS (SELECT lang, count(*) AS doc_count FROM m GROUP BY lang)
+SELECT m.lang AS lang, pc.doc_count AS doc_count,
+       strftime(m.day, '%Y-%m-%d') AS day, count(*) AS n
+FROM m JOIN pc ON pc.lang = m.lang
+GROUP BY m.lang, pc.doc_count, m.day
+ORDER BY lang, day
+"""
+
+
+def q46_query_string(spark, sf_dir):
+    """Lucene ``query_string`` subset through ``search_body``:
+    ``+spark join -merge lang:en`` = must(spark) + should(join) +
+    must_not(merge) + keyword filter(lang=en). DuckDB twin: BM25 over
+    {spark, join} restricted to docs containing 'spark', lacking 'merge',
+    with lang='en'."""
+    import shutil
+    import tempfile
+
+    from .index.build import build_index
+    from .index.dsl import search_body
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="cb_q46_idx_")
+    try:
+        build_index(
+            spark, docs, out, url_col=None, n_buckets=8, keyword_cols=("lang",),
+        )
+        body = {
+            "query": {"query_string": {"query": "+spark join -merge lang:en"}},
+            "size": 20,
+        }
+        resp = search_body(spark, out, body)
+        rows = [(h["_id"], h["_score"]) for h in resp["hits"]["hits"]]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    res = spark.createDataFrame(
+        [(int(d), float(s)) for d, s in rows], "doc_id long, score double"
+    )
+    return res.select("doc_id", F.round("score", 4).alias("score")).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+
+
+Q46_SQL = f"""
+WITH toks AS ({_TOKENS_SQL}),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks WHERE term != '' GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+q AS (SELECT unnest(['spark', 'join']) AS term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf
+       WHERE term IN (SELECT term FROM q) GROUP BY term),
+must AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'spark'),
+excl AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'merge'),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl)))) AS raw
+  FROM tf
+  JOIN df ON tf.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN must ON must.doc_id = tf.doc_id
+  CROSS JOIN stats
+  WHERE tf.doc_id NOT IN (SELECT doc_id FROM excl)
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, score FROM (
+  SELECT s.doc_id, round(s.raw, 4) AS score, s.raw
+  FROM scored s JOIN documents d ON d.doc_id = s.doc_id
+  WHERE d.lang = 'en'
+  ORDER BY s.raw DESC, s.doc_id ASC LIMIT 20
+) t
+ORDER BY score DESC, doc_id ASC
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -2140,6 +2367,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q41_analyzed_phrase": q41_analyzed_phrase,
     "q42_fuzzy_expansion": q42_fuzzy_expansion,
     "q43_windowed_histogram": q43_windowed_histogram,
+    "q44_nested_bool": q44_nested_bool,
+    "q45_sub_bucket_aggs": q45_sub_bucket_aggs,
+    "q46_query_string": q46_query_string,
 }
 
 ORACLES: dict[str, str] = {
@@ -2186,4 +2416,7 @@ ORACLES: dict[str, str] = {
     "q41_analyzed_phrase": Q41_SQL,
     "q42_fuzzy_expansion": Q42_SQL,
     "q43_windowed_histogram": Q43_SQL,
+    "q44_nested_bool": Q44_SQL,
+    "q45_sub_bucket_aggs": Q45_SQL,
+    "q46_query_string": Q46_SQL,
 }

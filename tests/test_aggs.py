@@ -201,3 +201,50 @@ def test_terms_agg_default_size_is_es_10(spark, aroot):
         spark, out, {"ncs": {"terms": {"field": "n_chars", "size": 0}}}, "spark join"
     )
     assert [(r.key, r.n) for r in res0["ncs"].collect()] == want_all
+
+
+def test_sub_bucket_aggs(spark, aroot):
+    """ES sub-aggregations, one nesting level (terms → date_histogram,
+    terms → stats): the Kibana split-series shape. Spark rows vs a
+    hand-computed truth, serving twin row-identical, parent top-size
+    selection before the child breakdown, and the depth guard."""
+    from collections import Counter
+
+    from conveyorbelt_spark.index.query import Searcher
+
+    out, rows, matching = aroot
+    spec = {"by_lang": {
+        "terms": {"field": "lang"},
+        "aggs": {"per_day": {"date_histogram": {"field": "ts", "interval": "day"}}},
+    }}
+    res = search_aggs(spark, out, spec, "spark join")["by_lang"].collect()
+    pc: Counter = Counter()
+    cc: Counter = Counter()
+    for i, _, lang, _nc, ts in rows:
+        if i not in matching:
+            continue
+        pc[lang] += 1
+        cc[(lang, ts.replace(hour=0))] += 1
+    want = []
+    for lang in sorted(pc, key=lambda lg: (-pc[lg], lg)):
+        for day in sorted(d for (lg, d) in cc if lg == lang):
+            want.append((lang, pc[lang], day, cc[(lang, day)]))
+    assert [(r.key, r.doc_count, r.child_key, r.n) for r in res] == want
+    srv = Searcher(spark, out).aggs_rows(spec, "spark join")["by_lang"]
+    assert [(d["key"], d["doc_count"], d["child_key"], d["n"]) for d in srv] == want
+
+    spec1 = {"x": {"terms": {"field": "lang", "size": 1},
+                   "aggs": {"st": {"stats": {"field": "n_chars"}}}}}
+    r1 = search_aggs(spark, out, spec1, "spark join")["x"].collect()
+    top = sorted(pc, key=lambda lg: (-pc[lg], lg))[0]
+    assert len(r1) == 1 and r1[0].key == top and r1[0].doc_count == pc[top]
+    vals = [nc for i, _, lang, nc, _ in rows if i in matching and lang == top]
+    assert r1[0]["count"] == len(vals) and r1[0]["sum"] == sum(vals)
+    srv1 = Searcher(spark, out).aggs_rows(spec1, "spark join")["x"]
+    assert [tuple(d.values()) for d in srv1] == [tuple(r1[0].asDict().values())]
+
+    with pytest.raises(ValueError):  # one nesting level only
+        search_aggs(spark, out, {"x": {"terms": {"field": "lang"}, "aggs": {
+            "y": {"terms": {"field": "lang"},
+                  "aggs": {"z": {"stats": {"field": "n_chars"}}}},
+        }}}, "spark")

@@ -421,3 +421,163 @@ def test_daily_window_totals_all_shapes(spark, tmp_path_factory):
     assert n == sum(
         1 for _, t, _ti, _ts in inwin if {"spark", "join", "window"} & set(t.split())
     )
+
+
+# --------------------------------------------------------------------------
+# Round-5 compound DSL: nested bools, top-level filter queries, query_string
+# --------------------------------------------------------------------------
+
+def test_nested_bool_in_must_flattens(spark, droot):
+    """A bool nested inside must flattens into the engine's single bool
+    shape: its should group carries the request's minimum_should_match;
+    results are identical to the flat engine call."""
+    out, _ = droot
+    body = {"query": {"bool": {
+        "must": [
+            {"match": {"text": "spark"}},
+            {"bool": {"should": [{"match": {"text": "window"}},
+                                 {"match": {"text": "plan"}}],
+                      "minimum_should_match": 1}},
+        ],
+    }}, "size": 15}
+    resp = search_body(spark, out, body)
+    want = Searcher(spark, out).search_rows(
+        "window plan", 15, must="spark", min_should=1
+    )
+    assert [(h["_id"], h["_score"]) for h in resp["hits"]["hits"]] == want
+
+
+def test_nested_filter_bool_cross_field_or(spark, droot):
+    """bool.filter: [bool.should over DIFFERENT fields] — the Kibana
+    multi-pill shape — becomes one cross-field OR posting group."""
+    out, rows = droot
+    body = {"query": {"bool": {
+        "should": [{"match": {"text": "spark join"}}],
+        "filter": [{"bool": {"should": [
+            {"term": {"lang": "en"}},
+            {"range": {"nc": {"gte": "0000", "lte": "0099"}}},
+        ]}}],
+    }}, "size": 200, "track_total_hits": True}
+    resp = search_body(spark, out, body)
+    want = {
+        i for i, t, lang, nc in rows
+        if ({"spark", "join"} & set(t.split())) and (lang == "en" or nc <= 99)
+    }
+    assert set(_ids(resp)) == want
+    assert resp["hits"]["total"] == {"value": len(want), "relation": "eq"}
+
+
+def test_top_level_term_terms_exists(spark, droot):
+    """term / terms / exists as TOP-LEVEL queries: filter-context queries
+    with constant score 1.0 in doc_id order (the ES contract)."""
+    out, rows = droot
+    r1 = search_body(
+        spark, out,
+        {"query": {"term": {"lang": "de"}}, "size": 100, "track_total_hits": True},
+    )
+    want1 = sorted(i for i, _, lang, _ in rows if lang == "de")
+    assert _ids(r1) == want1[:100]
+    assert all(h["_score"] == 1.0 for h in r1["hits"]["hits"])
+    assert r1["hits"]["total"] == {"value": len(want1), "relation": "eq"}
+    r2 = search_body(spark, out, {"query": {"terms": {"lang": ["en", "fr"]}}, "size": 200})
+    assert _ids(r2) == sorted(i for i, _, lang, _ in rows if lang in ("en", "fr"))
+    r3 = search_body(
+        spark, out,
+        {"query": {"exists": {"field": "lang"}}, "size": 200, "track_total_hits": True},
+    )
+    assert r3["hits"]["total"]["value"] == len(rows)  # every doc carries lang
+
+
+def test_must_not_term_and_not_bool(spark, droot):
+    """must_not accepts keyword clauses, and a nested bool that is a pure
+    OR flattens by De Morgan (NOT(a OR b) = NOT a AND NOT b)."""
+    out, rows = droot
+    body = {"query": {"bool": {
+        "must": [{"match": {"text": "spark"}}],
+        "must_not": [{"term": {"lang": "fr"}}],
+    }}, "size": 200}
+    got = set(_ids(search_body(spark, out, body)))
+    assert got == {i for i, t, lang, _ in rows if "spark" in t.split() and lang != "fr"}
+    body2 = {"query": {"bool": {
+        "must": [{"match": {"text": "spark"}}],
+        "must_not": [{"bool": {"should": [
+            {"term": {"lang": "fr"}},
+            {"match": {"text": "merge"}},
+        ]}}],
+    }}, "size": 200}
+    got2 = set(_ids(search_body(spark, out, body2)))
+    want2 = {
+        i for i, t, lang, _ in rows
+        if "spark" in t.split() and lang != "fr" and "merge" not in t.split()
+    }
+    assert got2 == want2
+
+
+def test_match_inside_filter_is_exact_nonscoring(spark, droot):
+    """match in FILTER context: its analyzed tokens become posting
+    constraints (OR by default, AND with operator=and) and hits keep their
+    UNFILTERED corpus scores (filter context never rescores)."""
+    out, rows = droot
+    body = {"query": {"bool": {
+        "should": [{"match": {"text": "spark"}}],
+        "filter": [{"match": {"text": "window plan"}}],
+    }}, "size": 200}
+    got = {h["_id"]: h["_score"] for h in search_body(spark, out, body)["hits"]["hits"]}
+    want = {
+        i for i, t, *_ in rows
+        if "spark" in t.split() and ({"window", "plan"} & set(t.split()))
+    }
+    assert set(got) == want
+    base = dict(Searcher(spark, out).search_rows("spark", 200))
+    assert all(abs(got[i] - base[i]) < 1e-12 for i in got)
+    body2 = {"query": {"bool": {
+        "should": [{"match": {"text": "spark"}}],
+        "filter": [{"match": {"text": {"query": "window plan", "operator": "and"}}}],
+    }}, "size": 200}
+    got2 = set(_ids(search_body(spark, out, body2)))
+    want2 = {
+        i for i, t, *_ in rows
+        if "spark" in t.split() and {"window", "plan"} <= set(t.split())
+    }
+    assert got2 == want2
+
+
+def test_query_string_subset(spark, droot):
+    """query_string: terms / +must / -not / field:value filters, and
+    default_operator=and. Rank-identical to the flat engine calls."""
+    out, _ = droot
+    body = {"query": {"query_string": {"query": "+spark join -merge lang:en"}}, "size": 200}
+    resp = search_body(spark, out, body)
+    want = Searcher(spark, out).search_rows(
+        "join", 200, must="spark", must_not="merge",
+        or_groups=[[("eq", "lang", "en")]],
+    )
+    assert [(h["_id"], h["_score"]) for h in resp["hits"]["hits"]] == want
+    b2 = {"query": {"query_string": {
+        "query": "spark join", "default_operator": "and"}}, "size": 50}
+    want2 = Searcher(spark, out).search_rows("", 50, must="spark join")
+    assert [(h["_id"], h["_score"]) for h in search_body(spark, out, b2)["hits"]["hits"]] == want2
+    # a quoted phrase as the whole query dispatches to the phrase path
+    from conveyorbelt_spark.index.dsl import parse_query
+
+    assert parse_query({"query_string": {"query": '"spark join"'}})["phrase"] == "spark join"
+
+
+def test_compound_unsupported_shapes_raise(spark, droot):
+    out, _ = droot
+    with pytest.raises(UnsupportedDSL):  # NOT of a conjunction
+        search_body(spark, out, {"query": {"bool": {
+            "must": [{"match": {"text": "spark"}}],
+            "must_not": [{"bool": {"must": [
+                {"match": {"text": "join"}}, {"match": {"text": "plan"}},
+            ]}}],
+        }}})
+    with pytest.raises(UnsupportedDSL):  # two minimum_should_match groups
+        search_body(spark, out, {"query": {"bool": {"must": [
+            {"bool": {"should": [{"match": {"text": "join"}}],
+                      "minimum_should_match": 1}},
+            {"bool": {"should": [{"match": {"text": "plan"}}],
+                      "minimum_should_match": 1}},
+        ]}}})
+    with pytest.raises(UnsupportedDSL):  # Lucene syntax beyond the subset
+        search_body(spark, out, {"query": {"query_string": {"query": "(spark OR join)"}}})
