@@ -204,14 +204,17 @@ def compact_closed_days(
     return out
 
 
-def _merged_stats(root: str, days: list[str]) -> dict:
+def _merged_stats(root: str, days: list[str], loader=None) -> dict:
     """Exact window-corpus stats: Σ n_docs / Σ total_tokens over the
-    selected days' stats.json (driver-side, O(days) tiny file reads).
-    Layout knobs must agree across days (same builder config)."""
+    selected days' stats.json (driver-side, O(days) tiny file reads —
+    ``loader`` lets the DailySearcher serve them from its mtime cache, so
+    a long-lived handle pays the reads once, not per query). Layout knobs
+    must agree across days (same builder config)."""
+    loader = loader or (lambda d: load_stats(day_dir(root, d)))
     n_docs, total_tokens = 0, 0
     base: dict | None = None
     for day in days:
-        s = load_stats(day_dir(root, day))
+        s = loader(day)
         n_docs += s["n_docs"]
         total_tokens += s["total_tokens"]
         if base is None:
@@ -235,18 +238,26 @@ def _merged_stats(root: str, days: list[str]) -> dict:
     return merged
 
 
-def _merged_lookup(spark, root: str, days: list[str], n_term_buckets: int):
-    """Dictionary probe across the selected days: Σ df / Σ cf per term.
-    Each per-day probe is the ordinary tb-pruned driver read, restricted to
-    that day's committed-run snapshot."""
-    snaps = {d: _committed(load_stats(day_dir(root, d))) for d in days}
+def _merged_lookup(spark, root: str, days: list[str], n_term_buckets: int, loader=None):
+    """Dictionary probe across the selected days: Σ df / Σ cf per term —
+    ONE pyarrow dataset read over every selected day's committed,
+    tb-pruned dictionary files (``query._lookup_terms_multi``), not a
+    per-day loop: a multi-year window costs one probe, not hundreds of
+    sequential round-trips before the first job. Non-posix paths fall
+    back to the per-day Spark-pruned probe."""
+    from .query import _lookup_terms_multi
+
+    loader = loader or (lambda d: load_stats(day_dir(root, d)))
+    dirs = [(day_dir(root, d), _committed(loader(d))) for d in days]
 
     def lookup(terms: list[str]) -> list[dict]:
+        out = _lookup_terms_multi(dirs, terms, n_term_buckets)
+        if out is not None:
+            return out
         merged: dict[str, dict] = {}
-        for day in days:
+        for d_dir, committed in dirs:
             for e in _lookup_terms(
-                spark, day_dir(root, day), terms, n_term_buckets,
-                committed=snaps[day],
+                spark, d_dir, terms, n_term_buckets, committed=committed
             ):
                 m = merged.setdefault(
                     e["term"],
@@ -272,6 +283,40 @@ class DailySearcher:
         self.spark = spark
         self.root = root
         self.mode = mode
+        # per-day metadata caches keyed by the day's stats.json mtime (the
+        # index version stamp): a long-lived serving handle reads each
+        # day's stats/tombstones ONCE, not once per query per day
+        self._stats_cache: dict[str, tuple[float, dict]] = {}
+        self._tomb_cache: dict[str, tuple[float, dict]] = {}
+
+    def _day_stats(self, day: str) -> dict:
+        p = os.path.join(day_dir(self.root, day), "stats.json")
+        m = os.path.getmtime(p)
+        hit = self._stats_cache.get(day)
+        if hit is not None and hit[0] == m:
+            return hit[1]
+        s = load_stats(day_dir(self.root, day))
+        self._stats_cache[day] = (m, s)
+        self._tomb_cache.pop(day, None)  # tombs derive from the same stamp
+        return s
+
+    def _day_tombs(self, day: str) -> dict:
+        s = self._day_stats(day)
+        m = self._stats_cache[day][0]
+        hit = self._tomb_cache.get(day)
+        if hit is not None and hit[0] == m:
+            return hit[1]
+        t = _tombs(day_dir(self.root, day), s)
+        self._tomb_cache[day] = (m, t)
+        return t
+
+    def _merged_stats(self, days: list[str]) -> dict:
+        return _merged_stats(self.root, days, loader=self._day_stats)
+
+    def _merged_lookup(self, days: list[str], n_term_buckets: int):
+        return _merged_lookup(
+            self.spark, self.root, days, n_term_buckets, loader=self._day_stats
+        )
 
     def _plan(
         self, time_range, query, must, must_not, filters=None, ranges=None,
@@ -280,8 +325,8 @@ class DailySearcher:
         days = select_days(self.root, time_range)
         if not days:
             return None
-        stats = _merged_stats(self.root, days)
-        lookup = _merged_lookup(self.spark, self.root, days, stats["n_term_buckets"])
+        stats = self._merged_stats(days)
+        lookup = self._merged_lookup(days, stats["n_term_buckets"])
         plan = _bool_plan(
             self.spark, self.root, stats, query, must, must_not, lookup=lookup,
             filters=filters, ranges=ranges,
@@ -293,16 +338,15 @@ class DailySearcher:
         return days, stats, plan
 
     def _range_expand(self, days: list[str]):
-        """Window keyword-range expansion: union of each selected day's
-        indexed terms in range (each day probe is a range-sidecar-pruned
-        metadata read)."""
-        from .query import _term_range
+        """Window keyword-range expansion: ONE dataset probe over the
+        selected days' sidecar-pruned term_index files
+        (``query._term_range_multi``) — not a per-day loop."""
+        from .query import _term_range_multi
 
         def range_expand(lo: str, hi: str) -> list[str]:
-            terms: set[str] = set()
-            for day in days:
-                terms.update(_term_range(day_dir(self.root, day), lo, hi)["term"].tolist())
-            return sorted(terms)
+            return _term_range_multi(
+                [day_dir(self.root, d) for d in days], lo, hi
+            )
 
         return range_expand
 
@@ -313,12 +357,14 @@ class DailySearcher:
         min_should: int = 0,
         filters: dict | None = None, ranges: dict | None = None,
         or_groups: list | None = None, not_atoms: list | None = None,
+        after: tuple[float, int] | None = None,
     ) -> list[tuple[int, float]]:
         """Serving path: per-day pruned pyarrow block reads concatenated,
         one kernel pass (buckets merge across days — the multi-run shape).
         Zero Spark jobs. ``filters``/``ranges`` = ES filter context over
         keyword fields (see ``bm25_topk``); ``or_groups``/``not_atoms`` =
-        the nested-bool atom forms (``query._atom_terms``)."""
+        the nested-bool atom forms (``query._atom_terms``); ``after`` =
+        (score, doc_id) score-order search_after."""
         p = self._plan(
             time_range, query, must, must_not, filters, ranges,
             or_groups, not_atoms,
@@ -334,7 +380,7 @@ class DailySearcher:
         return _score_local(
             blocks, term_idf, k, stats, prune,
             must_terms=must_terms, not_terms=not_terms, filter_groups=fgroups,
-            should_terms=sp, min_should=min_should,
+            should_terms=sp, min_should=min_should, after=after,
         )
 
     def _window_blocks(self, days, tbs, scan_terms, columns=None):
@@ -344,8 +390,8 @@ class DailySearcher:
         frames = []
         for day in days:
             d_dir = day_dir(self.root, day)
-            d_stats = load_stats(d_dir)
-            d_tomb = _tombs(d_dir, d_stats)
+            d_stats = self._day_stats(day)
+            d_tomb = self._day_tombs(day)
             b = _read_blocks_local(
                 d_dir, tbs, scan_terms, columns=columns,
                 committed=_committed(d_stats), with_run=bool(d_tomb),
@@ -384,14 +430,14 @@ class DailySearcher:
         def one_day(d):
             from .query import _seg_scan
 
-            d_stats = load_stats(day_dir(self.root, d))
+            d_stats = self._day_stats(d)
             # _seg_scan: committed-run snapshot + EXPLICIT schema (no
             # per-day 1-task parquet schema-inference job)
             seg = _seg_scan(self.spark, day_dir(self.root, d), d_stats).where(
                 F.col("tb").isin(tbs) & F.col("term").isin(scan_terms)
             )
             base = seg.select(*_BLOCK_COLS)
-            tomb_d = _tombs(day_dir(self.root, d), d_stats)
+            tomb_d = self._day_tombs(d)
             if tomb_d:
                 # deletes apply PER DAY before the union: day sub-indexes
                 # reuse run names (full-g0, batch_N), so one merged
@@ -449,7 +495,7 @@ class DailySearcher:
         days = select_days(self.root, time_range)
         if not days:
             return empty
-        stats = _merged_stats(self.root, days)
+        stats = self._merged_stats(days)
         az = stats.get("analyzer")
         should_terms = sorted(set(analyze(query, az))) if query else []
         must_terms = sorted(set(analyze(must, az))) if must else []
@@ -608,7 +654,8 @@ class DailySearcher:
         )
 
     def phrase_rows(
-        self, phrase: str, k: int = 10, *, time_range: tuple | None = None
+        self, phrase: str, k: int = 10, *, time_range: tuple | None = None,
+        after: tuple[float, int] | None = None,
     ) -> list[tuple[int, float]]:
         """Day-pruned phrase search (positional daily indexes): merged
         window stats + the same per-bucket phrase kernel over the selected
@@ -618,8 +665,8 @@ class DailySearcher:
         days = select_days(self.root, time_range)
         if not days:
             return []
-        stats = _merged_stats(self.root, days)
-        lookup = _merged_lookup(self.spark, self.root, days, stats["n_term_buckets"])
+        stats = self._merged_stats(days)
+        lookup = self._merged_lookup(days, stats["n_term_buckets"])
         plan = _phrase_plan(self.spark, self.root, stats, phrase, lookup=lookup)
         if plan is None:
             return []
@@ -627,7 +674,7 @@ class DailySearcher:
         blocks = self._window_blocks(days, tbs, distinct, columns=_BLOCK_COLS + ["poss"])
         if blocks is None or not len(blocks):
             return []
-        kern = _phrase_kernel(phrase_tokens, idf_sum, k)
+        kern = _phrase_kernel(phrase_tokens, idf_sum, k, after=after)
         kern.k1, kern.b, kern.avgdl = stats["k1"], stats["b"], stats["avgdl"]
         outs = [kern(grp) for _, grp in blocks.groupby("bucket", sort=True)]
         outs = [o for o in outs if len(o)]
@@ -657,7 +704,7 @@ class DailySearcher:
         from .query import (
             _merge_best_fields,
             _multi_match_plan,
-            _range_cf_sum,
+            _range_cf_sum_multi,
             _range_hi,
             _score_kernel,
         )
@@ -665,13 +712,13 @@ class DailySearcher:
         days = select_days(self.root, time_range)
         if not days:
             return []
-        stats = _merged_stats(self.root, days)
-        lookup = _merged_lookup(self.spark, self.root, days, stats["n_term_buckets"])
+        stats = self._merged_stats(days)
+        lookup = self._merged_lookup(days, stats["n_term_buckets"])
 
         def field_avg(fname: str) -> float:
             lo = fname + KEYWORD_SEP
-            total = sum(
-                _range_cf_sum(day_dir(self.root, d), lo, _range_hi(lo)) for d in days
+            total = _range_cf_sum_multi(
+                [day_dir(self.root, d) for d in days], lo, _range_hi(lo)
             )
             n = stats.get("n_docs") or 0
             return (total / n) if n else 0.0
@@ -797,7 +844,7 @@ class DailySearcher:
         days = select_days(self.root, time_range)
         if not days:
             return [], None
-        stats = _merged_stats(self.root, days)
+        stats = self._merged_stats(days)
         self_id = None
         if isinstance(like, int):
             self_id = like
@@ -817,7 +864,7 @@ class DailySearcher:
         tf = Counter(analyze(text, stats.get("analyzer")))
         if not tf:
             return [], self_id
-        lookup = _merged_lookup(self.spark, self.root, days, stats["n_term_buckets"])
+        lookup = self._merged_lookup(days, stats["n_term_buckets"])
         entries = {e["term"]: e for e in lookup(sorted(tf))}
         scored_terms = []
         for t, f in tf.items():

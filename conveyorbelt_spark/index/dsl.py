@@ -551,6 +551,38 @@ def _parse_query_string(body, plan: dict, analyzer) -> None:
         plan["match_all"] = True
 
 
+def _score_sort(sort_spec) -> bool:
+    """True when ``sort`` is the score order (["_score"] or
+    [{"_score": {"order": "desc"}}]); ascending score is rejected."""
+    if not sort_spec or len(sort_spec) != 1:
+        return False
+    item = sort_spec[0]
+    if item == "_score":
+        return True
+    if isinstance(item, dict) and len(item) == 1 and next(iter(item)) == "_score":
+        order = item["_score"]
+        order = order.get("order", "desc") if isinstance(order, dict) else str(order)
+        if order != "desc":
+            raise UnsupportedDSL("sort by _score supports desc only (the ES default)")
+        return True
+    return False
+
+
+def _score_after(body: dict, from_: int) -> tuple[float, int] | None:
+    """The (score, doc_id) cursor for score-order search_after."""
+    sa = body.get("search_after")
+    if not sa:
+        return None
+    if from_:
+        raise UnsupportedDSL("from cannot combine with search_after (ES contract)")
+    if len(sa) != 2:
+        raise UnsupportedDSL(
+            "score-order search_after needs exactly [score, doc_id] "
+            "(the previous page's last hit's sort values)"
+        )
+    return (float(sa[0]), int(sa[1]))
+
+
 def search_body(spark: SparkSession, out_dir: str, body: dict) -> dict:
     """Execute an ES-shaped request body; returns an ES-shaped response."""
     body = dict(body or {})
@@ -565,6 +597,14 @@ def search_body(spark: SparkSession, out_dir: str, body: dict) -> dict:
     bounded = bool(filters or ranges or or_groups)
 
     sort_spec = body.get("sort")
+    score_sorted = False
+    after: tuple[float, int] | None = None
+    if sort_spec and _score_sort(sort_spec):
+        # score order IS the default ranking — dispatch to the scored
+        # paths, with the (score, doc_id) after-cursor applied inside the
+        # kernel pre-top-k (deep relevance pagination at page-1 cost)
+        score_sorted, sort_spec = True, None
+        after = _score_after(body, from_)
     rows: list[tuple[int, float]]
     sorted_rows_cols: list[tuple] | None = None
     if sort_spec:
@@ -595,13 +635,21 @@ def search_body(spark: SparkSession, out_dir: str, body: dict) -> dict:
         ]
         rows = [(r[0], float("nan")) for r in sorted_rows_cols]
     elif plan["phrase"] is not None:
-        rows = s.phrase_rows(plan["phrase"], size + from_)[from_:]
+        rows = s.phrase_rows(plan["phrase"], size + from_, after=after)[from_:]
     elif plan["mm"] is not None:
+        if after is not None:
+            raise UnsupportedDSL(
+                "score-order search_after supports match/bool/match_phrase"
+            )
         rows = s.multi_match_rows(
             plan["mm"]["query"], plan["mm"]["fields"], size + from_,
             type=plan["mm"]["type"],
         )[from_:]
     elif plan["expand"] is not None:
+        if after is not None:
+            raise UnsupportedDSL(
+                "score-order search_after supports match/bool/match_phrase"
+            )
         kind, val, spec = plan["expand"]
         if kind == "prefix":
             rows = s.prefix_rows(val, size + from_)[from_:]
@@ -614,6 +662,10 @@ def search_body(spark: SparkSession, out_dir: str, body: dict) -> dict:
                 val, size + from_, fuzziness=int(spec.get("fuzziness", 1)),
             )[from_:]
     elif plan["mlt"] is not None:
+        if after is not None:
+            raise UnsupportedDSL(
+                "score-order search_after supports match/bool/match_phrase"
+            )
         knobs = {
             k: plan["mlt"][k]
             for k in ("max_query_terms", "min_doc_freq", "min_term_freq")
@@ -621,6 +673,10 @@ def search_body(spark: SparkSession, out_dir: str, body: dict) -> dict:
         }
         rows = s.more_like_this(plan["mlt"]["like"], size + from_, **knobs)[from_:]
     elif plan["match_all"]:
+        if after is not None:
+            raise UnsupportedDSL(
+                "sort by _score with search_after needs a scoring clause"
+            )
         if not bounded:
             raise UnsupportedDSL(
                 "match_all without sort or filters is unbounded; add a "
@@ -643,7 +699,7 @@ def search_body(spark: SparkSession, out_dir: str, body: dict) -> dict:
             plan["query"], size, must=plan["must"], must_not=plan["must_not"],
             min_should=plan["min_should"], offset=from_,
             filters=filters, ranges=ranges,
-            or_groups=or_groups, not_atoms=not_atoms,
+            or_groups=or_groups, not_atoms=not_atoms, after=after,
         )
 
     hits = []
@@ -658,6 +714,9 @@ def search_body(spark: SparkSession, out_dir: str, body: dict) -> dict:
         hit: dict[str, Any] = {"_id": int(d), "_score": None if sort_spec else float(sc)}
         if sort_spec:
             hit["sort"] = list(sorted_rows_cols[i][1:]) + [int(d)]
+        elif score_sorted:
+            # the next page's search_after cursor: [score, doc_id]
+            hit["sort"] = [float(sc), int(d)]
         if want_source and d in meta:
             src = {k: v for k, v in meta[d].items() if k not in ("bucket", "run")}
             hit["_source"] = src
@@ -743,6 +802,11 @@ def search_body_daily(
     ds = DailySearcher(spark, root)
 
     sort_spec = body.get("sort")
+    score_sorted = False
+    after: tuple[float, int] | None = None
+    if sort_spec and _score_sort(sort_spec):
+        score_sorted, sort_spec = True, None
+        after = _score_after(body, from_)
     rows: list[tuple[int, float]]
     sorted_rows_cols: list[tuple] | None = None
     if sort_spec:
@@ -773,13 +837,23 @@ def search_body_daily(
         ]
         rows = [(r[0], float("nan")) for r in sorted_rows_cols]
     elif plan["phrase"] is not None:
-        rows = ds.phrase_rows(plan["phrase"], size + from_, time_range=time_range)[from_:]
+        rows = ds.phrase_rows(
+            plan["phrase"], size + from_, time_range=time_range, after=after
+        )[from_:]
     elif plan["mm"] is not None:
+        if after is not None:
+            raise UnsupportedDSL(
+                "score-order search_after supports match/bool/match_phrase"
+            )
         rows = ds.multi_match_rows(
             plan["mm"]["query"], plan["mm"]["fields"], size + from_,
             type=plan["mm"]["type"], time_range=time_range,
         )[from_:]
     elif plan["expand"] is not None:
+        if after is not None:
+            raise UnsupportedDSL(
+                "score-order search_after supports match/bool/match_phrase"
+            )
         kind, val, spec = plan["expand"]
         rows = ds.expansion_rows(
             kind, val, size + from_,
@@ -787,6 +861,10 @@ def search_body_daily(
             time_range=time_range,
         )[from_:]
     elif plan["mlt"] is not None:
+        if after is not None:
+            raise UnsupportedDSL(
+                "score-order search_after supports match/bool/match_phrase"
+            )
         knobs = {
             kk: plan["mlt"][kk]
             for kk in ("max_query_terms", "min_doc_freq", "min_term_freq")
@@ -796,6 +874,10 @@ def search_body_daily(
             plan["mlt"]["like"], size + from_, time_range=time_range, **knobs
         )[from_:]
     elif plan["match_all"]:
+        if after is not None:
+            raise UnsupportedDSL(
+                "sort by _score with search_after needs a scoring clause"
+            )
         if not bounded:
             raise UnsupportedDSL(
                 "match_all without sort or filters is unbounded; add a "
@@ -816,7 +898,7 @@ def search_body_daily(
             plan["query"], size + from_, must=plan["must"],
             must_not=plan["must_not"], min_should=plan["min_should"],
             filters=filters, ranges=ranges, or_groups=or_groups,
-            not_atoms=not_atoms, time_range=time_range,
+            not_atoms=not_atoms, time_range=time_range, after=after,
         )[from_:]
 
     hits = [
@@ -826,6 +908,9 @@ def search_body_daily(
     if sort_spec:
         for i, h in enumerate(hits):
             h["sort"] = list(sorted_rows_cols[i][1:]) + [h["_id"]]
+    elif score_sorted:
+        for h, (d, sc) in zip(hits, rows):
+            h["sort"] = [float(sc), int(d)]
 
     total = {"value": len(hits) + from_, "relation": "gte"}
     if body.get("track_total_hits"):

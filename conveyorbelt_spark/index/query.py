@@ -382,6 +382,7 @@ def _score_kernel(
     should_terms: tuple[str, ...] = (),
     min_should: int = 0,
     filter_groups: tuple[tuple[str, ...], ...] = (),
+    after: tuple[float, int] | None = None,
 ):
     """Per-bucket kernel: boolean candidate set + block-max WAND pruning +
     exact rescoring. ES bool-query semantics: ``term_idf`` keys are the
@@ -408,7 +409,16 @@ def _score_kernel(
     only docs in its range (boundary blocks decode twice, docs never score
     twice), and the per-slice exact top-k merge is exact because slices
     tile the bucket's id space. Degrades gracefully instead of OOM; proper
-    sizing is still n_buckets ≳ max head-term df / max_candidates."""
+    sizing is still n_buckets ≳ max head-term df / max_candidates.
+
+    ``after`` = (score, doc_id) enables SCORE-ORDER search_after (ES deep
+    relevance pagination): only docs strictly after that cursor in
+    (score desc, doc_id asc) order survive. Scores are deterministic
+    float64 sums, so the cursor score from page N compares EXACTLY on
+    page N+1. WAND pruning is disabled on after-pages — θ bounds the
+    CURRENT top-k, and an after-page's true results score below it, so
+    pruning would drop them; the after-filter applies post-scoring,
+    pre-top-k."""
     terms_sorted = sorted(term_idf)
     must_terms = tuple(sorted(must_terms))
     not_terms = tuple(sorted(not_terms))
@@ -474,7 +484,7 @@ def _score_kernel(
                 return _exhaustive(
                     pdf, term_idf, terms_sorted, k, k1, b, avgdl, must_terms, not_terms,
                     doc_range=doc_range, should_terms=should_terms, min_should=min_should,
-                    filter_groups=filter_groups, avgdl_by_term=abt,
+                    filter_groups=filter_groups, avgdl_by_term=abt, after=after,
                 )
             per_term[term] = tp
         if not any(t in per_term for t in terms_sorted):
@@ -527,7 +537,7 @@ def _score_kernel(
             return empty
 
         survivors = cand
-        if prune and len(cand) > 4 * k:
+        if after is None and prune and len(cand) > 4 * k:
             # phase 1: θ from the rarest present term's exact scores,
             # restricted to the candidate set (an unfiltered θ could exceed
             # the best achievable filtered score and over-prune)
@@ -577,6 +587,12 @@ def _score_kernel(
             idxs = pos_ok[member]
             scores[idxs] += term_idf[term] * w[ok][member]
 
+        if after is not None:
+            a_s, a_d = float(after[0]), int(after[1])
+            keep = (scores < a_s) | ((scores == a_s) & (survivors > a_d))
+            survivors, scores = survivors[keep], scores[keep]
+            if not len(survivors):
+                return empty
         idx = _topk_idx(scores, survivors, k)
         return pd.DataFrame({"doc_id": survivors[idx], "score": scores[idx]})
 
@@ -586,7 +602,7 @@ def _score_kernel(
 def _exhaustive(
     pdf, term_idf, terms_sorted, k, k1, b, avgdl, must_terms=(), not_terms=(),
     doc_range=None, should_terms=(), min_should=0, filter_groups=(),
-    avgdl_by_term=None,
+    avgdl_by_term=None, after=None,
 ) -> pd.DataFrame:
     """Fallback exhaustive scorer (handles duplicate doc_ids from deltas),
     with the same boolean candidate semantics as the pruned kernel."""
@@ -649,6 +665,12 @@ def _exhaustive(
         member = _in_sorted(docs, cand)
         pos = np.searchsorted(cand, docs[member])
         scores[pos] += term_idf[term] * w[member]
+    if after is not None:
+        a_s, a_d = float(after[0]), int(after[1])
+        keep = (scores < a_s) | ((scores == a_s) & (cand > a_d))
+        cand, scores = cand[keep], scores[keep]
+        if not len(cand):
+            return empty
     idx = _topk_idx(scores, cand, k)
     return pd.DataFrame({"doc_id": cand[idx], "score": scores[idx]})
 
@@ -716,6 +738,7 @@ def _score_local(
     should_terms: tuple[str, ...] = (), min_should: int = 0,
     filter_groups: tuple[tuple[str, ...], ...] = (),
     tp_cache: dict | None = None,
+    after: tuple[float, int] | None = None,
 ) -> list[tuple[int, float]]:
     """Run the SAME per-bucket scoring kernel in-driver and merge: buckets
     are disjoint docID ranges, so concat of per-bucket top-k + one global
@@ -726,6 +749,7 @@ def _score_local(
     kern = _score_kernel(
         term_idf, k, prune=prune, must_terms=must_terms, not_terms=not_terms,
         should_terms=should_terms, min_should=min_should, filter_groups=filter_groups,
+        after=after,
     )
     kern.k1, kern.b, kern.avgdl = stats["k1"], stats["b"], stats["avgdl"]
     kern.max_candidates = max_candidates
@@ -927,6 +951,7 @@ def bm25_topk(
     ranges: dict | None = None,
     or_groups: list | None = None,
     not_atoms: list | None = None,
+    after: tuple[float, int] | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, score) for ``query``, ranked by (score desc, doc_id
     asc). ``prune=False`` disables block-max WAND (identical results —
@@ -969,6 +994,7 @@ def bm25_topk(
     kern = _score_kernel(
         term_idf, k, prune=prune, must_terms=must_terms, not_terms=not_terms,
         should_terms=should_present, min_should=min_should, filter_groups=fgroups,
+        after=after,
     )
     kern.k1 = stats["k1"]
     kern.b = stats["b"]
@@ -1139,7 +1165,10 @@ def _with_tombstones(kern, tomb: dict):
 _POS_KEY_SHIFT = 33  # doc-index key space above the position bits
 
 
-def _phrase_kernel(phrase_tokens: list[tuple[str, int]], idf_sum: float, k: int):
+def _phrase_kernel(
+    phrase_tokens: list[tuple[str, int]], idf_sum: float, k: int,
+    after: tuple[float, int] | None = None,
+):
     """Per-bucket phrase scorer (Lucene PhraseQuery semantics, pinned):
     candidates = docs containing every distinct phrase term; a hit needs a
     start position p with the token of slot s at p+s for every (token, s);
@@ -1217,6 +1246,13 @@ def _phrase_kernel(phrase_tokens: list[tuple[str, int]], idf_sum: float, k: int)
         pf = pf.astype(np.float64)
         w = (pf * (k1 + 1.0)) / (pf + k1 * (1.0 - b + b * (dl / avgdl)))
         scores = idf_sum * w
+        if after is not None:
+            # score-order search_after: strictly after (score desc, id asc)
+            a_s, a_d = float(after[0]), int(after[1])
+            keep = (scores < a_s) | ((scores == a_s) & (docs_hit > a_d))
+            docs_hit, scores = docs_hit[keep], scores[keep]
+            if not len(docs_hit):
+                return empty
         if k is None:
             # uncapped: every matching doc (track_total_hits counting path)
             return pd.DataFrame({"doc_id": docs_hit, "score": scores})
@@ -1254,11 +1290,14 @@ def _phrase_plan(spark, out_dir, stats, phrase, lookup=None):
 
 
 def phrase_topk(
-    spark: SparkSession, out_dir: str, phrase: str, k: int = 10
+    spark: SparkSession, out_dir: str, phrase: str, k: int = 10,
+    after: tuple[float, int] | None = None,
 ) -> DataFrame:
     """Distributed phrase search over a positional index: top-k docs
     containing the exact token sequence, scored Lucene-style (idf sum ×
-    tfNorm(phraseFreq, dl)), ranked (score desc, doc_id asc)."""
+    tfNorm(phraseFreq, dl)), ranked (score desc, doc_id asc). ``after`` =
+    (score, doc_id) pages by score-order search_after (the predicate
+    applies inside the kernel, pre-top-k — page N+1 costs page 1)."""
     stats = load_stats(out_dir)
     empty = spark.createDataFrame([], "doc_id long, score double")
     plan = _phrase_plan(spark, out_dir, stats, phrase)
@@ -1271,7 +1310,7 @@ def phrase_topk(
         .where(F.col("tb").isin(tbs) & F.col("term").isin(distinct))
         .select(*_BLOCK_COLS, "poss", *(["run"] if tomb else []))
     )
-    kern = _phrase_kernel(phrase_tokens, idf_sum, k)
+    kern = _phrase_kernel(phrase_tokens, idf_sum, k, after=after)
     kern.k1, kern.b, kern.avgdl = stats["k1"], stats["b"], stats["avgdl"]
     func = kern if not tomb else _with_tombstones(kern, tomb)
     local = seg.groupBy("bucket").applyInPandas(func, schema="doc_id long, score double")
@@ -2011,15 +2050,11 @@ def _range_hi(prefix: str) -> str:
     return prefix[:-1] + chr(ord(prefix[-1]) + 1) if prefix else "￿"
 
 
-def _term_index_scan(out_dir: str, lo: str | None, hi: str | None):
-    """(term, df) rows from the term-SORTED dictionary copy, pruned by the
-    range sidecar: only files whose recorded [min, max] overlaps [lo, hi)
-    are opened — no footer reads at query time. Returns None when the
-    index predates the term_index layout (caller falls back to the hash
-    dictionary scan). Duplicate terms across runs are df-summed."""
+def _ti_files(out_dir: str, lo: str | None, hi: str | None) -> list[str] | None:
+    """term_index files whose sidecar-recorded [min, max] overlaps
+    [lo, hi) — the range-pruned open list, no footer reads. None when the
+    index predates the term_index layout."""
     import json as _json
-
-    import pyarrow.dataset as ds
 
     from .build import TERM_RANGES_FILE
 
@@ -2029,11 +2064,107 @@ def _term_index_scan(out_dir: str, lo: str | None, hi: str | None):
         return None
     with open(sidecar) as f:
         ranges = _json.load(f)
-    files = [
+    return [
         os.path.join(ti_dir, rel)
         for rel, (mn, mx) in sorted(ranges.items())
         if (hi is None or mn < hi) and (lo is None or mx >= lo)
     ]
+
+
+def _term_range_multi(dirs: list[str], lo: str | None, hi: str | None) -> list[str]:
+    """Window keyword-range expansion across SEVERAL index dirs in ONE
+    dataset probe (the DailySearcher metadata path): each dir's range
+    sidecar prunes its term_index files, the pruned lists union into one
+    pyarrow dataset read — one probe per query, not one per day. Dirs
+    predating the term_index layout fall back to their per-dir scan."""
+    import pyarrow.dataset as ds
+
+    files: list[str] = []
+    fallback: list[str] = []
+    for d in dirs:
+        fl = _ti_files(d, lo, hi)
+        if fl is None:
+            fallback.append(d)
+        else:
+            files.extend(fl)
+    terms: set[str] = set()
+    if files:
+        flt = None
+        if lo is not None:
+            flt = ds.field("term") >= lo
+        if hi is not None:
+            f2 = ds.field("term") < hi
+            flt = f2 if flt is None else (flt & f2)
+        tbl = ds.dataset(files, format="parquet").to_table(filter=flt, columns=["term"])
+        terms.update(tbl["term"].to_pylist())
+    for d in fallback:
+        terms.update(_term_range(d, lo, hi)["term"].tolist())
+    return sorted(terms)
+
+
+def _lookup_terms_multi(
+    dirs: list[tuple[str, set | None]], terms: list[str], n_term_buckets: int
+) -> list[dict] | None:
+    """Window dictionary probe across SEVERAL index dirs in ONE pyarrow
+    dataset read (the DailySearcher metadata path): per-dir committed-run
+    file pruning + tb-partition pruning build one file list, one scan
+    resolves every term's window-merged (Σ df / Σ cf / Σ n_blocks) entry —
+    O(1) dataset opens per query instead of O(days) sequential probes.
+    ``dirs`` is [(index_dir, committed_runs)]. Returns None when some dir
+    has no locally readable dictionary (caller falls back per day)."""
+    import glob
+
+    import pyarrow.dataset as ds
+
+    from ..functions.hashing import term_bucket
+
+    if not terms:
+        return []
+    by_tb: dict[int, list[str]] = {}
+    for t in terms:
+        by_tb.setdefault(term_bucket(t, n_term_buckets), []).append(t)
+    files: list[str] = []
+    for d, committed in dirs:
+        dict_dir = f"{d}/dictionary"
+        if not os.path.isdir(dict_dir):
+            return None
+        for tb in by_tb:
+            files.extend(
+                _filter_committed_files(
+                    glob.glob(f"{dict_dir}/tb={tb}/run=*/*.parquet"), committed
+                )
+                + glob.glob(f"{dict_dir}/tb={tb}/*.parquet")  # legacy flat layout
+            )
+    if not files:
+        return []
+    tbl = ds.dataset(files, format="parquet").to_table(
+        filter=ds.field("term").isin(sorted(set(terms)))
+    )
+    merged: dict[str, dict] = {}
+    for row in tbl.to_pylist():
+        t = row["term"]
+        e = merged.setdefault(
+            t,
+            {"term": t, "df": 0, "cf": 0, "n_blocks": 0,
+             "tb": term_bucket(t, n_term_buckets)},
+        )
+        e["df"] += row["df"]
+        e["cf"] += row["cf"]
+        e["n_blocks"] += row["n_blocks"]
+    return list(merged.values())
+
+
+def _term_index_scan(out_dir: str, lo: str | None, hi: str | None):
+    """(term, df) rows from the term-SORTED dictionary copy, pruned by the
+    range sidecar: only files whose recorded [min, max] overlaps [lo, hi)
+    are opened — no footer reads at query time. Returns None when the
+    index predates the term_index layout (caller falls back to the hash
+    dictionary scan). Duplicate terms across runs are df-summed."""
+    import pyarrow.dataset as ds
+
+    files = _ti_files(out_dir, lo, hi)
+    if files is None:
+        return None
     if not files:
         return pd.DataFrame({"term": pd.Series(dtype=object), "df": pd.Series(dtype="int64")})
     flt = None
@@ -2081,6 +2212,34 @@ def _term_range(out_dir: str, lo: str | None, hi: str | None) -> pd.DataFrame:
     if pdf is None:
         pdf = _dictionary_scan(out_dir, lo, hi)
     return pdf
+
+
+def _range_cf_sum_multi(dirs: list[str], lo: str, hi: str) -> int:
+    """Window Σ cf over a term range — ONE dataset probe over every dir's
+    sidecar-pruned term_index files (DailySearcher multi_match field
+    norms). Dirs without the cf-bearing term_index layout fall back to
+    their per-dir scan."""
+    import pyarrow.dataset as ds
+
+    files: list[str] = []
+    fallback: list[str] = []
+    for d in dirs:
+        fl = _ti_files(d, lo, hi)
+        if fl is None:
+            fallback.append(d)
+        else:
+            files.extend(fl)
+    total = 0
+    if files:
+        try:
+            tbl = ds.dataset(files, format="parquet").to_table(
+                filter=(ds.field("term") >= lo) & (ds.field("term") < hi),
+                columns=["cf"],
+            )
+            total += int(pd.Series(tbl["cf"].to_pandas()).sum()) if tbl.num_rows else 0
+        except Exception:  # noqa: BLE001 — pre-cf term_index layout
+            fallback.extend(d for d in dirs if d not in fallback)
+    return total + sum(_range_cf_sum(d, lo, hi) for d in fallback)
 
 
 def _range_cf_sum(out_dir: str, lo: str, hi: str) -> int:
@@ -2641,6 +2800,7 @@ class Searcher:
         min_should: int = 0, offset: int = 0,
         filters: dict | None = None, ranges: dict | None = None,
         or_groups: list | None = None, not_atoms: list | None = None,
+        after: tuple[float, int] | None = None,
     ) -> list[tuple[int, float]]:
         """Serving-path search: [(doc_id, score)] straight from the driver
         kernel — no DataFrame round trip at all (the py4j createDataFrame +
@@ -2648,13 +2808,16 @@ class Searcher:
         bool-query surface (query=SHOULD, must, must_not, min_should = ES
         minimum_should_match); ``offset`` pages like ES from/size (the
         kernel ranks the top offset+k then slices — same deep-pagination
-        cost profile as ES). Requires a locally readable index in mode
-        auto/local; in mode spark it collects the distributed result."""
+        cost profile as ES), while ``after`` = (score, doc_id) pages by
+        SCORE-ORDER search_after: page N+1 costs one exhaustive-scoring
+        pass regardless of depth (no offset+k re-rank). Requires a locally
+        readable index in mode auto/local; in mode spark it collects the
+        distributed result."""
         if offset:
             rows = self.search_rows(
                 query, k + offset, prune, must=must, must_not=must_not,
                 min_should=min_should, filters=filters, ranges=ranges,
-                or_groups=or_groups, not_atoms=not_atoms,
+                or_groups=or_groups, not_atoms=not_atoms, after=after,
             )
             return rows[offset : offset + k]
         self._maybe_invalidate()
@@ -2678,6 +2841,7 @@ class Searcher:
                     max_candidates=self.max_candidates,
                     should_terms=should_present, min_should=min_should,
                     filter_groups=fgroups, tp_cache=self._tp_cache,
+                    after=after,
                 )
             if self.mode == "local":
                 raise FileNotFoundError(f"{self.out_dir}/segments is not locally readable")
@@ -2687,7 +2851,7 @@ class Searcher:
                 self.spark, self.out_dir, query, k, prune, must_not=must_not, must=must,
                 max_candidates=self.max_candidates, min_should=min_should,
                 filters=filters, ranges=ranges, or_groups=or_groups,
-                not_atoms=not_atoms,
+                not_atoms=not_atoms, after=after,
             ).collect()
         ]
 
@@ -2712,10 +2876,14 @@ class Searcher:
             out.append(row)
         return out
 
-    def phrase_rows(self, phrase: str, k: int = 10) -> list[tuple[int, float]]:
+    def phrase_rows(
+        self, phrase: str, k: int = 10,
+        after: tuple[float, int] | None = None,
+    ) -> list[tuple[int, float]]:
         """Serving-path phrase search over a positional index: the same
         per-bucket phrase kernel as ``phrase_topk``, run on the driver with
-        pruned pyarrow block reads — zero Spark jobs."""
+        pruned pyarrow block reads — zero Spark jobs. ``after`` = (score,
+        doc_id) pages by score-order search_after."""
         self._maybe_invalidate()
         plan = _phrase_plan(
             self.spark, self.out_dir, self.stats, phrase, lookup=self._entries
@@ -2727,9 +2895,11 @@ class Searcher:
         if blocks is None:
             return [
                 (r.doc_id, r.score)
-                for r in phrase_topk(self.spark, self.out_dir, phrase, k).collect()
+                for r in phrase_topk(
+                    self.spark, self.out_dir, phrase, k, after=after
+                ).collect()
             ]
-        kern = _phrase_kernel(phrase_tokens, idf_sum, k)
+        kern = _phrase_kernel(phrase_tokens, idf_sum, k, after=after)
         kern.k1, kern.b, kern.avgdl = self.stats["k1"], self.stats["b"], self.stats["avgdl"]
         kern.tp_cache = self._tp_cache
         outs = [kern(grp) for _, grp in blocks.groupby("bucket", sort=True)]

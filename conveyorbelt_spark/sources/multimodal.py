@@ -285,8 +285,9 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int, int]:
 
 def decode_image(payload: bytes) -> np.ndarray:
     """payload → (h, w) uint8 grayscale. Dispatch: CB-synthetic → BMP →
-    PNG (all real, dependency-free) → PIL for JPEG/... when installed
-    (absent in this container) → NotImplementedError."""
+    PNG → baseline JPEG (all real, dependency-free — see ``jpegcodec``) →
+    PIL for the rest (progressive JPEG, WebP, …) when installed (absent in
+    this container) → NotImplementedError."""
     payload = bytes(payload)
     if payload[:4] == IMAGE_MAGIC:
         w, h, seed = struct.unpack("<HHI", payload[4:12])
@@ -295,7 +296,14 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_bmp(payload)
     if payload[:8] == PNG_SIG:
         return decode_png(payload)
-    try:  # remaining compressed formats (JPEG/...) — needs PIL, absent here
+    if payload[:2] == b"\xff\xd8":
+        from .jpegcodec import decode_jpeg
+
+        try:
+            return decode_jpeg(payload)
+        except NotImplementedError:
+            pass  # progressive/arithmetic → PIL fallback below
+    try:  # remaining compressed formats — needs PIL, absent here
         import io
 
         from PIL import Image
@@ -303,7 +311,9 @@ def decode_image(payload: bytes) -> np.ndarray:
         return np.asarray(Image.open(io.BytesIO(payload)).convert("L"))
     except ImportError:
         pass
-    raise NotImplementedError("no codec for this image payload (JPEG needs PIL)")
+    raise NotImplementedError(
+        "no codec for this image payload (progressive JPEG/WebP/... need PIL)"
+    )
 
 
 def decode_video(payload: bytes) -> list[np.ndarray]:

@@ -468,3 +468,37 @@ def test_retention_and_closed_day_compaction(spark, tmp_path_factory):
     assert list_days(root) == ["20160917", "20160918"]
     left = DailySearcher(spark, root).search_rows("spark join", 100)
     assert len(left) == sum(1 for i, _t, ts in rows if ts.day >= 17)
+
+
+def test_window_metadata_one_probe(spark, droot, monkeypatch):
+    """Driver metadata is NOT O(days) per query: the window dictionary
+    probe opens ONE pyarrow dataset across all selected days (not one per
+    day), and per-day stats.json / tombstone reads are served from the
+    DailySearcher's mtime cache after the first query — a multi-year
+    window costs one metadata round-trip, not hundreds, before the first
+    job."""
+    import pyarrow.dataset as pds
+
+    import conveyorbelt_spark.index.daily as daily_mod
+
+    root, _ = droot
+    ds_all = DailySearcher(spark, root)
+    warm = ds_all.search_rows("the and", 5)  # fills the per-day stats cache
+
+    calls: list[str] = []
+    orig = pds.dataset
+    def counting(src, *a, **k):
+        first = src[0] if isinstance(src, list) and src else str(src)
+        calls.append(str(first))
+        return orig(src, *a, **k)
+    monkeypatch.setattr(pds, "dataset", counting)
+    rows = ds_all.search_rows("the and", 5)
+    assert rows == warm
+    dict_probes = [c for c in calls if "/dictionary" in c]
+    assert len(dict_probes) == 1  # ONE dataset across all N_DAYS days
+
+    # stats.json reads are cached by mtime: a second query must not reload
+    def boom(*a, **k):
+        raise AssertionError("load_stats called on a warm DailySearcher")
+    monkeypatch.setattr(daily_mod, "load_stats", boom)
+    assert ds_all.search_rows("the and", 5) == warm

@@ -581,3 +581,86 @@ def test_compound_unsupported_shapes_raise(spark, droot):
         ]}}})
     with pytest.raises(UnsupportedDSL):  # Lucene syntax beyond the subset
         search_body(spark, out, {"query": {"query_string": {"query": "(spark OR join)"}}})
+
+
+def test_score_order_search_after(spark, droot):
+    """sort: ["_score"] + search_after pages relevance order seamlessly:
+    concatenated pages equal one big ranking (bool shape, with filter
+    context); score ties break by doc_id; each hit carries the next
+    cursor in "sort"."""
+    out, _ = droot
+    truth = Searcher(spark, out).search_rows("spark join window", 60)
+    body = {"query": {"match": {"text": "spark join window"}},
+            "sort": ["_score"], "size": 7}
+    pages, cursor = [], None
+    for _ in range(12):
+        b = dict(body)
+        if cursor is not None:
+            b["search_after"] = cursor
+        hits = search_body(spark, out, b)["hits"]["hits"]
+        if not hits:
+            break
+        pages.extend((h["_id"], h["_score"]) for h in hits)
+        cursor = hits[-1]["sort"]
+    assert pages[:60] == truth
+
+    truth2 = Searcher(spark, out).search_rows(
+        "spark join", 40, or_groups=[[("eq", "lang", "en")]]
+    )
+    body2 = {"query": {"bool": {"should": [{"match": {"text": "spark join"}}],
+                                "filter": [{"term": {"lang": "en"}}]}},
+             "sort": [{"_score": {"order": "desc"}}], "size": 9}
+    got2, cursor = [], None
+    for _ in range(12):
+        b = dict(body2)
+        if cursor is not None:
+            b["search_after"] = cursor
+        hits = search_body(spark, out, b)["hits"]["hits"]
+        if not hits:
+            break
+        got2.extend((h["_id"], h["_score"]) for h in hits)
+        cursor = hits[-1]["sort"]
+    assert got2[:40] == truth2
+    with pytest.raises(UnsupportedDSL):  # from + search_after is an ES error
+        search_body(spark, out, {
+            "query": {"match": {"text": "spark"}}, "sort": ["_score"],
+            "from": 3, "search_after": [1.0, 5],
+        })
+    with pytest.raises(UnsupportedDSL):  # ascending score order unsupported
+        search_body(spark, out, {
+            "query": {"match": {"text": "spark"}},
+            "sort": [{"_score": {"order": "asc"}}],
+        })
+
+
+def test_score_search_after_phrase(spark, tmp_path):
+    """Score-order search_after on the PHRASE path (positional kernel):
+    pages concatenate to the one-shot phrase ranking."""
+    rng = random.Random(77)
+    rows = []
+    for i in range(60):
+        words = rng.choices(W, k=8)
+        if i % 2 == 0:
+            p = rng.randrange(7)
+            words[p : p + 2] = ["spark", "join"]
+        rows.append((i, " ".join(words)))
+    out = str(tmp_path / "pidx")
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    build_index(spark, docs, out, url_col=None, n_buckets=4, n_term_buckets=8,
+                positions=True)
+    s = Searcher(spark, out)
+    truth = s.phrase_rows("spark join", 50)
+    assert truth  # the fixture really has phrase hits
+    body = {"query": {"match_phrase": {"text": "spark join"}},
+            "sort": ["_score"], "size": 6}
+    got, cursor = [], None
+    for _ in range(12):
+        b = dict(body)
+        if cursor is not None:
+            b["search_after"] = cursor
+        hits = search_body(spark, out, b)["hits"]["hits"]
+        if not hits:
+            break
+        got.extend((h["_id"], h["_score"]) for h in hits)
+        cursor = hits[-1]["sort"]
+    assert got == truth[: len(got)] and len(got) >= len(truth) - 6
