@@ -90,6 +90,25 @@ def main() -> None:
     es_serving = _es_surface_bench(spark, sf_dir)
 
     total = time.time() - t0_all
+    detail = {
+        "n_docs_indexed": n_docs,
+        "index_build_sec": round(build_sec, 3),
+        "bm25_p50_sec": round(p50, 4),
+        "bm25_p95_sec": round(lat[int(len(lat) * 0.95)], 4),
+        "corpus_gen_sec": round(corpus_sec, 3),
+        "total_sec": round(total, 2),
+        "cpus": cpus,
+        "es_serving": es_serving,
+    }
+    # per-op detail goes to a FILE; stdout's LAST line stays the compact
+    # machine-readable headline (the driver tails a bounded window — the
+    # round-4 es_serving blob pushed the JSON out of it: parsed=null)
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH", "bench_detail.json")
+    os.makedirs(os.path.dirname(detail_path), exist_ok=True)
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+    print(f"detail -> {detail_path}", file=sys.stderr)
     print(
         json.dumps(
             {
@@ -98,16 +117,6 @@ def main() -> None:
                 "unit": "docs/sec",
                 "queries": per_query,
                 "sf": sf,
-                "bench": {
-                    "n_docs_indexed": n_docs,
-                    "index_build_sec": round(build_sec, 3),
-                    "bm25_p50_sec": round(p50, 4),
-                    "bm25_p95_sec": round(lat[int(len(lat) * 0.95)], 4),
-                    "corpus_gen_sec": round(corpus_sec, 3),
-                    "total_sec": round(total, 2),
-                    "cpus": cpus,
-                    "es_serving": es_serving,
-                },
             }
         )
     )
@@ -205,9 +214,60 @@ def _es_surface_bench(spark, sf_dir: str) -> dict:
             t0 = time.time()
             fn()
             out[f"{name}_warm_sec"] = round(time.time() - t0, 4)
+        if os.environ.get("SPARK_GRAFT_BENCH_D90"):
+            # 90 real day builds cost ~4-5 min on this throttled host —
+            # opt-in; the recorded run lives in BENCH/daily90.json
+            out.update(_daily90_bench(spark))
     finally:
         shutil.rmtree(flat_dir, ignore_errors=True)
         shutil.rmtree(daily_dir, ignore_errors=True)
+    return out
+
+
+def _daily90_bench(spark) -> dict:
+    """90-day window serving bench: the driver-metadata scaling evidence.
+    90 small day indexes (fixed size, sf-independent), then one windowed
+    query over ALL 90 days — the dictionary probe is ONE pyarrow dataset
+    and per-day stats are mtime-cached, so the warm number isolates the
+    serving cost a multi-month Kibana window actually pays."""
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from conveyorbelt_spark.corpus import corpus_spark_df
+    from conveyorbelt_spark.index.daily import DailySearcher, build_daily_index
+
+    root = tempfile.mkdtemp(prefix="cb_bench_d90_")
+    out: dict[str, float] = {}
+    try:
+        docs = corpus_spark_df(spark, 4500, seed=90, n_parts=8).withColumn(
+            "warc_ts",
+            F.expr(
+                "timestampadd(DAY, cast(pmod(xxhash64(url), 90) as int), "
+                "timestamp '2016-06-01 12:00:00')"
+            ),
+        )
+        t0 = time.time()
+        build_daily_index(spark, docs, root, n_buckets=2, parallelism=8)
+        out["daily90_build_sec"] = round(time.time() - t0, 3)
+        ds = DailySearcher(spark, root)
+        t0 = time.time()
+        ds.search_rows("term00001 term00456", 10)  # full 90-day window
+        out["daily90_window_cold_sec"] = round(time.time() - t0, 4)
+        t0 = time.time()
+        ds.search_rows("term00001 term00456", 10)
+        out["daily90_window_warm_sec"] = round(time.time() - t0, 4)
+        # metadata-only cost over the 90 days: merged stats + the ONE
+        # dictionary dataset probe (a warm handle pays no stats reads)
+        from conveyorbelt_spark.index.daily import list_days
+
+        days = list_days(root)
+        t0 = time.time()
+        stats = ds._merged_stats(days)
+        ds._merged_lookup(days, stats["n_term_buckets"])(
+            ["term00001", "term00456"]
+        )
+        out["daily90_metadata_warm_sec"] = round(time.time() - t0, 4)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
     return out
 
 

@@ -47,6 +47,9 @@ def __getattr__(name: str):
         "build_daily_index": ("conveyorbelt_spark.index.daily", "build_daily_index"),
         "read_corpus": ("conveyorbelt_spark.sources.tables", "read_corpus"),
         "search_body": ("conveyorbelt_spark.index.dsl", "search_body"),
+        "search_body_daily": ("conveyorbelt_spark.index.dsl", "search_body_daily"),
+        "encode_jpeg": ("conveyorbelt_spark.sources.jpegcodec", "encode_jpeg"),
+        "decode_jpeg": ("conveyorbelt_spark.sources.jpegcodec", "decode_jpeg"),
         "SourceSpec": ("conveyorbelt_spark.conveyor", "SourceSpec"),
         "SourceRegistry": ("conveyorbelt_spark.conveyor", "SourceRegistry"),
         "run_sources": ("conveyorbelt_spark.conveyor", "run_sources"),

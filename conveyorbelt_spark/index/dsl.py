@@ -30,6 +30,8 @@ query context:
                    filters, or one quoted "phrase"
   term/terms/range/exists — allowed TOP-LEVEL too (filter-context query,
                    constant score 1.0, doc_id order)
+  constant_score   {"constant_score": {"filter": {...}, "boost": b}} —
+                   every hit scores b (default 1.0), doc_id order
 
 filter context (inside bool.filter / bool.must, or top-level):
   term    {"term":  {"lang": "en"}}        — keyword-field posting filter
@@ -185,6 +187,9 @@ def _parse_filter_clause(clause: dict, plan: dict, analyzer) -> None:
         pass
     elif kind == "bool":
         _parse_filter_bool(body, plan, analyzer)
+    elif kind == "constant_score":
+        # in filter context the boost is moot (nothing scores) — unwrap
+        _parse_filter_clause(body["filter"], plan, analyzer)
     else:
         raise UnsupportedDSL(f"unsupported filter clause {kind!r}")
 
@@ -436,6 +441,7 @@ def parse_query(query: dict, analyzer=None) -> dict:
         "filters": {}, "ranges": {}, "phrase": None, "mm": None,
         "expand": None, "mlt": None, "match_all": False,
         "or_groups": [], "not_atoms": [], "extra_not_text": [],
+        "boost": 1.0,
     }
     if query is None:
         plan["match_all"] = True
@@ -469,6 +475,11 @@ def parse_query(query: dict, analyzer=None) -> dict:
         # top-level filter-context query (ES scores these constant 1.0)
         _parse_filter_clause({kind: body}, plan, analyzer)
         plan["match_all"] = True
+    elif kind == "constant_score":
+        # ES: wraps a filter, every hit scores `boost` (default 1.0)
+        _parse_filter_clause(body["filter"], plan, analyzer)
+        plan["match_all"] = True
+        plan["boost"] = float(body.get("boost", 1.0))
     elif kind == "query_string":
         _parse_query_string(body, plan, analyzer)
     elif kind == "bool":
@@ -478,15 +489,20 @@ def parse_query(query: dict, analyzer=None) -> dict:
             plan["mm"] = {"query": nm.text, "fields": [nm.field], "type": "best_fields"}
             return plan
         plan["query"] = " ".join(ctx.shoulds)
-        must_nots = ctx.must_nots + plan.pop("extra_not_text")
-        plan["extra_not_text"] = []
         plan["must"] = " ".join(ctx.musts) or None
-        plan["must_not"] = " ".join(must_nots) or None
+        plan["must_not"] = " ".join(ctx.must_nots) or None
         plan["min_should"] = ctx.min_should
         if not plan["query"] and not plan["must"]:
             plan["match_all"] = True
     else:
         raise UnsupportedDSL(f"unsupported query clause {kind!r}")
+    if plan["extra_not_text"]:
+        # main-field match exclusions surfaced from inside filter-context
+        # bools (reachable from ANY branch that parses filter clauses —
+        # bool, top-level term/…, constant_score): fold into must_not
+        extra = " ".join(plan["extra_not_text"])
+        plan["must_not"] = f"{plan['must_not']} {extra}" if plan["must_not"] else extra
+        plan["extra_not_text"] = []
     return plan
 
 
@@ -688,12 +704,13 @@ def search_body(spark: SparkSession, out_dir: str, body: dict) -> dict:
 
         ids = (
             bool_doc_ids(
-                spark, out_dir, "", filters=filters, ranges=ranges,
+                spark, out_dir, "", must_not=plan["must_not"],
+                filters=filters, ranges=ranges,
                 or_groups=or_groups, not_atoms=not_atoms,
             )
             .orderBy("doc_id").limit(size + from_).collect()
         )
-        rows = [(r.doc_id, 1.0) for r in ids][from_:]
+        rows = [(r.doc_id, plan["boost"]) for r in ids][from_:]
     else:
         rows = s.search_rows(
             plan["query"], size, must=plan["must"], must_not=plan["must_not"],
@@ -887,12 +904,13 @@ def search_body_daily(
 
         ids = (
             ds.bool_doc_ids(
-                "", filters=filters, ranges=ranges, or_groups=or_groups,
+                "", must_not=plan["must_not"],
+                filters=filters, ranges=ranges, or_groups=or_groups,
                 not_atoms=not_atoms, time_range=time_range,
             )
             .orderBy(F.asc("doc_id")).limit(size + from_).collect()
         )
-        rows = [(r.doc_id, 1.0) for r in ids][from_:]
+        rows = [(r.doc_id, plan["boost"]) for r in ids][from_:]
     else:
         rows = ds.search_rows(
             plan["query"], size + from_, must=plan["must"],

@@ -664,3 +664,35 @@ def test_score_search_after_phrase(spark, tmp_path):
         got.extend((h["_id"], h["_score"]) for h in hits)
         cursor = hits[-1]["sort"]
     assert got == truth[: len(got)] and len(got) >= len(truth) - 6
+
+
+def test_constant_score_query(spark, droot):
+    """constant_score wraps a filter; every hit scores the boost."""
+    out, rows = droot
+    resp = search_body(spark, out, {
+        "query": {"constant_score": {
+            "filter": {"bool": {"should": [
+                {"term": {"lang": "de"}},
+                {"term": {"lang": "fr"}},
+            ]}},
+            "boost": 2.5,
+        }},
+        "size": 200, "track_total_hits": True,
+    })
+    want = sorted(i for i, _, lang, _ in rows if lang in ("de", "fr"))
+    assert _ids(resp) == want
+    assert all(h["_score"] == 2.5 for h in resp["hits"]["hits"])
+    assert resp["hits"]["total"] == {"value": len(want), "relation": "eq"}
+    # a match exclusion inside the wrapped filter bool survives the fold
+    r2 = search_body(spark, out, {
+        "query": {"constant_score": {"filter": {"bool": {
+            "must": [{"term": {"lang": "de"}}],
+            "must_not": [{"match": {"text": "merge"}}],
+        }}}},
+        "size": 200, "track_total_hits": True,
+    })
+    want2 = sorted(
+        i for i, t, lang, _ in rows if lang == "de" and "merge" not in t.split()
+    )
+    assert _ids(r2) == want2
+    assert r2["hits"]["total"]["value"] == len(want2)
