@@ -2323,6 +2323,125 @@ ORDER BY score DESC, doc_id ASC
 """
 
 
+def q47_constant_score(spark, sf_dir):
+    """ES constant_score through ``search_body``: a filter-context bool
+    (keyword term AND text-match exclusion) wrapped in constant_score;
+    every hit scores the boost. DuckDB twin: plain WHERE + literal
+    score."""
+    import shutil
+    import tempfile
+
+    from .index.build import build_index
+    from .index.dsl import search_body
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="cb_q47_idx_")
+    try:
+        build_index(
+            spark, docs, out, url_col=None, n_buckets=8, keyword_cols=("lang",),
+        )
+        body = {
+            "query": {"constant_score": {
+                "filter": {"bool": {
+                    "must": [{"term": {"lang": "de"}}],
+                    "must_not": [{"match": {"text": "merge"}}],
+                }},
+                "boost": 2.5,
+            }},
+            "size": 10000,
+        }
+        resp = search_body(spark, out, body)
+        rows = [(h["_id"], h["_score"]) for h in resp["hits"]["hits"]]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    res = spark.createDataFrame(
+        [(int(d), float(s)) for d, s in rows], "doc_id long, score double"
+    )
+    return res.orderBy("doc_id")
+
+
+Q47_SQL = """
+WITH excl AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id,
+           unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+    FROM documents
+  ) WHERE term = 'merge'
+)
+SELECT d.doc_id, 2.5 AS score
+FROM documents d
+WHERE d.lang = 'de' AND d.doc_id NOT IN (SELECT doc_id FROM excl)
+ORDER BY d.doc_id
+"""
+
+
+def q48_score_search_after(spark, sf_dir):
+    """Score-order search_after through ``search_body``: page 1 of the
+    relevance ranking yields a (score, doc_id) cursor; the returned
+    result is PAGE 2 — computed with the after-predicate inside the
+    kernel, not an offset re-rank. DuckDB twin: the same ranking with
+    LIMIT/OFFSET (rows 21-40)."""
+    import shutil
+    import tempfile
+
+    from .index.build import build_index
+    from .index.dsl import search_body
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="cb_q48_idx_")
+    try:
+        build_index(spark, docs.select("doc_id", "text"), out, url_col=None, n_buckets=8)
+        body = {
+            "query": {"match": {"text": " ".join(BM25_QUERY_TERMS)}},
+            "sort": ["_score"],
+            "size": 20,
+        }
+        p1 = search_body(spark, out, body)
+        cursor = p1["hits"]["hits"][-1]["sort"]
+        p2 = search_body(spark, out, {**body, "search_after": cursor})
+        rows = [(h["_id"], h["_score"]) for h in p2["hits"]["hits"]]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    res = spark.createDataFrame(
+        [(int(d), float(s)) for d, s in rows], "doc_id long, score double"
+    )
+    return res.select("doc_id", F.round("score", 4).alias("score")).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+
+
+Q48_SQL = f"""
+WITH toks AS ({_TOKENS_SQL}),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks WHERE term != '' GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+q AS (SELECT unnest({BM25_QUERY_TERMS!r}) AS term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf
+       WHERE term IN (SELECT term FROM q) GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl)))) AS raw
+  FROM tf
+  JOIN df ON tf.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, score FROM (
+  SELECT doc_id, round(raw, 4) AS score, raw
+  FROM scored ORDER BY raw DESC, doc_id ASC LIMIT 20 OFFSET 20
+) t
+ORDER BY score DESC, doc_id ASC
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -2370,6 +2489,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q44_nested_bool": q44_nested_bool,
     "q45_sub_bucket_aggs": q45_sub_bucket_aggs,
     "q46_query_string": q46_query_string,
+    "q47_constant_score": q47_constant_score,
+    "q48_score_search_after": q48_score_search_after,
 }
 
 ORACLES: dict[str, str] = {
@@ -2419,4 +2540,6 @@ ORACLES: dict[str, str] = {
     "q44_nested_bool": Q44_SQL,
     "q45_sub_bucket_aggs": Q45_SQL,
     "q46_query_string": Q46_SQL,
+    "q47_constant_score": Q47_SQL,
+    "q48_score_search_after": Q48_SQL,
 }
