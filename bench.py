@@ -187,7 +187,32 @@ def _es_surface_bench(spark, sf_dir: str) -> dict:
                     "filter": [{"terms": {"lang": ["en", "de"]}}],
                 }},
                 "size": 20,
-            }),
+            }, searcher=s),
+            "dsl_nested_bool": lambda: search_body(spark, flat_dir, {
+                "query": {"bool": {
+                    "must": [
+                        {"match": {"text": "spark"}},
+                        {"bool": {"should": [{"match": {"text": "join"}},
+                                             {"match": {"text": "window"}}],
+                                  "minimum_should_match": 1}},
+                    ],
+                    "filter": [{"bool": {"should": [
+                        {"term": {"lang": "en"}},
+                        {"range": {"nc": {"gte": "0080", "lte": "0350"}}},
+                    ]}}],
+                }},
+                "size": 20,
+            }, searcher=s),
+            "dsl_score_cursor_page2": lambda: search_body(spark, flat_dir, {
+                "query": {"match": {"text": "spark join window"}},
+                "sort": ["_score"], "size": 20,
+                "search_after": [1.0, 0],
+            }, searcher=s),
+            "sub_bucket_aggs": lambda: s.aggs_rows(
+                {"by_lang": {"terms": {"field": "lang"},
+                             "aggs": {"st": {"stats": {"field": "n_chars"}}}}},
+                "spark join",
+            ),
             "date_histogram": lambda: {
                 name: df.collect()
                 for name, df in search_aggs(spark, flat_dir, {

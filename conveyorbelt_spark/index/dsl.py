@@ -599,10 +599,16 @@ def _score_after(body: dict, from_: int) -> tuple[float, int] | None:
     return (float(sa[0]), int(sa[1]))
 
 
-def search_body(spark: SparkSession, out_dir: str, body: dict) -> dict:
-    """Execute an ES-shaped request body; returns an ES-shaped response."""
+def search_body(
+    spark: SparkSession, out_dir: str, body: dict, *,
+    searcher: Searcher | None = None,
+) -> dict:
+    """Execute an ES-shaped request body; returns an ES-shaped response.
+    Pass a long-lived ``searcher`` to serve repeated bodies from its warm
+    block / decoded-postings / term caches (it mtime-invalidates itself on
+    index mutation); omitted, each call builds a cold handle."""
     body = dict(body or {})
-    s = Searcher(spark, out_dir)
+    s = searcher if searcher is not None and searcher.out_dir == out_dir else Searcher(spark, out_dir)
     plan = parse_query(body.get("query"), analyzer=s.stats.get("analyzer"))
     size = int(body.get("size", 10))
     from_ = int(body.get("from", 0))
@@ -763,7 +769,10 @@ def search_body(spark: SparkSession, out_dir: str, body: dict) -> dict:
             kinds.update(k for k in spec if k != "aggs")
             for cspec in (spec.get("aggs") or {}).values():
                 kinds.update(k for k in cspec if k != "aggs")
-        if kinds <= {"terms", "date_histogram", "histogram", "stats"}:
+        if kinds <= {
+            "terms", "date_histogram", "histogram", "stats",
+            "avg", "sum", "min", "max", "value_count", "range",
+        }:
             # serving fast path: row-for-row identical to the distributed
             # plan for these kinds (escalates itself past max_hits);
             # cardinality/percentiles keep ES's approximate semantics on
@@ -788,7 +797,8 @@ def search_body(spark: SparkSession, out_dir: str, body: dict) -> dict:
 
 
 def search_body_daily(
-    spark: SparkSession, root: str, body: dict, *, time_range: tuple | None = None
+    spark: SparkSession, root: str, body: dict, *,
+    time_range: tuple | None = None, searcher=None,
 ) -> dict:
     """Execute an ES-shaped request body against a DAILY index root with a
     time window — the Kibana shape (an index pattern like
@@ -802,12 +812,19 @@ def search_body_daily(
     interestingness merge across the selected days (window-exact, see
     ``DailySearcher.multi_match_rows`` / ``expand_terms`` /
     ``mlt_terms``)."""
-    from .daily import DailySearcher, _merged_stats, select_days
+    from .daily import DailySearcher, select_days
     from .query import phrase_doc_ids
 
     body = dict(body or {})
+    # a long-lived DailySearcher serves repeated windows from its per-day
+    # stats/tombstone mtime caches (same contract as search_body's handle)
+    ds = (
+        searcher
+        if searcher is not None and searcher.root == root
+        else DailySearcher(spark, root)
+    )
     sel_days = select_days(root, time_range)
-    az = _merged_stats(root, sel_days).get("analyzer") if sel_days else None
+    az = ds._merged_stats(sel_days).get("analyzer") if sel_days else None
     plan = parse_query(body.get("query"), analyzer=az)
     size = int(body.get("size", 10))
     from_ = int(body.get("from", 0))
@@ -816,7 +833,6 @@ def search_body_daily(
     or_groups = plan["or_groups"] or None
     not_atoms = plan["not_atoms"] or None
     bounded = bool(filters or ranges or or_groups)
-    ds = DailySearcher(spark, root)
 
     sort_spec = body.get("sort")
     score_sorted = False
@@ -950,12 +966,10 @@ def search_body_daily(
         if plan["phrase"] is not None:
             n = _union_count(lambda dd: phrase_doc_ids(spark, dd, plan["phrase"]))
         elif plan["mm"] is not None:
-            from .daily import _merged_lookup, _merged_stats
-
-            stats = _merged_stats(root, days) if days else None
+            stats = ds._merged_stats(days) if days else None
             mm_plan = _multi_match_plan(
                 spark, root, stats, plan["mm"]["query"], plan["mm"]["fields"],
-                lookup=_merged_lookup(spark, root, days, stats["n_term_buckets"]),
+                lookup=ds._merged_lookup(days, stats["n_term_buckets"]),
                 field_avg=lambda _f: 1.0,  # totals need terms only, not norms
             ) if days else None
             n = 0 if mm_plan is None else _union_count(

@@ -1795,6 +1795,14 @@ def aggs_over_join(joined: DataFrame, aggs: dict) -> dict[str, DataFrame]:
         elif kind == "cardinality":
             fn = F.count_distinct if body.get("exact") else F.approx_count_distinct
             out[name] = joined.agg(fn(F.col(col)).alias("value"))
+        elif kind in _METRIC_FNS:
+            out[name] = joined.agg(_METRIC_FNS[kind](col).alias("value"))
+        elif kind == "range":
+            exprs, stack = _range_agg_parts(col, body["ranges"])
+            out[name] = (
+                joined.agg(*exprs).selectExpr(stack).orderBy("_rk")
+                .select("key", "n")
+            )
         elif kind == "percentiles":
             pcts = [float(p) for p in body.get("percents", [50.0, 95.0, 99.0])]
             out[name] = joined.agg(
@@ -1806,6 +1814,46 @@ def aggs_over_join(joined: DataFrame, aggs: dict) -> dict[str, DataFrame]:
         else:
             raise ValueError(f"unsupported agg type {kind!r} in {name!r}")
     return out
+
+
+_METRIC_FNS = {
+    "avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
+    "value_count": F.count,
+}
+
+
+def _range_key(spec: dict) -> str:
+    """ES range-agg bucket key: custom "key" or "from-to" with * open."""
+    if "key" in spec:
+        return str(spec["key"])
+    lo = f"{float(spec['from']):g}" if "from" in spec else "*"
+    hi = f"{float(spec['to']):g}" if "to" in spec else "*"
+    return f"{lo}-{hi}"
+
+
+def _range_agg_parts(col: str, ranges: list[dict]):
+    """ES range aggregation as ONE pass of conditional sums (ranges may
+    OVERLAP — a doc can land in several buckets, so this is NOT a groupBy
+    key): one agg row, stacked back to (key, n) bucket rows in spec
+    order. from is inclusive, to exclusive (the ES contract)."""
+    exprs = []
+    for i, spec in enumerate(ranges):
+        cond = F.lit(True) & F.col(col).isNotNull()
+        if "from" in spec:
+            cond = cond & (F.col(col) >= float(spec["from"]))
+        if "to" in spec:
+            cond = cond & (F.col(col) < float(spec["to"]))
+        exprs.append(
+            F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)).alias(f"_r{i}")
+        )
+    stack = (
+        f"stack({len(ranges)}, "
+        + ", ".join(
+            f"'{_range_key(s)}', {i}, _r{i}" for i, s in enumerate(ranges)
+        )
+        + ") as (key, _rk, n)"
+    )
+    return exprs, stack
 
 
 def _sub_bucket_df(
@@ -1871,6 +1919,14 @@ def _sub_bucket_df(
     elif ckind == "cardinality":
         fn = F.count_distinct if cbody.get("exact") else F.approx_count_distinct
         df = g.agg(fn(F.col(col)).alias("value"))
+    elif ckind in _METRIC_FNS:
+        df = g.agg(_METRIC_FNS[ckind](col).alias("value"))
+    elif ckind == "range":
+        exprs, stack = _range_agg_parts(col, cbody["ranges"])
+        df = g.agg(*exprs).selectExpr("key", "doc_count", stack.replace(
+            "as (key, _rk, n)", "as (child_key, _rk, n)"
+        ))
+        return df.orderBy(*p_order, "_rk").select("key", "doc_count", "child_key", "n")
     elif ckind == "percentiles":
         pcts = [float(p) for p in cbody.get("percents", [50.0, 95.0, 99.0])]
         df = g.agg(
@@ -1960,6 +2016,10 @@ def _aggs_pandas(pdf: pd.DataFrame, aggs: dict) -> dict[str, list[dict]]:
             }]
         elif kind == "cardinality":
             out[name] = [{"value": int(vals.dropna().nunique())}]
+        elif kind in _METRIC_FNS:
+            out[name] = [{"value": _pd_metric(kind, vals)}]
+        elif kind == "range":
+            out[name] = _pd_range_rows(vals, body["ranges"])
         elif kind == "percentiles":
             pcts = [float(p) for p in body.get("percents", [50.0, 95.0, 99.0])]
             v = pd.to_numeric(vals.dropna()).to_numpy()
@@ -1970,6 +2030,35 @@ def _aggs_pandas(pdf: pd.DataFrame, aggs: dict) -> dict[str, list[dict]]:
         else:
             raise ValueError(f"unsupported agg type {kind!r} in {name!r}")
     return out
+
+
+def _pd_metric(kind: str, vals: pd.Series):
+    """pandas twin of the single-metric aggs (Spark null ↔ None)."""
+    if kind == "value_count":
+        return int(vals.count())
+    v = pd.to_numeric(vals.dropna())
+    if not len(v):
+        return None
+    if kind == "avg":
+        return float(v.mean())
+    return v.min().item() if kind == "min" else (
+        v.max().item() if kind == "max" else v.sum().item()
+    )
+
+
+def _pd_range_rows(vals: pd.Series, ranges: list[dict]) -> list[dict]:
+    """pandas twin of the range agg: from inclusive, to exclusive, ranges
+    may overlap, bucket order = spec order."""
+    v = pd.to_numeric(vals.dropna())
+    rows = []
+    for spec in ranges:
+        mask = pd.Series(True, index=v.index)
+        if "from" in spec:
+            mask &= v >= float(spec["from"])
+        if "to" in spec:
+            mask &= v < float(spec["to"])
+        rows.append({"key": _range_key(spec), "n": int(mask.sum())})
+    return rows
 
 
 def _sub_bucket_pandas(
@@ -2030,6 +2119,16 @@ def _sub_bucket_pandas(
                 "key": k_out, "doc_count": dc,
                 "value": int(sel[cbody["field"]].dropna().nunique()),
             })
+        elif ckind in _METRIC_FNS:
+            rows.append({
+                "key": k_out, "doc_count": dc,
+                "value": _pd_metric(ckind, sel[cbody["field"]]),
+            })
+        elif ckind == "range":
+            rows.extend(
+                {"key": k_out, "doc_count": dc, "child_key": rr["key"], "n": rr["n"]}
+                for rr in _pd_range_rows(sel[cbody["field"]], cbody["ranges"])
+            )
         elif ckind == "percentiles":
             pcts = [float(p) for p in cbody.get("percents", [50.0, 95.0, 99.0])]
             v = pd.to_numeric(sel[cbody["field"]].dropna()).to_numpy()

@@ -248,3 +248,73 @@ def test_sub_bucket_aggs(spark, aroot):
             "y": {"terms": {"field": "lang"},
                   "aggs": {"z": {"stats": {"field": "n_chars"}}}},
         }}}, "spark")
+
+
+def test_metric_and_range_aggs(spark, aroot):
+    """The remaining common ES agg kinds: single metrics (avg/sum/min/max/
+    value_count) and the range bucket agg (from inclusive, to exclusive,
+    OVERLAPPING ranges allowed — one conditional-sum pass, not a groupBy),
+    flat and as terms children, Spark vs pandas serving twin vs truth."""
+    from conveyorbelt_spark.index.query import Searcher
+
+    out, rows, matching = aroot
+    vals = [nc for i, _, _, nc, _ in rows if i in matching]
+    spec = {
+        "a": {"avg": {"field": "n_chars"}},
+        "s": {"sum": {"field": "n_chars"}},
+        "mn": {"min": {"field": "n_chars"}},
+        "mx": {"max": {"field": "n_chars"}},
+        "vc": {"value_count": {"field": "n_chars"}},
+        "rg": {"range": {"field": "n_chars", "ranges": [
+            {"to": 100}, {"from": 100, "to": 300}, {"from": 250},  # overlap
+        ]}},
+    }
+    got = {
+        name: [r.asDict() for r in df.collect()]
+        for name, df in search_aggs(spark, out, spec, "spark join").items()
+    }
+    assert got["a"][0]["value"] == pytest.approx(sum(vals) / len(vals))
+    assert got["s"][0]["value"] == sum(vals)
+    assert got["mn"][0]["value"] == min(vals)
+    assert got["mx"][0]["value"] == max(vals)
+    assert got["vc"][0]["value"] == len(vals)
+    assert got["rg"] == [
+        {"key": "*-100", "n": sum(1 for v in vals if v < 100)},
+        {"key": "100-300", "n": sum(1 for v in vals if 100 <= v < 300)},
+        {"key": "250-*", "n": sum(1 for v in vals if v >= 250)},
+    ]
+    srv = Searcher(spark, out).aggs_rows(spec, "spark join")
+    assert {k: v for k, v in srv.items() if k != "a"} == {
+        k: v for k, v in got.items() if k != "a"
+    }
+    assert srv["a"][0]["value"] == pytest.approx(got["a"][0]["value"])
+
+    # as terms children
+    cspec = {"x": {"terms": {"field": "lang"},
+                   "aggs": {"r": {"range": {"field": "n_chars",
+                                            "ranges": [{"to": 250}, {"from": 250}]}}}},
+             "y": {"terms": {"field": "lang"},
+                   "aggs": {"v": {"sum": {"field": "n_chars"}}}}}
+    gotc = {
+        name: [r.asDict() for r in df.collect()]
+        for name, df in search_aggs(spark, out, cspec, "spark join").items()
+    }
+    per = {}
+    for i, _, lang, nc, _ in rows:
+        if i in matching:
+            per.setdefault(lang, []).append(nc)
+    langs = sorted(per, key=lambda lg: (-len(per[lg]), lg))
+    want_r = [
+        {"key": lg, "doc_count": len(per[lg]), "child_key": k, "n": n}
+        for lg in langs
+        for k, n in (
+            ("*-250", sum(1 for v in per[lg] if v < 250)),
+            ("250-*", sum(1 for v in per[lg] if v >= 250)),
+        )
+    ]
+    assert gotc["x"] == want_r
+    assert gotc["y"] == [
+        {"key": lg, "doc_count": len(per[lg]), "value": sum(per[lg])} for lg in langs
+    ]
+    srvc = Searcher(spark, out).aggs_rows(cspec, "spark join")
+    assert srvc == gotc

@@ -696,3 +696,16 @@ def test_constant_score_query(spark, droot):
     )
     assert _ids(r2) == want2
     assert r2["hits"]["total"]["value"] == len(want2)
+
+
+def test_search_body_reuses_searcher(spark, droot):
+    """A long-lived Searcher passed to search_body serves warm and stays
+    result-identical to a cold call."""
+    out, _ = droot
+    s = Searcher(spark, out)
+    body = {"query": {"match": {"text": "spark join"}}, "size": 10}
+    warm1 = search_body(spark, out, body, searcher=s)
+    assert len(s._block_cache) > 0  # the handle's caches were used
+    warm2 = search_body(spark, out, body, searcher=s)
+    cold = search_body(spark, out, body)
+    assert warm1 == warm2 == cold
