@@ -32,6 +32,8 @@ query context:
                    constant score 1.0, doc_id order)
   constant_score   {"constant_score": {"filter": {...}, "boost": b}} —
                    every hit scores b (default 1.0), doc_id order
+  ids              {"ids": {"values": [7, 11]}} — the listed docs that
+                   exist (docstore-resolved), constant score, id order
 
 filter context (inside bool.filter / bool.must, or top-level):
   term    {"term":  {"lang": "en"}}        — keyword-field posting filter
@@ -441,7 +443,7 @@ def parse_query(query: dict, analyzer=None) -> dict:
         "filters": {}, "ranges": {}, "phrase": None, "mm": None,
         "expand": None, "mlt": None, "match_all": False,
         "or_groups": [], "not_atoms": [], "extra_not_text": [],
-        "boost": 1.0,
+        "boost": 1.0, "ids": None,
     }
     if query is None:
         plan["match_all"] = True
@@ -480,6 +482,10 @@ def parse_query(query: dict, analyzer=None) -> dict:
         _parse_filter_clause(body["filter"], plan, analyzer)
         plan["match_all"] = True
         plan["boost"] = float(body.get("boost", 1.0))
+    elif kind == "ids":
+        # ES ids query: the listed documents that exist, constant score
+        # 1.0, doc_id order (resolution via the bucket-pruned docstore)
+        plan["ids"] = [int(v) for v in body["values"]]
     elif kind == "query_string":
         _parse_query_string(body, plan, analyzer)
     elif kind == "bool":
@@ -694,6 +700,13 @@ def search_body(
             if k in plan["mlt"]
         }
         rows = s.more_like_this(plan["mlt"]["like"], size + from_, **knobs)[from_:]
+    elif plan["ids"] is not None:
+        from .build import lookup_docs
+
+        present = lookup_docs(out_dir, plan["ids"])
+        rows = [
+            (d, plan["boost"]) for d in sorted(set(plan["ids"])) if d in present
+        ][from_ : from_ + size]
     elif plan["match_all"]:
         if after is not None:
             raise UnsupportedDSL(
@@ -733,6 +746,7 @@ def search_body(
 
         meta = lookup_docs(out_dir, [d for d, _ in rows])
     hl_cols = list((body.get("highlight") or {}).get("fields") or {})
+    hl_query = " ".join(x for x in (plan["query"], plan["must"]) if x)
     for i, (d, sc) in enumerate(rows):
         hit: dict[str, Any] = {"_id": int(d), "_score": None if sort_spec else float(sc)}
         if sort_spec:
@@ -743,12 +757,12 @@ def search_body(
         if want_source and d in meta:
             src = {k: v for k, v in meta[d].items() if k not in ("bucket", "run")}
             hit["_source"] = src
-        if hl_cols and d in meta and plan["query"]:
+        if hl_cols and d in meta and hl_query:
             frags = {}
             for col in hl_cols:
                 text = meta[d].get(col)
                 if text:
-                    frags[col] = _highlight_fragment(text, plan["query"])
+                    frags[col] = _highlight_fragment(text, hl_query)
             hit["highlight"] = {k: [v] for k, v in frags.items() if v}
         hits.append(hit)
 
@@ -906,6 +920,9 @@ def search_body_daily(
         rows = ds.more_like_this(
             plan["mlt"]["like"], size + from_, time_range=time_range, **knobs
         )[from_:]
+    elif plan["ids"] is not None:
+        present = _daily_ids_present(root, sel_days, plan["ids"])
+        rows = [(d, plan["boost"]) for d in present][from_ : from_ + size]
     elif plan["match_all"]:
         if after is not None:
             raise UnsupportedDSL(
@@ -963,7 +980,9 @@ def search_body_daily(
             dfs = [per_day(day_dir(root, d)) for d in days]
             return reduce(_DF.unionByName, dfs).count() if dfs else 0
 
-        if plan["phrase"] is not None:
+        if plan["ids"] is not None:
+            n = len(_daily_ids_present(root, days, plan["ids"]))
+        elif plan["phrase"] is not None:
             n = _union_count(lambda dd: phrase_doc_ids(spark, dd, plan["phrase"]))
         elif plan["mm"] is not None:
             stats = ds._merged_stats(days) if days else None
@@ -1029,6 +1048,23 @@ def search_body_daily(
     return resp
 
 
+def _daily_ids_present(root: str, days: list[str], ids: list[int]) -> list[int]:
+    """The subset of ``ids`` stored in the selected days' docstores (day
+    corpora are doc-disjoint; each probe is bucket-pruned and the loop
+    exits once every id is found)."""
+    from .build import lookup_docs
+    from .daily import day_dir
+
+    found: set[int] = set()
+    missing = sorted(set(int(v) for v in ids))
+    for d in days:
+        if not missing:
+            break
+        found |= set(lookup_docs(day_dir(root, d), missing))
+        missing = [m for m in missing if m not in found]
+    return sorted(found)
+
+
 def _exact_total(
     spark, out_dir: str, s: Searcher, plan: dict, filters, ranges,
     or_groups=None, not_atoms=None,
@@ -1056,6 +1092,10 @@ def _exact_total(
         posting_docs_terms,
     )
 
+    if plan.get("ids") is not None:
+        from .build import lookup_docs
+
+        return len(lookup_docs(out_dir, plan["ids"]))
     if plan["phrase"] is not None:
         return phrase_doc_ids(spark, out_dir, plan["phrase"]).count()
     if plan["mm"] is not None:

@@ -709,3 +709,23 @@ def test_search_body_reuses_searcher(spark, droot):
     warm2 = search_body(spark, out, body, searcher=s)
     cold = search_body(spark, out, body)
     assert warm1 == warm2 == cold
+
+
+def test_ids_query_and_must_highlight(spark, droot):
+    """ES ids query (existing subset back, constant score, doc_id order,
+    exact totals) and highlighting of MUST terms (a must-only bool gets
+    highlights too)."""
+    out, rows = droot
+    resp = search_body(spark, out, {
+        "query": {"ids": {"values": [3, 7, 999999, 11, 7]}},
+        "size": 10, "track_total_hits": True,
+    })
+    assert _ids(resp) == [3, 7, 11]
+    assert all(h["_score"] == 1.0 for h in resp["hits"]["hits"])
+    assert resp["hits"]["total"] == {"value": 3, "relation": "eq"}
+    # must-only bool still highlights its terms
+    r2 = search_body(spark, out, {
+        "query": {"bool": {"must": [{"match": {"text": "spark"}}]}},
+        "size": 3, "highlight": {"fields": {"text": {}}},
+    })
+    assert all("<em>spark</em>" in h["highlight"]["text"][0] for h in r2["hits"]["hits"])
