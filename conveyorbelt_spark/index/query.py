@@ -1755,10 +1755,28 @@ def aggs_over_join(joined: DataFrame, aggs: dict) -> dict[str, DataFrame]:
     out: dict[str, DataFrame] = {}
     for name, spec in aggs.items():
         kind, body, sub = _agg_spec(name, spec)
+        if kind == "filter":
+            out[name] = _filter_agg_df(joined, name, body, sub)
+            continue
+        if kind == "filters":
+            exprs, stack = _filters_agg_parts(body["filters"])
+            out[name] = (
+                joined.agg(*exprs).selectExpr(stack).orderBy("_rk")
+                .select("key", "n")
+            )
+            continue
         if sub is not None:
             out[name] = _sub_bucket_df(joined, name, kind, body, sub)
             continue
         col = body["field"]
+        if kind == "missing":
+            # ES missing agg: the bucket of hits WITHOUT the field
+            out[name] = joined.agg(
+                F.coalesce(
+                    F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)), F.lit(0)
+                ).alias("n")
+            )
+            continue
         if kind == "terms":
             df = (
                 joined.groupBy(F.col(col).alias("key"))
@@ -1854,6 +1872,146 @@ def _range_agg_parts(col: str, ranges: list[dict]):
         + ") as (key, _rk, n)"
     )
     return exprs, stack
+
+
+_RANGE_OPS = {"gte": "__ge__", "gt": "__gt__", "lte": "__le__", "lt": "__lt__"}
+
+
+def _clause_list(x) -> list:
+    if x is None:
+        return []
+    return list(x) if isinstance(x, list) else [x]
+
+
+def _filter_cond(clause: dict):
+    """ES filter-context clause → a Spark boolean Column over the STORED
+    columns of the matching set. These are the filter/filters-AGGREGATION
+    predicates — ES evaluates them over the query's hits, so they are
+    post-query bucket conditions, never posting-list pushdowns. Leaf
+    conditions null-coalesce to false so bool.must_not keeps ES semantics
+    (a doc missing the field matches the negation)."""
+    if len(clause) != 1:
+        raise ValueError(
+            f"filter clause must have exactly one key, got {list(clause)}"
+        )
+    kind, body = next(iter(clause.items()))
+    if kind == "term":
+        f, v = next(iter(body.items()))
+        v = v["value"] if isinstance(v, dict) else v
+        return F.coalesce(F.col(f) == F.lit(v), F.lit(False))
+    if kind == "terms":
+        f, vs = next(iter(body.items()))
+        return F.coalesce(F.col(f).isin(list(vs)), F.lit(False))
+    if kind == "range":
+        f, spec = next(iter(body.items()))
+        cond = F.col(f).isNotNull()
+        for op, v in spec.items():
+            if op not in _RANGE_OPS:
+                raise ValueError(f"unsupported range operator {op!r} on {f!r}")
+            cond = cond & getattr(F.col(f), _RANGE_OPS[op])(F.lit(v))
+        return F.coalesce(cond, F.lit(False))
+    if kind == "exists":
+        return F.col(body["field"]).isNotNull()
+    if kind == "bool":
+        cond = F.lit(True)
+        for c in _clause_list(body.get("must")) + _clause_list(body.get("filter")):
+            cond = cond & _filter_cond(c)
+        shoulds = _clause_list(body.get("should"))
+        if shoulds:
+            oc = F.lit(False)
+            for c in shoulds:
+                oc = oc | _filter_cond(c)
+            cond = cond & oc
+        for c in _clause_list(body.get("must_not")):
+            cond = cond & ~_filter_cond(c)
+        return cond
+    raise ValueError(f"unsupported filter-agg clause {kind!r}")
+
+
+def _filters_agg_parts(specs: dict):
+    """ES named-``filters`` aggregation as ONE pass of conditional sums
+    (buckets may overlap — a doc can match several named filters, so this
+    is NOT a groupBy): one agg row, stacked back to (key, n) rows in spec
+    order (ES keyed-bucket order)."""
+    exprs = [
+        F.coalesce(
+            F.sum(F.when(_filter_cond(c), 1).otherwise(0)), F.lit(0)
+        ).alias(f"_f{i}")
+        for i, c in enumerate(specs.values())
+    ]
+    names = ", ".join(
+        f"""'{str(nm).replace("'", "''")}', {i}, _f{i}"""
+        for i, nm in enumerate(specs)
+    )
+    return exprs, f"stack({len(specs)}, {names}) as (key, _rk, n)"
+
+
+def _filter_agg_df(
+    joined: DataFrame, name: str, clause: dict, sub: dict | None
+) -> DataFrame:
+    """ES single-``filter`` bucket agg: the subset of hits matching a
+    filter-context clause, with an optional child agg computed inside it
+    (the "errors only" dashboard panel). Rows: ``(n)`` alone, or
+    ``(doc_count, child cols…)`` — doc_count is the ES bucket count."""
+    fsel = joined.where(_filter_cond(clause))
+    if sub is None:
+        return fsel.agg(F.count("*").alias("n"))
+    if len(sub) != 1:
+        raise ValueError(
+            f"agg {name!r}: exactly one sub-agg is supported, got {list(sub)}"
+        )
+    ((cname, cspec),) = sub.items()
+    ckind, cbody, csub = _agg_spec(cname, cspec)
+    if csub is not None:
+        raise ValueError(f"agg {name!r}: sub-aggs nest one level only")
+    if ckind in ("terms", "date_histogram", "histogram"):
+        cnt = fsel.agg(F.count("*").alias("doc_count"))
+        df = (
+            fsel.groupBy(_bucket_expr(ckind, cbody).alias("key"))
+            .agg(F.count("*").alias("n"))
+        )
+        if ckind == "terms":
+            df = df.orderBy(F.desc("n"), F.asc("key"))
+            csize = int(cbody.get("size", 10))
+            if csize:
+                df = df.limit(csize)
+            order = [F.desc("n"), F.asc("key")]
+        else:
+            order = [F.asc("key")]
+        # the bucket count is one row — broadcast, no shuffle
+        return (
+            df.crossJoin(F.broadcast(cnt))
+            .select("doc_count", "key", "n").orderBy(*order)
+        )
+    col = cbody["field"]
+    dc = F.count("*").alias("doc_count")
+    if ckind == "stats":
+        return fsel.agg(
+            dc,
+            F.count(col).alias("count"),
+            F.min(col).alias("min"),
+            F.max(col).alias("max"),
+            F.avg(col).alias("avg"),
+            F.sum(col).alias("sum"),
+        )
+    if ckind == "cardinality":
+        fn = F.count_distinct if cbody.get("exact") else F.approx_count_distinct
+        return fsel.agg(dc, fn(F.col(col)).alias("value"))
+    if ckind in _METRIC_FNS:
+        return fsel.agg(dc, _METRIC_FNS[ckind](col).alias("value"))
+    if ckind == "range":
+        exprs, stack = _range_agg_parts(col, cbody["ranges"])
+        return (
+            fsel.agg(dc, *exprs).selectExpr("doc_count", stack)
+            .orderBy("_rk").select("doc_count", "key", "n")
+        )
+    if ckind == "percentiles":
+        pcts = [float(p) for p in cbody.get("percents", [50.0, 95.0, 99.0])]
+        return fsel.agg(
+            dc,
+            *[F.percentile_approx(col, p / 100.0).alias(f"p{p:g}") for p in pcts],
+        )
+    raise ValueError(f"unsupported sub-agg type {ckind!r} in {name!r}")
 
 
 def _sub_bucket_df(
@@ -1983,11 +2141,23 @@ def _aggs_pandas(pdf: pd.DataFrame, aggs: dict) -> dict[str, list[dict]]:
     out: dict[str, list[dict]] = {}
     for name, spec in aggs.items():
         kind, body, sub = _agg_spec(name, spec)
+        if kind == "filter":
+            out[name] = _filter_agg_pandas(pdf, name, body, sub)
+            continue
+        if kind == "filters":
+            out[name] = [
+                {"key": str(nm), "n": int(_pd_filter_mask(pdf, c).sum())}
+                for nm, c in body["filters"].items()
+            ]
+            continue
         if sub is not None:
             out[name] = _sub_bucket_pandas(pdf, name, kind, body, sub)
             continue
         col = body["field"]
         vals = pdf[col] if col in getattr(pdf, "columns", []) else pd.Series(dtype=object)
+        if kind == "missing":
+            out[name] = [{"n": len(pdf) - int(vals.notna().sum())}]
+            continue
         if kind == "terms":
             c = vals.dropna().value_counts()
             # native key types (numpy scalars unwrapped): tie order (n desc,
@@ -2059,6 +2229,129 @@ def _pd_range_rows(vals: pd.Series, ranges: list[dict]) -> list[dict]:
             mask &= v < float(spec["to"])
         rows.append({"key": _range_key(spec), "n": int(mask.sum())})
     return rows
+
+
+def _pd_filter_mask(pdf: pd.DataFrame, clause: dict) -> pd.Series:
+    """pandas twin of ``_filter_cond``: a boolean mask over the hits
+    frame, nulls → False (so must_not matches missing-field docs, same as
+    the coalesced Spark condition)."""
+    if len(clause) != 1:
+        raise ValueError(
+            f"filter clause must have exactly one key, got {list(clause)}"
+        )
+    kind, body = next(iter(clause.items()))
+    cols = getattr(pdf, "columns", [])
+
+    def series(f):
+        return pdf[f] if f in cols else pd.Series(index=pdf.index, dtype=object)
+
+    def coerce(s, v):
+        # Spark compares a timestamp column to a string literal by cast;
+        # mirror that here so range/term specs can use ISO strings
+        return pd.to_datetime(v) if pd.api.types.is_datetime64_any_dtype(s) else v
+
+    if kind == "term":
+        f, v = next(iter(body.items()))
+        v = v["value"] if isinstance(v, dict) else v
+        s = series(f)
+        return (s == coerce(s, v)).fillna(False)
+    if kind == "terms":
+        f, vs = next(iter(body.items()))
+        s = series(f)
+        return s.isin([coerce(s, v) for v in vs]).fillna(False)
+    if kind == "range":
+        f, spec = next(iter(body.items()))
+        s = series(f)
+        mask = s.notna()
+        ops = {"gte": "ge", "gt": "gt", "lte": "le", "lt": "lt"}
+        for op, v in spec.items():
+            if op not in ops:
+                raise ValueError(f"unsupported range operator {op!r} on {f!r}")
+            mask &= getattr(s, ops[op])(coerce(s, v)).fillna(False)
+        return mask
+    if kind == "exists":
+        return series(body["field"]).notna()
+    if kind == "bool":
+        mask = pd.Series(True, index=pdf.index)
+        for c in _clause_list(body.get("must")) + _clause_list(body.get("filter")):
+            mask &= _pd_filter_mask(pdf, c)
+        shoulds = _clause_list(body.get("should"))
+        if shoulds:
+            om = pd.Series(False, index=pdf.index)
+            for c in shoulds:
+                om |= _pd_filter_mask(pdf, c)
+            mask &= om
+        for c in _clause_list(body.get("must_not")):
+            mask &= ~_pd_filter_mask(pdf, c)
+        return mask
+    raise ValueError(f"unsupported filter-agg clause {kind!r}")
+
+
+def _filter_agg_pandas(
+    pdf: pd.DataFrame, name: str, clause: dict, sub: dict | None
+) -> list[dict]:
+    """pandas twin of ``_filter_agg_df`` — identical rows in identical
+    order."""
+    import numpy as np
+
+    mask = _pd_filter_mask(pdf, clause)
+    dc = int(mask.sum())
+    if sub is None:
+        return [{"n": dc}]
+    if len(sub) != 1:
+        raise ValueError(
+            f"agg {name!r}: exactly one sub-agg is supported, got {list(sub)}"
+        )
+    ((cname, cspec),) = sub.items()
+    ckind, cbody, csub = _agg_spec(cname, cspec)
+    if csub is not None:
+        raise ValueError(f"agg {name!r}: sub-aggs nest one level only")
+    sel = pdf[mask] if len(pdf) else pdf
+    if ckind in ("terms", "date_histogram", "histogram"):
+        cc = _pd_bucket_key(sel, ckind, cbody).value_counts()
+        children = [(_key_out(ck), int(cn)) for ck, cn in cc.items()]
+        if ckind == "terms":
+            children.sort(key=lambda kv: (-kv[1], kv[0]))
+            csize = int(cbody.get("size", 10))
+            if csize:
+                children = children[:csize]
+        else:
+            children.sort(key=lambda kv: kv[0])
+        return [
+            {"doc_count": dc, "key": ck, "n": cn} for ck, cn in children
+        ]
+    col = cbody["field"]
+    vals = sel[col] if col in getattr(sel, "columns", []) else pd.Series(dtype=object)
+    if ckind == "stats":
+        v = pd.to_numeric(vals.dropna())
+        return [{
+            "doc_count": dc,
+            "count": int(v.count()),
+            "min": None if not len(v) else v.min().item(),
+            "max": None if not len(v) else v.max().item(),
+            "avg": None if not len(v) else float(v.mean()),
+            "sum": None if not len(v) else v.sum().item(),
+        }]
+    if ckind == "cardinality":
+        return [{"doc_count": dc, "value": int(vals.dropna().nunique())}]
+    if ckind in _METRIC_FNS:
+        return [{"doc_count": dc, "value": _pd_metric(ckind, vals)}]
+    if ckind == "range":
+        return [
+            {"doc_count": dc, "key": rr["key"], "n": rr["n"]}
+            for rr in _pd_range_rows(vals, cbody["ranges"])
+        ]
+    if ckind == "percentiles":
+        pcts = [float(p) for p in cbody.get("percents", [50.0, 95.0, 99.0])]
+        v = pd.to_numeric(vals.dropna()).to_numpy()
+        return [{
+            "doc_count": dc,
+            **{
+                f"p{p:g}": (float(np.percentile(v, p)) if len(v) else None)
+                for p in pcts
+            },
+        }]
+    raise ValueError(f"unsupported sub-agg type {ckind!r} in {name!r}")
 
 
 def _sub_bucket_pandas(

@@ -2442,6 +2442,84 @@ ORDER BY score DESC, doc_id ASC
 """
 
 
+def q49_filter_aggs(spark, sf_dir):
+    """ES filter / filters / missing bucket aggregations over the full
+    matching set of a search, through the real index: a single-filter
+    bucket with a terms child (rows carry the bucket doc_count), three
+    overlapping named filters computed in ONE conditional-sum pass (no
+    per-filter scan), and the missing-field bucket. Buckets flattened to
+    (bucket, n) rows; DuckDB twin is conditional counts + one GROUP BY
+    over the same hit set."""
+    import shutil
+    import tempfile
+
+    from .index.build import build_index, write_docstore
+    from .index.query import search_aggs
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="cb_q49_idx_")
+    try:
+        build_index(spark, docs.select("doc_id", "text"), out, url_col=None, n_buckets=8)
+        write_docstore(
+            spark, docs, out, url_col=None, extra_cols=("lang", "source", "n_chars")
+        )
+        res = search_aggs(
+            spark, out,
+            {
+                "en_by_src": {
+                    "filter": {"term": {"lang": "en"}},
+                    "aggs": {"src": {"terms": {"field": "source", "size": 0}}},
+                },
+                "named": {"filters": {"filters": {
+                    "short": {"range": {"n_chars": {"lt": 600}}},
+                    "latin": {"terms": {"lang": ["en", "de", "fr", "es"]}},
+                    "not_en": {"bool": {
+                        "must": {"exists": {"field": "lang"}},
+                        "must_not": {"term": {"lang": "en"}},
+                    }},
+                }}},
+                "no_lang": {"missing": {"field": "lang"}},
+            },
+            " ".join(BM25_QUERY_TERMS),
+        )
+        rows = [
+            ("en_by_src:" + r.key, int(r.n)) for r in res["en_by_src"].collect()
+        ]
+        en_rows = res["en_by_src"].collect()
+        rows.append(("en_by_src_total", int(en_rows[0].doc_count) if en_rows else 0))
+        rows += [("named:" + r.key, int(r.n)) for r in res["named"].collect()]
+        rows.append(("no_lang", int(res["no_lang"].collect()[0].n)))
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    out_df = spark.createDataFrame(rows, "bucket string, n long")
+    return out_df.orderBy("bucket")
+
+
+Q49_SQL = f"""
+WITH toks AS ({_TOKENS_SQL}),
+hits AS (
+  SELECT doc_id FROM toks GROUP BY doc_id
+  HAVING max(CASE WHEN term IN (SELECT unnest({BM25_QUERY_TERMS!r}))
+             THEN 1 ELSE 0 END) = 1
+),
+m AS (SELECT d.* FROM documents d JOIN hits USING (doc_id))
+SELECT 'en_by_src:' || source AS bucket, count(*) AS n
+FROM m WHERE lang = 'en' GROUP BY source
+UNION ALL
+SELECT 'en_by_src_total', count(*) FROM m WHERE lang = 'en'
+UNION ALL
+SELECT 'named:short', count(*) FROM m WHERE n_chars < 600
+UNION ALL
+SELECT 'named:latin', count(*) FROM m WHERE lang IN ('en','de','fr','es')
+UNION ALL
+SELECT 'named:not_en', count(*) FROM m
+WHERE lang IS NOT NULL AND NOT (lang = 'en')
+UNION ALL
+SELECT 'no_lang', count(*) FROM m WHERE lang IS NULL
+ORDER BY bucket
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -2491,6 +2569,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q46_query_string": q46_query_string,
     "q47_constant_score": q47_constant_score,
     "q48_score_search_after": q48_score_search_after,
+    "q49_filter_aggs": q49_filter_aggs,
 }
 
 ORACLES: dict[str, str] = {
@@ -2542,4 +2621,5 @@ ORACLES: dict[str, str] = {
     "q46_query_string": Q46_SQL,
     "q47_constant_score": Q47_SQL,
     "q48_score_search_after": Q48_SQL,
+    "q49_filter_aggs": Q49_SQL,
 }

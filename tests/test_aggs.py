@@ -318,3 +318,114 @@ def test_metric_and_range_aggs(spark, aroot):
     ]
     srvc = Searcher(spark, out).aggs_rows(cspec, "spark join")
     assert srvc == gotc
+
+
+def test_filter_filters_missing_aggs(spark, aroot):
+    """ES filter / filters / missing bucket aggs: a single-filter bucket,
+    overlapping named-filter buckets (one conditional-sum pass, spec
+    order), and the missing-field bucket — pandas truths from the raw
+    rows, serving path row-identical."""
+    from conveyorbelt_spark.index.query import Searcher
+
+    out, rows, matching = aroot
+    spec = {
+        "en_only": {"filter": {"term": {"lang": "en"}}},
+        "named": {"filters": {"filters": {
+            "small": {"range": {"n_chars": {"lt": 200}}},
+            "en_or_de": {"terms": {"lang": ["en", "de"]}},
+            "not_fr": {"bool": {"must_not": {"term": {"lang": "fr"}}}},
+        }}},
+        "no_lang": {"missing": {"field": "lang"}},
+    }
+    res = search_aggs(spark, out, spec, "spark join")
+    hit = [(lang, nc) for i, _, lang, nc, _ in rows if i in matching]
+    assert [r.n for r in res["en_only"].collect()] == [
+        sum(1 for lg, _ in hit if lg == "en")
+    ]
+    named = [(r.key, r.n) for r in res["named"].collect()]
+    assert named == [
+        ("small", sum(1 for _, nc in hit if nc < 200)),
+        ("en_or_de", sum(1 for lg, _ in hit if lg in ("en", "de"))),
+        ("not_fr", sum(1 for lg, _ in hit if lg != "fr")),
+    ]
+    assert [r.n for r in res["no_lang"].collect()] == [0]
+    got = Searcher(spark, out).aggs_rows(spec, "spark join")
+    want = {
+        name: [r.asDict() for r in df.collect()] for name, df in res.items()
+    }
+    assert got == want
+
+
+def test_filter_agg_children(spark, aroot):
+    """filter agg with a child: bucketing child rows carry the bucket's
+    doc_count (broadcast single-row join, no shuffle); metric/stats
+    children fold into the same single agg row. Serving twin identical."""
+    from conveyorbelt_spark.index.query import Searcher
+
+    out, rows, matching = aroot
+    spec = {
+        "en": {
+            "filter": {"term": {"lang": "en"}},
+            "aggs": {"by_day": {
+                "date_histogram": {"field": "ts", "interval": "day"}
+            }},
+        },
+        "de": {
+            "filter": {"term": {"lang": "de"}},
+            "aggs": {"len": {"avg": {"field": "n_chars"}}},
+        },
+    }
+    res = search_aggs(spark, out, spec, "spark join")
+    hit = [(lang, nc, ts) for i, _, lang, nc, ts in rows if i in matching]
+    en = [(nc, ts.replace(hour=0)) for lg, nc, ts in hit if lg == "en"]
+    want_days: dict = {}
+    for _, day in en:
+        want_days[day] = want_days.get(day, 0) + 1
+    got_en = [(r.doc_count, r.key, r.n) for r in res["en"].collect()]
+    assert got_en == [
+        (len(en), d, n) for d, n in sorted(want_days.items())
+    ]
+    de = [nc for lg, nc, _ in hit if lg == "de"]
+    row = res["de"].collect()[0]
+    assert row.doc_count == len(de)
+    assert abs(row.value - sum(de) / len(de)) < 1e-9
+    got = Searcher(spark, out).aggs_rows(spec, "spark join")
+    want = {
+        name: [r.asDict() for r in df.collect()] for name, df in res.items()
+    }
+    assert got == want
+
+
+def test_missing_agg_counts_nulls(spark, tmp_path):
+    """missing agg over an index whose stored column HAS nulls."""
+    rows = [
+        (i, "spark join " + ("x" if i % 2 else "y"),
+         None if i % 3 == 0 else ["en", "de"][i % 2], i * 10)
+        for i in range(30)
+    ]
+    out = str(tmp_path / "midx")
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, n_chars long"
+    )
+    build_index(spark, docs, out, url_col=None, n_buckets=2, n_term_buckets=4)
+    write_docstore(spark, docs, out, url_col=None, extra_cols=("lang", "n_chars"))
+    spec = {
+        "no_lang": {"missing": {"field": "lang"}},
+        "has_lang": {"filter": {"exists": {"field": "lang"}}},
+        "not_en": {"filters": {"filters": {
+            "not_en": {"bool": {"must_not": {"term": {"lang": "en"}}}},
+        }}},
+    }
+    res = search_aggs(spark, out, spec, "spark join")
+    n_null = sum(1 for r in rows if r[2] is None)
+    assert [r.n for r in res["no_lang"].collect()] == [n_null]
+    assert [r.n for r in res["has_lang"].collect()] == [30 - n_null]
+    # ES must_not semantics: docs MISSING the field match the negation
+    n_not_en = sum(1 for r in rows if r[2] != "en")
+    assert [(r.key, r.n) for r in res["not_en"].collect()] == [("not_en", n_not_en)]
+    from conveyorbelt_spark.index.query import Searcher
+
+    got = Searcher(spark, out).aggs_rows(spec, "spark join")
+    assert got == {
+        name: [r.asDict() for r in df.collect()] for name, df in res.items()
+    }
