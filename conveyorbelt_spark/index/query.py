@@ -2014,6 +2014,41 @@ def _filter_agg_df(
     raise ValueError(f"unsupported sub-agg type {ckind!r} in {name!r}")
 
 
+def _th_sort(cbody: dict) -> list[tuple[str, bool]]:
+    """ES top_hits sort spec → [(field, ascending)]. The hits reaching a
+    sub-agg are an unscored matching SET (the agg path never ranks), so
+    ``_score`` sort is rejected rather than silently wrong; no sort means
+    doc_id order (deterministic, the tiebreak either way)."""
+    out: list[tuple[str, bool]] = []
+    for s in cbody.get("sort", []):
+        if isinstance(s, str):
+            field, order = s, "asc"
+        else:
+            field, spec = next(iter(s.items()))
+            order = spec.get("order", "asc") if isinstance(spec, dict) else str(spec)
+        if field == "_score":
+            raise ValueError(
+                "top_hits inside aggs sorts by stored fields only "
+                "(the matching set is unscored here)"
+            )
+        out.append((field, order != "desc"))
+    return out
+
+
+_TH_INTERNAL = ("key", "doc_count", "doc_id", "rank", "bucket", "run")
+
+
+def _th_source(cbody: dict, cols: list[str]) -> list[str]:
+    """top_hits ``_source`` columns: the requested list, or every stored
+    column minus the internal/partition ones (bucket/run are docstore
+    layout, not document fields — and absent from the serving-path
+    frame)."""
+    src = cbody.get("_source")
+    if src is None:
+        return [c for c in cols if c not in _TH_INTERNAL]
+    return [src] if isinstance(src, str) else list(src)
+
+
 def _sub_bucket_df(
     joined: DataFrame, name: str, pkind: str, pbody: dict, sub: dict
 ) -> DataFrame:
@@ -2045,6 +2080,25 @@ def _sub_bucket_df(
     p_order = (
         [F.desc("doc_count"), F.asc("key")] if pkind == "terms" else [F.asc("key")]
     )
+    if ckind == "top_hits":
+        from pyspark.sql import Window
+
+        size = int(cbody.get("size", 3))  # the ES top_hits default
+        order = [
+            # ES puts missing sort values LAST either way (missing: _last)
+            (F.asc_nulls_last(f) if asc else F.desc_nulls_last(f))
+            for f, asc in _th_sort(cbody)
+        ] + [F.asc("doc_id")]
+        w = Window.partitionBy("key").orderBy(*order)
+        df = (
+            sel.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= size)
+        )
+        src = _th_source(cbody, sel.columns)
+        return (
+            df.select("key", "doc_count", "rank", "doc_id", *src)
+            .orderBy(*p_order, F.asc("rank"))
+        )
     if ckind in ("terms", "date_histogram", "histogram"):
         df = (
             sel.groupBy("key", "doc_count", _bucket_expr(ckind, cbody).alias("child_key"))
@@ -2383,6 +2437,22 @@ def _sub_bucket_pandas(
     for k_raw, dc in parents:
         sel = pdf[(pk == k_raw).fillna(False)]
         k_out = _key_out(k_raw)
+        if ckind == "top_hits":
+            size = int(cbody.get("size", 3))
+            sort = _th_sort(cbody)
+            by = [f for f, _ in sort] + ["doc_id"]
+            asc = [a for _, a in sort] + [True]
+            top = sel.sort_values(by=by, ascending=asc).head(size)
+            src = _th_source(cbody, list(sel.columns))
+            rows.extend(
+                {
+                    "key": k_out, "doc_count": dc, "rank": i + 1,
+                    "doc_id": int(r["doc_id"]),
+                    **{c: _key_out(r[c]) for c in src},
+                }
+                for i, (_, r) in enumerate(top.iterrows())
+            )
+            continue
         if ckind in ("terms", "date_histogram", "histogram"):
             cc = _pd_bucket_key(sel, ckind, cbody).value_counts()
             children = [(_key_out(ck), int(cn)) for ck, cn in cc.items()]

@@ -2520,6 +2520,70 @@ ORDER BY bucket
 """
 
 
+def q50_top_hits(spark, sf_dir):
+    """ES top_hits sub-aggregation: terms(lang) buckets each carrying
+    their 2 longest matching documents (sort n_chars desc, doc_id
+    tiebreak) — the "show me examples per group" dashboard panel. One
+    window row_number over the parent key, never a per-bucket rescan.
+    DuckDB twin: row_number() OVER (PARTITION BY lang …) <= 2 joined to
+    the parent counts."""
+    import shutil
+    import tempfile
+
+    from .index.build import build_index, write_docstore
+    from .index.query import search_aggs
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="cb_q50_idx_")
+    try:
+        build_index(spark, docs.select("doc_id", "text"), out, url_col=None, n_buckets=8)
+        write_docstore(spark, docs, out, url_col=None, extra_cols=("lang", "n_chars"))
+        res = search_aggs(
+            spark, out,
+            {"by_lang": {
+                "terms": {"field": "lang", "size": 0},
+                "aggs": {"biggest": {"top_hits": {
+                    "size": 2,
+                    "sort": [{"n_chars": {"order": "desc"}}],
+                    "_source": ["n_chars"],
+                }}},
+            }},
+            " ".join(BM25_QUERY_TERMS),
+        )["by_lang"]
+        rows = [
+            (r.key, int(r.doc_count), int(r.rank), int(r.doc_id), int(r.n_chars))
+            for r in res.collect()
+        ]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    out_df = spark.createDataFrame(
+        rows, "lang string, doc_count long, rank long, doc_id long, n_chars long"
+    )
+    return out_df.orderBy("lang", "rank")
+
+
+Q50_SQL = f"""
+WITH toks AS ({_TOKENS_SQL}),
+hits AS (
+  SELECT doc_id FROM toks GROUP BY doc_id
+  HAVING max(CASE WHEN term IN (SELECT unnest({BM25_QUERY_TERMS!r}))
+             THEN 1 ELSE 0 END) = 1
+),
+m AS (SELECT d.* FROM documents d JOIN hits USING (doc_id)),
+pc AS (SELECT lang, count(*) AS doc_count FROM m GROUP BY lang),
+rk AS (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id) AS rank
+  FROM m
+)
+SELECT rk.lang AS lang, pc.doc_count AS doc_count, rk.rank AS rank,
+       rk.doc_id AS doc_id, rk.n_chars AS n_chars
+FROM rk JOIN pc USING (lang) WHERE rank <= 2
+ORDER BY lang, rank
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -2570,6 +2634,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q47_constant_score": q47_constant_score,
     "q48_score_search_after": q48_score_search_after,
     "q49_filter_aggs": q49_filter_aggs,
+    "q50_top_hits": q50_top_hits,
 }
 
 ORACLES: dict[str, str] = {
@@ -2622,4 +2687,5 @@ ORACLES: dict[str, str] = {
     "q47_constant_score": Q47_SQL,
     "q48_score_search_after": Q48_SQL,
     "q49_filter_aggs": Q49_SQL,
+    "q50_top_hits": Q50_SQL,
 }

@@ -429,3 +429,53 @@ def test_missing_agg_counts_nulls(spark, tmp_path):
     assert got == {
         name: [r.asDict() for r in df.collect()] for name, df in res.items()
     }
+
+
+def test_top_hits_sub_agg(spark, aroot):
+    """ES top_hits sub-agg: per-parent top-N docs by a stored-field sort
+    (window row_number — one extra shuffle key, never a per-bucket scan),
+    doc_id tiebreak, ES missing-last null order. Serving twin identical."""
+    from conveyorbelt_spark.index.query import Searcher
+
+    out, rows, matching = aroot
+    spec = {
+        "by_lang": {
+            "terms": {"field": "lang"},
+            "aggs": {"biggest": {"top_hits": {
+                "size": 2,
+                "sort": [{"n_chars": {"order": "desc"}}],
+                "_source": ["n_chars"],
+            }}},
+        },
+    }
+    res = search_aggs(spark, out, spec, "spark join")
+    hit = [(lang, nc, i) for i, _, lang, nc, _ in rows if i in matching]
+    want = []
+    per = {}
+    for lg, nc, i in hit:
+        per.setdefault(lg, []).append((nc, i))
+    for lg in sorted(per, key=lambda g: (-len(per[g]), g)):
+        docs = sorted(per[lg], key=lambda t: (-t[0], t[1]))[:2]
+        want += [
+            {"key": lg, "doc_count": len(per[lg]), "rank": r + 1,
+             "doc_id": i, "n_chars": nc}
+            for r, (nc, i) in enumerate(docs)
+        ]
+    got = [r.asDict() for r in res["by_lang"].collect()]
+    assert got == want
+    srv = Searcher(spark, out).aggs_rows(spec, "spark join")
+    assert srv["by_lang"] == want
+    # default _source = every stored column; default sort = doc_id asc
+    spec2 = {"by_lang": {
+        "terms": {"field": "lang", "size": 1},
+        "aggs": {"first": {"top_hits": {"size": 1}}},
+    }}
+    got2 = [r.asDict() for r in search_aggs(
+        spark, out, spec2, "spark join")["by_lang"].collect()]
+    assert Searcher(spark, out).aggs_rows(spec2, "spark join")["by_lang"] == got2
+    assert {"lang", "n_chars", "ts"} <= set(got2[0])
+    with pytest.raises(ValueError):
+        search_aggs(spark, out, {"x": {
+            "terms": {"field": "lang"},
+            "aggs": {"t": {"top_hits": {"sort": ["_score"]}}},
+        }}, "spark join")
