@@ -786,7 +786,7 @@ def search_body(
         if kinds <= {
             "terms", "date_histogram", "histogram", "stats",
             "avg", "sum", "min", "max", "value_count", "range",
-            "filter", "filters", "missing", "top_hits",
+            "filter", "filters", "missing", "top_hits", "composite",
         }:
             # serving fast path: row-for-row identical to the distributed
             # plan for these kinds (escalates itself past max_hits);

@@ -1765,6 +1765,13 @@ def aggs_over_join(joined: DataFrame, aggs: dict) -> dict[str, DataFrame]:
                 .select("key", "n")
             )
             continue
+        if kind == "composite":
+            if sub is not None:
+                raise ValueError(
+                    f"agg {name!r}: composite sub-aggs are unsupported"
+                )
+            out[name] = _composite_agg_df(joined, name, body)
+            continue
         if sub is not None:
             out[name] = _sub_bucket_df(joined, name, kind, body, sub)
             continue
@@ -2014,6 +2021,109 @@ def _filter_agg_df(
     raise ValueError(f"unsupported sub-agg type {ckind!r} in {name!r}")
 
 
+def _composite_parts(body: dict) -> list[tuple[str, str, dict, bool]]:
+    """ES composite ``sources`` → [(name, kind, spec, ascending)]. Each
+    source is one named bucketing agg (terms / date_histogram /
+    histogram); key order is per-source asc unless ``"order": "desc"``."""
+    parts = []
+    for src in body["sources"]:
+        if len(src) != 1:
+            raise ValueError(f"composite source must have one name, got {list(src)}")
+        nm, spec = next(iter(src.items()))
+        if len(spec) != 1:
+            raise ValueError(
+                f"composite source {nm!r} must hold one bucketing agg"
+            )
+        skind, sbody = next(iter(spec.items()))
+        _bucket_expr(skind, sbody)  # validates the kind
+        parts.append((nm, skind, sbody, sbody.get("order", "asc") != "desc"))
+    return parts
+
+
+def _composite_agg_df(joined: DataFrame, name: str, body: dict) -> DataFrame:
+    """ES composite aggregation: the full (multi-source) bucket space
+    paged in KEY order, ``size`` buckets per request, resumed with the
+    previous page's last key tuple (``after``). This is the scale-safe
+    facet walk: every page is groupBy → key-ordered take-N — the driver
+    never holds more than one page, whatever the key cardinality (the
+    contrast with a sized terms agg is the ES contract, not an
+    optimization). Rows: (source names…, doc_count); the caller's
+    after_key is the last row."""
+    parts = _composite_parts(body)
+    keyed = joined.select(
+        *[_bucket_expr(k, b).alias(nm) for nm, k, b, _ in parts]
+    )
+    # ES composite omits buckets missing any source key (missing_bucket
+    # defaults to false)
+    for nm, *_ in parts:
+        keyed = keyed.where(F.col(nm).isNotNull())
+    df = keyed.groupBy(*[nm for nm, *_ in parts]).agg(
+        F.count("*").alias("doc_count")
+    )
+    after = body.get("after")
+    if after:
+        # lexicographic after-predicate over the key tuple, respecting
+        # each source's direction — evaluated inside the aggregation, not
+        # by skipping rows on the driver
+        cond = F.lit(False)
+        eq = F.lit(True)
+        for nm, _k, _b, asc in parts:
+            aval = after[nm]
+            c = F.col(nm)
+            step = (c > F.lit(aval)) if asc else (c < F.lit(aval))
+            cond = cond | (eq & step)
+            eq = eq & (c == F.lit(aval))
+        df = df.where(cond)
+    order = [
+        (F.asc(nm) if asc else F.desc(nm)) for nm, _k, _b, asc in parts
+    ]
+    size = int(body.get("size", 10))
+    return df.orderBy(*order).limit(size)
+
+
+def _composite_agg_pandas(pdf: pd.DataFrame, name: str, body: dict) -> list[dict]:
+    """pandas twin of ``_composite_agg_df`` — identical rows, identical
+    order."""
+    parts = _composite_parts(body)
+    keys = pd.DataFrame({
+        nm: _pd_bucket_key(pdf, k, b) for nm, k, b, _ in parts
+    })
+    keys = keys.dropna()
+    names = [nm for nm, *_ in parts]
+    if len(keys):
+        grouped = keys.groupby(names, sort=False).size().reset_index(name="doc_count")
+    else:
+        grouped = pd.DataFrame(columns=[*names, "doc_count"])
+    rows = [
+        {**{nm: _key_out(r[nm]) for nm in names}, "doc_count": int(r["doc_count"])}
+        for _, r in grouped.iterrows()
+    ]
+    ascs = {nm: asc for nm, _k, _b, asc in parts}
+    after = body.get("after")
+    if after:
+        def beyond(row):
+            for nm in names:
+                a, v = after[nm], row[nm]
+                a = pd.to_datetime(a).to_pydatetime() if hasattr(v, "year") and isinstance(a, str) else a
+                if v == a:
+                    continue
+                return (v > a) if ascs[nm] else (v < a)
+            return False
+        rows = [r for r in rows if beyond(r)]
+    import functools
+
+    def cmp(a, b):
+        for nm in names:
+            if a[nm] == b[nm]:
+                continue
+            lt = a[nm] < b[nm]
+            return (-1 if lt else 1) if ascs[nm] else (1 if lt else -1)
+        return 0
+
+    rows.sort(key=functools.cmp_to_key(cmp))
+    return rows[: int(body.get("size", 10))]
+
+
 def _th_sort(cbody: dict) -> list[tuple[str, bool]]:
     """ES top_hits sort spec → [(field, ascending)]. The hits reaching a
     sub-agg are an unscored matching SET (the agg path never ranks), so
@@ -2197,6 +2307,13 @@ def _aggs_pandas(pdf: pd.DataFrame, aggs: dict) -> dict[str, list[dict]]:
         kind, body, sub = _agg_spec(name, spec)
         if kind == "filter":
             out[name] = _filter_agg_pandas(pdf, name, body, sub)
+            continue
+        if kind == "composite":
+            if sub is not None:
+                raise ValueError(
+                    f"agg {name!r}: composite sub-aggs are unsupported"
+                )
+            out[name] = _composite_agg_pandas(pdf, name, body)
             continue
         if kind == "filters":
             out[name] = [

@@ -2584,6 +2584,68 @@ ORDER BY lang, rank
 """
 
 
+def q51_composite_aggs(spark, sf_dir):
+    """ES composite aggregation: the (lang × source) bucket space walked
+    in key order, 8 buckets per page, page 2 fetched with page 1's last
+    key as the ``after`` cursor — the scale-safe facet walk (the driver
+    holds ONE page whatever the key cardinality; the after-predicate is
+    evaluated inside the aggregation, not by skipping driver rows).
+    DuckDB twin: the ordered bucket list at OFFSET 8."""
+    import shutil
+    import tempfile
+
+    from .index.build import build_index, write_docstore
+    from .index.query import search_aggs
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="cb_q51_idx_")
+    try:
+        build_index(spark, docs.select("doc_id", "text"), out, url_col=None, n_buckets=8)
+        write_docstore(spark, docs, out, url_col=None, extra_cols=("lang", "source"))
+
+        def page(after=None):
+            body = {
+                "size": 8,
+                "sources": [
+                    {"lg": {"terms": {"field": "lang"}}},
+                    {"src": {"terms": {"field": "source"}}},
+                ],
+            }
+            if after:
+                body["after"] = after
+            return search_aggs(
+                spark, out, {"c": {"composite": body}},
+                " ".join(BM25_QUERY_TERMS),
+            )["c"]
+
+        p1 = [r.asDict() for r in page().collect()]
+        after = {"lg": p1[-1]["lg"], "src": p1[-1]["src"]}
+        rows = [
+            (r.lg, r.src, int(r.doc_count)) for r in page(after).collect()
+        ]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    out_df = spark.createDataFrame(rows, "lang string, source string, doc_count long")
+    return out_df.orderBy("lang", "source")
+
+
+Q51_SQL = f"""
+WITH toks AS ({_TOKENS_SQL}),
+hits AS (
+  SELECT doc_id FROM toks GROUP BY doc_id
+  HAVING max(CASE WHEN term IN (SELECT unnest({BM25_QUERY_TERMS!r}))
+             THEN 1 ELSE 0 END) = 1
+),
+m AS (SELECT d.* FROM documents d JOIN hits USING (doc_id))
+SELECT lang, source, doc_count FROM (
+  SELECT lang, source, count(*) AS doc_count
+  FROM m GROUP BY lang, source
+  ORDER BY lang, source LIMIT 8 OFFSET 8
+) t
+ORDER BY lang, source
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -2635,6 +2697,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q48_score_search_after": q48_score_search_after,
     "q49_filter_aggs": q49_filter_aggs,
     "q50_top_hits": q50_top_hits,
+    "q51_composite_aggs": q51_composite_aggs,
 }
 
 ORACLES: dict[str, str] = {
@@ -2688,4 +2751,5 @@ ORACLES: dict[str, str] = {
     "q48_score_search_after": Q48_SQL,
     "q49_filter_aggs": Q49_SQL,
     "q50_top_hits": Q50_SQL,
+    "q51_composite_aggs": Q51_SQL,
 }

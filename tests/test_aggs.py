@@ -479,3 +479,67 @@ def test_top_hits_sub_agg(spark, aroot):
             "terms": {"field": "lang"},
             "aggs": {"t": {"top_hits": {"sort": ["_score"]}}},
         }}, "spark join")
+
+
+def test_composite_agg_pages(spark, aroot):
+    """ES composite aggregation: the (lang × day) bucket space walked in
+    key order, 5 buckets per page via the after-cursor. Concatenated
+    pages must equal the unpaged bucket set exactly — and no page is ever
+    wider than `size` (the driver holds one page whatever the key
+    cardinality; that bound is the ES contract for composite)."""
+    from conveyorbelt_spark.index.query import Searcher
+
+    out, rows, matching = aroot
+    want: dict = {}
+    for i, _, lang, _nc, ts in rows:
+        if i in matching:
+            want[(lang, ts.replace(hour=0))] = want.get((lang, ts.replace(hour=0)), 0) + 1
+    want_rows = [
+        {"lg": lg, "day": day, "doc_count": n}
+        for (lg, day), n in sorted(want.items())
+    ]
+
+    def page(after=None):
+        body = {
+            "size": 5,
+            "sources": [
+                {"lg": {"terms": {"field": "lang"}}},
+                {"day": {"date_histogram": {"field": "ts", "interval": "day"}}},
+            ],
+        }
+        if after:
+            body["after"] = after
+        return search_aggs(spark, out, {"c": {"composite": body}}, "spark join")["c"]
+
+    got: list = []
+    after = None
+    while True:
+        rows_pg = [r.asDict() for r in page(after).collect()]
+        assert len(rows_pg) <= 5
+        if not rows_pg:
+            break
+        got += rows_pg
+        after = {"lg": rows_pg[-1]["lg"], "day": rows_pg[-1]["day"]}
+    assert got == want_rows
+    # serving twin: page 2 row-identical to the Spark page 2
+    first = [r.asDict() for r in page().collect()]
+    a2 = {"lg": first[-1]["lg"], "day": first[-1]["day"]}
+    srv = Searcher(spark, out).aggs_rows(
+        {"c": {"composite": {
+            "size": 5, "after": a2,
+            "sources": [
+                {"lg": {"terms": {"field": "lang"}}},
+                {"day": {"date_histogram": {"field": "ts", "interval": "day"}}},
+            ],
+        }}},
+        "spark join",
+    )
+    assert srv["c"] == [r.asDict() for r in page(a2).collect()]
+    # desc source order flips the walk
+    d = search_aggs(spark, out, {"c": {"composite": {
+        "size": 3,
+        "sources": [{"lg": {"terms": {"field": "lang", "order": "desc"}}}],
+    }}}, "spark join")["c"]
+    assert [r.lg for r in d.collect()] == sorted(
+        {lg for lg, _ in want}, reverse=True
+    )[:3]
