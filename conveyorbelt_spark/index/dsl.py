@@ -633,6 +633,19 @@ def search_body(
         # kernel pre-top-k (deep relevance pagination at page-1 cost)
         score_sorted, sort_spec = True, None
         after = _score_after(body, from_)
+    collapse = body.get("collapse")
+    collapse_vals: dict[int, Any] = {}
+    if collapse is not None and (
+        sort_spec or after is not None or plan["phrase"] is not None
+        or plan["mm"] is not None or plan["expand"] is not None
+        or plan["mlt"] is not None or plan["ids"] is not None
+        or plan["match_all"]
+    ):
+        raise UnsupportedDSL(
+            "collapse supports relevance-ranked match/bool queries "
+            "(no sort, search_after, phrase, multi_match, expansion, or "
+            "match_all)"
+        )
     rows: list[tuple[int, float]]
     sorted_rows_cols: list[tuple] | None = None
     if sort_spec:
@@ -730,6 +743,20 @@ def search_body(
             .orderBy("doc_id").limit(size + from_).collect()
         )
         rows = [(r.doc_id, plan["boost"]) for r in ids][from_:]
+    elif collapse is not None:
+        from .query import collapse_topk
+
+        cfield = (
+            collapse["field"] if isinstance(collapse, dict) else str(collapse)
+        )
+        crows = collapse_topk(
+            spark, out_dir, plan["query"] or "", cfield, size + from_,
+            must=plan["must"], must_not=plan["must_not"],
+            min_should=plan["min_should"], filters=filters, ranges=ranges,
+            or_groups=or_groups, not_atoms=not_atoms,
+        ).collect()
+        collapse_vals = {int(r[0]): r[2] for r in crows}
+        rows = [(int(r[0]), float(r[1])) for r in crows][from_:]
     else:
         rows = s.search_rows(
             plan["query"], size, must=plan["must"], must_not=plan["must_not"],
@@ -754,6 +781,8 @@ def search_body(
         elif score_sorted:
             # the next page's search_after cursor: [score, doc_id]
             hit["sort"] = [float(sc), int(d)]
+        if collapse is not None and d in collapse_vals:
+            hit["fields"] = {cfield: [collapse_vals[d]]}
         if want_source and d in meta:
             src = {k: v for k, v in meta[d].items() if k not in ("bucket", "run")}
             hit["_source"] = src

@@ -941,7 +941,7 @@ def bm25_topk(
     spark: SparkSession,
     out_dir: str,
     query: str,
-    k: int = 10,
+    k: int | None = 10,
     prune: bool = True,
     must_not: str | None = None,
     must: str | None = None,
@@ -992,7 +992,12 @@ def bm25_topk(
         .select(*_BLOCK_COLS, *(["run"] if tomb else []))
     )
     kern = _score_kernel(
-        term_idf, k, prune=prune, must_terms=must_terms, not_terms=not_terms,
+        # k=None = the FULL scored matching set (collapse / rescore
+        # consumers): the kernel skips per-bucket truncation and pruning
+        # has nothing to cut, but the posting scan — the dominant cost —
+        # is identical
+        term_idf, (1 << 62) if k is None else k, prune=prune and k is not None,
+        must_terms=must_terms, not_terms=not_terms,
         should_terms=should_present, min_should=min_should, filter_groups=fgroups,
         after=after,
     )
@@ -1002,6 +1007,8 @@ def bm25_topk(
     kern.max_candidates = max_candidates
     func = kern if not tomb else _with_tombstones(kern, tomb)
     local = seg.groupBy("bucket").applyInPandas(func, schema="doc_id long, score double")
+    if k is None:
+        return local
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
@@ -1597,6 +1604,50 @@ def facet_counts_spark(
         .orderBy(F.desc("n"), F.asc("facet"))
     )
     return out.limit(k) if k is not None else out
+
+
+def collapse_topk(
+    spark: SparkSession,
+    out_dir: str,
+    query: str,
+    field: str,
+    k: int = 10,
+    *,
+    must: str | None = None,
+    must_not: str | None = None,
+    min_should: int = 0,
+    filters: dict | None = None,
+    ranges: dict | None = None,
+    or_groups: list | None = None,
+    not_atoms: list | None = None,
+) -> DataFrame:
+    """ES field collapsing: the top-k hits with at most ONE hit per
+    distinct value of ``field`` (a stored docstore column) — each group
+    represented by its best-scoring doc, groups ranked by that score
+    (desc, doc_id tiebreak). Exactness needs every group's best doc
+    BEFORE truncation, so the kernel scores the full matching set (k=None
+    — same posting scan as top-k, no extra pass), the bucket-pruned
+    docstore supplies the collapse key, and one window rank per key picks
+    the group head. The window shuffle is on the collapse key — the only
+    extra exchange vs plain top-k. Docs with a null key collapse into one
+    null group (ES treats missing keys as one bucket unless the field is
+    unmapped). Rows: (doc_id, score, <field>)."""
+    from pyspark.sql import Window
+
+    scored = bm25_topk(
+        spark, out_dir, query, None, must=must, must_not=must_not,
+        min_should=min_should, filters=filters, ranges=ranges,
+        or_groups=or_groups, not_atoms=not_atoms,
+    )
+    store = _docstore_scan(spark, out_dir).select("doc_id", field)
+    w = Window.partitionBy(field).orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.join(store, "doc_id")
+        .withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") == 1).drop("_rk")
+        .orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        .select("doc_id", "score", field)
+    )
 
 
 def search_sorted(

@@ -2646,6 +2646,82 @@ ORDER BY lang, source
 """
 
 
+def q52_field_collapse(spark, sf_dir):
+    """ES field collapsing through ``search_body``: the top-3 hits of a
+    BM25 match query with at most one hit per ``lang`` — each language
+    represented by its best-scoring doc, groups ranked by that score.
+    Exactness requires every group's best doc BEFORE truncation, so the
+    kernel scores the full matching set in one pass (same posting scan as
+    plain top-k) and one window-rank per collapse key picks the heads.
+    DuckDB twin: the full BM25 ranking with row_number() over lang = 1,
+    top 3 by (score desc, doc_id)."""
+    import shutil
+    import tempfile
+
+    from .index.build import build_index, write_docstore
+    from .index.dsl import search_body
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="cb_q52_idx_")
+    try:
+        build_index(spark, docs.select("doc_id", "text"), out, url_col=None, n_buckets=8)
+        write_docstore(spark, docs, out, url_col=None, extra_cols=("lang",))
+        resp = search_body(spark, out, {
+            "query": {"match": {"text": " ".join(BM25_QUERY_TERMS)}},
+            "collapse": {"field": "lang"},
+            "size": 3,
+        })
+        rows = [
+            (int(h["_id"]), float(h["_score"]), h["fields"]["lang"][0])
+            for h in resp["hits"]["hits"]
+        ]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    res = spark.createDataFrame(rows, "doc_id long, score double, lang string")
+    return res.select(
+        "doc_id", F.round("score", 4).alias("score"), "lang"
+    ).orderBy(F.desc("score"), F.asc("doc_id"))
+
+
+Q52_SQL = f"""
+WITH toks AS ({_TOKENS_SQL}),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks WHERE term != '' GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+q AS (SELECT unnest({BM25_QUERY_TERMS!r}) AS term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf
+       WHERE term IN (SELECT term FROM q) GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl)))) AS raw
+  FROM tf
+  JOIN df ON tf.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+ranked AS (
+  SELECT s.doc_id, s.raw, d.lang,
+         row_number() OVER (PARTITION BY d.lang
+                            ORDER BY s.raw DESC, s.doc_id ASC) AS rk
+  FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+)
+SELECT doc_id, score, lang FROM (
+  SELECT doc_id, round(raw, 4) AS score, lang, raw
+  FROM ranked WHERE rk = 1
+  ORDER BY raw DESC, doc_id ASC LIMIT 3
+) t
+ORDER BY score DESC, doc_id ASC
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -2698,6 +2774,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q49_filter_aggs": q49_filter_aggs,
     "q50_top_hits": q50_top_hits,
     "q51_composite_aggs": q51_composite_aggs,
+    "q52_field_collapse": q52_field_collapse,
 }
 
 ORACLES: dict[str, str] = {
@@ -2752,4 +2829,5 @@ ORACLES: dict[str, str] = {
     "q49_filter_aggs": Q49_SQL,
     "q50_top_hits": Q50_SQL,
     "q51_composite_aggs": Q51_SQL,
+    "q52_field_collapse": Q52_SQL,
 }

@@ -729,3 +729,58 @@ def test_ids_query_and_must_highlight(spark, droot):
         "size": 3, "highlight": {"fields": {"text": {}}},
     })
     assert all("<em>spark</em>" in h["highlight"]["text"][0] for h in r2["hits"]["hits"])
+
+
+def test_collapse_field(spark, droot):
+    """ES field collapsing: one hit per distinct value of the collapse
+    field, each group represented by its best-scoring doc, groups ranked
+    by that score. Truth = the full relevance ranking with all but the
+    first hit per group removed."""
+    out, rows = droot
+    lang_of = {r[0]: r[2] for r in rows}
+    resp = search_body(spark, out, {
+        "query": {"match": {"text": "spark join"}},
+        "collapse": {"field": "lang"}, "size": 5,
+    })
+    ranked = Searcher(spark, out).search_rows("spark join", 10_000)
+    seen, want = set(), []
+    for d, sc in ranked:
+        if lang_of[d] in seen:
+            continue
+        seen.add(lang_of[d])
+        want.append((d, sc, lang_of[d]))
+    got = [
+        (h["_id"], h["_score"], h["fields"]["lang"][0])
+        for h in resp["hits"]["hits"]
+    ]
+    assert [(d, lg) for d, _, lg in got] == [(d, lg) for d, _, lg in want[:5]]
+    for (_, g, _), (_, w, _) in zip(got, want):
+        assert g == pytest.approx(w, rel=1e-12)
+
+
+def test_collapse_with_filter_and_from(spark, droot):
+    """Collapse composes with filter context and from-offset paging, and
+    rejects the shapes it can't rank exactly (sorted / phrase)."""
+    out, rows = droot
+    lang_of = {r[0]: r[2] for r in rows}
+    body = {
+        "query": {"bool": {
+            "should": [{"match": {"text": "spark join"}}],
+            "filter": [{"range": {"nc": {"gte": "0000", "lte": "0300"}}}],
+        }},
+        "collapse": {"field": "lang"}, "size": 2, "from": 1,
+    }
+    resp = search_body(spark, out, body)
+    full = search_body(spark, out, {**body, "size": 3, "from": 0})
+    assert _ids(resp) == _ids(full)[1:3]
+    assert len({lang_of[d] for d in _ids(full)}) == len(_ids(full))
+    with pytest.raises(UnsupportedDSL):
+        search_body(spark, out, {
+            "query": {"match": {"text": "spark"}},
+            "collapse": {"field": "lang"}, "sort": [{"nc": "asc"}],
+        })
+    with pytest.raises(UnsupportedDSL):
+        search_body(spark, out, {
+            "query": {"match_phrase": {"text": "spark join"}},
+            "collapse": {"field": "lang"},
+        })
