@@ -605,6 +605,68 @@ def _score_after(body: dict, from_: int) -> tuple[float, int] | None:
     return (float(sa[0]), int(sa[1]))
 
 
+_RESCORE_MODES = {
+    "total": lambda p, s: p + s,
+    "multiply": lambda p, s: p * s,
+    "avg": lambda p, s: (p + s) / 2.0,
+    "max": max,
+    "min": min,
+}
+_ALL_HITS = (1 << 31) - 1  # java-int-safe "every matching doc" k
+
+
+def _rescore_window(specs: list) -> int:
+    return max(int(sp.get("window_size", 10)) for sp in specs)
+
+
+def _apply_rescore(s: Searcher, rows: list, rescore) -> list:
+    """ES query rescorer (Lucene QueryRescorer semantics): re-rank the top
+    ``window_size`` hits by combining the primary score with a secondary
+    query's score per ``score_mode`` — the canonical shape is a cheap bag-
+    of-words match ranked first with a positional match_phrase refining
+    the head. Secondary scores come from ONE uncapped scoring pass (the
+    same pruned posting scan as that query's own top-k — no per-candidate
+    probes); window docs that don't match the rescore query keep
+    query_weight·primary (ES contract); hits beyond the window are
+    untouched. A list of rescorers applies in sequence (ES multi-rescore)."""
+    specs = rescore if isinstance(rescore, list) else [rescore]
+    for spec in specs:
+        window = int(spec.get("window_size", 10))
+        rq_spec = spec.get("query") or {}
+        rq = rq_spec.get("rescore_query")
+        if rq is None:
+            raise UnsupportedDSL("rescore needs query.rescore_query")
+        qw = float(rq_spec.get("query_weight", 1.0))
+        rw = float(rq_spec.get("rescore_query_weight", 1.0))
+        mode = str(rq_spec.get("score_mode", "total"))
+        if mode not in _RESCORE_MODES:
+            raise UnsupportedDSL(
+                f"rescore score_mode {mode!r} (supported: "
+                f"{sorted(_RESCORE_MODES)})"
+            )
+        combine = _RESCORE_MODES[mode]
+        kind, val = _one(rq)
+        if not isinstance(val, dict):
+            raise UnsupportedDSL("rescore_query clause must be an object")
+        _field, v = _one(val)
+        text = v["query"] if isinstance(v, dict) else str(v)
+        if kind == "match_phrase":
+            rsc = dict(s.phrase_rows(text, _ALL_HITS))
+        elif kind == "match":
+            rsc = dict(s.search_rows(text, _ALL_HITS, prune=False))
+        else:
+            raise UnsupportedDSL(
+                "rescore_query supports match / match_phrase"
+            )
+        head = [
+            (d, combine(qw * sc, rw * rsc[d]) if d in rsc else qw * sc)
+            for d, sc in rows[:window]
+        ]
+        head.sort(key=lambda t: (-t[1], t[0]))
+        rows = head + rows[window:]
+    return rows
+
+
 def search_body(
     spark: SparkSession, out_dir: str, body: dict, *,
     searcher: Searcher | None = None,
@@ -645,6 +707,18 @@ def search_body(
             "collapse supports relevance-ranked match/bool queries "
             "(no sort, search_after, phrase, multi_match, expansion, or "
             "match_all)"
+        )
+    rescore = body.get("rescore")
+    if rescore is not None and (
+        sort_spec or after is not None or collapse is not None
+        or plan["phrase"] is not None or plan["mm"] is not None
+        or plan["expand"] is not None or plan["mlt"] is not None
+        or plan["ids"] is not None or plan["match_all"]
+    ):
+        raise UnsupportedDSL(
+            "rescore supports relevance-ranked match/bool primaries "
+            "(no sort, search_after, collapse, phrase, multi_match, "
+            "expansion, or match_all)"
         )
     rows: list[tuple[int, float]]
     sorted_rows_cols: list[tuple] | None = None
@@ -757,6 +831,15 @@ def search_body(
         ).collect()
         collapse_vals = {int(r[0]): r[2] for r in crows}
         rows = [(int(r[0]), float(r[1])) for r in crows][from_:]
+    elif rescore is not None:
+        specs = rescore if isinstance(rescore, list) else [rescore]
+        need = max(size + from_, _rescore_window(specs))
+        full = s.search_rows(
+            plan["query"], need, must=plan["must"], must_not=plan["must_not"],
+            min_should=plan["min_should"], filters=filters, ranges=ranges,
+            or_groups=or_groups, not_atoms=not_atoms,
+        )
+        rows = _apply_rescore(s, full, rescore)[from_ : from_ + size]
     else:
         rows = s.search_rows(
             plan["query"], size, must=plan["must"], must_not=plan["must_not"],

@@ -2722,6 +2722,113 @@ ORDER BY score DESC, doc_id ASC
 """
 
 
+def q53_rescore(spark, sf_dir):
+    """ES query rescorer through ``search_body``: a bag-of-words BM25
+    match ranks the corpus, then the top window_size=20 hits re-rank by
+    0.7·bm25 + 1.3·phrase-score of ``"spark join"`` (Lucene QueryRescorer
+    'total' mode; window docs without the phrase keep 0.7·bm25). DuckDB
+    twin: the BM25 CTE (q48) LEFT JOINed to the positional-adjacency
+    phrase CTE (q31), combined with the same weights."""
+    import shutil
+    import tempfile
+
+    from .index.build import build_index
+    from .index.dsl import search_body
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="cb_q53_idx_")
+    try:
+        build_index(
+            spark, docs.select("doc_id", "text"), out, url_col=None,
+            n_buckets=8, positions=True,
+        )
+        resp = search_body(spark, out, {
+            "query": {"match": {"text": " ".join(BM25_QUERY_TERMS)}},
+            "rescore": {
+                "window_size": 20,
+                "query": {
+                    "rescore_query": {"match_phrase": {"text": "spark join"}},
+                    "query_weight": 0.7,
+                    "rescore_query_weight": 1.3,
+                },
+            },
+            "size": 10,
+        })
+        rows = [(int(h["_id"]), float(h["_score"])) for h in resp["hits"]["hits"]]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    res = spark.createDataFrame(rows, "doc_id long, score double")
+    return res.select("doc_id", F.round("score", 4).alias("score")).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+
+
+Q53_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t != '') AS arr
+  FROM documents
+),
+ptoks AS (
+  SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) - 1 AS pos FROM base
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM ptoks GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, len(arr) AS dl FROM base),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(len(arr)) FROM base)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+q AS (SELECT unnest({BM25_QUERY_TERMS!r}) AS term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf
+       WHERE term IN (SELECT term FROM q) GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl)))) AS raw
+  FROM tf
+  JOIN df ON tf.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+win AS (
+  SELECT doc_id, raw FROM scored ORDER BY raw DESC, doc_id ASC LIMIT 20
+),
+pdfs AS (
+  SELECT count(DISTINCT CASE WHEN term = 'spark' THEN doc_id END) AS df0,
+         count(DISTINCT CASE WHEN term = 'join' THEN doc_id END) AS df1
+  FROM ptoks
+),
+phits AS (
+  SELECT a.doc_id, count(*) AS pf
+  FROM ptoks a JOIN ptoks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'spark' AND b.term = 'join'
+  GROUP BY a.doc_id
+),
+pscored AS (
+  SELECT h.doc_id,
+         (ln(1.0 + (s.n_docs - d.df0 + 0.5) / (d.df0 + 0.5))
+          + ln(1.0 + (s.n_docs - d.df1 + 0.5) / (d.df1 + 0.5)))
+         * (h.pf * 2.2) / (h.pf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / s.avgdl))) AS praw
+  FROM phits h
+  JOIN dl ON dl.doc_id = h.doc_id
+  CROSS JOIN stats s CROSS JOIN pdfs d
+),
+combined AS (
+  SELECT w.doc_id, 0.7 * w.raw + coalesce(1.3 * p.praw, 0.0) AS final
+  FROM win w LEFT JOIN pscored p ON w.doc_id = p.doc_id
+)
+SELECT doc_id, score FROM (
+  SELECT doc_id, round(final, 4) AS score, final
+  FROM combined ORDER BY final DESC, doc_id ASC LIMIT 10
+) t
+ORDER BY score DESC, doc_id ASC
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -2775,6 +2882,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q50_top_hits": q50_top_hits,
     "q51_composite_aggs": q51_composite_aggs,
     "q52_field_collapse": q52_field_collapse,
+    "q53_rescore": q53_rescore,
 }
 
 ORACLES: dict[str, str] = {
@@ -2830,4 +2938,5 @@ ORACLES: dict[str, str] = {
     "q50_top_hits": Q50_SQL,
     "q51_composite_aggs": Q51_SQL,
     "q52_field_collapse": Q52_SQL,
+    "q53_rescore": Q53_SQL,
 }

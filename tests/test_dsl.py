@@ -28,6 +28,7 @@ def droot(spark, tmp_path_factory):
     build_index(
         spark, docs, out, url_col=None, n_buckets=4, n_term_buckets=8,
         keyword_cols=("lang", ("nc", sortable_int_col("nc", 4))),
+        positions=True,
     )
     write_docstore(spark, docs, out, url_col=None, extra_cols=("text", "lang", "nc"))
     return out, rows
@@ -783,4 +784,76 @@ def test_collapse_with_filter_and_from(spark, droot):
         search_body(spark, out, {
             "query": {"match_phrase": {"text": "spark join"}},
             "collapse": {"field": "lang"},
+        })
+
+
+def test_rescore_phrase(spark, droot):
+    """ES query rescorer: the top window_size hits re-ranked by
+    query_weight·bm25 + rescore_query_weight·phrase-score; window docs
+    without the phrase keep query_weight·bm25; hits beyond the window are
+    untouched. Truth composed from the two public serving APIs."""
+    out, _ = droot
+    s = Searcher(spark, out)
+    body = {
+        "query": {"match": {"text": "spark join window"}},
+        "rescore": {
+            "window_size": 8,
+            "query": {
+                "rescore_query": {"match_phrase": {"text": "spark join"}},
+                "query_weight": 0.7,
+                "rescore_query_weight": 1.2,
+            },
+        },
+        "size": 12,
+    }
+    resp = search_body(spark, out, body)
+    base = s.search_rows("spark join window", 12)
+    ph = dict(s.phrase_rows("spark join", 10_000))
+    head = [
+        (d, 0.7 * sc + 1.2 * ph[d] if d in ph else 0.7 * sc)
+        for d, sc in base[:8]
+    ]
+    head.sort(key=lambda t: (-t[1], t[0]))
+    want = head + base[8:]
+    got = [(h["_id"], h["_score"]) for h in resp["hits"]["hits"]]
+    assert [d for d, _ in got] == [d for d, _ in want[:12]]
+    for (_, g), (_, w) in zip(got, want):
+        assert g == pytest.approx(w, rel=1e-12)
+    # the phrase genuinely reordered something (fixture sanity)
+    assert [d for d, _ in got[:8]] != [d for d, _ in base[:8]]
+
+
+def test_rescore_modes_and_guards(spark, droot):
+    """score_mode=multiply, sequential multi-rescore, and the shapes
+    rescore rejects."""
+    out, _ = droot
+    s = Searcher(spark, out)
+    body = {
+        "query": {"match": {"text": "spark join"}},
+        "rescore": {
+            "window_size": 5,
+            "query": {
+                "rescore_query": {"match": {"text": "window"}},
+                "score_mode": "multiply",
+            },
+        },
+        "size": 5,
+    }
+    resp = search_body(spark, out, body)
+    base = s.search_rows("spark join", 5)
+    sec = dict(s.search_rows("window", 10_000, prune=False))
+    want = [(d, sc * sec[d] if d in sec else sc) for d, sc in base]
+    want.sort(key=lambda t: (-t[1], t[0]))
+    got = [(h["_id"], h["_score"]) for h in resp["hits"]["hits"]]
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, g), (_, w) in zip(got, want):
+        assert g == pytest.approx(w, rel=1e-12)
+    with pytest.raises(UnsupportedDSL):
+        search_body(spark, out, {**body, "sort": [{"nc": "asc"}]})
+    with pytest.raises(UnsupportedDSL):
+        search_body(spark, out, {**body, "collapse": {"field": "lang"}})
+    with pytest.raises(UnsupportedDSL):
+        search_body(spark, out, {
+            "query": {"match": {"text": "spark"}},
+            "rescore": {"query": {"rescore_query": {"prefix": {"text": "sp"}}}},
         })
