@@ -623,7 +623,10 @@ class DailySearcher:
             filters=filters, ranges=ranges, or_groups=or_groups,
             not_atoms=not_atoms, time_range=time_range,
         )
-        return aggs_over_join(self._window_docstore(days).join(hits, "doc_id"), aggs)
+        store = self._window_docstore(days)
+        # background for significant_terms = the WINDOW's corpus (the day
+        # dirs the query selected), matching ES's per-index background
+        return aggs_over_join(store.join(hits, "doc_id"), aggs, background=store)
 
     def search_sorted(
         self, query: str, sort: list[tuple[str, str]], k: int = 10, *,
@@ -655,11 +658,12 @@ class DailySearcher:
 
     def phrase_rows(
         self, phrase: str, k: int = 10, *, time_range: tuple | None = None,
-        after: tuple[float, int] | None = None,
+        after: tuple[float, int] | None = None, slop: int = 0,
     ) -> list[tuple[int, float]]:
         """Day-pruned phrase search (positional daily indexes): merged
         window stats + the same per-bucket phrase kernel over the selected
-        days' pruned block reads — zero Spark jobs."""
+        days' pruned block reads — zero Spark jobs. ``slop`` = ES
+        proximity (see ``query._phrase_kernel``)."""
         from .query import _phrase_kernel, _phrase_plan
 
         days = select_days(self.root, time_range)
@@ -674,7 +678,7 @@ class DailySearcher:
         blocks = self._window_blocks(days, tbs, distinct, columns=_BLOCK_COLS + ["poss"])
         if blocks is None or not len(blocks):
             return []
-        kern = _phrase_kernel(phrase_tokens, idf_sum, k, after=after)
+        kern = _phrase_kernel(phrase_tokens, idf_sum, k, after=after, slop=slop)
         kern.k1, kern.b, kern.avgdl = stats["k1"], stats["b"], stats["avgdl"]
         outs = [kern(grp) for _, grp in blocks.groupby("bucket", sort=True)]
         outs = [o for o in outs if len(o)]

@@ -9,7 +9,9 @@ part of this repo already implements:
 
 query context:
   match            {"match": {"text": "spark join"}}          → scored SHOULD
-  match_phrase     {"match_phrase": {"text": "exact phrase"}} → positional index
+  match_phrase     {"match_phrase": {"text": "exact phrase"}} → positional
+                   index; {"text": {"query": p, "slop": n}} = ES proximity
+                   (anchor-window semantics, see query._phrase_kernel)
   multi_match      {"multi_match": {"query": q, "fields": ["title^2","text"],
                     "type": "best_fields"|"most_fields"}}
   prefix/wildcard/fuzzy  {"prefix": {"text": "te"}} …          → expansion bag
@@ -49,7 +51,8 @@ filter context (inside bool.filter / bool.must, or top-level):
 
 request level: "size", "from", "sort" ([{"field": "desc"}] or ["field"]),
 "search_after", "aggs" (the search_aggs shape, incl. one level of
-sub-"aggs"), "highlight" {"fields": {col: {}}}, "_source" (bool),
+sub-"aggs" and significant_terms with its whole-index background),
+"highlight" {"fields": {col: {}}}, "_source" (bool),
 "track_total_hits" (bool — True runs the uncapped distributed count).
 
 Response is ES-shaped: {"hits": {"total": {"value": N, "relation":
@@ -440,7 +443,7 @@ def parse_query(query: dict, analyzer=None) -> dict:
     tokenize filter-context match clauses exactly like the index did."""
     plan: dict[str, Any] = {
         "query": "", "must": None, "must_not": None, "min_should": 0,
-        "filters": {}, "ranges": {}, "phrase": None, "mm": None,
+        "filters": {}, "ranges": {}, "phrase": None, "phrase_slop": 0, "mm": None,
         "expand": None, "mlt": None, "match_all": False,
         "or_groups": [], "not_atoms": [], "extra_not_text": [],
         "boost": 1.0, "ids": None,
@@ -461,6 +464,8 @@ def parse_query(query: dict, analyzer=None) -> dict:
     elif kind == "match_phrase":
         _field, spec = _one(body)
         plan["phrase"] = spec["query"] if isinstance(spec, dict) else str(spec)
+        if isinstance(spec, dict) and spec.get("slop"):
+            plan["phrase_slop"] = int(spec["slop"])
     elif kind == "multi_match":
         plan["mm"] = {
             "query": body["query"],
@@ -651,7 +656,10 @@ def _apply_rescore(s: Searcher, rows: list, rescore) -> list:
         _field, v = _one(val)
         text = v["query"] if isinstance(v, dict) else str(v)
         if kind == "match_phrase":
-            rsc = dict(s.phrase_rows(text, _ALL_HITS))
+            rsc = dict(s.phrase_rows(
+                text, _ALL_HITS,
+                slop=int(v.get("slop", 0)) if isinstance(v, dict) else 0,
+            ))
         elif kind == "match":
             rsc = dict(s.search_rows(text, _ALL_HITS, prune=False))
         else:
@@ -750,7 +758,10 @@ def search_body(
         ]
         rows = [(r[0], float("nan")) for r in sorted_rows_cols]
     elif plan["phrase"] is not None:
-        rows = s.phrase_rows(plan["phrase"], size + from_, after=after)[from_:]
+        rows = s.phrase_rows(
+            plan["phrase"], size + from_, after=after,
+            slop=plan["phrase_slop"],
+        )[from_:]
     elif plan["mm"] is not None:
         if after is not None:
             raise UnsupportedDSL(
@@ -899,6 +910,7 @@ def search_body(
             "terms", "date_histogram", "histogram", "stats",
             "avg", "sum", "min", "max", "value_count", "range",
             "filter", "filters", "missing", "top_hits", "composite",
+            "significant_terms",
         }:
             # serving fast path: row-for-row identical to the distributed
             # plan for these kinds (escalates itself past max_hits);
@@ -998,7 +1010,8 @@ def search_body_daily(
         rows = [(r[0], float("nan")) for r in sorted_rows_cols]
     elif plan["phrase"] is not None:
         rows = ds.phrase_rows(
-            plan["phrase"], size + from_, time_range=time_range, after=after
+            plan["phrase"], size + from_, time_range=time_range, after=after,
+            slop=plan["phrase_slop"],
         )[from_:]
     elif plan["mm"] is not None:
         if after is not None:
@@ -1096,7 +1109,8 @@ def search_body_daily(
         if plan["ids"] is not None:
             n = len(_daily_ids_present(root, days, plan["ids"]))
         elif plan["phrase"] is not None:
-            n = _union_count(lambda dd: phrase_doc_ids(spark, dd, plan["phrase"]))
+            n = _union_count(lambda dd: phrase_doc_ids(
+                spark, dd, plan["phrase"], slop=plan["phrase_slop"]))
         elif plan["mm"] is not None:
             stats = ds._merged_stats(days) if days else None
             mm_plan = _multi_match_plan(
@@ -1210,7 +1224,9 @@ def _exact_total(
 
         return len(lookup_docs(out_dir, plan["ids"]))
     if plan["phrase"] is not None:
-        return phrase_doc_ids(spark, out_dir, plan["phrase"]).count()
+        return phrase_doc_ids(
+            spark, out_dir, plan["phrase"], slop=plan["phrase_slop"]
+        ).count()
     if plan["mm"] is not None:
         mm_plan = _multi_match_plan(
             spark, out_dir, s.stats, plan["mm"]["query"], plan["mm"]["fields"]

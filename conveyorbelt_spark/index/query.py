@@ -353,6 +353,9 @@ def _topk_idx(scores: np.ndarray, doc_ids: np.ndarray, k: int) -> np.ndarray:
     survive, and the tie group is ordered by doc_id; only the candidates at
     or above the threshold pay the O(m log m) sort."""
     n = len(scores)
+    if k <= 0:
+        # ES "size": 0 (aggs-/count-only requests) reaches every kernel
+        return np.arange(0)
     if n <= k:
         idx = np.arange(n)
         order = np.lexsort((doc_ids[idx], -scores[idx]))
@@ -1174,7 +1177,7 @@ _POS_KEY_SHIFT = 33  # doc-index key space above the position bits
 
 def _phrase_kernel(
     phrase_tokens: list[tuple[str, int]], idf_sum: float, k: int,
-    after: tuple[float, int] | None = None,
+    after: tuple[float, int] | None = None, slop: int = 0,
 ):
     """Per-bucket phrase scorer (Lucene PhraseQuery semantics, pinned):
     candidates = docs containing every distinct phrase term; a hit needs a
@@ -1187,7 +1190,16 @@ def _phrase_kernel(
     slots carry Lucene position-increment gaps — "quick over dog" with
     stopword "over" becomes [(quick,0),(dog,2)], requiring doc positions p
     and p+2. Fully vectorized: per-slot (candidate-doc-index,
-    position−slot) keys intersected across slots."""
+    position−slot) keys intersected across slots.
+
+    ``slop`` > 0 relaxes to ES match_phrase proximity with ANCHOR-WINDOW
+    semantics (documented simplification of Lucene's SloppyPhraseScorer):
+    an anchor is a slot-0 start x, and it matches when every later slot
+    has a position within ±slop of its expected place x+slot; sloppyFreq =
+    the number of matching anchors (each anchor counted once, no
+    per-distance weighting). Reduces to the exact scorer at slop=0;
+    transposed adjacent terms match at slop=2, one intervening token at
+    slop=1 — the ES-documented thresholds."""
     distinct_terms = sorted({t for t, _ in phrase_tokens})
 
     def phrase_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1233,17 +1245,44 @@ def _phrase_kernel(
         dl_by_cand = np.zeros(len(cand), dtype=np.float64)
         dl_by_cand[np.searchsorted(cand, d0[first])] = l0[first]
 
-        for t, slot in phrase_tokens:
-            docs_t, pos_t, _ = occ_cache[t]
-            ok = pos_t >= slot
-            ci = np.searchsorted(cand, docs_t[ok])
-            keys = (ci.astype(np.int64) << _POS_KEY_SHIFT) + (pos_t[ok] - slot)
-            keys_per_slot.append(np.unique(keys))
-        inter = keys_per_slot[0]
-        for ks in keys_per_slot[1:]:
-            if not len(inter):
-                break
-            inter = np.intersect1d(inter, ks, assume_unique=True)
+        if slop:
+            # sloppy path: anchors = slot-0 starts; slot s needs a position
+            # whose offset (pos - slot) lands in [x-slop, x+slop]. Encoded
+            # with a +slop bias so offsets stay non-negative; the window
+            # test is two searchsorted probes per slot over sorted keys —
+            # no per-anchor python, no combinatorial tuple walk.
+            t0, s0 = phrase_tokens[0]
+            docs_0, pos_0, _ = occ_cache[t0]
+            ok0 = pos_0 >= s0
+            ci0 = np.searchsorted(cand, docs_0[ok0])
+            inter = np.unique(
+                (ci0.astype(np.int64) << _POS_KEY_SHIFT) + (pos_0[ok0] - s0)
+            )
+            for t, slot in phrase_tokens[1:]:
+                if not len(inter):
+                    break
+                docs_t, pos_t, _ = occ_cache[t]
+                ok = (pos_t - slot) >= -slop
+                ci = np.searchsorted(cand, docs_t[ok])
+                keys = np.unique(
+                    (ci.astype(np.int64) << _POS_KEY_SHIFT)
+                    + (pos_t[ok] - slot + slop)
+                )
+                lo = np.searchsorted(keys, inter)
+                hi = np.searchsorted(keys, inter + 2 * slop, side="right")
+                inter = inter[lo < hi]
+        else:
+            for t, slot in phrase_tokens:
+                docs_t, pos_t, _ = occ_cache[t]
+                ok = pos_t >= slot
+                ci = np.searchsorted(cand, docs_t[ok])
+                keys = (ci.astype(np.int64) << _POS_KEY_SHIFT) + (pos_t[ok] - slot)
+                keys_per_slot.append(np.unique(keys))
+            inter = keys_per_slot[0]
+            for ks in keys_per_slot[1:]:
+                if not len(inter):
+                    break
+                inter = np.intersect1d(inter, ks, assume_unique=True)
         if not len(inter):
             return empty
 
@@ -1298,13 +1337,14 @@ def _phrase_plan(spark, out_dir, stats, phrase, lookup=None):
 
 def phrase_topk(
     spark: SparkSession, out_dir: str, phrase: str, k: int = 10,
-    after: tuple[float, int] | None = None,
+    after: tuple[float, int] | None = None, slop: int = 0,
 ) -> DataFrame:
     """Distributed phrase search over a positional index: top-k docs
     containing the exact token sequence, scored Lucene-style (idf sum ×
     tfNorm(phraseFreq, dl)), ranked (score desc, doc_id asc). ``after`` =
     (score, doc_id) pages by score-order search_after (the predicate
-    applies inside the kernel, pre-top-k — page N+1 costs page 1)."""
+    applies inside the kernel, pre-top-k — page N+1 costs page 1).
+    ``slop`` relaxes to ES proximity matching (see ``_phrase_kernel``)."""
     stats = load_stats(out_dir)
     empty = spark.createDataFrame([], "doc_id long, score double")
     plan = _phrase_plan(spark, out_dir, stats, phrase)
@@ -1317,14 +1357,16 @@ def phrase_topk(
         .where(F.col("tb").isin(tbs) & F.col("term").isin(distinct))
         .select(*_BLOCK_COLS, "poss", *(["run"] if tomb else []))
     )
-    kern = _phrase_kernel(phrase_tokens, idf_sum, k, after=after)
+    kern = _phrase_kernel(phrase_tokens, idf_sum, k, after=after, slop=slop)
     kern.k1, kern.b, kern.avgdl = stats["k1"], stats["b"], stats["avgdl"]
     func = kern if not tomb else _with_tombstones(kern, tomb)
     local = seg.groupBy("bucket").applyInPandas(func, schema="doc_id long, score double")
     return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
-def phrase_doc_ids(spark: SparkSession, out_dir: str, phrase: str) -> DataFrame:
+def phrase_doc_ids(
+    spark: SparkSession, out_dir: str, phrase: str, slop: int = 0
+) -> DataFrame:
     """EVERY doc containing the phrase (no top-k, no cap) — the positional
     twin of ``bool_doc_ids``, distributed end to end: the same pruned
     positional scan and per-bucket phrase kernel as ``phrase_topk``, with
@@ -1342,7 +1384,7 @@ def phrase_doc_ids(spark: SparkSession, out_dir: str, phrase: str) -> DataFrame:
         .where(F.col("tb").isin(tbs) & F.col("term").isin(distinct))
         .select(*_BLOCK_COLS, "poss", *(["run"] if tomb else []))
     )
-    kern = _phrase_kernel(phrase_tokens, idf_sum, None)
+    kern = _phrase_kernel(phrase_tokens, idf_sum, None, slop=slop)
     kern.k1, kern.b, kern.avgdl = stats["k1"], stats["b"], stats["avgdl"]
     func = kern if not tomb else _with_tombstones(kern, tomb)
     return (
@@ -1753,7 +1795,8 @@ def search_aggs(
          "length":   {"stats":          {"field": "n_chars"}},
          "uniq_src": {"cardinality":    {"field": "source"}},
          "p_len":    {"percentiles":    {"field": "n_chars",
-                                         "percents": [50, 95, 99]}}}
+                                         "percents": [50, 95, 99]}},
+         "sig_src":  {"significant_terms": {"field": "source"}}}
 
     Returns {name: DataFrame}. ``cardinality`` uses HyperLogLog++-style
     ``approx_count_distinct`` like ES (pass ``"exact": True`` for a true
@@ -1766,7 +1809,7 @@ def search_aggs(
         or_groups=or_groups, not_atoms=not_atoms,
     )
     store = _docstore_scan(spark, out_dir)
-    return aggs_over_join(store.join(hits, "doc_id"), aggs)
+    return aggs_over_join(store.join(hits, "doc_id"), aggs, background=store)
 
 
 def _agg_spec(name: str, spec: dict) -> tuple[str, dict, dict | None]:
@@ -1792,7 +1835,9 @@ def _bucket_expr(kind: str, body: dict):
     raise ValueError(f"agg kind {kind!r} is not a bucketing agg (cannot hold sub-aggs)")
 
 
-def aggs_over_join(joined: DataFrame, aggs: dict) -> dict[str, DataFrame]:
+def aggs_over_join(
+    joined: DataFrame, aggs: dict, background: DataFrame | None = None,
+) -> dict[str, DataFrame]:
     """The aggregation half of ``search_aggs``: ES-shaped agg specs over an
     already-joined (matching ids ⋈ stored columns) frame. Shared with the
     DailySearcher window path, whose join unions several days' docstores.
@@ -1822,6 +1867,13 @@ def aggs_over_join(joined: DataFrame, aggs: dict) -> dict[str, DataFrame]:
                     f"agg {name!r}: composite sub-aggs are unsupported"
                 )
             out[name] = _composite_agg_df(joined, name, body)
+            continue
+        if kind == "significant_terms":
+            if sub is not None:
+                raise ValueError(
+                    f"agg {name!r}: significant_terms sub-aggs are unsupported"
+                )
+            out[name] = _significant_terms_df(joined, name, body, background)
             continue
         if sub is not None:
             out[name] = _sub_bucket_df(joined, name, kind, body, sub)
@@ -2091,6 +2143,47 @@ def _composite_parts(body: dict) -> list[tuple[str, str, dict, bool]]:
     return parts
 
 
+def _significant_terms_df(
+    joined: DataFrame, name: str, body: dict, background: DataFrame | None,
+) -> DataFrame:
+    """ES significant_terms aggregation (JLH heuristic, the ES default):
+    terms of a stored field whose share of the query's MATCHING set
+    (foreground) most exceeds their share of the whole index (background).
+    score = (fg% − bg%) · (fg% / bg%); only positively-significant terms
+    (fg% > bg%) with foreground doc_count ≥ min_doc_count (ES default 3)
+    are buckets, top ``size`` (default 10) by score. Fully distributed:
+    one hash agg over each side, an equi-join on the (small, aggregated)
+    key sets, broadcast scalar totals — no driver materialization. Rows:
+    (key, doc_count, bg_count, score) — the ES bucket fields."""
+    if background is None:
+        raise ValueError(
+            f"agg {name!r}: significant_terms needs the index background "
+            "(served via search_aggs / the DSL, not a bare joined frame)"
+        )
+    col = body["field"]
+    size = int(body.get("size", 10))
+    min_dc = int(body.get("min_doc_count", 3))
+    fg = joined.groupBy(F.col(col).alias("key")).agg(F.count("*").alias("doc_count"))
+    bg = background.groupBy(F.col(col).alias("key")).agg(
+        F.count("*").alias("bg_count")
+    )
+    fgt = joined.agg(F.count("*").alias("fg_total"))
+    bgt = background.agg(F.count("*").alias("bg_total"))
+    fgp = F.col("doc_count") / F.col("fg_total")
+    bgp = F.col("bg_count") / F.col("bg_total")
+    return (
+        fg.join(bg, "key")
+        .crossJoin(F.broadcast(fgt))
+        .crossJoin(F.broadcast(bgt))
+        .where(F.col("key").isNotNull() & (F.col("doc_count") >= min_dc))
+        .withColumn("score", (fgp - bgp) * (fgp / bgp))
+        .where(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("key"))
+        .select("key", "doc_count", "bg_count", "score")
+        .limit(size)
+    )
+
+
 def _composite_agg_df(joined: DataFrame, name: str, body: dict) -> DataFrame:
     """ES composite aggregation: the full (multi-source) bucket space
     paged in KEY order, ``size`` buckets per request, resumed with the
@@ -2345,17 +2438,28 @@ def _key_out(k):
     return k.item() if hasattr(k, "item") else k
 
 
-def _aggs_pandas(pdf: pd.DataFrame, aggs: dict) -> dict[str, list[dict]]:
+def _aggs_pandas(
+    pdf: pd.DataFrame, aggs: dict, bg_counts=None,
+) -> dict[str, list[dict]]:
     """Driver-side twin of ``aggs_over_join`` over a pandas frame of the
     hits' stored columns — row-for-row identical output shapes (terms /
     date_histogram / histogram / stats and the sub-bucket path match the
     Spark results exactly; cardinality / percentiles are exact where the
-    Spark path approximates)."""
+    Spark path approximates). ``bg_counts`` (field → (value_counts, total)
+    over the whole docstore, ``Searcher._background_counts``) supplies the
+    significant_terms background."""
     import numpy as np
 
     out: dict[str, list[dict]] = {}
     for name, spec in aggs.items():
         kind, body, sub = _agg_spec(name, spec)
+        if kind == "significant_terms":
+            if sub is not None:
+                raise ValueError(
+                    f"agg {name!r}: significant_terms sub-aggs are unsupported"
+                )
+            out[name] = _sig_terms_pandas(pdf, name, body, bg_counts)
+            continue
         if kind == "filter":
             out[name] = _filter_agg_pandas(pdf, name, body, sub)
             continue
@@ -2422,6 +2526,42 @@ def _aggs_pandas(pdf: pd.DataFrame, aggs: dict) -> dict[str, list[dict]]:
         else:
             raise ValueError(f"unsupported agg type {kind!r} in {name!r}")
     return out
+
+
+def _sig_terms_pandas(
+    pdf: pd.DataFrame, name: str, body: dict, bg_counts,
+) -> list[dict]:
+    """Serving twin of ``_significant_terms_df``: the same JLH arithmetic
+    in the same operation order — (fg% − bg%) · (fg% / bg%) on float64 —
+    so scores match the Spark doubles bit for bit."""
+    if bg_counts is None:
+        raise ValueError(
+            f"agg {name!r}: significant_terms needs the index background "
+            "(serve via Searcher.aggs_rows / search_aggs, not a bare frame)"
+        )
+    col = body["field"]
+    size = int(body.get("size", 10))
+    min_dc = int(body.get("min_doc_count", 3))
+    vals = pdf[col] if col in getattr(pdf, "columns", []) else pd.Series(dtype=object)
+    fg = vals.dropna().value_counts()
+    fg_total = int(len(pdf))
+    bgc, bg_total = bg_counts(col)
+    rows = []
+    for key, n in fg.items():
+        n = int(n)
+        if n < min_dc or key not in bgc.index:
+            continue
+        bn = int(bgc[key])
+        fgp = n / fg_total
+        bgp = bn / bg_total
+        score = (fgp - bgp) * (fgp / bgp)
+        if score > 0:
+            rows.append((_key_out(key), n, bn, float(score)))
+    rows.sort(key=lambda r: (-r[3], r[0]))
+    return [
+        {"key": k, "doc_count": n, "bg_count": bn, "score": sc}
+        for k, n, bn, sc in rows[:size]
+    ]
 
 
 def _pd_metric(kind: str, vals: pd.Series):
@@ -3314,6 +3454,10 @@ class Searcher:
         # path): byte-accounted LRU with its own sibling budget — decoded
         # int64 arrays outweigh the varint frames the block LRU accounts
         self._tp_cache = _TpCache(cache_bytes)
+        # field -> (value_counts over the WHOLE docstore, total rows):
+        # the significant_terms background, one pyarrow column read per
+        # field per stats snapshot (mtime-invalidated like the rest)
+        self._bg_cache: dict[str, tuple[pd.Series, int]] = {}
 
     def _maybe_invalidate(self) -> None:
         try:
@@ -3329,6 +3473,7 @@ class Searcher:
             self._block_cache_total = 0
             self._range_cache.clear()
             self._tp_cache.clear()
+            self._bg_cache.clear()
             self._tomb = _tombs(self.out_dir, self.stats)
 
     def _range_expand(self, lo: str, hi: str) -> list[str]:
@@ -3336,6 +3481,26 @@ class Searcher:
         if key not in self._range_cache:
             self._range_cache[key] = _term_range(self.out_dir, lo, hi)["term"].tolist()
         return self._range_cache[key]
+
+    def _background_counts(self, field: str) -> tuple[pd.Series, int]:
+        """significant_terms background: per-key doc counts of a stored
+        field over the WHOLE docstore plus the total row count — one
+        pyarrow single-column read (zero Spark jobs), cached per field
+        until the next stats snapshot. Matches the distributed path's
+        ``_docstore_scan`` exactly (every bucket/run partition, deleted
+        docs included on both sides)."""
+        if field not in self._bg_cache:
+            import pyarrow.dataset as pds
+
+            store = os.path.join(self.out_dir, "docstore")
+            s = (
+                pds.dataset(store, format="parquet", partitioning="hive")
+                .to_table(columns=[field])
+                .column(field)
+                .to_pandas()
+            )
+            self._bg_cache[field] = (s.dropna().value_counts(), len(s))
+        return self._bg_cache[field]
 
     @staticmethod
     def _frame_bytes(f: pd.DataFrame) -> int:
@@ -3443,6 +3608,10 @@ class Searcher:
         pass regardless of depth (no offset+k re-rank). Requires a locally
         readable index in mode auto/local; in mode spark it collects the
         distributed result."""
+        if k <= 0:
+            # ES "size": 0 — the canonical aggs-only request shape; the
+            # WAND prune phase would otherwise np.partition at kth=len
+            return []
         if offset:
             rows = self.search_rows(
                 query, k + offset, prune, must=must, must_not=must_not,
@@ -3508,12 +3677,13 @@ class Searcher:
 
     def phrase_rows(
         self, phrase: str, k: int = 10,
-        after: tuple[float, int] | None = None,
+        after: tuple[float, int] | None = None, slop: int = 0,
     ) -> list[tuple[int, float]]:
         """Serving-path phrase search over a positional index: the same
         per-bucket phrase kernel as ``phrase_topk``, run on the driver with
         pruned pyarrow block reads — zero Spark jobs. ``after`` = (score,
-        doc_id) pages by score-order search_after."""
+        doc_id) pages by score-order search_after; ``slop`` = ES proximity
+        (see ``_phrase_kernel``)."""
         self._maybe_invalidate()
         plan = _phrase_plan(
             self.spark, self.out_dir, self.stats, phrase, lookup=self._entries
@@ -3526,10 +3696,10 @@ class Searcher:
             return [
                 (r.doc_id, r.score)
                 for r in phrase_topk(
-                    self.spark, self.out_dir, phrase, k, after=after
+                    self.spark, self.out_dir, phrase, k, after=after, slop=slop
                 ).collect()
             ]
-        kern = _phrase_kernel(phrase_tokens, idf_sum, k, after=after)
+        kern = _phrase_kernel(phrase_tokens, idf_sum, k, after=after, slop=slop)
         kern.k1, kern.b, kern.avgdl = self.stats["k1"], self.stats["b"], self.stats["avgdl"]
         kern.tp_cache = self._tp_cache
         outs = [kern(grp) for _, grp in blocks.groupby("bucket", sort=True)]
@@ -3839,7 +4009,7 @@ class Searcher:
 
         meta = lookup_docs(self.out_dir, [d for d, _ in rows])
         pdf = pd.DataFrame(list(meta.values())) if meta else pd.DataFrame()
-        return _aggs_pandas(pdf, aggs)
+        return _aggs_pandas(pdf, aggs, bg_counts=self._background_counts)
 
     def search(
         self, query: str, k: int = 10, prune: bool = True,

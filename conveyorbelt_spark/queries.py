@@ -2829,6 +2829,139 @@ ORDER BY score DESC, doc_id ASC
 """
 
 
+def q55_sloppy_phrase(spark, sf_dir):
+    """ES match_phrase with slop=1 through the real positional index
+    (anchor-window proximity semantics pinned in ``_phrase_kernel``):
+    anchors are 'value' starts, a match needs a 'table' within ±1 of the
+    adjacent position, sloppyFreq = matching-anchor count feeding tfNorm.
+    DuckDB twin: a position-window self-join with DISTINCT anchor
+    counting, hash-identical scores."""
+    import shutil
+    import tempfile
+
+    from .index.build import build_index
+    from .index.query import phrase_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="cb_q55_idx_")
+    try:
+        build_index(spark, docs.select("doc_id", "text"), out,
+                    url_col=None, n_buckets=8, positions=True)
+        rows = [
+            (int(r.doc_id), float(r.score))
+            for r in phrase_topk(spark, out, "value table", 20, slop=1).collect()
+        ]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    res = spark.createDataFrame(rows, "doc_id long, score double")
+    return res.select("doc_id", F.round("score", 4).alias("score")).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+
+
+Q55_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t != '') AS arr
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) - 1 AS pos FROM base
+),
+dl AS (SELECT doc_id, len(arr) AS dl FROM base),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(len(arr)) FROM base)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+dfs AS (
+  SELECT count(DISTINCT CASE WHEN term = 'value' THEN doc_id END) AS df0,
+         count(DISTINCT CASE WHEN term = 'table' THEN doc_id END) AS df1
+  FROM toks
+),
+hits AS (
+  -- anchor-window slop=1: anchor x = a 'value' start; needs a 'table'
+  -- position p with |(p-1) - x| <= 1, i.e. p in [x, x+2]; pf counts
+  -- DISTINCT anchors (each anchor once, however many partners)
+  SELECT a.doc_id, count(DISTINCT a.pos) AS pf
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id
+                          AND b.pos BETWEEN a.pos AND a.pos + 2
+  WHERE a.term = 'value' AND b.term = 'table'
+  GROUP BY a.doc_id
+),
+scored AS (
+  SELECT h.doc_id,
+         (ln(1.0 + (s.n - d.df0 + 0.5) / (d.df0 + 0.5))
+          + ln(1.0 + (s.n - d.df1 + 0.5) / (d.df1 + 0.5)))
+         * (h.pf * 2.2) / (h.pf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / s.avgdl))) AS raw
+  FROM hits h
+  JOIN dl ON dl.doc_id = h.doc_id
+  CROSS JOIN stats s CROSS JOIN dfs d
+)
+SELECT doc_id, round(raw, 4) AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
+"""
+
+
+def q54_significant_terms(spark, sf_dir):
+    """ES significant_terms aggregation (JLH heuristic, ES's default
+    scorer) through the real index: langs over-represented in the docs
+    matching the BM25 query terms relative to the WHOLE corpus. One hash
+    agg over each side + an equi-join on the aggregated keys — never a
+    driver materialization. DuckDB twin computes the identical
+    (fg%−bg%)·(fg%/bg%) contrast from the raw tables."""
+    import shutil
+    import tempfile
+
+    from .index.build import build_index, write_docstore
+    from .index.query import search_aggs
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="cb_q54_idx_")
+    try:
+        build_index(spark, docs.select("doc_id", "text"), out, url_col=None, n_buckets=8)
+        write_docstore(spark, docs, out, url_col=None, extra_cols=("lang",))
+        res = search_aggs(
+            spark, out,
+            {"sig": {"significant_terms": {"field": "lang", "min_doc_count": 1}}},
+            " ".join(BM25_QUERY_TERMS),
+        )["sig"]
+        rows = [
+            (r.key, int(r.doc_count), int(r.bg_count), round(float(r.score), 4))
+            for r in res.collect()
+        ]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    out_df = spark.createDataFrame(
+        rows, "key string, doc_count long, bg_count long, score double"
+    )
+    return out_df.orderBy("key")
+
+
+Q54_SQL = f"""
+WITH toks AS ({_TOKENS_SQL}),
+hits AS (
+  SELECT doc_id FROM toks GROUP BY doc_id
+  HAVING max(CASE WHEN term IN (SELECT unnest({BM25_QUERY_TERMS!r}))
+             THEN 1 ELSE 0 END) = 1
+),
+m AS (SELECT d.* FROM documents d JOIN hits USING (doc_id)),
+fg AS (SELECT lang AS key, count(*) AS doc_count FROM m
+       WHERE lang IS NOT NULL GROUP BY lang),
+bg AS (SELECT lang AS key, count(*) AS bg_count FROM documents
+       WHERE lang IS NOT NULL GROUP BY lang),
+tot AS (SELECT (SELECT count(*) FROM m) AS fgt,
+               (SELECT count(*) FROM documents) AS bgt)
+SELECT key, doc_count, bg_count,
+       round((doc_count / CAST(fgt AS DOUBLE) - bg_count / CAST(bgt AS DOUBLE))
+             * ((doc_count / CAST(fgt AS DOUBLE))
+                / (bg_count / CAST(bgt AS DOUBLE))), 4) AS score
+FROM fg JOIN bg USING (key) CROSS JOIN tot
+WHERE doc_count >= 1
+  AND doc_count / CAST(fgt AS DOUBLE) > bg_count / CAST(bgt AS DOUBLE)
+ORDER BY key
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -2883,6 +3016,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q51_composite_aggs": q51_composite_aggs,
     "q52_field_collapse": q52_field_collapse,
     "q53_rescore": q53_rescore,
+    "q54_significant_terms": q54_significant_terms,
+    "q55_sloppy_phrase": q55_sloppy_phrase,
 }
 
 ORACLES: dict[str, str] = {
@@ -2939,4 +3074,6 @@ ORACLES: dict[str, str] = {
     "q51_composite_aggs": Q51_SQL,
     "q52_field_collapse": Q52_SQL,
     "q53_rescore": Q53_SQL,
+    "q54_significant_terms": Q54_SQL,
+    "q55_sloppy_phrase": Q55_SQL,
 }

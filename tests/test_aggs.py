@@ -543,3 +543,90 @@ def test_composite_agg_pages(spark, aroot):
     assert [r.lg for r in d.collect()] == sorted(
         {lg for lg, _ in want}, reverse=True
     )[:3]
+
+
+@pytest.fixture(scope="module")
+def sigroot(spark, tmp_path_factory):
+    """Corpus where 'anomaly' is CONCENTRATED in src=alpha: the JLH
+    foreground/background contrast the significant_terms agg exists to
+    surface (vs a plain terms agg, which would rank beta/gamma by raw
+    count)."""
+    out = str(tmp_path_factory.mktemp("sigidx"))
+    rows = []
+    for i in range(200):
+        src = "alpha" if i < 40 else ("beta" if i < 120 else "gamma")
+        words = ["filler", f"w{i % 7}", "text"]
+        if (i < 40 and i % 2 == 0) or (i >= 120 and i % 20 == 0):
+            words.append("anomaly")
+        rows.append((i, " ".join(words), src))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, src string")
+    build_index(spark, docs, out, url_col=None, n_buckets=4, n_term_buckets=8)
+    write_docstore(spark, docs, out, url_col=None, extra_cols=("src",))
+    return out, rows
+
+
+def test_significant_terms_agg(spark, sigroot):
+    """significant_terms (JLH): only positively-significant keys survive
+    (alpha: 20/24 of hits vs 40/200 of the corpus), negatively-correlated
+    keys (gamma: present in hits but UNDER-represented) and zero-hit keys
+    (beta) do not. Bucket fields are (key, doc_count, bg_count, score)."""
+    out, rows = sigroot
+    res = search_aggs(
+        spark, out, {"sig": {"significant_terms": {"field": "src"}}}, "anomaly"
+    )["sig"].collect()
+    assert [(r.key, r.doc_count, r.bg_count) for r in res] == [("alpha", 20, 40)]
+    fgp, bgp = 20 / 24, 40 / 200
+    assert res[0].score == pytest.approx((fgp - bgp) * (fgp / bgp))
+
+
+def test_significant_terms_min_doc_count_and_size(spark, sigroot):
+    """ES defaults: min_doc_count=3 (raising it above the bucket's
+    foreground count drops the bucket), size caps by score."""
+    out, _ = sigroot
+    res = search_aggs(
+        spark, out,
+        {"sig": {"significant_terms": {"field": "src", "min_doc_count": 21}}},
+        "anomaly",
+    )["sig"].collect()
+    assert res == []
+
+
+def test_significant_terms_serving_parity(spark, sigroot):
+    """The zero-Spark-job serving path (pyarrow docstore background +
+    pandas JLH in the same float64 operation order) is row- and
+    score-identical to the distributed plan, through the DSL too."""
+    from conveyorbelt_spark.index.dsl import search_body
+    from conveyorbelt_spark.index.query import Searcher
+
+    out, _ = sigroot
+    spec = {"sig": {"significant_terms": {"field": "src"}}}
+    want = [
+        r.asDict() for r in search_aggs(spark, out, spec, "anomaly")["sig"].collect()
+    ]
+    s = Searcher(spark, out)
+    assert s.aggs_rows(spec, "anomaly")["sig"] == want
+    # saturation escalates to the distributed path — same rows
+    assert s.aggs_rows(spec, "anomaly", max_hits=5)["sig"] == want
+    body = {"query": {"match": {"text": "anomaly"}}, "size": 0, "aggs": spec}
+    resp = search_body(spark, out, body, searcher=s)
+    assert resp["aggregations"]["sig"] == want
+
+
+def test_significant_terms_guards(spark, sigroot):
+    """A bare joined frame has no background (ValueError names the agg);
+    sub-aggs under significant_terms are rejected, not silently dropped."""
+    from conveyorbelt_spark.index.query import aggs_over_join, _docstore_scan
+
+    out, _ = sigroot
+    store = _docstore_scan(spark, out)
+    with pytest.raises(ValueError, match="background"):
+        aggs_over_join(store, {"sig": {"significant_terms": {"field": "src"}}})
+    with pytest.raises(ValueError, match="sub-aggs"):
+        search_aggs(
+            spark, out,
+            {"sig": {
+                "significant_terms": {"field": "src"},
+                "aggs": {"x": {"stats": {"field": "doc_id"}}},
+            }},
+            "anomaly",
+        )

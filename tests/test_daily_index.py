@@ -502,3 +502,46 @@ def test_window_metadata_one_probe(spark, droot, monkeypatch):
         raise AssertionError("load_stats called on a warm DailySearcher")
     monkeypatch.setattr(daily_mod, "load_stats", boom)
     assert ds_all.search_rows("the and", 5) == warm
+
+
+def test_windowed_significant_terms_background_is_window(spark, tmp_path_factory):
+    """Windowed significant_terms: the JLH background is the WINDOW's
+    corpus (the day dirs the time_range selected), not the whole root —
+    ES's per-index background over daily indexes. Day 2 is pure-alpha
+    noise; including it would shift bg_count 20 → 100."""
+    import datetime as dt
+
+    from conveyorbelt_spark.index.daily import DailySearcher, build_daily_index
+
+    root = str(tmp_path_factory.mktemp("dsig"))
+    rows = []
+    for i in range(80):  # days 0-1 (the window): anomaly concentrates in alpha
+        src = "alpha" if i % 4 == 0 else "beta"
+        txt = "filler text" + (
+            " anomaly" if (i % 8 == 0 or i in (1, 5)) else ""
+        )
+        rows.append((i, txt, src, dt.datetime(2016, 9, 16 + (i % 2), 12)))
+    for i in range(80, 160):  # day 2, outside the window: all alpha, no anomaly
+        rows.append((i, "filler text", "alpha", dt.datetime(2016, 9, 18, 12)))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, src string, warc_ts timestamp"
+    )
+    build_daily_index(
+        spark, docs, root, url_col=None, n_buckets=2, n_term_buckets=4,
+        store_cols=("src",),
+    )
+    ds = DailySearcher(spark, root)
+    win = (dt.datetime(2016, 9, 16), dt.datetime(2016, 9, 18))
+    res = ds.search_aggs(
+        {"sig": {"significant_terms": {"field": "src"}}},
+        "anomaly", time_range=win,
+    )["sig"].collect()
+    assert [(r.key, r.doc_count, r.bg_count) for r in res] == [("alpha", 10, 20)]
+    fgp, bgp = 10 / 12, 20 / 80
+    assert res[0].score == pytest.approx((fgp - bgp) * (fgp / bgp))
+    # unbounded window: day 2 joins the background, alpha is now the
+    # MAJORITY class everywhere — fg share 10/12 still exceeds bg 100/160
+    full = ds.search_aggs(
+        {"sig": {"significant_terms": {"field": "src"}}}, "anomaly"
+    )["sig"].collect()
+    assert [(r.key, r.doc_count, r.bg_count) for r in full] == [("alpha", 10, 100)]
