@@ -224,6 +224,12 @@ def _es_surface_bench(spark, sf_dir: str) -> dict:
                  "lens": {"stats": {"field": "n_chars"}}},
                 "spark join",
             ),
+            "sloppy_phrase": lambda: s.phrase_rows("value table", 20, slop=2),
+            "significant_terms": lambda: s.aggs_rows(
+                {"sig": {"significant_terms": {"field": "lang"}}},
+                "spark join",
+            ),
+            "term_suggester": lambda: s.term_suggest("sorw tabel vallue"),
             "daily_window_search": lambda: ds.search_rows(
                 "spark join window", 20, time_range=win
             ),

@@ -53,7 +53,10 @@ request level: "size", "from", "sort" ([{"field": "desc"}] or ["field"]),
 "search_after", "aggs" (the search_aggs shape, incl. one level of
 sub-"aggs" and significant_terms with its whole-index background),
 "highlight" {"fields": {col: {}}}, "_source" (bool),
-"track_total_hits" (bool — True runs the uncapped distributed count).
+"track_total_hits" (bool — True runs the uncapped distributed count),
+"suggest" {name: {"text": t, "term": {knobs}}} — the ES term suggester
+("did you mean", see ``query.term_suggest``); suggest-only bodies (no
+query, no aggs) skip the search phase like ES.
 
 Response is ES-shaped: {"hits": {"total": {"value": N, "relation":
 "eq"|"gte"}, "hits": [{"_id", "_score", "_source"?, "highlight"?}]},
@@ -675,6 +678,31 @@ def _apply_rescore(s: Searcher, rows: list, rescore) -> list:
     return rows
 
 
+def _suggest_section(out_dir: str, spec: dict) -> dict:
+    """The request-level "suggest" block: named term-suggester entries
+    ({"text": ..., "term": {"field": ..., knobs}}) → ES-shaped response
+    section. Only the term suggester is emulated (the phrase suggester's
+    language-model rescoring is not)."""
+    from .query import term_suggest
+
+    out = {}
+    for name, body in spec.items():
+        if not isinstance(body, dict) or "term" not in body:
+            raise UnsupportedDSL(
+                f"suggest {name!r}: only the term suggester is supported"
+            )
+        t = body["term"]
+        out[name] = term_suggest(
+            out_dir, str(body.get("text", "")),
+            size=int(t.get("size", 5)),
+            max_edits=int(t.get("max_edits", 2)),
+            prefix_length=int(t.get("prefix_length", 1)),
+            min_word_length=int(t.get("min_word_length", 4)),
+            suggest_mode=str(t.get("suggest_mode", "missing")),
+        )
+    return out
+
+
 def search_body(
     spark: SparkSession, out_dir: str, body: dict, *,
     searcher: Searcher | None = None,
@@ -685,6 +713,13 @@ def search_body(
     index mutation); omitted, each call builds a cold handle."""
     body = dict(body or {})
     s = searcher if searcher is not None and searcher.out_dir == out_dir else Searcher(spark, out_dir)
+    if body.get("suggest") and body.get("query") is None and not body.get("aggs"):
+        # suggest-only request (no query, no aggs) — ES runs these
+        # without a search phase
+        return {
+            "hits": {"total": {"value": 0, "relation": "eq"}, "hits": []},
+            "suggest": _suggest_section(out_dir, body["suggest"]),
+        }
     plan = parse_query(body.get("query"), analyzer=s.stats.get("analyzer"))
     size = int(body.get("size", 10))
     from_ = int(body.get("from", 0))
@@ -910,7 +945,9 @@ def search_body(
             "terms", "date_histogram", "histogram", "stats",
             "avg", "sum", "min", "max", "value_count", "range",
             "filter", "filters", "missing", "top_hits", "composite",
-            "significant_terms",
+            "significant_terms", "multi_terms", "rare_terms", "date_range",
+            "global", "avg_bucket", "sum_bucket", "min_bucket",
+            "max_bucket", "stats_bucket",
         }:
             # serving fast path: row-for-row identical to the distributed
             # plan for these kinds (escalates itself past max_hits);
@@ -932,6 +969,8 @@ def search_body(
             resp["aggregations"] = {
                 name: [r.asDict() for r in df.collect()] for name, df in aggs.items()
             }
+    if body.get("suggest"):
+        resp["suggest"] = _suggest_section(out_dir, body["suggest"])
     return resp
 
 

@@ -1849,8 +1849,65 @@ def aggs_over_join(
         # (localCheckpoint, not persist: blocks are GC-released, r2 lesson)
         joined = joined.localCheckpoint(eager=True)
     out: dict[str, DataFrame] = {}
+    pipelines: list[tuple[str, str, dict]] = []
     for name, spec in aggs.items():
         kind, body, sub = _agg_spec(name, spec)
+        if kind in _PIPELINE_KINDS:
+            # sibling pipeline aggs run AFTER their parent bucket aggs
+            pipelines.append((name, kind, body))
+            continue
+        if kind == "global":
+            if background is None:
+                raise ValueError(
+                    f"agg {name!r}: global needs the index background "
+                    "(serve via search_aggs / the DSL)"
+                )
+            if not sub or len(sub) != 1:
+                raise ValueError(
+                    f"agg {name!r}: global takes exactly one child agg"
+                )
+            # ES global: the child ignores the query — whole-index scope
+            ((_cn, _cs),) = sub.items()
+            out[name] = aggs_over_join(background, {_cn: _cs}, background)[_cn]
+            continue
+        if kind == "multi_terms":
+            if sub is not None:
+                raise ValueError(
+                    f"agg {name!r}: multi_terms sub-aggs are unsupported"
+                )
+            fields = [t["field"] for t in body["terms"]]
+            nn = joined
+            for f in fields:
+                nn = nn.where(F.col(f).isNotNull())
+            df = (
+                nn.groupBy(*fields)
+                .agg(F.count("*").alias("n"))
+                .orderBy(F.desc("n"), *[F.asc(f) for f in fields])
+            )
+            size = int(body.get("size", 10))
+            out[name] = df.limit(size) if size else df
+            continue
+        if kind == "rare_terms":
+            if sub is not None:
+                raise ValueError(
+                    f"agg {name!r}: rare_terms sub-aggs are unsupported"
+                )
+            mdc = int(body.get("max_doc_count", 1))
+            out[name] = (
+                joined.where(F.col(body["field"]).isNotNull())
+                .groupBy(F.col(body["field"]).alias("key"))
+                .agg(F.count("*").alias("n"))
+                .where(F.col("n") <= mdc)
+                .orderBy(F.asc("n"), F.asc("key"))
+            )
+            continue
+        if kind == "date_range":
+            exprs, stack = _date_range_agg_parts(body["field"], body["ranges"])
+            out[name] = (
+                joined.agg(*exprs).selectExpr(stack).orderBy("_rk")
+                .select("key", "n")
+            )
+            continue
         if kind == "filter":
             out[name] = _filter_agg_df(joined, name, body, sub)
             continue
@@ -1889,7 +1946,10 @@ def aggs_over_join(
             continue
         if kind == "terms":
             df = (
-                joined.groupBy(F.col(col).alias("key"))
+                # ES terms aggs ignore docs missing the field (the serving
+                # twin's dropna; the "missing" agg counts them instead)
+                joined.where(F.col(col).isNotNull())
+                .groupBy(F.col(col).alias("key"))
                 .agg(F.count("*").alias("n"))
                 .orderBy(F.desc("n"), F.asc("key"))
             )
@@ -1941,7 +2001,53 @@ def aggs_over_join(
             )
         else:
             raise ValueError(f"unsupported agg type {kind!r} in {name!r}")
+    for name, kind, body in pipelines:
+        parent_df, colname = _pipeline_parent(out, name, body)
+        if kind == "stats_bucket":
+            out[name] = parent_df.agg(
+                F.count(colname).alias("count"),
+                F.min(colname).alias("min"),
+                F.max(colname).alias("max"),
+                F.avg(colname).alias("avg"),
+                F.sum(colname).alias("sum"),
+            )
+        else:
+            fn = {"avg_bucket": F.avg, "sum_bucket": F.sum,
+                  "min_bucket": F.min, "max_bucket": F.max}[kind]
+            out[name] = parent_df.agg(fn(colname).alias("value"))
     return out
+
+
+_PIPELINE_KINDS = (
+    "avg_bucket", "sum_bucket", "min_bucket", "max_bucket", "stats_bucket",
+)
+
+
+def _pipeline_parent(out: dict, name: str, body: dict):
+    """Resolve a sibling pipeline agg's ``buckets_path`` ("parent>metric",
+    ES syntax; metric ``_count`` = the bucket doc counts) against the
+    already-computed bucket frames. The metric runs over the parent's
+    RETURNED buckets — after its size/order selection — exactly like ES."""
+    path = str(body["buckets_path"])
+    parent, _, metric = path.partition(">")
+    if parent not in out:
+        raise ValueError(
+            f"agg {name!r}: buckets_path parent {parent!r} is not an "
+            f"earlier bucket agg in this request"
+        )
+    pdfr = out[parent]
+    colname = "n" if metric in ("_count", "") else metric
+    cols = pdfr.columns if hasattr(pdfr, "columns") else (
+        list(pdfr[0]) if pdfr else []
+    )
+    # an empty serving bucket list has no keys to validate against — the
+    # pipeline then yields the ES null value downstream
+    if list(cols) and colname not in list(cols):
+        raise ValueError(
+            f"agg {name!r}: metric {metric!r} is not a column of "
+            f"{parent!r} (has {list(cols)})"
+        )
+    return pdfr, colname
 
 
 _METRIC_FNS = {
@@ -1978,6 +2084,37 @@ def _range_agg_parts(col: str, ranges: list[dict]):
         f"stack({len(ranges)}, "
         + ", ".join(
             f"'{_range_key(s)}', {i}, _r{i}" for i, s in enumerate(ranges)
+        )
+        + ") as (key, _rk, n)"
+    )
+    return exprs, stack
+
+
+def _date_range_key(spec: dict) -> str:
+    """ES date_range bucket key: custom "key" or "from-to" with * open."""
+    if "key" in spec:
+        return str(spec["key"])
+    return f"{spec.get('from', '*')}-{spec.get('to', '*')}"
+
+
+def _date_range_agg_parts(col: str, ranges: list[dict]):
+    """ES date_range aggregation — the range agg over a timestamp column
+    (from inclusive, to exclusive, overlap allowed, bucket order = spec
+    order), bounds given as ISO strings and cast once per bucket."""
+    exprs = []
+    for i, spec in enumerate(ranges):
+        cond = F.col(col).isNotNull()
+        if "from" in spec:
+            cond = cond & (F.col(col) >= F.lit(str(spec["from"])).cast("timestamp"))
+        if "to" in spec:
+            cond = cond & (F.col(col) < F.lit(str(spec["to"])).cast("timestamp"))
+        exprs.append(
+            F.coalesce(F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)).alias(f"_d{i}")
+        )
+    stack = (
+        f"stack({len(ranges)}, "
+        + ", ".join(
+            f"'{_date_range_key(s)}', {i}, _d{i}" for i, s in enumerate(ranges)
         )
         + ") as (key, _rk, n)"
     )
@@ -2451,8 +2588,65 @@ def _aggs_pandas(
     import numpy as np
 
     out: dict[str, list[dict]] = {}
+    pipelines: list[tuple[str, str, dict]] = []
     for name, spec in aggs.items():
         kind, body, sub = _agg_spec(name, spec)
+        if kind in _PIPELINE_KINDS:
+            pipelines.append((name, kind, body))
+            continue
+        if kind == "global":
+            # the serving frame holds only the HITS' stored columns —
+            # whole-index scope needs the distributed path (aggs_rows
+            # escalates global requests there before reaching here)
+            raise ValueError(
+                f"agg {name!r}: global needs the distributed path"
+            )
+        if kind == "multi_terms":
+            if sub is not None:
+                raise ValueError(
+                    f"agg {name!r}: multi_terms sub-aggs are unsupported"
+                )
+            fields = [t["field"] for t in body["terms"]]
+            if len(pdf) and all(f in pdf.columns for f in fields):
+                grp = pdf.dropna(subset=fields).groupby(fields).size()
+                rows = sorted(
+                    (
+                        (tuple(_key_out(k) for k in (ks if isinstance(ks, tuple) else (ks,))), int(n))
+                        for ks, n in grp.items()
+                    ),
+                    key=lambda kv: (-kv[1], kv[0]),
+                )
+            else:
+                rows = []
+            size = int(body.get("size", 10))
+            if size:
+                rows = rows[:size]
+            out[name] = [
+                {**dict(zip(fields, ks)), "n": n} for ks, n in rows
+            ]
+            continue
+        if kind == "rare_terms":
+            if sub is not None:
+                raise ValueError(
+                    f"agg {name!r}: rare_terms sub-aggs are unsupported"
+                )
+            col = body["field"]
+            vals = pdf[col] if col in getattr(pdf, "columns", []) else pd.Series(dtype=object)
+            mdc = int(body.get("max_doc_count", 1))
+            c = vals.dropna().value_counts()
+            out[name] = [
+                {"key": k, "n": n}
+                for k, n in sorted(
+                    ((_key_out(k_), int(n_)) for k_, n_ in c.items() if n_ <= mdc),
+                    key=lambda kv: (kv[1], kv[0]),
+                )
+            ]
+            continue
+        if kind == "date_range":
+            col = body["field"]
+            vals = pdf[col] if col in getattr(pdf, "columns", []) else pd.Series(dtype=object)
+            out[name] = _pd_date_range_rows(vals, body["ranges"])
+            continue
         if kind == "significant_terms":
             if sub is not None:
                 raise ValueError(
@@ -2525,7 +2719,41 @@ def _aggs_pandas(
             }]
         else:
             raise ValueError(f"unsupported agg type {kind!r} in {name!r}")
+    for name, kind, body in pipelines:
+        rows, colname = _pipeline_parent(out, name, body)
+        vals = [r[colname] for r in rows if r.get(colname) is not None]
+        if kind == "stats_bucket":
+            out[name] = [{
+                "count": len(vals),
+                "min": min(vals) if vals else None,
+                "max": max(vals) if vals else None,
+                "avg": (sum(vals) / len(vals)) if vals else None,
+                "sum": sum(vals) if vals else None,
+            }]
+        elif not vals:
+            out[name] = [{"value": None}]
+        elif kind == "avg_bucket":
+            out[name] = [{"value": sum(vals) / len(vals)}]
+        else:
+            fn = {"sum_bucket": sum, "min_bucket": min, "max_bucket": max}[kind]
+            out[name] = [{"value": fn(vals)}]
     return out
+
+
+def _pd_date_range_rows(vals: pd.Series, ranges: list[dict]) -> list[dict]:
+    """pandas twin of the date_range agg: ISO-string bounds, from
+    inclusive / to exclusive, overlap allowed, bucket order = spec
+    order."""
+    v = pd.to_datetime(vals.dropna())
+    rows = []
+    for spec in ranges:
+        mask = pd.Series(True, index=v.index)
+        if "from" in spec:
+            mask &= v >= pd.to_datetime(str(spec["from"]))
+        if "to" in spec:
+            mask &= v < pd.to_datetime(str(spec["to"]))
+        rows.append({"key": _date_range_key(spec), "n": int(mask.sum())})
+    return rows
 
 
 def _sig_terms_pandas(
@@ -3202,6 +3430,75 @@ def suggest_terms(
     return [(r.term, int(r.df)) for r in pdf.head(k).itertuples()]
 
 
+def term_suggest(
+    out_dir: str, text: str, *, size: int = 5, max_edits: int = 2,
+    prefix_length: int = 1, min_word_length: int = 4,
+    suggest_mode: str = "missing",
+) -> list[dict]:
+    """ES term suggester ("did you mean"): per input token, the indexed
+    terms within ``max_edits`` Levenshtein edits, as ES-shaped entries
+    ``{"text", "offset", "length", "options": [{"text", "score",
+    "freq"}]}``. ES-default knobs: max_edits=2, prefix_length=1 (shared
+    first chars — also range-prunes the dictionary probe),
+    min_word_length=4 (shorter tokens get empty options), suggest_mode
+    "missing" (suggest only for unindexed tokens) / "popular" (only
+    higher-freq corrections) / "always". Served from the sorted
+    term_index sidecar (or the SymSpell k-deletes sidecar at
+    prefix_length=0) — zero Spark jobs.
+
+    Documented simplifications vs ES's DirectSpellChecker: score =
+    1 − edit_distance / max(len(token), len(candidate)) (not Lucene's
+    internal n-gram distance), options ordered (score desc, freq desc,
+    term asc); input tokens come from the pinned raw tokenizer, so
+    offsets index the lowercased raw text and suggestions are INDEX terms
+    (stems, on an analyzed index)."""
+    from ..textutils import TOKEN_RE
+    from .build import KEYWORD_SEP
+
+    if suggest_mode not in ("missing", "popular", "always"):
+        raise ValueError(f"unknown suggest_mode {suggest_mode!r}")
+    max_edits = min(int(max_edits), 2)
+    out: list[dict] = []
+    for m in TOKEN_RE.finditer(text.lower()):
+        tok = m.group(0)
+        entry = {
+            "text": tok, "offset": m.start(), "length": len(tok), "options": [],
+        }
+        out.append(entry)
+        if len(tok) < min_word_length:
+            continue
+        pdf = expansion_candidates(
+            out_dir, "fuzzy", tok,
+            fuzziness=max_edits, prefix_length=prefix_length,
+        )
+        if len(pdf):
+            pdf = pdf[~pdf["term"].str.contains(KEYWORD_SEP, regex=False, na=False)]
+        self_df = 0
+        if len(pdf):
+            hit = pdf[pdf["term"] == tok]
+            if len(hit):
+                self_df = int(hit["df"].iloc[0])
+        if suggest_mode == "missing" and self_df > 0:
+            continue
+        opts = []
+        for r in pdf.itertuples():
+            cand, freq = r.term, int(r.df)
+            if cand == tok:
+                continue
+            if suggest_mode == "popular" and freq <= self_df:
+                continue
+            ed = next(
+                e for e in range(1, max_edits + 1)
+                if _edit_distance_le(tok, cand, e)
+            )
+            opts.append((1.0 - ed / max(len(tok), len(cand)), freq, cand))
+        opts.sort(key=lambda t: (-t[0], -t[1], t[2]))
+        entry["options"] = [
+            {"text": c, "score": sc, "freq": f} for sc, f, c in opts[:size]
+        ]
+    return out
+
+
 def _edit_distance_le(a: str, b: str, k: int) -> bool:
     """Banded Levenshtein ≤ k (early-exit band DP; k is 1 or 2 here)."""
     la, lb = len(a), len(b)
@@ -3743,6 +4040,12 @@ class Searcher:
             return []
         return self.search_rows(" ".join(terms), k)
 
+    def term_suggest(self, text: str, **kw) -> list[dict]:
+        """ES term suggester ("did you mean") over this index — see
+        module-level ``term_suggest`` for knobs and semantics."""
+        self._maybe_invalidate()
+        return term_suggest(self.out_dir, text, **kw)
+
     def suggest(self, prefix: str, k: int = 10) -> list[tuple[str, int]]:
         """ES completion-suggester analogue: top-df term completions with
         their document frequencies (see ``suggest_terms``)."""
@@ -3989,12 +4292,14 @@ class Searcher:
         ``max_hits`` the counts would be silently wrong, so it escalates
         to the fully distributed ``search_aggs`` instead."""
         scoring = bool((query or "").strip() or (must or "").strip())
+        kinds = {k for spec in aggs.values() for k in spec if k != "aggs"}
+        has_global = "global" in kinds
         rows = self.search_rows(
             query, max_hits, must=must, must_not=must_not,
             min_should=min_should, filters=filters, ranges=ranges,
             or_groups=or_groups, not_atoms=not_atoms,
-        ) if scoring else []
-        if not scoring or len(rows) >= max_hits:
+        ) if scoring and not has_global else []
+        if not scoring or has_global or len(rows) >= max_hits:
             # filter-only (match_all) requests have no scoring terms for
             # the kernel to enumerate — candidates come from the keyword
             # postings on the distributed path; saturation escalates too

@@ -2902,6 +2902,155 @@ FROM scored ORDER BY score DESC, doc_id ASC LIMIT 20
 """
 
 
+def q56_term_suggester(spark, sf_dir):
+    """ES term suggester ("did you mean") through the real index's term
+    dictionary: three misspelled tokens expand to fuzzy candidates with
+    the documented score 1 − ed/max(len), ordered (score desc, freq desc,
+    term asc). DuckDB twin: a levenshtein join on first-char-sharing
+    corpus terms with df = distinct-doc counts — hash-exact."""
+    import shutil
+    import tempfile
+
+    from .index.build import build_index
+    from .index.query import term_suggest
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="cb_q56_idx_")
+    try:
+        build_index(spark, docs.select("doc_id", "text"), out, url_col=None, n_buckets=8)
+        sugg = term_suggest(out, "sorw tabel vallue")
+        rows = [
+            (e["text"], o["text"], int(o["freq"]), round(float(o["score"]), 4))
+            for e in sugg
+            for o in e["options"]
+        ]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    res = spark.createDataFrame(
+        rows, "tok string, suggestion string, freq long, score double"
+    )
+    return res.orderBy("tok", F.desc("score"), "suggestion")
+
+
+Q56_SQL = f"""
+WITH toks AS ({_TOKENS_SQL}),
+terms AS (
+  SELECT term, count(DISTINCT doc_id) AS freq FROM toks
+  WHERE term != '' GROUP BY term
+),
+inputs(tok) AS (VALUES ('sorw'), ('tabel'), ('vallue')),
+cand AS (
+  SELECT i.tok, t.term AS suggestion, t.freq,
+         levenshtein(i.tok, t.term) AS ed
+  FROM inputs i JOIN terms t
+    ON substr(t.term, 1, 1) = substr(i.tok, 1, 1)
+  WHERE t.term != i.tok AND levenshtein(i.tok, t.term) <= 2
+),
+scored AS (
+  SELECT tok, suggestion, freq,
+         round(1.0 - ed::DOUBLE
+               / greatest(length(tok), length(suggestion)), 4) AS score,
+         row_number() OVER (
+           PARTITION BY tok
+           ORDER BY ed::DOUBLE / greatest(length(tok), length(suggestion)),
+                    freq DESC, suggestion
+         ) AS rk
+  FROM cand
+)
+SELECT tok, suggestion, freq, score FROM scored WHERE rk <= 5
+ORDER BY tok, score DESC, suggestion
+"""
+
+
+def q57_extended_aggs(spark, sf_dir):
+    """The round's extended aggregation kinds in one gate: multi_terms
+    (compound lang×source keys), rare_terms (long-tail n_chars), a
+    histogram parent with sibling PIPELINE aggs (avg/max/stats_bucket
+    over buckets_path parent>_count), all over the full matching set of
+    the BM25 query through the real index. Buckets flattened to
+    (bucket, v); DuckDB twin recomputes each from the raw tables."""
+    import shutil
+    import tempfile
+
+    from .index.build import build_index, write_docstore
+    from .index.query import search_aggs
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="cb_q57_idx_")
+    try:
+        build_index(spark, docs.select("doc_id", "text"), out, url_col=None, n_buckets=8)
+        write_docstore(
+            spark, docs, out, url_col=None, extra_cols=("lang", "source", "n_chars")
+        )
+        res = search_aggs(
+            spark, out,
+            {
+                "mt": {"multi_terms": {
+                    "terms": [{"field": "lang"}, {"field": "source"}], "size": 0,
+                }},
+                "rare": {"rare_terms": {"field": "n_chars", "max_doc_count": 1}},
+                "hist": {"histogram": {"field": "n_chars", "interval": 200}},
+                "avg_b": {"avg_bucket": {"buckets_path": "hist>_count"}},
+                "max_b": {"max_bucket": {"buckets_path": "hist>_count"}},
+                "st_b": {"stats_bucket": {"buckets_path": "hist>_count"}},
+            },
+            " ".join(BM25_QUERY_TERMS),
+        )
+        rows = [
+            (f"mt:{r.lang}|{r.source}", float(r.n)) for r in res["mt"].collect()
+        ]
+        rows += [(f"rare:{r.key}", float(r.n)) for r in res["rare"].collect()]
+        rows += [(f"hist:{r.key:g}", float(r.n)) for r in res["hist"].collect()]
+        rows.append(("avg_b", round(float(res["avg_b"].collect()[0].value), 4)))
+        rows.append(("max_b", float(res["max_b"].collect()[0].value)))
+        st = res["st_b"].collect()[0]
+        rows += [
+            ("st_b:count", float(st["count"])), ("st_b:min", float(st["min"])),
+            ("st_b:max", float(st["max"])), ("st_b:sum", float(st["sum"])),
+            ("st_b:avg", round(float(st["avg"]), 4)),
+        ]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    out_df = spark.createDataFrame(rows, "bucket string, v double")
+    return out_df.orderBy("bucket")
+
+
+Q57_SQL = f"""
+WITH toks AS ({_TOKENS_SQL}),
+hits AS (
+  SELECT doc_id FROM toks GROUP BY doc_id
+  HAVING max(CASE WHEN term IN (SELECT unnest({BM25_QUERY_TERMS!r}))
+             THEN 1 ELSE 0 END) = 1
+),
+m AS (SELECT d.* FROM documents d JOIN hits USING (doc_id)),
+hist AS (
+  SELECT floor(n_chars / 200) * 200 AS hk, count(*) AS n
+  FROM m WHERE n_chars IS NOT NULL GROUP BY 1
+),
+rare AS (
+  SELECT n_chars AS key, count(*) AS n FROM m
+  WHERE n_chars IS NOT NULL GROUP BY 1 HAVING count(*) <= 1
+)
+SELECT 'mt:' || lang || '|' || source AS bucket, count(*)::DOUBLE AS v
+FROM m WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY lang, source
+UNION ALL
+SELECT 'rare:' || key, n::DOUBLE FROM rare
+UNION ALL
+SELECT 'hist:' || hk::BIGINT, n::DOUBLE FROM hist
+UNION ALL
+SELECT 'avg_b', round(avg(n), 4) FROM hist
+UNION ALL
+SELECT 'max_b', max(n)::DOUBLE FROM hist
+UNION ALL
+SELECT 'st_b:count', count(n)::DOUBLE FROM hist
+UNION ALL SELECT 'st_b:min', min(n)::DOUBLE FROM hist
+UNION ALL SELECT 'st_b:max', max(n)::DOUBLE FROM hist
+UNION ALL SELECT 'st_b:sum', sum(n)::DOUBLE FROM hist
+UNION ALL SELECT 'st_b:avg', round(avg(n), 4) FROM hist
+ORDER BY bucket
+"""
+
+
 def q54_significant_terms(spark, sf_dir):
     """ES significant_terms aggregation (JLH heuristic, ES's default
     scorer) through the real index: langs over-represented in the docs
@@ -3018,6 +3167,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q53_rescore": q53_rescore,
     "q54_significant_terms": q54_significant_terms,
     "q55_sloppy_phrase": q55_sloppy_phrase,
+    "q56_term_suggester": q56_term_suggester,
+    "q57_extended_aggs": q57_extended_aggs,
 }
 
 ORACLES: dict[str, str] = {
@@ -3076,4 +3227,6 @@ ORACLES: dict[str, str] = {
     "q53_rescore": Q53_SQL,
     "q54_significant_terms": Q54_SQL,
     "q55_sloppy_phrase": Q55_SQL,
+    "q56_term_suggester": Q56_SQL,
+    "q57_extended_aggs": Q57_SQL,
 }

@@ -630,3 +630,128 @@ def test_significant_terms_guards(spark, sigroot):
             }},
             "anomaly",
         )
+
+
+def test_extended_bucket_aggs(spark, aroot):
+    """multi_terms (compound keys), rare_terms (long-tail), date_range
+    (ISO bounds, from inclusive / to exclusive, custom keys) — verified
+    against python truths, serving path row-identical."""
+    from conveyorbelt_spark.index.query import Searcher
+
+    out, rows, matching = aroot
+    spec = {
+        "mt": {"multi_terms": {
+            "terms": [{"field": "lang"}, {"field": "n_chars"}], "size": 5,
+        }},
+        "rare": {"rare_terms": {"field": "n_chars", "max_doc_count": 1}},
+        "dr": {"date_range": {"field": "ts", "ranges": [
+            {"to": "2016-09-17"},
+            {"from": "2016-09-17", "to": "2016-09-19"},
+            {"from": "2016-09-18", "key": "tail"},
+        ]}},
+    }
+    res = search_aggs(spark, out, spec, "spark join")
+    mt_want: dict = {}
+    nc_count: dict = {}
+    dr_want = [0, 0, 0]
+    import datetime as dt
+
+    for i, _, lang, nc, ts in rows:
+        if i not in matching:
+            continue
+        mt_want[(lang, nc)] = mt_want.get((lang, nc), 0) + 1
+        nc_count[nc] = nc_count.get(nc, 0) + 1
+        if ts < dt.datetime(2016, 9, 17):
+            dr_want[0] += 1
+        if dt.datetime(2016, 9, 17) <= ts < dt.datetime(2016, 9, 19):
+            dr_want[1] += 1
+        if ts >= dt.datetime(2016, 9, 18):
+            dr_want[2] += 1
+    want_mt = sorted(
+        ((k, n) for k, n in mt_want.items()), key=lambda kv: (-kv[1], kv[0])
+    )[:5]
+    got_mt = [((r.lang, r.n_chars), r.n) for r in res["mt"].collect()]
+    assert got_mt == want_mt
+    got_rare = [(r.key, r.n) for r in res["rare"].collect()]
+    want_rare = sorted(
+        ((k, n) for k, n in nc_count.items() if n <= 1),
+        key=lambda kv: (kv[1], kv[0]),
+    )
+    assert got_rare == want_rare
+    got_dr = [(r.key, r.n) for r in res["dr"].collect()]
+    assert got_dr == [
+        ("*-2016-09-17", dr_want[0]),
+        ("2016-09-17-2016-09-19", dr_want[1]),
+        ("tail", dr_want[2]),
+    ]
+    srv = Searcher(spark, out).aggs_rows(spec, "spark join")
+    want_rows = {k: [r.asDict() for r in res[k].collect()] for k in spec}
+    assert srv == want_rows
+
+
+def test_global_and_pipeline_aggs(spark, aroot):
+    """global runs its child over the WHOLE index (query ignored);
+    sibling pipeline aggs (avg/max/stats_bucket over buckets_path
+    parent>_count) aggregate the parent's returned buckets. Serving path
+    identical (global escalates itself to the distributed plan)."""
+    from conveyorbelt_spark.index.query import Searcher
+
+    out, rows, matching = aroot
+    spec = {
+        "g": {"global": {}, "aggs": {"langs": {"terms": {"field": "lang", "size": 0}}}},
+        "byd": {"date_histogram": {"field": "ts", "interval": "day"}},
+        "avg_day": {"avg_bucket": {"buckets_path": "byd>_count"}},
+        "max_day": {"max_bucket": {"buckets_path": "byd>_count"}},
+        "st_day": {"stats_bucket": {"buckets_path": "byd>_count"}},
+    }
+    res = search_aggs(spark, out, spec, "spark join")
+    all_langs: dict = {}
+    for _i, _t, lang, _n, _ts in rows:
+        all_langs[lang] = all_langs.get(lang, 0) + 1
+    assert {r.key: r.n for r in res["g"].collect()} == all_langs
+    day_counts: dict = {}
+    for i, _, _, _, ts in rows:
+        if i in matching:
+            d0 = ts.replace(hour=0)
+            day_counts[d0] = day_counts.get(d0, 0) + 1
+    vals = list(day_counts.values())
+    assert res["avg_day"].collect()[0].value == pytest.approx(sum(vals) / len(vals))
+    assert res["max_day"].collect()[0].value == max(vals)
+    st = res["st_day"].collect()[0]
+    assert (st["count"], st["min"], st["max"], st["sum"]) == (
+        len(vals), min(vals), max(vals), sum(vals)
+    )
+    srv = Searcher(spark, out).aggs_rows(spec, "spark join")
+    want_rows = {k: [r.asDict() for r in res[k].collect()] for k in spec}
+    assert srv == want_rows
+    # bad buckets_path names the problem
+    with pytest.raises(ValueError, match="buckets_path"):
+        search_aggs(
+            spark, out, {"p": {"avg_bucket": {"buckets_path": "nope>_count"}}},
+            "spark join",
+        )
+
+
+def test_terms_agg_excludes_nulls(spark, tmp_path):
+    """ES terms/multi_terms/rare_terms aggs ignore docs missing the field
+    — the distributed path must not emit a null-key bucket (the missing
+    agg counts those instead), matching the serving twin's dropna."""
+    from conveyorbelt_spark.index.build import build_index, write_docstore
+
+    out = str(tmp_path / "nullidx")
+    rows = [
+        (0, "red apple", "a"), (1, "red berry", "b"),
+        (2, "red cherry", None), (3, "red date", None),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, tag string")
+    build_index(spark, docs, out, url_col=None, n_buckets=2)
+    write_docstore(spark, docs, out, url_col=None, extra_cols=("tag",))
+    spec = {
+        "t": {"terms": {"field": "tag", "size": 0}},
+        "r": {"rare_terms": {"field": "tag"}},
+        "m": {"missing": {"field": "tag"}},
+    }
+    res = search_aggs(spark, out, spec, "red")
+    assert [(r.key, r.n) for r in res["t"].collect()] == [("a", 1), ("b", 1)]
+    assert [(r.key, r.n) for r in res["r"].collect()] == [("a", 1), ("b", 1)]
+    assert res["m"].collect()[0].n == 2
