@@ -50,8 +50,9 @@ filter context (inside bool.filter / bool.must, or top-level):
           one OR group, must_not exclusions
 
 request level: "size", "from", "sort" ([{"field": "desc"}] or ["field"]),
-"search_after", "aggs" (the search_aggs shape, incl. one level of
-sub-"aggs" and significant_terms with its whole-index background),
+"search_after", "aggs" (the search_aggs shape, incl. arbitrarily nested
+sub-"aggs" with metric siblings per level — the Kibana split-series
+tree — and significant_terms with its whole-index background),
 "highlight" {"fields": {col: {}}}, "_source" (bool),
 "track_total_hits" (bool — True runs the uncapped distributed count),
 "suggest" {name: {"text": t, "term": {knobs}}} — the ES term suggester

@@ -1835,14 +1835,112 @@ def _bucket_expr(kind: str, body: dict):
     raise ValueError(f"agg kind {kind!r} is not a bucketing agg (cannot hold sub-aggs)")
 
 
+_TREE_BUCKETS = ("terms", "date_histogram", "histogram")
+_TREE_TERMINALS = ("range", "top_hits")
+
+
+def _parse_agg_chain(name: str, pkind: str, pbody: dict, sub: dict):
+    """Parse a bucketing agg plus its (arbitrarily nested) ``aggs``
+    children into a flat CHAIN of levels — the rectangular subset of ES's
+    agg tree. Each level is one bucketing agg (terms / date_histogram /
+    histogram) carrying any number of METRIC siblings (stats, cardinality,
+    percentiles, avg/sum/min/max/value_count), plus at most one child that
+    expands rows: the next bucketing level, or a terminal ``range`` /
+    ``top_hits`` (which must be the only child at its level). Two
+    row-expanding children at one level cannot flatten into one
+    rectangular frame and raise — ask for them as two sibling requests.
+
+    Returns ``[(kind, body, metrics, terminal), ...]`` with
+    ``metrics = [(child_name, kind, body)]`` and
+    ``terminal = (child_name, "range"|"top_hits", body) | None`` (only
+    ever set on the last level)."""
+    levels = []
+    kind, body, cur = pkind, pbody, sub
+    while True:
+        if kind not in _TREE_BUCKETS:
+            raise ValueError(f"agg {name!r}: {kind!r} cannot hold sub-aggs")
+        metrics: list[tuple[str, str, dict]] = []
+        bucket_child = None
+        terminal = None
+        for cname, cspec in (cur or {}).items():
+            ckind, cbody, csub = _agg_spec(cname, cspec)
+            if ckind in _TREE_BUCKETS:
+                if bucket_child is not None or terminal is not None:
+                    raise ValueError(
+                        f"agg {name!r}: at most one row-expanding sub-agg "
+                        f"per level (a second bucketing child cannot "
+                        f"flatten to one frame)"
+                    )
+                bucket_child = (ckind, cbody, csub)
+            elif ckind in _TREE_TERMINALS:
+                if csub is not None:
+                    raise ValueError(
+                        f"agg {name!r}: {ckind} sub-aggs are unsupported"
+                    )
+                if bucket_child is not None or terminal is not None:
+                    raise ValueError(
+                        f"agg {name!r}: at most one row-expanding sub-agg "
+                        f"per level"
+                    )
+                terminal = (cname, ckind, cbody)
+            elif ckind in ("stats", "cardinality", "percentiles") or ckind in _METRIC_FNS:
+                if csub is not None:
+                    raise ValueError(
+                        f"agg {name!r}: metric agg {cname!r} cannot hold sub-aggs"
+                    )
+                metrics.append((cname, ckind, cbody))
+            else:
+                raise ValueError(f"unsupported sub-agg type {ckind!r} in {name!r}")
+        if terminal is not None and metrics:
+            raise ValueError(
+                f"agg {name!r}: {terminal[1]} must be the only sub-agg at "
+                f"its level"
+            )
+        levels.append((kind, body, metrics, terminal))
+        if bucket_child is None:
+            return levels
+        kind, body, cur = bucket_child
+
+
+def _tree_key_col(lvl: int) -> str:
+    return "key" if lvl == 1 else ("child_key" if lvl == 2 else f"child_key{lvl}")
+
+
+def _metric_exprs(cname: str, ckind: str, cbody: dict, prefixed: bool):
+    """Column expressions + aliases for one metric sibling in an agg tree.
+    Single metric child of a depth-1 parent keeps the legacy unprefixed
+    names ("value", stats' count/min/max/avg/sum, p50…); everything else
+    prefixes with the child's agg name so siblings can't collide."""
+    p = f"{cname}_" if prefixed else ""
+    col = cbody["field"]
+    if ckind == "stats":
+        return [
+            F.count(col).alias(f"{p}count"),
+            F.min(col).alias(f"{p}min"),
+            F.max(col).alias(f"{p}max"),
+            F.avg(col).alias(f"{p}avg"),
+            F.sum(col).alias(f"{p}sum"),
+        ]
+    if ckind == "cardinality":
+        fn = F.count_distinct if cbody.get("exact") else F.approx_count_distinct
+        return [fn(F.col(col)).alias(cname if prefixed else "value")]
+    if ckind == "percentiles":
+        pcts = [float(x) for x in cbody.get("percents", [50.0, 95.0, 99.0])]
+        return [
+            F.percentile_approx(col, x / 100.0).alias(f"{p}p{x:g}") for x in pcts
+        ]
+    return [_METRIC_FNS[ckind](col).alias(cname if prefixed else "value")]
+
+
 def aggs_over_join(
     joined: DataFrame, aggs: dict, background: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """The aggregation half of ``search_aggs``: ES-shaped agg specs over an
     already-joined (matching ids ⋈ stored columns) frame. Shared with the
     DailySearcher window path, whose join unions several days' docstores.
-    A spec may carry one level of ES sub-aggregations (``"aggs"`` inside a
-    bucketing agg — the Kibana split-series shape); see ``_sub_bucket_df``."""
+    A bucketing spec may carry ES sub-aggregations (``"aggs"``) nested to
+    any depth with multiple metric siblings per level — the full Kibana
+    split-series shape; see ``_sub_bucket_df`` for the flattening rules."""
     if len(aggs) > 1:
         # each agg is its own Spark action — materialize the matching-set
         # join once instead of re-running the posting scan per agg
@@ -2443,101 +2541,143 @@ def _th_source(cbody: dict, cols: list[str]) -> list[str]:
 def _sub_bucket_df(
     joined: DataFrame, name: str, pkind: str, pbody: dict, sub: dict
 ) -> DataFrame:
-    """ES sub-aggregations, one nesting level: parent terms /
-    date_histogram / histogram buckets each broken down by ONE child agg —
-    the Kibana split-series chart (terms → date_histogram over the daily
-    IIS indexes is the reference's canonical dashboard). Flattened rows:
-    ``(key, doc_count, child cols…)`` — doc_count is the ES parent-bucket
-    count. Parent terms keep ES's top-``size`` selection by (count desc,
-    key asc) computed over ALL buckets BEFORE the child breakdown; child
-    terms keep per-parent top-``size`` via a window rank. Just one extra
-    groupBy key per level — no extra scan of the matching set."""
-    if len(sub) != 1:
-        raise ValueError(
-            f"agg {name!r}: exactly one sub-agg is supported, got {list(sub)}"
-        )
-    ((cname, cspec),) = sub.items()
-    ckind, cbody, csub = _agg_spec(cname, cspec)
-    if csub is not None:
-        raise ValueError(f"agg {name!r}: sub-aggs nest one level only")
-    keyed = joined.withColumn("key", _bucket_expr(pkind, pbody))
-    parents = keyed.groupBy("key").agg(F.count("*").alias("doc_count"))
-    if pkind == "terms":
-        psize = int(pbody.get("size", 10))
-        if psize:
-            parents = parents.orderBy(F.desc("doc_count"), F.asc("key")).limit(psize)
-    # the selected parent set is ≤ size rows — broadcast, no shuffle
-    sel = keyed.join(F.broadcast(parents), "key")
-    p_order = (
-        [F.desc("doc_count"), F.asc("key")] if pkind == "terms" else [F.asc("key")]
+    """ES sub-aggregations, generalized to the FULL Kibana shape: a
+    bucketing agg (terms / date_histogram / histogram) holding multiple
+    child aggs, nested to ANY depth — ``terms → {avg, max,
+    date_histogram → {stats}}``. Flattened rectangular rows (ES returns a
+    nested JSON tree; a DataFrame engine flattens it):
+
+    - bucket keys: ``key`` (level 1), ``child_key`` (2), ``child_key3``…
+    - bucket counts: ``doc_count`` (level 1), deeper levels ``n`` on the
+      deepest bucket level, ``doc_count{lvl}`` on intermediate ones
+    - metric siblings: prefixed by child name (``price_avg``, ``ids``) —
+      except the legacy depth-1 single-metric shape which keeps the
+      unprefixed names (``value``, stats' count/min/max/avg/sum)
+    - a terminal ``range`` / ``top_hits`` must be the only child at its
+      level and emits its legacy columns at the next key depth
+
+    Semantics pinned to ES: terms keep top-``size`` buckets by
+    (count desc, key asc) — globally at level 1, per parent bucket via a
+    window rank below; docs with a null bucket field skip that level
+    (pandas ``value_counts`` semantics, same as the flat terms agg).
+    Scale: one groupBy per level over the matching set (one extra key per
+    level) plus one join per descended level to select surviving buckets
+    and carry their counts/metrics — broadcast only while every ancestor
+    terms level is size-capped (a bounded bucket set), a plain shuffle
+    join once any level is uncapped or a histogram."""
+    from pyspark.sql import Window
+
+    levels = _parse_agg_chain(name, pkind, pbody, sub)
+    legacy = (
+        len(levels) == 1 and len(levels[0][2]) == 1 and levels[0][3] is None
     )
-    if ckind == "top_hits":
-        from pyspark.sql import Window
-
-        size = int(cbody.get("size", 3))  # the ES top_hits default
-        order = [
-            # ES puts missing sort values LAST either way (missing: _last)
-            (F.asc_nulls_last(f) if asc else F.desc_nulls_last(f))
-            for f, asc in _th_sort(cbody)
-        ] + [F.asc("doc_id")]
-        w = Window.partitionBy("key").orderBy(*order)
-        df = (
-            sel.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= size)
+    sel = joined
+    group_cols: list[str] = []   # bucket-key columns so far (join keys)
+    carry: list[str] = []        # every output column accumulated so far
+    order_cols: list = []        # accumulated result ordering
+    bounded = True               # parent bucket set provably small?
+    final: DataFrame | None = None
+    for i, (kind, body, metrics, terminal) in enumerate(levels):
+        lvl = i + 1
+        deepest = i == len(levels) - 1
+        keycol = _tree_key_col(lvl)
+        cnt = "doc_count" if lvl == 1 else (
+            "n" if deepest and terminal is None else f"doc_count{lvl}"
         )
-        src = _th_source(cbody, sel.columns)
-        return (
-            df.select("key", "doc_count", "rank", "doc_id", *src)
-            .orderBy(*p_order, F.asc("rank"))
+        mexprs = []
+        for cname, ckind, cbody in metrics:
+            mexprs += _metric_exprs(cname, ckind, cbody, prefixed=not legacy)
+        mnames = _metric_names(metrics, prefixed=not legacy)
+        # ES: docs missing the bucket field skip this level's buckets
+        keyed = (
+            sel.where(F.col(body["field"]).isNotNull())
+            .withColumn(keycol, _bucket_expr(kind, body))
         )
-    if ckind in ("terms", "date_histogram", "histogram"):
-        df = (
-            sel.groupBy("key", "doc_count", _bucket_expr(ckind, cbody).alias("child_key"))
-            .agg(F.count("*").alias("n"))
+        parents = keyed.groupBy(*carry, keycol).agg(
+            F.count("*").alias(cnt), *mexprs
         )
-        if ckind == "terms":
-            csize = int(cbody.get("size", 10))
-            if csize:
-                from pyspark.sql import Window
-
-                w = Window.partitionBy("key").orderBy(F.desc("n"), F.asc("child_key"))
-                df = (
-                    df.withColumn("_rk", F.row_number().over(w))
-                    .where(F.col("_rk") <= csize).drop("_rk")
-                )
-            c_order = [F.desc("n"), F.asc("child_key")]
+        if kind == "terms":
+            size = int(body.get("size", 10))
+            if size:
+                if lvl == 1:
+                    parents = (
+                        parents.orderBy(F.desc(cnt), F.asc(keycol)).limit(size)
+                    )
+                else:
+                    w = Window.partitionBy(*group_cols).orderBy(
+                        F.desc(cnt), F.asc(keycol)
+                    )
+                    parents = (
+                        parents.withColumn("_rk", F.row_number().over(w))
+                        .where(F.col("_rk") <= size).drop("_rk")
+                    )
+            else:
+                bounded = False
+            order_cols += [F.desc(cnt), F.asc(keycol)]
         else:
-            c_order = [F.asc("child_key")]
-        return df.orderBy(*p_order, *c_order)
-    col = cbody["field"]
-    g = sel.groupBy("key", "doc_count")
-    if ckind == "stats":
-        df = g.agg(
-            F.count(col).alias("count"),
-            F.min(col).alias("min"),
-            F.max(col).alias("max"),
-            F.avg(col).alias("avg"),
-            F.sum(col).alias("sum"),
-        )
-    elif ckind == "cardinality":
-        fn = F.count_distinct if cbody.get("exact") else F.approx_count_distinct
-        df = g.agg(fn(F.col(col)).alias("value"))
-    elif ckind in _METRIC_FNS:
-        df = g.agg(_METRIC_FNS[ckind](col).alias("value"))
-    elif ckind == "range":
-        exprs, stack = _range_agg_parts(col, cbody["ranges"])
-        df = g.agg(*exprs).selectExpr("key", "doc_count", stack.replace(
-            "as (key, _rk, n)", "as (child_key, _rk, n)"
-        ))
-        return df.orderBy(*p_order, "_rk").select("key", "doc_count", "child_key", "n")
-    elif ckind == "percentiles":
-        pcts = [float(p) for p in cbody.get("percents", [50.0, 95.0, 99.0])]
-        df = g.agg(
-            *[F.percentile_approx(col, p / 100.0).alias(f"p{p:g}") for p in pcts]
-        )
-    else:
-        raise ValueError(f"unsupported sub-agg type {ckind!r} in {name!r}")
-    return df.orderBy(*p_order)
+            bounded = False
+            order_cols += [F.asc(keycol)]
+        group_cols = group_cols + [keycol]
+        carry = carry + [keycol, cnt] + mnames
+        if deepest and terminal is None:
+            final = parents
+            break
+        # descend: keep only rows of surviving buckets, attach this
+        # level's count/metric columns (parents re-selected to the new
+        # columns so ancestor carries don't duplicate across the join)
+        pj = parents.select(*group_cols, cnt, *mnames)
+        sel = keyed.join(F.broadcast(pj) if bounded else pj, group_cols)
+        if deepest:
+            cname, ckind, cbody = terminal  # type: ignore[misc]
+            tkey = _tree_key_col(lvl + 1)
+            if ckind == "range":
+                exprs, stack = _range_agg_parts(cbody["field"], cbody["ranges"])
+                stack = stack.replace("as (key, _rk, n)", f"as ({tkey}, _rk, n)")
+                final = (
+                    sel.groupBy(*carry).agg(*exprs)
+                    .selectExpr(*[f"`{c}`" for c in carry], stack)
+                    .orderBy(*order_cols, F.asc("_rk"))
+                    .select(*carry, tkey, "n")
+                )
+            else:  # top_hits
+                size = int(cbody.get("size", 3))  # the ES top_hits default
+                order = [
+                    # ES puts missing sort values LAST either way
+                    (F.asc_nulls_last(f) if asc else F.desc_nulls_last(f))
+                    for f, asc in _th_sort(cbody)
+                ] + [F.asc("doc_id")]
+                w = Window.partitionBy(*group_cols).orderBy(*order)
+                df = (
+                    sel.withColumn("rank", F.row_number().over(w))
+                    .where(F.col("rank") <= size)
+                )
+                src = [
+                    c for c in _th_source(cbody, df.columns)
+                    if c not in carry and c != "rank"
+                ]
+                final = (
+                    df.select(*carry, "rank", "doc_id", *src)
+                    .orderBy(*order_cols, F.asc("rank"))
+                )
+            break
+    assert final is not None
+    return final.orderBy(*order_cols) if levels[-1][3] is None else final
+
+
+def _metric_names(metrics: list, *, prefixed: bool) -> list[str]:
+    """The output column names `_metric_exprs` produces, in order —
+    shared with the pandas twin so the two paths can never drift."""
+    names: list[str] = []
+    for cname, ckind, cbody in metrics:
+        p = f"{cname}_" if prefixed else ""
+        if ckind == "stats":
+            names += [f"{p}count", f"{p}min", f"{p}max", f"{p}avg", f"{p}sum"]
+        elif ckind == "percentiles":
+            pcts = [float(x) for x in cbody.get("percents", [50.0, 95.0, 99.0])]
+            names += [f"{p}p{x:g}" for x in pcts]
+        else:
+            names.append(cname if prefixed else "value")
+    return names
 
 
 def _pd_bucket_key(pdf: pd.DataFrame, kind: str, body: dict) -> pd.Series:
@@ -2944,103 +3084,110 @@ def _filter_agg_pandas(
     raise ValueError(f"unsupported sub-agg type {ckind!r} in {name!r}")
 
 
+def _pd_metric_cells(
+    cname: str, ckind: str, cbody: dict, prefixed: bool, sel: pd.DataFrame
+) -> dict:
+    """pandas twin of `_metric_exprs` — one metric sibling's cells, names
+    from `_metric_names` so the paths can never drift."""
+    import numpy as np
+
+    p = f"{cname}_" if prefixed else ""
+    col = cbody["field"]
+    vals = sel[col] if col in getattr(sel, "columns", []) else pd.Series(dtype=object)
+    if ckind == "stats":
+        v = pd.to_numeric(vals.dropna())
+        return {
+            f"{p}count": int(v.count()),
+            f"{p}min": None if not len(v) else v.min().item(),
+            f"{p}max": None if not len(v) else v.max().item(),
+            f"{p}avg": None if not len(v) else float(v.mean()),
+            f"{p}sum": None if not len(v) else v.sum().item(),
+        }
+    if ckind == "cardinality":
+        return {(cname if prefixed else "value"): int(vals.dropna().nunique())}
+    if ckind == "percentiles":
+        pcts = [float(x) for x in cbody.get("percents", [50.0, 95.0, 99.0])]
+        v = pd.to_numeric(vals.dropna()).to_numpy()
+        return {
+            f"{p}p{x:g}": (float(np.percentile(v, x)) if len(v) else None)
+            for x in pcts
+        }
+    return {(cname if prefixed else "value"): _pd_metric(ckind, vals)}
+
+
 def _sub_bucket_pandas(
     pdf: pd.DataFrame, name: str, pkind: str, pbody: dict, sub: dict
 ) -> list[dict]:
     """pandas twin of ``_sub_bucket_df`` — identical flattened rows in
-    identical order."""
-    import numpy as np
+    identical order, for the zero-Spark-job serving path (recursive over
+    the agg chain; serving frames are top-k-bounded so a per-bucket loop
+    is fine here)."""
+    levels = _parse_agg_chain(name, pkind, pbody, sub)
+    legacy = (
+        len(levels) == 1 and len(levels[0][2]) == 1 and levels[0][3] is None
+    )
 
-    if len(sub) != 1:
-        raise ValueError(
-            f"agg {name!r}: exactly one sub-agg is supported, got {list(sub)}"
+    def rec(sel: pd.DataFrame, i: int, prefix: dict) -> list[dict]:
+        kind, body, metrics, terminal = levels[i]
+        lvl = i + 1
+        deepest = i == len(levels) - 1
+        keycol = _tree_key_col(lvl)
+        cnt = "doc_count" if lvl == 1 else (
+            "n" if deepest and terminal is None else f"doc_count{lvl}"
         )
-    ((cname, cspec),) = sub.items()
-    ckind, cbody, csub = _agg_spec(cname, cspec)
-    if csub is not None:
-        raise ValueError(f"agg {name!r}: sub-aggs nest one level only")
-    pk = _pd_bucket_key(pdf, pkind, pbody)
-    pc = pk.value_counts()
-    parents = [(k_, int(n)) for k_, n in pc.items()]
-    if pkind == "terms":
-        parents.sort(key=lambda kv: (-kv[1], _key_out(kv[0])))
-        psize = int(pbody.get("size", 10))
-        if psize:
-            parents = parents[:psize]
-    else:
-        parents.sort(key=lambda kv: _key_out(kv[0]))
-    rows: list[dict] = []
-    for k_raw, dc in parents:
-        sel = pdf[(pk == k_raw).fillna(False)]
-        k_out = _key_out(k_raw)
-        if ckind == "top_hits":
-            size = int(cbody.get("size", 3))
-            sort = _th_sort(cbody)
-            by = [f for f, _ in sort] + ["doc_id"]
-            asc = [a for _, a in sort] + [True]
-            top = sel.sort_values(by=by, ascending=asc).head(size)
-            src = _th_source(cbody, list(sel.columns))
-            rows.extend(
-                {
-                    "key": k_out, "doc_count": dc, "rank": i + 1,
-                    "doc_id": int(r["doc_id"]),
-                    **{c: _key_out(r[c]) for c in src},
-                }
-                for i, (_, r) in enumerate(top.iterrows())
-            )
-            continue
-        if ckind in ("terms", "date_histogram", "histogram"):
-            cc = _pd_bucket_key(sel, ckind, cbody).value_counts()
-            children = [(_key_out(ck), int(cn)) for ck, cn in cc.items()]
-            if ckind == "terms":
-                children.sort(key=lambda kv: (-kv[1], kv[0]))
-                csize = int(cbody.get("size", 10))
-                if csize:
-                    children = children[:csize]
-            else:
-                children.sort(key=lambda kv: kv[0])
-            rows.extend(
-                {"key": k_out, "doc_count": dc, "child_key": ck, "n": cn}
-                for ck, cn in children
-            )
-        elif ckind == "stats":
-            v = pd.to_numeric(sel[cbody["field"]].dropna())
-            rows.append({
-                "key": k_out, "doc_count": dc,
-                "count": int(v.count()),
-                "min": None if not len(v) else v.min().item(),
-                "max": None if not len(v) else v.max().item(),
-                "avg": None if not len(v) else float(v.mean()),
-                "sum": None if not len(v) else v.sum().item(),
-            })
-        elif ckind == "cardinality":
-            rows.append({
-                "key": k_out, "doc_count": dc,
-                "value": int(sel[cbody["field"]].dropna().nunique()),
-            })
-        elif ckind in _METRIC_FNS:
-            rows.append({
-                "key": k_out, "doc_count": dc,
-                "value": _pd_metric(ckind, sel[cbody["field"]]),
-            })
-        elif ckind == "range":
-            rows.extend(
-                {"key": k_out, "doc_count": dc, "child_key": rr["key"], "n": rr["n"]}
-                for rr in _pd_range_rows(sel[cbody["field"]], cbody["ranges"])
-            )
-        elif ckind == "percentiles":
-            pcts = [float(p) for p in cbody.get("percents", [50.0, 95.0, 99.0])]
-            v = pd.to_numeric(sel[cbody["field"]].dropna()).to_numpy()
-            rows.append({
-                "key": k_out, "doc_count": dc,
-                **{
-                    f"p{p:g}": (float(np.percentile(v, p)) if len(v) else None)
-                    for p in pcts
-                },
-            })
+        pk = _pd_bucket_key(sel, kind, body)
+        pc = pk.value_counts()
+        buckets = [(k_, int(n)) for k_, n in pc.items()]
+        if kind == "terms":
+            buckets.sort(key=lambda kv: (-kv[1], _key_out(kv[0])))
+            size = int(body.get("size", 10))
+            if size:
+                buckets = buckets[:size]
         else:
-            raise ValueError(f"unsupported sub-agg type {ckind!r} in {name!r}")
-    return rows
+            buckets.sort(key=lambda kv: _key_out(kv[0]))
+        rows: list[dict] = []
+        for k_raw, n in buckets:
+            bsel = sel[(pk == k_raw).fillna(False)]
+            row = dict(prefix)
+            row[keycol] = _key_out(k_raw)
+            row[cnt] = n
+            for cname, ckind, cbody in metrics:
+                row.update(
+                    _pd_metric_cells(cname, ckind, cbody, not legacy, bsel)
+                )
+            if not deepest:
+                rows.extend(rec(bsel, i + 1, row))
+                continue
+            if terminal is None:
+                rows.append(row)
+                continue
+            cname, ckind, cbody = terminal
+            tkey = _tree_key_col(lvl + 1)
+            if ckind == "range":
+                rows.extend(
+                    {**row, tkey: rr["key"], "n": rr["n"]}
+                    for rr in _pd_range_rows(bsel[cbody["field"]], cbody["ranges"])
+                )
+            else:  # top_hits
+                size = int(cbody.get("size", 3))
+                sort = _th_sort(cbody)
+                by = [f for f, _ in sort] + ["doc_id"]
+                asc = [a for _, a in sort] + [True]
+                top = bsel.sort_values(by=by, ascending=asc).head(size)
+                src = [
+                    c for c in _th_source(cbody, list(bsel.columns))
+                    if c not in row and c != "rank"
+                ]
+                rows.extend(
+                    {
+                        **row, "rank": j + 1, "doc_id": int(r["doc_id"]),
+                        **{c: _key_out(r[c]) for c in src},
+                    }
+                    for j, (_, r) in enumerate(top.iterrows())
+                )
+        return rows
+
+    return rec(pdf, 0, {})
 
 
 def _range_hi(prefix: str) -> str:

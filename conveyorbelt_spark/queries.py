@@ -3051,6 +3051,92 @@ ORDER BY bucket
 """
 
 
+def q58_nested_agg_tree(spark, sf_dir):
+    """Arbitrary-depth sub-aggregation tree (the full Kibana split-series
+    shape): terms(lang, size 3) carrying a metric SIBLING (avg n_chars,
+    prefixed column) and a histogram(n_chars, 400) child whose own child
+    is a stats metric — depth-3 flattened rows computed over the full
+    matching set of the BM25 query through the real index (one groupBy
+    per level + a broadcast selection join). DuckDB twin: two-key GROUP
+    BY with the per-lang top-3 selection and per-(lang,bucket) stats."""
+    import shutil
+    import tempfile
+
+    from .index.build import build_index, write_docstore
+    from .index.query import search_aggs
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="cb_q58_idx_")
+    try:
+        build_index(spark, docs.select("doc_id", "text"), out, url_col=None, n_buckets=8)
+        write_docstore(
+            spark, docs, out, url_col=None, extra_cols=("lang", "n_chars")
+        )
+        res = search_aggs(
+            spark, out,
+            {
+                "tree": {
+                    "terms": {"field": "lang", "size": 3},
+                    "aggs": {
+                        "avgc": {"avg": {"field": "n_chars"}},
+                        "byh": {
+                            "histogram": {"field": "n_chars", "interval": 400},
+                            "aggs": {"st": {"stats": {"field": "n_chars"}}},
+                        },
+                    },
+                }
+            },
+            " ".join(BM25_QUERY_TERMS),
+        )
+        rows = [
+            (
+                r.key, int(r.doc_count), round(float(r.avgc), 4),
+                float(r.child_key), int(r.n), int(r.st_count),
+                int(r.st_min), int(r.st_max), round(float(r.st_avg), 4),
+                int(r.st_sum),
+            )
+            for r in res["tree"].collect()
+        ]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    out_df = spark.createDataFrame(
+        rows,
+        "key string, doc_count long, avgc double, child_key double, "
+        "n long, st_count long, st_min long, st_max long, st_avg double, "
+        "st_sum long",
+    )
+    return out_df.orderBy(F.desc("doc_count"), "key", "child_key")
+
+
+Q58_SQL = f"""
+WITH toks AS ({_TOKENS_SQL}),
+hits AS (
+  SELECT doc_id FROM toks GROUP BY doc_id
+  HAVING max(CASE WHEN term IN (SELECT unnest({BM25_QUERY_TERMS!r}))
+             THEN 1 ELSE 0 END) = 1
+),
+m AS (SELECT d.* FROM documents d JOIN hits USING (doc_id)),
+langs AS (
+  SELECT lang, count(*) AS doc_count, round(avg(n_chars), 4) AS avgc
+  FROM m WHERE lang IS NOT NULL GROUP BY lang
+  ORDER BY doc_count DESC, lang LIMIT 3
+),
+buckets AS (
+  SELECT m.lang, floor(m.n_chars / 400) * 400 AS child_key,
+         count(*) AS n, count(m.n_chars) AS st_count,
+         min(m.n_chars) AS st_min, max(m.n_chars) AS st_max,
+         round(avg(m.n_chars), 4) AS st_avg, sum(m.n_chars) AS st_sum
+  FROM m JOIN langs USING (lang)
+  WHERE m.n_chars IS NOT NULL
+  GROUP BY m.lang, floor(m.n_chars / 400) * 400
+)
+SELECT l.lang AS key, l.doc_count, l.avgc, b.child_key, b.n,
+       b.st_count, b.st_min, b.st_max, b.st_avg, b.st_sum
+FROM langs l JOIN buckets b ON l.lang = b.lang
+ORDER BY l.doc_count DESC, key, b.child_key
+"""
+
+
 def q54_significant_terms(spark, sf_dir):
     """ES significant_terms aggregation (JLH heuristic, ES's default
     scorer) through the real index: langs over-represented in the docs
@@ -3169,6 +3255,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q55_sloppy_phrase": q55_sloppy_phrase,
     "q56_term_suggester": q56_term_suggester,
     "q57_extended_aggs": q57_extended_aggs,
+    "q58_nested_agg_tree": q58_nested_agg_tree,
 }
 
 ORACLES: dict[str, str] = {
@@ -3229,4 +3316,5 @@ ORACLES: dict[str, str] = {
     "q55_sloppy_phrase": Q55_SQL,
     "q56_term_suggester": Q56_SQL,
     "q57_extended_aggs": Q57_SQL,
+    "q58_nested_agg_tree": Q58_SQL,
 }

@@ -243,9 +243,9 @@ def test_sub_bucket_aggs(spark, aroot):
     srv1 = Searcher(spark, out).aggs_rows(spec1, "spark join")["x"]
     assert [tuple(d.values()) for d in srv1] == [tuple(r1[0].asDict().values())]
 
-    with pytest.raises(ValueError):  # one nesting level only
+    with pytest.raises(ValueError):  # metric aggs cannot hold children
         search_aggs(spark, out, {"x": {"terms": {"field": "lang"}, "aggs": {
-            "y": {"terms": {"field": "lang"},
+            "y": {"stats": {"field": "n_chars"},
                   "aggs": {"z": {"stats": {"field": "n_chars"}}}},
         }}}, "spark")
 
@@ -755,3 +755,117 @@ def test_terms_agg_excludes_nulls(spark, tmp_path):
     assert [(r.key, r.n) for r in res["t"].collect()] == [("a", 1), ("b", 1)]
     assert [(r.key, r.n) for r in res["r"].collect()] == [("a", 1), ("b", 1)]
     assert res["m"].collect()[0].n == 2
+
+
+def test_agg_tree_depth3_with_metric_siblings(spark, aroot):
+    """The full Kibana split-series tree: terms(lang, size 2) carrying a
+    metric sibling (avg n_chars) AND a date_histogram child whose own
+    child is a stats metric — depth-3 flattened rows (key, doc_count,
+    avgc, child_key, n, st_*), metric names prefixed by child name,
+    ordered (doc_count desc, key asc) then (child_key asc). Serving path
+    row-identical."""
+    from conveyorbelt_spark.index.query import Searcher
+
+    out, rows, matching = aroot
+    spec = {
+        "byl": {
+            "terms": {"field": "lang", "size": 2},
+            "aggs": {
+                "avgc": {"avg": {"field": "n_chars"}},
+                "byd": {
+                    "date_histogram": {"field": "ts", "interval": "day"},
+                    "aggs": {"st": {"stats": {"field": "n_chars"}}},
+                },
+            },
+        }
+    }
+    res = search_aggs(spark, out, spec, "spark join")
+    got = [r.asDict() for r in res["byl"].collect()]
+    # python truth
+    per_lang: dict = {}
+    for i, _, lang, nc, ts in rows:
+        if i not in matching:
+            continue
+        per_lang.setdefault(lang, []).append((ts.replace(hour=0), nc))
+    top2 = sorted(per_lang.items(), key=lambda kv: (-len(kv[1]), kv[0]))[:2]
+    want = []
+    for lang, vals in top2:
+        days: dict = {}
+        for d, nc in vals:
+            days.setdefault(d, []).append(nc)
+        for d in sorted(days):
+            v = days[d]
+            want.append({
+                "key": lang, "doc_count": len(vals),
+                "avgc": sum(nc for _, nc in vals) / len(vals),
+                "child_key": d, "n": len(v),
+                "st_count": len(v), "st_min": min(v), "st_max": max(v),
+                "st_avg": sum(v) / len(v), "st_sum": sum(v),
+            })
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert set(g) == set(w)
+        for k in w:
+            if isinstance(w[k], float):
+                assert g[k] == pytest.approx(w[k]), k
+            else:
+                assert g[k] == w[k], k
+    srv = Searcher(spark, out).aggs_rows(spec, "spark join")["byl"]
+    for s, g in zip(srv, got):
+        assert set(s) == set(g)
+        for k in g:
+            if isinstance(g[k], float):
+                assert s[k] == pytest.approx(g[k]), k
+            else:
+                assert s[k] == g[k], k
+    assert len(srv) == len(got)
+
+
+def test_agg_tree_child_terms_size_and_guards(spark, aroot):
+    """Per-parent top-size selection for a child terms level; two
+    row-expanding children at one level raise; terminal range must be the
+    only child at its level."""
+    from conveyorbelt_spark.index.query import Searcher
+
+    out, rows, matching = aroot
+    spec = {
+        "t": {
+            "terms": {"field": "lang", "size": 0},
+            "aggs": {"top_sizes": {"terms": {"field": "n_chars", "size": 2}}},
+        }
+    }
+    res = search_aggs(spark, out, spec, "spark join")
+    got = [(r.key, r.doc_count, r.child_key, r.n) for r in res["t"].collect()]
+    per_lang: dict = {}
+    for i, _, lang, nc, ts in rows:
+        if i in matching:
+            per_lang.setdefault(lang, {}).setdefault(nc, [0])[0] += 1
+    want = []
+    for lang in sorted(per_lang, key=lambda L: (-sum(v[0] for v in per_lang[L].values()), L)):
+        dc = sum(v[0] for v in per_lang[lang].values())
+        kids = sorted(
+            ((nc, v[0]) for nc, v in per_lang[lang].items()),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:2]
+        want.extend((lang, dc, nc, n) for nc, n in kids)
+    assert got == want
+    srv = Searcher(spark, out).aggs_rows(spec, "spark join")["t"]
+    assert [(r["key"], r["doc_count"], r["child_key"], r["n"]) for r in srv] == want
+    with pytest.raises(ValueError, match="row-expanding"):
+        search_aggs(
+            spark, out,
+            {"x": {"terms": {"field": "lang"}, "aggs": {
+                "a": {"terms": {"field": "n_chars"}},
+                "b": {"histogram": {"field": "n_chars", "interval": 100}},
+            }}},
+            "spark join",
+        )
+    with pytest.raises(ValueError, match="only sub-agg"):
+        search_aggs(
+            spark, out,
+            {"x": {"terms": {"field": "lang"}, "aggs": {
+                "a": {"avg": {"field": "n_chars"}},
+                "b": {"range": {"field": "n_chars", "ranges": [{"to": 100}]}},
+            }}},
+            "spark join",
+        )
