@@ -36,6 +36,19 @@ query context:
                    every hit scores b (default 1.0), doc_id order
   ids              {"ids": {"values": [7, 11]}} — the listed docs that
                    exist (docstore-resolved), constant score, id order
+  match_phrase_prefix  {"match_phrase_prefix": {"text": {"query":
+                   "spark jo", "max_expansions": 50}}} — last token
+                   expands over the dictionary (term order); best
+                   expansion's exact-phrase score per doc
+  dis_max          {"dis_max": {"queries": [...], "tie_breaker": t}} —
+                   best sub-score + t × the rest; sub-clauses: match /
+                   match_phrase / multi_match
+  boosting         {"boosting": {"positive": q, "negative": q,
+                    "negative_boost": b}} — demote (×b), not exclude
+  function_score   {"function_score": {"query": q, "field_value_factor":
+                    {"field": f, "factor": c, "modifier": "log1p"|…,
+                     "missing": v}, "boost_mode": "multiply"|"sum"|
+                    "replace"}} — docstore-resolved field boost
 
 filter context (inside bool.filter / bool.must, or top-level):
   term    {"term":  {"lang": "en"}}        — keyword-field posting filter
@@ -78,6 +91,7 @@ Simplifications vs real ES (documented, deliberate):
 
 from __future__ import annotations
 
+import math
 import os
 from typing import Any
 
@@ -451,6 +465,8 @@ def parse_query(query: dict, analyzer=None) -> dict:
         "expand": None, "mlt": None, "match_all": False,
         "or_groups": [], "not_atoms": [], "extra_not_text": [],
         "boost": 1.0, "ids": None,
+        "dis_max": None, "boosting": None, "fscore": None,
+        "phrase_prefix": None,
     }
     if query is None:
         plan["match_all"] = True
@@ -470,6 +486,30 @@ def parse_query(query: dict, analyzer=None) -> dict:
         plan["phrase"] = spec["query"] if isinstance(spec, dict) else str(spec)
         if isinstance(spec, dict) and spec.get("slop"):
             plan["phrase_slop"] = int(spec["slop"])
+    elif kind == "match_phrase_prefix":
+        _field, spec = _one(body)
+        plan["phrase_prefix"] = {
+            "text": spec["query"] if isinstance(spec, dict) else str(spec),
+            "max_expansions": int(spec.get("max_expansions", 50))
+            if isinstance(spec, dict) else 50,
+        }
+    elif kind == "dis_max":
+        qs = body.get("queries") or []
+        if not qs:
+            raise UnsupportedDSL("dis_max needs a non-empty queries list")
+        plan["dis_max"] = {
+            "queries": list(qs),
+            "tie_breaker": float(body.get("tie_breaker", 0.0)),
+        }
+    elif kind == "boosting":
+        if "positive" not in body or "negative" not in body:
+            raise UnsupportedDSL("boosting needs positive and negative")
+        plan["boosting"] = {
+            "positive": body["positive"], "negative": body["negative"],
+            "negative_boost": float(body.get("negative_boost", 0.5)),
+        }
+    elif kind == "function_score":
+        plan["fscore"] = _parse_function_score(body)
     elif kind == "multi_match":
         plan["mm"] = {
             "query": body["query"],
@@ -679,6 +719,171 @@ def _apply_rescore(s: Searcher, rows: list, rescore) -> list:
     return rows
 
 
+def _parse_function_score(body: dict) -> dict:
+    """ES function_score, the field_value_factor subset (the common
+    "boost by popularity/recency-field" shape): one field_value_factor
+    (+ optional weight), boost_mode multiply/sum/replace. score-combining
+    of multiple functions, decay functions, random_score, and
+    script_score are not emulated."""
+    fvf = body.get("field_value_factor")
+    if fvf is None and body.get("functions"):
+        fns = body["functions"]
+        if len(fns) == 1 and "field_value_factor" in fns[0]:
+            fvf = fns[0]["field_value_factor"]
+    if fvf is None:
+        raise UnsupportedDSL(
+            "function_score supports field_value_factor (inline or as the "
+            "single functions entry)"
+        )
+    mod = str(fvf.get("modifier", "none"))
+    if mod not in _FVF_MODIFIERS:
+        raise UnsupportedDSL(
+            f"field_value_factor modifier {mod!r} (supported: "
+            f"{sorted(_FVF_MODIFIERS)})"
+        )
+    bm = str(body.get("boost_mode", "multiply"))
+    if bm not in ("multiply", "sum", "replace"):
+        raise UnsupportedDSL(
+            f"function_score boost_mode {bm!r} (multiply/sum/replace)"
+        )
+    return {
+        "query": body.get("query"),
+        "field": fvf["field"],
+        "factor": float(fvf.get("factor", 1.0)),
+        "modifier": mod,
+        "missing": fvf.get("missing"),
+        "weight": float(body.get("weight", 1.0)),
+        "boost_mode": bm,
+    }
+
+
+_FVF_MODIFIERS = {
+    # ES: log-prefixed modifiers are base-10, ln-prefixed natural
+    "none": lambda x: x,
+    "log1p": lambda x: math.log10(1.0 + x),
+    "ln1p": lambda x: math.log(1.0 + x),
+    "sqrt": lambda x: math.sqrt(x),
+    "square": lambda x: x * x,
+    "reciprocal": lambda x: 1.0 / x,
+}
+
+
+def _clause_scores(s: Searcher, clause: dict) -> dict[int, float]:
+    """Full matching set + BM25 scores for one compound-query sub-clause
+    (dis_max / boosting / function_score primaries). Exactness over
+    top-k needs the FULL per-clause sets (the rescorer's pattern —
+    serving kernels, zero Spark jobs; per-clause cost is the clause's
+    posting traversal, same as running it alone uncapped)."""
+    kind, val = _one(clause)
+    if kind == "match":
+        _f, v = _one(val)
+        text = v["query"] if isinstance(v, dict) else str(v)
+        return dict(s.search_rows(text, _ALL_HITS, prune=False))
+    if kind == "match_phrase":
+        _f, v = _one(val)
+        text = v["query"] if isinstance(v, dict) else str(v)
+        slop = int(v.get("slop", 0)) if isinstance(v, dict) else 0
+        return dict(s.phrase_rows(text, _ALL_HITS, slop=slop))
+    if kind == "multi_match":
+        return dict(s.multi_match_rows(
+            val["query"], list(val["fields"]), _ALL_HITS,
+            type=val.get("type", "best_fields"),
+        ))
+    raise UnsupportedDSL(
+        f"compound sub-clause {kind!r} (supported: match, match_phrase, "
+        f"multi_match)"
+    )
+
+
+def _dis_max_rows(s: Searcher, spec: dict) -> list[tuple[int, float]]:
+    """ES dis_max: score = best sub-query score + tie_breaker × the other
+    matching sub-queries' scores; a doc matches if any sub-query does."""
+    subs = [_clause_scores(s, q) for q in spec["queries"]]
+    tb = spec["tie_breaker"]
+    ids: set[int] = set().union(*subs) if subs else set()
+    rows = []
+    for d in ids:
+        scs = [m[d] for m in subs if d in m]
+        mx = max(scs)
+        rows.append((d, mx + tb * (sum(scs) - mx)))
+    rows.sort(key=lambda t: (-t[1], t[0]))
+    return rows
+
+
+def _boosting_rows(s: Searcher, spec: dict) -> list[tuple[int, float]]:
+    """ES boosting: positive hits keep their score unless they also match
+    the negative clause, which multiplies by negative_boost (demote, not
+    exclude — the anti-join stays must_not's job)."""
+    pos = _clause_scores(s, spec["positive"])
+    neg = _clause_scores(s, spec["negative"])
+    nb = spec["negative_boost"]
+    rows = [(d, sc * (nb if d in neg else 1.0)) for d, sc in pos.items()]
+    rows.sort(key=lambda t: (-t[1], t[0]))
+    return rows
+
+
+def _fscore_rows(
+    s: Searcher, out_dir: str, spec: dict
+) -> list[tuple[int, float]]:
+    """ES function_score with field_value_factor: fv = modifier(factor ×
+    doc[field]) × weight, combined with the query score by boost_mode.
+    Field values resolve through the bucket-pruned docstore for the FULL
+    matching set (ranking changes, so top-k can't pre-truncate)."""
+    from .build import lookup_docs
+
+    if spec["query"] is None:
+        raise UnsupportedDSL("function_score needs a scoring query")
+    base = _clause_scores(s, spec["query"])
+    if not base:
+        return []
+    meta = lookup_docs(out_dir, list(base))
+    mod = _FVF_MODIFIERS[spec["modifier"]]
+    rows = []
+    for d, sc in base.items():
+        v = (meta.get(d) or {}).get(spec["field"])
+        if v is None:
+            v = spec["missing"]
+        if v is None:
+            raise ValueError(
+                f"function_score: doc {d} misses field {spec['field']!r} "
+                f"and no 'missing' value is set (ES errors here too)"
+            )
+        fv = mod(spec["factor"] * float(v)) * spec["weight"]
+        bm = spec["boost_mode"]
+        rows.append((d, sc * fv if bm == "multiply" else (sc + fv if bm == "sum" else fv)))
+    rows.sort(key=lambda t: (-t[1], t[0]))
+    return rows
+
+
+def _phrase_prefix_rows(
+    s: Searcher, out_dir: str, spec: dict
+) -> list[tuple[int, float]]:
+    """ES match_phrase_prefix: the last token expands to up to
+    ``max_expansions`` dictionary terms (term order, the ES/Lucene
+    selection) and the phrase must match with one of them in final
+    position. Documented simplification vs Lucene's synonym-position
+    scoring: each expansion scores as its own exact phrase and a doc
+    keeps its best expansion's score."""
+    from .query import expansion_candidates
+
+    from .build import KEYWORD_SEP
+
+    toks = [t for t in (spec["text"] or "").lower().split() if t]
+    if not toks:
+        return []
+    pdf = expansion_candidates(out_dir, "prefix", toks[-1])
+    if len(pdf):
+        # keyword-field postings (field␟value) are filters, not words
+        pdf = pdf[~pdf["term"].str.contains(KEYWORD_SEP, regex=False, na=False)]
+    cands = sorted(pdf["term"].tolist())[: spec["max_expansions"]]
+    best: dict[int, float] = {}
+    for c in cands:
+        for d, sc in s.phrase_rows(" ".join(toks[:-1] + [c]), _ALL_HITS):
+            if sc > best.get(d, float("-inf")):
+                best[d] = sc
+    return sorted(best.items(), key=lambda t: (-t[1], t[0]))
+
+
 def _suggest_section(out_dir: str, spec: dict) -> dict:
     """The request-level "suggest" block: named term-suggester entries
     ({"text": ..., "term": {"field": ..., knobs}}) → ES-shaped response
@@ -739,13 +944,22 @@ def search_body(
         # kernel pre-top-k (deep relevance pagination at page-1 cost)
         score_sorted, sort_spec = True, None
         after = _score_after(body, from_)
+    compound = (
+        plan["dis_max"] is not None or plan["boosting"] is not None
+        or plan["fscore"] is not None or plan["phrase_prefix"] is not None
+    )
+    if compound and (sort_spec or body.get("search_after")):
+        raise UnsupportedDSL(
+            "dis_max / boosting / function_score / match_phrase_prefix "
+            "rank by relevance only (no sort or search_after)"
+        )
     collapse = body.get("collapse")
     collapse_vals: dict[int, Any] = {}
     if collapse is not None and (
         sort_spec or after is not None or plan["phrase"] is not None
         or plan["mm"] is not None or plan["expand"] is not None
         or plan["mlt"] is not None or plan["ids"] is not None
-        or plan["match_all"]
+        or plan["match_all"] or compound
     ):
         raise UnsupportedDSL(
             "collapse supports relevance-ranked match/bool queries "
@@ -757,7 +971,7 @@ def search_body(
         sort_spec or after is not None or collapse is not None
         or plan["phrase"] is not None or plan["mm"] is not None
         or plan["expand"] is not None or plan["mlt"] is not None
-        or plan["ids"] is not None or plan["match_all"]
+        or plan["ids"] is not None or plan["match_all"] or compound
     ):
         raise UnsupportedDSL(
             "rescore supports relevance-ranked match/bool primaries "
@@ -841,6 +1055,23 @@ def search_body(
         rows = [
             (d, plan["boost"]) for d in sorted(set(plan["ids"])) if d in present
         ][from_ : from_ + size]
+    elif compound:
+        if body.get("aggs"):
+            raise UnsupportedDSL(
+                "aggs with dis_max / boosting / function_score / "
+                "match_phrase_prefix are unsupported (their matching set "
+                "is driver-combined)"
+            )
+        if plan["dis_max"] is not None:
+            full = _dis_max_rows(s, plan["dis_max"])
+        elif plan["boosting"] is not None:
+            full = _boosting_rows(s, plan["boosting"])
+        elif plan["fscore"] is not None:
+            full = _fscore_rows(s, out_dir, plan["fscore"])
+        else:
+            full = _phrase_prefix_rows(s, out_dir, plan["phrase_prefix"])
+        compound_total = len(full)
+        rows = full[from_ : from_ + size]
     elif plan["match_all"]:
         if after is not None:
             raise UnsupportedDSL(
@@ -926,7 +1157,10 @@ def search_body(
         hits.append(hit)
 
     total = {"value": len(hits) + from_, "relation": "gte"}
-    if body.get("track_total_hits"):
+    if compound:
+        # the driver-combined paths enumerate the full matching set anyway
+        total = {"value": compound_total, "relation": "eq"}
+    elif body.get("track_total_hits"):
         total = {
             "value": _exact_total(
                 spark, out_dir, s, plan, filters, ranges,
@@ -938,10 +1172,14 @@ def search_body(
     resp: dict[str, Any] = {"hits": {"total": total, "hits": hits}}
     if body.get("aggs"):
         kinds = set()
-        for spec in body["aggs"].values():
-            kinds.update(k for k in spec if k != "aggs")
-            for cspec in (spec.get("aggs") or {}).values():
-                kinds.update(k for k in cspec if k != "aggs")
+
+        def _collect_kinds(specs: dict) -> None:
+            for spec in specs.values():
+                kinds.update(k for k in spec if k != "aggs")
+                if isinstance(spec.get("aggs"), dict):
+                    _collect_kinds(spec["aggs"])
+
+        _collect_kinds(body["aggs"])
         if kinds <= {
             "terms", "date_histogram", "histogram", "stats",
             "avg", "sum", "min", "max", "value_count", "range",

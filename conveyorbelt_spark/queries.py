@@ -3137,6 +3137,217 @@ ORDER BY l.doc_count DESC, key, b.child_key
 """
 
 
+def _cb_body_gate(spark, sf_dir, body, k, *, extra_cols=(), positions=True):
+    """Shared scaffold for the compound-query gates: build the real index
+    on `documents`, run one ES body through `search_body`, and return the
+    top-k (doc_id, rounded score) re-ordered by (rounded score desc,
+    doc_id) so Spark and DuckDB tie-break identically at 4 decimals."""
+    import shutil
+    import tempfile
+
+    from .index.build import build_index, write_docstore
+    from .index.dsl import search_body
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="cb_body_idx_")
+    try:
+        build_index(
+            spark, docs.select("doc_id", "text"), out, url_col=None,
+            n_buckets=8, positions=positions,
+        )
+        if extra_cols:
+            write_docstore(
+                spark, docs, out, url_col=None, extra_cols=tuple(extra_cols)
+            )
+        resp = search_body(spark, out, dict(body, size=k))
+        rows = [(int(h["_id"]), round(float(h["_score"]), 4))
+                for h in resp["hits"]["hits"]]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    res = spark.createDataFrame(rows, "doc_id long, score double")
+    return res.orderBy(F.desc("score"), F.asc("doc_id"))
+
+
+_CB_SCORE_CTES = f"""
+base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t != '') AS arr
+  FROM documents
+),
+ptoks AS (
+  SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) - 1 AS pos FROM base
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM ptoks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, len(arr) AS dl FROM base),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(len(arr)) FROM base)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+alldf AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+q AS (SELECT unnest({{terms!r}}) AS term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (stats.n_docs - alldf.df + 0.5) / (alldf.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl)))) AS raw
+  FROM tf
+  JOIN alldf ON tf.term = alldf.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  WHERE tf.term IN (SELECT term FROM q)
+  GROUP BY tf.doc_id
+)"""
+
+
+def q59_dis_max(spark, sf_dir):
+    """ES dis_max: best of [BM25 match, exact-phrase "spark join"] plus
+    tie_breaker 0.3 × the other matching score; the doc set is the union.
+    DuckDB twin: the BM25 CTE FULL JOINed to the positional-adjacency
+    phrase CTE, greatest + 0.3 × least."""
+    return _cb_body_gate(spark, sf_dir, {
+        "query": {"dis_max": {
+            "queries": [
+                {"match": {"text": " ".join(BM25_QUERY_TERMS)}},
+                {"match_phrase": {"text": "spark join"}},
+            ],
+            "tie_breaker": 0.3,
+        }},
+    }, 15)
+
+
+Q59_SQL = "WITH " + _CB_SCORE_CTES.format(terms=BM25_QUERY_TERMS) + """,
+pdfs AS (
+  SELECT count(DISTINCT CASE WHEN term = 'spark' THEN doc_id END) AS df0,
+         count(DISTINCT CASE WHEN term = 'join' THEN doc_id END) AS df1
+  FROM ptoks
+),
+phits AS (
+  SELECT a.doc_id, count(*) AS pf
+  FROM ptoks a JOIN ptoks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'spark' AND b.term = 'join'
+  GROUP BY a.doc_id
+),
+pscored AS (
+  SELECT h.doc_id,
+         (ln(1.0 + (s.n_docs - d.df0 + 0.5) / (d.df0 + 0.5))
+          + ln(1.0 + (s.n_docs - d.df1 + 0.5) / (d.df1 + 0.5)))
+         * (h.pf * 2.2) / (h.pf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / s.avgdl))) AS praw
+  FROM phits h
+  JOIN dl ON dl.doc_id = h.doc_id
+  CROSS JOIN stats s CROSS JOIN pdfs d
+),
+comb AS (
+  SELECT coalesce(sc.doc_id, p.doc_id) AS doc_id,
+         CASE WHEN sc.raw IS NULL THEN p.praw
+              WHEN p.praw IS NULL THEN sc.raw
+              ELSE greatest(sc.raw, p.praw) + 0.3 * least(sc.raw, p.praw)
+         END AS final
+  FROM scored sc FULL OUTER JOIN pscored p ON sc.doc_id = p.doc_id
+),
+topk AS (SELECT doc_id, final FROM comb ORDER BY final DESC, doc_id LIMIT 15)
+SELECT doc_id, round(final, 4) AS score FROM topk
+ORDER BY round(final, 4) DESC, doc_id
+"""
+
+
+def q60_boosting(spark, sf_dir):
+    """ES boosting: BM25 positive hits demoted ×0.5 when they also match
+    the negative clause (term "table") — demote, not exclude. DuckDB
+    twin: the BM25 CTE with a CASE on membership in the negative set."""
+    return _cb_body_gate(spark, sf_dir, {
+        "query": {"boosting": {
+            "positive": {"match": {"text": " ".join(BM25_QUERY_TERMS)}},
+            "negative": {"match": {"text": "table"}},
+            "negative_boost": 0.5,
+        }},
+    }, 20, positions=False)
+
+
+Q60_SQL = "WITH " + _CB_SCORE_CTES.format(terms=BM25_QUERY_TERMS) + """,
+neg AS (SELECT DISTINCT doc_id FROM ptoks WHERE term = 'table'),
+comb AS (
+  SELECT sc.doc_id,
+         sc.raw * CASE WHEN n.doc_id IS NOT NULL THEN 0.5 ELSE 1.0 END AS final
+  FROM scored sc LEFT JOIN neg n ON sc.doc_id = n.doc_id
+),
+topk AS (SELECT doc_id, final FROM comb ORDER BY final DESC, doc_id LIMIT 20)
+SELECT doc_id, round(final, 4) AS score FROM topk
+ORDER BY round(final, 4) DESC, doc_id
+"""
+
+
+def q61_function_score(spark, sf_dir):
+    """ES function_score / field_value_factor: BM25 × log10(1 + 0.01 ×
+    n_chars) (ES log1p is base-10), boost_mode multiply, field resolved
+    through the bucket-pruned docstore for the full matching set. DuckDB
+    twin: the BM25 CTE joined to documents.n_chars."""
+    return _cb_body_gate(spark, sf_dir, {
+        "query": {"function_score": {
+            "query": {"match": {"text": " ".join(BM25_QUERY_TERMS)}},
+            "field_value_factor": {
+                "field": "n_chars", "factor": 0.01, "modifier": "log1p",
+            },
+            "boost_mode": "multiply",
+        }},
+    }, 15, extra_cols=("n_chars",), positions=False)
+
+
+Q61_SQL = "WITH " + _CB_SCORE_CTES.format(terms=BM25_QUERY_TERMS) + """,
+comb AS (
+  SELECT sc.doc_id, sc.raw * log10(1.0 + 0.01 * d.n_chars) AS final
+  FROM scored sc JOIN documents d ON sc.doc_id = d.doc_id
+),
+topk AS (SELECT doc_id, final FROM comb ORDER BY final DESC, doc_id LIMIT 15)
+SELECT doc_id, round(final, 4) AS score FROM topk
+ORDER BY round(final, 4) DESC, doc_id
+"""
+
+
+def q62_match_phrase_prefix(spark, sf_dir):
+    """ES match_phrase_prefix "big s": the last token expands over the
+    dictionary in term order (scan/slow/small/sort/spark/stream here) and
+    each doc keeps its best expansion's exact-phrase BM25 score. DuckDB
+    twin: adjacency phrase scoring per candidate term, max per doc."""
+    return _cb_body_gate(spark, sf_dir, {
+        "query": {"match_phrase_prefix": {"text": {"query": "big s"}}},
+    }, 15)
+
+
+Q62_SQL = "WITH " + _CB_SCORE_CTES.format(terms=BM25_QUERY_TERMS) + """,
+cands AS (
+  SELECT term FROM (
+    SELECT DISTINCT term FROM ptoks WHERE term LIKE 's%'
+    ORDER BY term LIMIT 50
+  )
+),
+pdf0 AS (SELECT count(DISTINCT doc_id) AS df0 FROM ptoks WHERE term = 'big'),
+cdf AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM ptoks
+  WHERE term IN (SELECT term FROM cands) GROUP BY term
+),
+phits AS (
+  SELECT a.doc_id, b.term AS cand, count(*) AS pf
+  FROM ptoks a JOIN ptoks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = 'big' AND b.term IN (SELECT term FROM cands)
+  GROUP BY a.doc_id, b.term
+),
+pscored AS (
+  SELECT h.doc_id,
+         (ln(1.0 + (s.n_docs - p0.df0 + 0.5) / (p0.df0 + 0.5))
+          + ln(1.0 + (s.n_docs - c.df + 0.5) / (c.df + 0.5)))
+         * (h.pf * 2.2) / (h.pf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / s.avgdl))) AS praw
+  FROM phits h
+  JOIN cdf c ON h.cand = c.term
+  JOIN dl ON dl.doc_id = h.doc_id
+  CROSS JOIN stats s CROSS JOIN pdf0 p0
+),
+best AS (SELECT doc_id, max(praw) AS final FROM pscored GROUP BY doc_id),
+topk AS (SELECT doc_id, final FROM best ORDER BY final DESC, doc_id LIMIT 15)
+SELECT doc_id, round(final, 4) AS score FROM topk
+ORDER BY round(final, 4) DESC, doc_id
+"""
+
+
 def q54_significant_terms(spark, sf_dir):
     """ES significant_terms aggregation (JLH heuristic, ES's default
     scorer) through the real index: langs over-represented in the docs
@@ -3256,6 +3467,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q56_term_suggester": q56_term_suggester,
     "q57_extended_aggs": q57_extended_aggs,
     "q58_nested_agg_tree": q58_nested_agg_tree,
+    "q59_dis_max": q59_dis_max,
+    "q60_boosting": q60_boosting,
+    "q61_function_score": q61_function_score,
+    "q62_match_phrase_prefix": q62_match_phrase_prefix,
 }
 
 ORACLES: dict[str, str] = {
@@ -3317,4 +3532,8 @@ ORACLES: dict[str, str] = {
     "q56_term_suggester": Q56_SQL,
     "q57_extended_aggs": Q57_SQL,
     "q58_nested_agg_tree": Q58_SQL,
+    "q59_dis_max": Q59_SQL,
+    "q60_boosting": Q60_SQL,
+    "q61_function_score": Q61_SQL,
+    "q62_match_phrase_prefix": Q62_SQL,
 }
