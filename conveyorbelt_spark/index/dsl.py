@@ -68,9 +68,11 @@ sub-"aggs" with metric siblings per level — the Kibana split-series
 tree — and significant_terms with its whole-index background),
 "highlight" {"fields": {col: {}}}, "_source" (bool),
 "track_total_hits" (bool — True runs the uncapped distributed count),
-"suggest" {name: {"text": t, "term": {knobs}}} — the ES term suggester
-("did you mean", see ``query.term_suggest``); suggest-only bodies (no
-query, no aggs) skip the search phase like ES.
+"suggest" {name: {"text": t, "term": {knobs} | "phrase": {knobs}}} — the
+ES term suggester ("did you mean", see ``query.term_suggest``) and the
+phrase suggester (stupid-backoff bigram LM over the positional index,
+see ``Searcher.phrase_suggest``); suggest-only bodies (no query, no
+aggs) skip the search phase like ES.
 
 Response is ES-shaped: {"hits": {"total": {"value": N, "relation":
 "eq"|"gte"}, "hits": [{"_id", "_score", "_source"?, "highlight"?}]},
@@ -884,19 +886,35 @@ def _phrase_prefix_rows(
     return sorted(best.items(), key=lambda t: (-t[1], t[0]))
 
 
-def _suggest_section(out_dir: str, spec: dict) -> dict:
+def _suggest_section(s: Searcher, spec: dict) -> dict:
     """The request-level "suggest" block: named term-suggester entries
-    ({"text": ..., "term": {"field": ..., knobs}}) → ES-shaped response
-    section. Only the term suggester is emulated (the phrase suggester's
-    language-model rescoring is not)."""
+    ({"text": ..., "term": {knobs}}) and phrase-suggester entries
+    ({"text": ..., "phrase": {knobs}} — stupid-backoff bigram LM over the
+    positional index, see ``Searcher.phrase_suggest``) → ES-shaped
+    response section. The completion suggester has its own API
+    (``Searcher.suggest``)."""
     from .query import term_suggest
 
+    out_dir = s.out_dir
     out = {}
     for name, body in spec.items():
-        if not isinstance(body, dict) or "term" not in body:
+        if not isinstance(body, dict) or not ({"term", "phrase"} & set(body)):
             raise UnsupportedDSL(
-                f"suggest {name!r}: only the term suggester is supported"
+                f"suggest {name!r}: term and phrase suggesters are supported"
             )
+        if "phrase" in body:
+            t = body["phrase"]
+            out[name] = s.phrase_suggest(
+                str(body.get("text", "")),
+                size=int(t.get("size", 5)),
+                max_errors=int(t.get("max_errors", 1)),
+                confidence=float(t.get("confidence", 1.0)),
+                discount=float(
+                    (t.get("smoothing") or {}).get("stupid_backoff", {})
+                    .get("discount", 0.4)
+                ),
+            )
+            continue
         t = body["term"]
         out[name] = term_suggest(
             out_dir, str(body.get("text", "")),
@@ -924,7 +942,7 @@ def search_body(
         # without a search phase
         return {
             "hits": {"total": {"value": 0, "relation": "eq"}, "hits": []},
-            "suggest": _suggest_section(out_dir, body["suggest"]),
+            "suggest": _suggest_section(s, body["suggest"]),
         }
     plan = parse_query(body.get("query"), analyzer=s.stats.get("analyzer"))
     size = int(body.get("size", 10))
@@ -1209,7 +1227,7 @@ def search_body(
                 name: [r.asDict() for r in df.collect()] for name, df in aggs.items()
             }
     if body.get("suggest"):
-        resp["suggest"] = _suggest_section(out_dir, body["suggest"])
+        resp["suggest"] = _suggest_section(s, body["suggest"])
     return resp
 
 

@@ -1178,6 +1178,7 @@ _POS_KEY_SHIFT = 33  # doc-index key space above the position bits
 def _phrase_kernel(
     phrase_tokens: list[tuple[str, int]], idf_sum: float, k: int,
     after: tuple[float, int] | None = None, slop: int = 0,
+    freqs: bool = False,
 ):
     """Per-bucket phrase scorer (Lucene PhraseQuery semantics, pinned):
     candidates = docs containing every distinct phrase term; a hit needs a
@@ -1290,6 +1291,10 @@ def _phrase_kernel(
         docs_hit = cand[hit_idx]
         dl = dl_by_cand[hit_idx]
         pf = pf.astype(np.float64)
+        if freqs:
+            # raw phraseFreq per doc (no idf, no length norm) — the
+            # phrase-suggester language model's bigram/unigram counts
+            return pd.DataFrame({"doc_id": docs_hit, "score": pf})
         w = (pf * (k1 + 1.0)) / (pf + k1 * (1.0 - b + b * (dl / avgdl)))
         scores = idf_sum * w
         if after is not None:
@@ -4192,6 +4197,141 @@ class Searcher:
         module-level ``term_suggest`` for knobs and semantics."""
         self._maybe_invalidate()
         return term_suggest(self.out_dir, text, **kw)
+
+    def phrase_freq(self, phrase: str) -> int:
+        """Total corpus phraseFreq of the exact token sequence (Σ per-doc
+        start positions; a single token yields its collection frequency) —
+        the phrase suggester's language-model counts, served by the
+        freq-mode phrase kernel over pruned local block reads (zero Spark
+        jobs warm). Needs an index built with positions=True."""
+        self._maybe_invalidate()
+        plan = _phrase_plan(
+            self.spark, self.out_dir, self.stats, phrase, lookup=self._entries
+        )
+        if plan is None:
+            return 0
+        phrase_tokens, idf_sum, tbs, distinct = plan
+        kern = _phrase_kernel(phrase_tokens, idf_sum, None, freqs=True)
+        kern.k1, kern.b, kern.avgdl = (
+            self.stats["k1"], self.stats["b"], self.stats["avgdl"]
+        )
+        blocks = self._local_blocks(tbs, distinct, columns=_BLOCK_COLS + ["poss"])
+        if blocks is None:
+            # not locally readable — one distributed freq job instead
+            tomb = self._tomb
+            seg = (
+                _seg_scan(self.spark, self.out_dir, self.stats)
+                .where(F.col("tb").isin(tbs) & F.col("term").isin(distinct))
+                .select(*_BLOCK_COLS, "poss", *(["run"] if tomb else []))
+            )
+            func = kern if not tomb else _with_tombstones(kern, tomb)
+            local = seg.groupBy("bucket").applyInPandas(
+                func, schema="doc_id long, score double"
+            )
+            val = local.agg(F.sum("score")).collect()[0][0]
+            return int(val or 0)
+        kern.tp_cache = self._tp_cache
+        total = 0.0
+        for _, grp in blocks.groupby("bucket", sort=True):
+            res = kern(grp)
+            if len(res):
+                total += float(res["score"].sum())
+        return int(total)
+
+    def phrase_suggest(
+        self, text: str, *, size: int = 5, max_edits: int = 2,
+        prefix_length: int = 1, candidates_per_token: int = 5,
+        max_errors: int = 1, discount: float = 0.4,
+        confidence: float = 1.0, min_word_length: int = 4,
+    ) -> list[dict]:
+        """ES phrase suggester ("did you mean" with CONTEXT): per-token
+        correction candidates (the term suggester's, suggest_mode=always)
+        compose into whole-phrase candidates with ≤ ``max_errors``
+        substituted tokens (ES default 1), ranked by a STUPID-BACKOFF
+        bigram language model computed from the positional index itself:
+
+            logP(w1..wn) = ln P(w1) + Σ ln P(wi | wi-1)
+            P(wi | wi-1) = bigram(wi-1, wi) / cf(wi-1)       when seen
+                         = discount × P(wi)                   (backoff, 0.4)
+            P(w)         = (cf(w) + 1) / (total_tokens + 1)   (Laplace)
+
+        with cf = collection frequency and bigram = corpus adjacency
+        count, both served by ``phrase_freq`` (zero Spark jobs warm; the
+        per-(pair) counts memoize across candidates). Returns one
+        ES-shaped entry [{"text", "offset", "length", "options":
+        [{"text", "score"}]}] — options ordered (score desc, text asc),
+        kept only when they beat the input phrase's own score +
+        ln(confidence) (the ES confidence contract on a log scale).
+        Documented deviations: score IS the log-probability (ES reports
+        an opaque internal LM score), and the shingle field ES pre-builds
+        is replaced by live positional-adjacency counts. Needs
+        positions=True."""
+        from ..textutils import TOKEN_RE
+
+        self._maybe_invalidate()
+        low = text.lower()
+        toks = [m.group(0) for m in TOKEN_RE.finditer(low)]
+        if not toks:
+            return []
+        per_pos: list[list[str]] = []
+        for tok in toks:
+            ent = term_suggest(
+                self.out_dir, tok, size=candidates_per_token,
+                max_edits=max_edits, prefix_length=prefix_length,
+                min_word_length=min_word_length, suggest_mode="always",
+            )
+            per_pos.append([o["text"] for o in ent[0]["options"]] if ent else [])
+        orig = tuple(toks)
+        cands = {orig}
+        if int(max_errors) >= 1:
+            for p, opts in enumerate(per_pos):
+                for c in opts:
+                    v = list(toks)
+                    v[p] = c
+                    cands.add(tuple(v))
+        T = float(self.stats.get("total_tokens") or 0) or 1.0
+        cf_cache: dict[str, int] = {}
+        bg_cache: dict[tuple[str, str], int] = {}
+
+        def cf(w: str) -> int:
+            if w not in cf_cache:
+                cf_cache[w] = self.phrase_freq(w)
+            return cf_cache[w]
+
+        def bg(a: str, b: str) -> int:
+            if (a, b) not in bg_cache:
+                bg_cache[(a, b)] = self.phrase_freq(f"{a} {b}")
+            return bg_cache[(a, b)]
+
+        def uni(w: str) -> float:
+            return (cf(w) + 1.0) / (T + 1.0)
+
+        def logp(ws: tuple[str, ...]) -> float:
+            lp = math.log(uni(ws[0]))
+            for a, b_ in zip(ws, ws[1:]):
+                nb = bg(a, b_)
+                # an adjacency occurrence implies an occurrence of its
+                # first token, so nb > 0 ⇒ cf(a) ≥ nb > 0
+                lp += (
+                    math.log(nb / cf(a)) if nb > 0
+                    else math.log(discount * uni(b_))
+                )
+            return lp
+
+        base_lp = logp(orig)
+        gate = base_lp + math.log(confidence) if confidence > 0 else float("-inf")
+        scored = []
+        for ws in cands:
+            if ws == orig:
+                continue
+            lp = logp(ws)
+            if lp > gate:
+                scored.append((lp, " ".join(ws)))
+        scored.sort(key=lambda t: (-t[0], t[1]))
+        return [{
+            "text": " ".join(toks), "offset": 0, "length": len(low),
+            "options": [{"text": p, "score": lp} for lp, p in scored[:size]],
+        }]
 
     def suggest(self, prefix: str, k: int = 10) -> list[tuple[str, int]]:
         """ES completion-suggester analogue: top-df term completions with

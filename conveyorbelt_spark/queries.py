@@ -3348,6 +3348,95 @@ ORDER BY round(final, 4) DESC, doc_id
 """
 
 
+def q63_phrase_suggester(spark, sf_dir):
+    """ES phrase suggester through the real positional index: "sport
+    join" generates per-token corrections (sort, spark for 'sport'; none
+    for 'join'), whole-phrase candidates score under the stupid-backoff
+    bigram LM (ln Laplace unigram + ln bigram/cf | ln 0.4·unigram), and
+    only candidates beating the input survive. DuckDB twin recomputes
+    candidates (levenshtein, first-char prune, the term-suggester
+    ranking) and the LM from raw adjacency counts — hash-exact."""
+    import shutil
+    import tempfile
+
+    from .index.build import build_index
+    from .index.query import Searcher
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="cb_q63_idx_")
+    try:
+        build_index(
+            spark, docs.select("doc_id", "text"), out, url_col=None,
+            n_buckets=8, positions=True,
+        )
+        ent = Searcher(spark, out).phrase_suggest("sport join")
+        rows = [
+            (o["text"], round(float(o["score"]), 6)) for o in ent[0]["options"]
+        ]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    res = spark.createDataFrame(rows, "suggestion string, score double")
+    return res.orderBy(F.desc("score"), "suggestion")
+
+
+Q63_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t != '') AS arr
+  FROM documents
+),
+ptoks AS (
+  SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) - 1 AS pos FROM base
+),
+tot AS (SELECT count(*) AS t FROM ptoks),
+cf AS (SELECT term, count(*) AS cf FROM ptoks GROUP BY term),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM ptoks GROUP BY term),
+bg AS (
+  SELECT a.term AS w1, b.term AS w2, count(*) AS n
+  FROM ptoks a JOIN ptoks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  GROUP BY a.term, b.term
+),
+cand0 AS (
+  SELECT term FROM (
+    SELECT d.term,
+           1.0 - levenshtein('sport', d.term)::DOUBLE
+                 / greatest(5, length(d.term)) AS sc,
+           d.df
+    FROM dfreq d
+    WHERE substr(d.term, 1, 1) = 's' AND d.term != 'sport'
+      AND levenshtein('sport', d.term) <= 2
+    ORDER BY sc DESC, d.df DESC, d.term LIMIT 5
+  )
+),
+-- 'join' is the only j-term in this corpus, so position 1 generates no
+-- candidates; every candidate phrase substitutes position 0
+phrases AS (SELECT term AS w1, 'join' AS w2 FROM cand0),
+scored AS (
+  SELECT p.w1 || ' ' || p.w2 AS suggestion,
+         ln((coalesce(c1.cf, 0) + 1.0) / (t.t + 1.0))
+         + CASE WHEN coalesce(b.n, 0) > 0
+                THEN ln(b.n::DOUBLE / c1.cf)
+                ELSE ln(0.4 * (coalesce(c2.cf, 0) + 1.0) / (t.t + 1.0))
+           END AS lp
+  FROM phrases p
+  LEFT JOIN cf c1 ON c1.term = p.w1
+  LEFT JOIN cf c2 ON c2.term = p.w2
+  LEFT JOIN bg b ON b.w1 = p.w1 AND b.w2 = p.w2
+  CROSS JOIN tot t
+),
+basescore AS (
+  SELECT ln(1.0 / (t.t + 1.0))
+         + ln(0.4 * (c2.cf + 1.0) / (t.t + 1.0)) AS lp
+  FROM tot t, cf c2 WHERE c2.term = 'join'
+)
+SELECT suggestion, round(s.lp, 6) AS score
+FROM scored s, basescore bs
+WHERE s.lp > bs.lp
+ORDER BY round(s.lp, 6) DESC, suggestion
+LIMIT 5
+"""
+
+
 def q54_significant_terms(spark, sf_dir):
     """ES significant_terms aggregation (JLH heuristic, ES's default
     scorer) through the real index: langs over-represented in the docs
@@ -3471,6 +3560,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q60_boosting": q60_boosting,
     "q61_function_score": q61_function_score,
     "q62_match_phrase_prefix": q62_match_phrase_prefix,
+    "q63_phrase_suggester": q63_phrase_suggester,
 }
 
 ORACLES: dict[str, str] = {
@@ -3536,4 +3626,5 @@ ORACLES: dict[str, str] = {
     "q60_boosting": Q60_SQL,
     "q61_function_score": Q61_SQL,
     "q62_match_phrase_prefix": Q62_SQL,
+    "q63_phrase_suggester": Q63_SQL,
 }

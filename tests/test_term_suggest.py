@@ -86,8 +86,94 @@ def test_dsl_suggest_section(spark, tsidx):
     assert len(combo["hits"]["hits"]) == 3
     assert combo["suggest"]["fix"][0]["options"]
     assert resp["suggest"]["fix"] == s.term_suggest("windoww")
-    with pytest.raises(UnsupportedDSL, match="term suggester"):
+    with pytest.raises(UnsupportedDSL, match="suggester"):
         search_body(
             spark, tsidx,
-            {"suggest": {"p": {"text": "x", "phrase": {"field": "text"}}}},
+            {"suggest": {"p": {"text": "x", "completion": {"field": "text"}}}},
         )
+
+
+@pytest.fixture(scope="module")
+def psidx(spark, tmp_path_factory):
+    """Positional corpus where UNIGRAM frequency and BIGRAM context
+    disagree: 'jane' is the more frequent term overall, but 'spark join'
+    is the frequent bigram — the phrase suggester must out-rank the term
+    suggester's frequency-only pick."""
+    out = str(tmp_path_factory.mktemp("ps_idx"))
+    rows = [(i, "spark join table") for i in range(5)]          # bg(spark,join)=5
+    rows += [(10 + i, "jane doe writes") for i in range(11)]    # cf(jane)=11
+    rows += [(30, "spark jane meeting")]                        # bg(spark,jane)=1
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    build_index(spark, docs, out, url_col=None, n_buckets=2, positions=True)
+    return out, rows
+
+
+def test_phrase_freq(spark, psidx):
+    from conveyorbelt_spark.index.query import Searcher
+
+    out, rows = psidx
+    s = Searcher(spark, out)
+    assert s.phrase_freq("spark join") == 5
+    assert s.phrase_freq("spark jane") == 1
+    assert s.phrase_freq("jane doe") == 11
+    assert s.phrase_freq("join spark") == 0
+    assert s.phrase_freq("spark") == 6          # collection frequency
+    assert s.phrase_freq("jane") == 12
+    assert s.phrase_freq("nosuchterm") == 0
+
+
+def test_phrase_suggest_context_beats_frequency(spark, psidx):
+    """'spark jarn' → candidates for 'jarn' (ed 2, first char j) are
+    {jane, join}; jane wins on raw frequency (df 12 > 5) but the bigram
+    LM ranks 'spark join' first. Scores verified against the documented
+    stupid-backoff formula computed from raw counts."""
+    import math
+
+    from conveyorbelt_spark.index.query import Searcher
+
+    out, rows = psidx
+    s = Searcher(spark, out)
+    # term suggester (frequency-ranked) picks jane first — fixture sanity
+    topts = s.term_suggest("jarn", suggest_mode="always")[0]["options"]
+    assert [o["text"] for o in topts][:2] == ["jane", "join"]
+    ent = s.phrase_suggest("spark jarn")
+    assert len(ent) == 1 and ent[0]["text"] == "spark jarn"
+    opts = ent[0]["options"]
+    assert [o["text"] for o in opts][:2] == ["spark join", "spark jane"]
+    T = sum(len(t.split()) for _, t in rows)      # 17 docs × 3 tokens
+    uni = lambda c: (c + 1.0) / (T + 1.0)
+    want_join = math.log(uni(6)) + math.log(5 / 6)    # bg(spark,join)/cf(spark)
+    want_jane = math.log(uni(6)) + math.log(1 / 6)
+    assert opts[0]["score"] == pytest.approx(want_join)
+    assert opts[1]["score"] == pytest.approx(want_jane)
+    # confidence: everything at/below the input's own score is dropped;
+    # with an impossible bar no options survive
+    assert s.phrase_suggest("spark jarn", confidence=1e9)[0]["options"] == []
+
+
+def test_phrase_suggest_dsl_and_backoff(spark, psidx):
+    """The DSL "phrase" suggest entry matches the API; an unseen bigram
+    backs off to discount × Laplace unigram."""
+    import math
+
+    from conveyorbelt_spark.index.dsl import search_body
+    from conveyorbelt_spark.index.query import Searcher
+
+    out, rows = psidx
+    s = Searcher(spark, out)
+    resp = search_body(spark, out, {"suggest": {
+        "fix": {"text": "spark jarn", "phrase": {"size": 2}},
+    }}, searcher=s)
+    assert resp["suggest"]["fix"] == s.phrase_suggest("spark jarn", size=2)
+    # 'table jarn' → 'table join' exists as words but bigram(table, join)=0
+    # → backoff path; verify the formula
+    ent = s.phrase_suggest("table jarn")
+    T = sum(len(t.split()) for _, t in rows)
+    uni = lambda c: (c + 1.0) / (T + 1.0)
+    got = {o["text"]: o["score"] for o in ent[0]["options"]}
+    assert got["table join"] == pytest.approx(
+        math.log(uni(5)) + math.log(0.4 * uni(5))
+    )
+    assert got["table jane"] == pytest.approx(
+        math.log(uni(5)) + math.log(0.4 * uni(12))
+    )
