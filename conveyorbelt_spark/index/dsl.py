@@ -68,6 +68,8 @@ sub-"aggs" with metric siblings per level — the Kibana split-series
 tree — and significant_terms with its whole-index background),
 "highlight" {"fields": {col: {}}}, "_source" (bool),
 "track_total_hits" (bool — True runs the uncapped distributed count),
+"explain" (bool — per-hit Lucene-style BM25 decomposition, see
+``Searcher.explain``; scored match/bool paths only),
 "suggest" {name: {"text": t, "term": {knobs} | "phrase": {knobs}}} — the
 ES term suggester ("did you mean", see ``query.term_suggest``) and the
 phrase suggester (stupid-backoff bigram LM over the positional index,
@@ -996,7 +998,17 @@ def search_body(
             "(no sort, search_after, collapse, phrase, multi_match, "
             "expansion, or match_all)"
         )
+    if body.get("explain") and (
+        sort_spec or collapse is not None or rescore is not None or compound
+        or plan["phrase"] is not None or plan["mm"] is not None
+        or plan["expand"] is not None or plan["mlt"] is not None
+        or plan["ids"] is not None or plan["match_all"]
+    ):
+        raise UnsupportedDSL(
+            "explain supports relevance-ranked match/bool queries"
+        )
     rows: list[tuple[int, float]]
+    plain_scored = False
     sorted_rows_cols: list[tuple] | None = None
     if sort_spec:
         keys = []
@@ -1143,6 +1155,7 @@ def search_body(
             filters=filters, ranges=ranges,
             or_groups=or_groups, not_atoms=not_atoms, after=after,
         )
+        plain_scored = True
 
     hits = []
     want_source = body.get("_source", False)
@@ -1173,6 +1186,21 @@ def search_body(
                     frags[col] = _highlight_fragment(text, hl_query)
             hit["highlight"] = {k: [v] for k, v in frags.items() if v}
         hits.append(hit)
+
+    if body.get("explain"):
+        # ES explain=true: per-hit score decomposition (idf × tfNorm
+        # weight nodes summing to _score) — scored match/bool paths only
+        if not plain_scored:
+            raise UnsupportedDSL(
+                "explain supports relevance-ranked match/bool queries"
+            )
+        for hit in hits:
+            hit["_explanation"] = s.explain(
+                plan["query"], hit["_id"], must=plan["must"],
+                must_not=plan["must_not"], min_should=plan["min_should"],
+                filters=filters, ranges=ranges,
+                or_groups=or_groups, not_atoms=not_atoms,
+            )
 
     total = {"value": len(hits) + from_, "relation": "gte"}
     if compound:

@@ -206,6 +206,15 @@ class _TermPostings:
             np.concatenate(out_dl),
         )
 
+    def tf_dl_at(self, i: int) -> tuple[int, int]:
+        """Decode (tf, dl) for ONE posting index — the explain API's
+        per-document probe (decodes only the block containing it)."""
+        bi = int(np.searchsorted(self.blk_bounds, i, side="right") - 1)
+        off = int(i - self.blk_bounds[bi])
+        tf = varint_decode(self.tf_bufs[bi], int(self.blk_n[bi]))[off]
+        dl = varint_decode(self.dl_bufs[bi], int(self.blk_n[bi]))[off]
+        return int(tf), int(dl)
+
     def upper_bounds(self, k1: float, b: float, avgdl: float) -> np.ndarray:
         """Per-posting weight upper bound from block (max_tf, min_dl):
         w is monotone ↑tf and ↓dl, so w(max_tf, min_dl) bounds the block."""
@@ -4197,6 +4206,107 @@ class Searcher:
         module-level ``term_suggest`` for knobs and semantics."""
         self._maybe_invalidate()
         return term_suggest(self.out_dir, text, **kw)
+
+    def explain(
+        self, query: str, doc_id: int, *,
+        must: str | None = None, must_not: str | None = None,
+        min_should: int = 0,
+        filters: dict | None = None, ranges: dict | None = None,
+        or_groups: list | None = None, not_atoms: list | None = None,
+    ) -> dict:
+        """ES explain API: one document's BM25 score for a bool query,
+        decomposed Lucene-style — a "sum of:" root with one weight node
+        per matching scoring term whose idf × tfNorm children multiply to
+        the node value; the node values sum EXACTLY to the kernel's score
+        for the same query (pinned in tests — same float64 formula, same
+        decoded postings). Non-scoring clauses explain membership only:
+        a missing must term, a matching must_not term, an unsatisfied
+        filter group, or too few should terms return
+        ``{"matched": False, "description": why}`` (ES's matched:false),
+        never a fabricated score. Main-field scoring only (multi_match
+        per-field norms are served by ``multi_match_rows``; explaining
+        them is not supported). Serving-path: pruned local block reads,
+        zero Spark jobs."""
+        self._maybe_invalidate()
+        k1, b, avgdl = self.stats["k1"], self.stats["b"], self.stats["avgdl"]
+        n_docs = self.stats["n_docs"]
+        nomatch = lambda why: {
+            "matched": False, "value": 0.0, "description": why, "details": [],
+        }
+        plan = _bool_plan(
+            self.spark, self.out_dir, self.stats, query, must, must_not,
+            lookup=self._entries, filters=filters, ranges=ranges,
+            range_expand=self._range_expand, or_groups=or_groups,
+            not_atoms=not_atoms,
+        )
+        if plan is None:
+            return nomatch("no query term is indexed")
+        term_idf, must_terms, not_terms, tbs, scan_terms, should_present, fgroups = plan
+        blocks = self._local_blocks(tbs, scan_terms)
+        if blocks is None:
+            raise FileNotFoundError(
+                f"{self.out_dir}/segments is not locally readable — "
+                "explain is a serving-path API"
+            )
+        found: dict[str, tuple[int, int]] = {}
+        if len(blocks):
+            for term, grp in blocks.groupby("term", sort=True):
+                tp = _tp_for(grp, term, self._tp_cache)
+                idxs = np.nonzero(tp.docs == int(doc_id))[0]
+                if len(idxs):
+                    # keep-first matches the kernel's delta-duplicate rule
+                    found[term] = tp.tf_dl_at(int(idxs[0]))
+        for t in must_terms:
+            if t not in found:
+                return nomatch(f"required term {t!r} does not match")
+        for t in not_terms:
+            if t in found:
+                return nomatch(f"must_not term {t!r} matches")
+        for grp_terms in fgroups:
+            if not any(t in found for t in grp_terms):
+                return nomatch(f"filter group {tuple(grp_terms)!r} does not match")
+        n_should = sum(1 for t in should_present if t in found)
+        if min_should and n_should < min_should:
+            return nomatch(
+                f"{n_should} of {len(should_present)} should terms match "
+                f"(minimum_should_match={min_should})"
+            )
+        scoring = sorted(t for t in term_idf if t in found)
+        if not scoring:
+            return nomatch("no scoring term matches")
+        details = []
+        total = 0.0
+        for t in scoring:
+            tf, dl = found[t]
+            idf_v = float(term_idf[t])
+            tfn = (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * (dl / avgdl)))
+            v = idf_v * tfn
+            total += v
+            details.append({
+                "value": v,
+                "description": f"weight(text:{t} in {int(doc_id)}) [BM25], product of:",
+                "details": [
+                    {
+                        "value": idf_v,
+                        "description": (
+                            f"idf, ln(1 + (N - n + 0.5) / (n + 0.5)) with N={n_docs}"
+                        ),
+                        "details": [],
+                    },
+                    {
+                        "value": tfn,
+                        "description": (
+                            f"tfNorm, (tf·(k1+1)) / (tf + k1·(1−b+b·dl/avgdl)), "
+                            f"tf={tf}, k1={k1}, b={b}, dl={dl}, avgdl={avgdl:.6g}"
+                        ),
+                        "details": [],
+                    },
+                ],
+            })
+        return {
+            "matched": True, "value": total, "description": "sum of:",
+            "details": details,
+        }
 
     def phrase_freq(self, phrase: str) -> int:
         """Total corpus phraseFreq of the exact token sequence (Σ per-doc

@@ -3437,6 +3437,79 @@ LIMIT 5
 """
 
 
+def q64_explain(spark, sf_dir):
+    """ES explain API: the top-10 BM25 hits' per-term weight nodes
+    (idf, tfNorm, weight = idf × tfNorm) through ``Searcher.explain``,
+    flattened to (doc_id, term, idf, tfnorm, weight) rows. DuckDB twin
+    recomputes every component from raw tf/df/dl — hash-exact, so the
+    explanation itself (not just the total) is pinned to the formula."""
+    import shutil
+    import tempfile
+
+    from .index.build import build_index
+    from .index.query import Searcher
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="cb_q64_idx_")
+    try:
+        build_index(spark, docs.select("doc_id", "text"), out, url_col=None, n_buckets=8)
+        s = Searcher(spark, out)
+        q = " ".join(BM25_QUERY_TERMS)
+        rows = []
+        for d, _sc in s.search_rows(q, 10):
+            ex = s.explain(q, d)
+            for node in ex["details"]:
+                term = node["description"].split("text:")[1].split(" ")[0]
+                idf_v, tfn = (c["value"] for c in node["details"])
+                rows.append((
+                    int(d), term, round(float(idf_v), 4),
+                    round(float(tfn), 4), round(float(node["value"]), 4),
+                ))
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    res = spark.createDataFrame(
+        rows, "doc_id long, term string, idf double, tfnorm double, weight double"
+    )
+    return res.orderBy("doc_id", "term")
+
+
+Q64_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t != '') AS arr
+  FROM documents
+),
+toks AS (SELECT doc_id, unnest(arr) AS term FROM base),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (SELECT doc_id, len(arr) AS dl FROM base),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(len(arr)) FROM base)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+q AS (SELECT unnest({{terms!r}}) AS term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf
+       WHERE term IN (SELECT term FROM q) GROUP BY term),
+parts AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5)) AS idf,
+         (tf.tf * 2.2)
+         / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl))) AS tfn
+  FROM tf
+  JOIN df ON tf.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+),
+scored AS (
+  SELECT doc_id, sum(idf * tfn) AS raw FROM parts GROUP BY doc_id
+),
+topk AS (SELECT doc_id FROM scored ORDER BY raw DESC, doc_id LIMIT 10)
+SELECT p.doc_id, p.term, round(p.idf, 4) AS idf, round(p.tfn, 4) AS tfnorm,
+       round(p.idf * p.tfn, 4) AS weight
+FROM parts p JOIN topk USING (doc_id)
+ORDER BY p.doc_id, p.term
+""".format(terms=BM25_QUERY_TERMS)
+
+
 def q54_significant_terms(spark, sf_dir):
     """ES significant_terms aggregation (JLH heuristic, ES's default
     scorer) through the real index: langs over-represented in the docs
@@ -3561,6 +3634,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q61_function_score": q61_function_score,
     "q62_match_phrase_prefix": q62_match_phrase_prefix,
     "q63_phrase_suggester": q63_phrase_suggester,
+    "q64_explain": q64_explain,
 }
 
 ORACLES: dict[str, str] = {
@@ -3627,4 +3701,5 @@ ORACLES: dict[str, str] = {
     "q61_function_score": Q61_SQL,
     "q62_match_phrase_prefix": Q62_SQL,
     "q63_phrase_suggester": Q63_SQL,
+    "q64_explain": Q64_SQL,
 }
