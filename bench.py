@@ -230,6 +230,33 @@ def _es_surface_bench(spark, sf_dir: str) -> dict:
                 "spark join",
             ),
             "term_suggester": lambda: s.term_suggest("sorw tabel vallue"),
+            "phrase_suggester": lambda: s.phrase_suggest("sport join"),
+            "explain": lambda: s.explain("spark join window", 1),
+            "dis_max": lambda: search_body(spark, flat_dir, {
+                "query": {"dis_max": {"queries": [
+                    {"match": {"text": "spark join window"}},
+                    {"match_phrase": {"text": "spark join"}},
+                ], "tie_breaker": 0.3}}, "size": 20,
+            }, searcher=s),
+            "function_score": lambda: search_body(spark, flat_dir, {
+                "query": {"function_score": {
+                    "query": {"match": {"text": "spark join window"}},
+                    "field_value_factor": {
+                        "field": "n_chars", "factor": 0.01, "modifier": "log1p",
+                    },
+                }}, "size": 20,
+            }, searcher=s),
+            "match_phrase_prefix": lambda: search_body(spark, flat_dir, {
+                "query": {"match_phrase_prefix": {"text": {"query": "big s"}}},
+                "size": 20,
+            }, searcher=s),
+            "nested_agg_tree": lambda: s.aggs_rows({
+                "byl": {"terms": {"field": "lang", "size": 5}, "aggs": {
+                    "avgc": {"avg": {"field": "n_chars"}},
+                    "byh": {"histogram": {"field": "n_chars", "interval": 200},
+                            "aggs": {"st": {"stats": {"field": "n_chars"}}}},
+                }},
+            }, "spark join"),
             "daily_window_search": lambda: ds.search_rows(
                 "spark join window", 20, time_range=win
             ),

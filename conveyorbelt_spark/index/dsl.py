@@ -70,6 +70,9 @@ tree — and significant_terms with its whole-index background),
 "track_total_hits" (bool — True runs the uncapped distributed count),
 "explain" (bool — per-hit Lucene-style BM25 decomposition, see
 ``Searcher.explain``; scored match/bool paths only),
+"knn" {"field": f, "query_vector": [...], "k": n, "num_candidates": m} —
+ES kNN search over a stored array<float> column, exact cosine, hits
+scored (1 + cos)/2 (see ``_knn_search``; sent alone, no query/aggs),
 "suggest" {name: {"text": t, "term": {knobs} | "phrase": {knobs}}} — the
 ES term suggester ("did you mean", see ``query.term_suggest``) and the
 phrase suggester (stupid-backoff bigram LM over the positional index,
@@ -888,6 +891,48 @@ def _phrase_prefix_rows(
     return sorted(best.items(), key=lambda t: (-t[1], t[0]))
 
 
+def _knn_search(
+    spark: SparkSession, out_dir: str, body: dict,
+) -> dict:
+    """ES kNN search (the top-level ``knn`` section): exact cosine top-k
+    over a stored ``array<float>`` docstore column, hits scored ES-style
+    (1 + cos) / 2. The exact scan IS the ES-parity baseline (ES's HNSW is
+    approximate; `operators.similarity` carries the IVF/LSH scale paths —
+    swap them in per-collection when the corpus outgrows brute force);
+    ``num_candidates`` is accepted and ignored by the exact scan. Runs
+    distributed (one matmul-shaped scan, no driver collect before top-k)."""
+    from ..operators.similarity import cosine_topk
+    from .query import _docstore_scan
+
+    for clash in ("query", "aggs", "sort", "collapse", "rescore", "suggest"):
+        if body.get(clash):
+            raise UnsupportedDSL(
+                f"knn does not compose with {clash!r} here — send it alone"
+            )
+    spec = body["knn"]
+    field = str(spec["field"])
+    qv = [float(x) for x in spec["query_vector"]]
+    k = int(spec.get("k", 10))
+    store = _docstore_scan(spark, out_dir)
+    if field not in store.columns:
+        raise UnsupportedDSL(f"knn field {field!r} is not a stored column")
+    top = cosine_topk(store, qv, k, id_col="doc_id", vec_col=field).collect()
+    hits = [
+        {"_id": int(r[0]), "_score": (1.0 + float(r[1])) / 2.0} for r in top
+    ]
+    if body.get("_source"):
+        from .build import lookup_docs
+
+        meta = lookup_docs(out_dir, [h["_id"] for h in hits])
+        for h in hits:
+            if h["_id"] in meta:
+                h["_source"] = {
+                    kk: v for kk, v in meta[h["_id"]].items()
+                    if kk not in ("bucket", "run")
+                }
+    return {"hits": {"total": {"value": len(hits), "relation": "eq"}, "hits": hits}}
+
+
 def _suggest_section(s: Searcher, spec: dict) -> dict:
     """The request-level "suggest" block: named term-suggester entries
     ({"text": ..., "term": {knobs}}) and phrase-suggester entries
@@ -939,6 +984,8 @@ def search_body(
     index mutation); omitted, each call builds a cold handle."""
     body = dict(body or {})
     s = searcher if searcher is not None and searcher.out_dir == out_dir else Searcher(spark, out_dir)
+    if body.get("knn") is not None:
+        return _knn_search(spark, out_dir, body)
     if body.get("suggest") and body.get("query") is None and not body.get("aggs"):
         # suggest-only request (no query, no aggs) — ES runs these
         # without a search phase

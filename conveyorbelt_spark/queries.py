@@ -3510,6 +3510,60 @@ ORDER BY p.doc_id, p.term
 """.format(terms=BM25_QUERY_TERMS)
 
 
+def q65_knn_dsl(spark, sf_dir):
+    """ES kNN search through the DSL: documents joined to their
+    embeddings in the docstore, the top-level "knn" section returns the
+    exact cosine top-10 scored (1 + cos)/2 — the ES kNN score contract.
+    DuckDB twin: list_dot_product cosine over the embeddings table."""
+    import shutil
+    import tempfile
+
+    from .index.build import build_index, write_docstore
+    from .index.dsl import search_body
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    qv = [float(x) for x in emb.where(F.col("doc_id") == 0).collect()[0].embedding]
+    out = tempfile.mkdtemp(prefix="cb_q65_idx_")
+    try:
+        build_index(spark, docs.select("doc_id", "text"), out, url_col=None, n_buckets=8)
+        write_docstore(
+            spark, docs.join(emb, "doc_id"), out, url_col=None,
+            extra_cols=("embedding",),
+        )
+        resp = search_body(spark, out, {
+            "knn": {
+                "field": "embedding", "query_vector": qv, "k": 10,
+                "num_candidates": 100,
+            },
+        })
+        rows = [
+            (int(h["_id"]), round(float(h["_score"]), 4))
+            for h in resp["hits"]["hits"]
+        ]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    res = spark.createDataFrame(rows, "doc_id long, score double")
+    return res.orderBy(F.desc("score"), "doc_id")
+
+
+Q65_SQL = """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+cos AS (
+  SELECT vec_id AS doc_id,
+         list_dot_product(embedding::DOUBLE[], q.qv)
+         / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+            * sqrt(list_dot_product(q.qv, q.qv))) AS c
+  FROM embeddings, q
+),
+topk AS (SELECT doc_id, c FROM cos ORDER BY c DESC, doc_id LIMIT 10)
+SELECT doc_id, round((1.0 + c) / 2.0, 4) AS score FROM topk
+ORDER BY round((1.0 + c) / 2.0, 4) DESC, doc_id
+"""
+
+
 def q54_significant_terms(spark, sf_dir):
     """ES significant_terms aggregation (JLH heuristic, ES's default
     scorer) through the real index: langs over-represented in the docs
@@ -3635,6 +3689,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q62_match_phrase_prefix": q62_match_phrase_prefix,
     "q63_phrase_suggester": q63_phrase_suggester,
     "q64_explain": q64_explain,
+    "q65_knn_dsl": q65_knn_dsl,
 }
 
 ORACLES: dict[str, str] = {
@@ -3702,4 +3757,5 @@ ORACLES: dict[str, str] = {
     "q62_match_phrase_prefix": Q62_SQL,
     "q63_phrase_suggester": Q63_SQL,
     "q64_explain": Q64_SQL,
+    "q65_knn_dsl": Q65_SQL,
 }

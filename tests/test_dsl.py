@@ -857,3 +857,45 @@ def test_rescore_modes_and_guards(spark, droot):
             "query": {"match": {"text": "spark"}},
             "rescore": {"query": {"rescore_query": {"prefix": {"text": "sp"}}}},
         })
+
+
+def test_knn_body(spark, tmp_path):
+    """ES kNN section: exact cosine top-k over a stored vector column,
+    scored (1 + cos)/2, verified against a numpy truth; composition
+    guards raise."""
+    import numpy as np
+
+    from conveyorbelt_spark.index.build import build_index, write_docstore
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(40, 8)).astype(float)
+    rows = [(i, "spark join", [float(x) for x in vecs[i]]) for i in range(40)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, embedding array<double>"
+    )
+    out = str(tmp_path / "knnidx")
+    build_index(spark, docs.select("doc_id", "text"), out, url_col=None, n_buckets=2)
+    write_docstore(spark, docs, out, url_col=None, extra_cols=("text", "embedding"))
+    qv = [float(x) for x in vecs[7]]
+    resp = search_body(spark, out, {
+        "knn": {"field": "embedding", "query_vector": qv, "k": 5},
+        "_source": True,
+    })
+    cos = (vecs @ vecs[7]) / (
+        np.linalg.norm(vecs, axis=1) * np.linalg.norm(vecs[7])
+    )
+    order = sorted(range(40), key=lambda i: (-cos[i], i))[:5]
+    got = [(h["_id"], h["_score"]) for h in resp["hits"]["hits"]]
+    assert [d for d, _ in got] == order
+    for (d, sc), i in zip(got, order):
+        assert sc == pytest.approx((1.0 + cos[i]) / 2.0)
+    assert resp["hits"]["hits"][0]["_id"] == 7          # self is nearest
+    assert resp["hits"]["hits"][0]["_source"]["text"] == "spark join"
+    assert resp["hits"]["total"] == {"value": 5, "relation": "eq"}
+    with pytest.raises(UnsupportedDSL, match="compose"):
+        search_body(spark, out, {
+            "knn": {"field": "embedding", "query_vector": qv, "k": 5},
+            "query": {"match": {"text": "spark"}},
+        })
+    with pytest.raises(UnsupportedDSL, match="stored column"):
+        search_body(spark, out, {"knn": {"field": "nope", "query_vector": qv}})
