@@ -1279,7 +1279,7 @@ def search_body(
             "filter", "filters", "missing", "top_hits", "composite",
             "significant_terms", "multi_terms", "rare_terms", "date_range",
             "global", "avg_bucket", "sum_bucket", "min_bucket",
-            "max_bucket", "stats_bucket",
+            "max_bucket", "stats_bucket", "derivative", "cumulative_sum",
         }:
             # serving fast path: row-for-row identical to the distributed
             # plan for these kinds (escalates itself past max_hits);

@@ -1962,8 +1962,10 @@ def aggs_over_join(
         joined = joined.localCheckpoint(eager=True)
     out: dict[str, DataFrame] = {}
     pipelines: list[tuple[str, str, dict]] = []
+    bucket_kinds: dict[str, str] = {}
     for name, spec in aggs.items():
         kind, body, sub = _agg_spec(name, spec)
+        bucket_kinds[name] = kind
         if kind in _PIPELINE_KINDS:
             # sibling pipeline aggs run AFTER their parent bucket aggs
             pipelines.append((name, kind, body))
@@ -2115,6 +2117,26 @@ def aggs_over_join(
             raise ValueError(f"unsupported agg type {kind!r} in {name!r}")
     for name, kind, body in pipelines:
         parent_df, colname = _pipeline_parent(out, name, body)
+        if kind in ("derivative", "cumulative_sum"):
+            from pyspark.sql import Window
+
+            _series_parent_check(name, kind, body, bucket_kinds)
+            # the parent bucket frame is response-sized (bounded bucket
+            # count), so the unpartitioned window is a non-issue
+            if kind == "derivative":
+                w = Window.orderBy("key")
+                out[name] = parent_df.select(
+                    "key",
+                    (F.col(colname) - F.lag(colname).over(w)).alias("value"),
+                )
+            else:
+                w = Window.orderBy("key").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+                out[name] = parent_df.select(
+                    "key", F.sum(colname).over(w).alias("value")
+                )
+            continue
         if kind == "stats_bucket":
             out[name] = parent_df.agg(
                 F.count(colname).alias("count"),
@@ -2132,7 +2154,22 @@ def aggs_over_join(
 
 _PIPELINE_KINDS = (
     "avg_bucket", "sum_bucket", "min_bucket", "max_bucket", "stats_bucket",
+    "derivative", "cumulative_sum",
 )
+
+
+def _series_parent_check(
+    name: str, kind: str, body: dict, bucket_kinds: dict[str, str]
+) -> None:
+    """ES: derivative / cumulative_sum are SERIES pipelines — the parent
+    must be an ordered histogram/date_histogram, not a terms ranking."""
+    parent = str(body["buckets_path"]).partition(">")[0]
+    pk = bucket_kinds.get(parent)
+    if pk not in ("histogram", "date_histogram"):
+        raise ValueError(
+            f"agg {name!r}: {kind} needs a histogram/date_histogram "
+            f"parent (got {pk!r})"
+        )
 
 
 def _pipeline_parent(out: dict, name: str, body: dict):
@@ -2743,8 +2780,10 @@ def _aggs_pandas(
 
     out: dict[str, list[dict]] = {}
     pipelines: list[tuple[str, str, dict]] = []
+    bucket_kinds: dict[str, str] = {}
     for name, spec in aggs.items():
         kind, body, sub = _agg_spec(name, spec)
+        bucket_kinds[name] = kind
         if kind in _PIPELINE_KINDS:
             pipelines.append((name, kind, body))
             continue
@@ -2875,6 +2914,24 @@ def _aggs_pandas(
             raise ValueError(f"unsupported agg type {kind!r} in {name!r}")
     for name, kind, body in pipelines:
         rows, colname = _pipeline_parent(out, name, body)
+        if kind in ("derivative", "cumulative_sum"):
+            _series_parent_check(name, kind, body, bucket_kinds)
+            res: list[dict] = []
+            run = 0.0
+            prev = None
+            for r in rows:
+                v = r.get(colname)
+                if kind == "derivative":
+                    res.append({
+                        "key": r["key"],
+                        "value": None if prev is None else v - prev,
+                    })
+                    prev = v
+                else:
+                    run += v
+                    res.append({"key": r["key"], "value": run})
+            out[name] = res
+            continue
         vals = [r[colname] for r in rows if r.get(colname) is not None]
         if kind == "stats_bucket":
             out[name] = [{

@@ -3564,6 +3564,66 @@ ORDER BY round((1.0 + c) / 2.0, 4) DESC, doc_id
 """
 
 
+def q66_series_pipelines(spark, sf_dir):
+    """ES series pipeline aggs: derivative (first bucket null) and
+    cumulative_sum over a histogram parent, computed over the BM25
+    matching set through the real index. DuckDB twin: lag/rolling-sum
+    window functions over the same histogram."""
+    import shutil
+    import tempfile
+
+    from .index.build import build_index, write_docstore
+    from .index.query import search_aggs
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="cb_q66_idx_")
+    try:
+        build_index(spark, docs.select("doc_id", "text"), out, url_col=None, n_buckets=8)
+        write_docstore(spark, docs, out, url_col=None, extra_cols=("n_chars",))
+        res = search_aggs(
+            spark, out,
+            {
+                "hist": {"histogram": {"field": "n_chars", "interval": 100}},
+                "dv": {"derivative": {"buckets_path": "hist>_count"}},
+                "cs": {"cumulative_sum": {"buckets_path": "hist>_count"}},
+            },
+            " ".join(BM25_QUERY_TERMS),
+        )
+        dv = {float(r.key): r.value for r in res["dv"].collect()}
+        cs = {float(r.key): float(r.value) for r in res["cs"].collect()}
+        rows = [
+            (float(r.key), int(r.n),
+             None if dv[float(r.key)] is None else float(dv[float(r.key)]),
+             cs[float(r.key)])
+            for r in res["hist"].collect()
+        ]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    out_df = spark.createDataFrame(
+        rows, "key double, n long, dv double, cs double"
+    )
+    return out_df.orderBy("key")
+
+
+Q66_SQL = f"""
+WITH toks AS ({_TOKENS_SQL}),
+hits AS (
+  SELECT doc_id FROM toks GROUP BY doc_id
+  HAVING max(CASE WHEN term IN (SELECT unnest({BM25_QUERY_TERMS!r}))
+             THEN 1 ELSE 0 END) = 1
+),
+m AS (SELECT d.* FROM documents d JOIN hits USING (doc_id)),
+hist AS (
+  SELECT floor(n_chars / 100) * 100 AS key, count(*) AS n
+  FROM m WHERE n_chars IS NOT NULL GROUP BY 1
+)
+SELECT key, n,
+       (n - lag(n) OVER (ORDER BY key))::DOUBLE AS dv,
+       sum(n) OVER (ORDER BY key ROWS UNBOUNDED PRECEDING)::DOUBLE AS cs
+FROM hist ORDER BY key
+"""
+
+
 def q54_significant_terms(spark, sf_dir):
     """ES significant_terms aggregation (JLH heuristic, ES's default
     scorer) through the real index: langs over-represented in the docs
@@ -3690,6 +3750,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q63_phrase_suggester": q63_phrase_suggester,
     "q64_explain": q64_explain,
     "q65_knn_dsl": q65_knn_dsl,
+    "q66_series_pipelines": q66_series_pipelines,
 }
 
 ORACLES: dict[str, str] = {
@@ -3758,4 +3819,5 @@ ORACLES: dict[str, str] = {
     "q63_phrase_suggester": Q63_SQL,
     "q64_explain": Q64_SQL,
     "q65_knn_dsl": Q65_SQL,
+    "q66_series_pipelines": Q66_SQL,
 }

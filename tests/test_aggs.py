@@ -869,3 +869,39 @@ def test_agg_tree_child_terms_size_and_guards(spark, aroot):
             }}},
             "spark join",
         )
+
+
+def test_series_pipeline_aggs(spark, aroot):
+    """derivative (first bucket null) and cumulative_sum over a
+    date_histogram parent; terms parents are rejected (ES: series
+    pipelines need an ordered histogram). Serving path row-identical."""
+    from conveyorbelt_spark.index.query import Searcher
+
+    out, rows, matching = aroot
+    spec = {
+        "byd": {"date_histogram": {"field": "ts", "interval": "day"}},
+        "dv": {"derivative": {"buckets_path": "byd>_count"}},
+        "cs": {"cumulative_sum": {"buckets_path": "byd>_count"}},
+    }
+    res = search_aggs(spark, out, spec, "spark join")
+    days: dict = {}
+    for i, _, _, _, ts in rows:
+        if i in matching:
+            d0 = ts.replace(hour=0)
+            days[d0] = days.get(d0, 0) + 1
+    ordered = [days[d] for d in sorted(days)]
+    got_dv = [r.value for r in res["dv"].collect()]
+    assert got_dv[0] is None
+    assert got_dv[1:] == [b - a for a, b in zip(ordered, ordered[1:])]
+    got_cs = [r.value for r in res["cs"].collect()]
+    import itertools
+
+    assert got_cs == list(itertools.accumulate(ordered))
+    srv = Searcher(spark, out).aggs_rows(spec, "spark join")
+    want = {k: [r.asDict() for r in res[k].collect()] for k in spec}
+    assert srv == want
+    with pytest.raises(ValueError, match="histogram"):
+        search_aggs(spark, out, {
+            "t": {"terms": {"field": "lang"}},
+            "dv": {"derivative": {"buckets_path": "t>_count"}},
+        }, "spark join")
