@@ -1280,6 +1280,8 @@ def search_body(
             "significant_terms", "multi_terms", "rare_terms", "date_range",
             "global", "avg_bucket", "sum_bucket", "min_bucket",
             "max_bucket", "stats_bucket", "derivative", "cumulative_sum",
+            "extended_stats", "weighted_avg", "percentile_ranks",
+            "median_absolute_deviation", "string_stats",
         }:
             # serving fast path: row-for-row identical to the distributed
             # plan for these kinds (escalates itself past max_hits);

@@ -2046,6 +2046,16 @@ def aggs_over_join(
                 )
             out[name] = _significant_terms_df(joined, name, body, background)
             continue
+        if kind == "weighted_avg":
+            # ES weighted_avg: sum(value·weight)/sum(weight), rows missing
+            # either field excluded (ES skips docs lacking the value and
+            # treats missing weight as skip absent a configured `missing`)
+            vf, wf = body["value"]["field"], body["weight"]["field"]
+            nn = joined.where(F.col(vf).isNotNull() & F.col(wf).isNotNull())
+            out[name] = nn.agg(
+                (F.sum(F.col(vf) * F.col(wf)) / F.sum(wf)).alias("value")
+            )
+            continue
         if sub is not None:
             out[name] = _sub_bucket_df(joined, name, kind, body, sub)
             continue
@@ -2113,6 +2123,69 @@ def aggs_over_join(
                     for p in pcts
                 ]
             )
+        elif kind == "extended_stats":
+            # ES extended_stats; variance/std_deviation are POPULATION
+            # (ddof=0), the ES default
+            out[name] = joined.agg(
+                F.count(col).alias("count"),
+                F.min(col).alias("min"),
+                F.max(col).alias("max"),
+                F.avg(col).alias("avg"),
+                F.sum(col).alias("sum"),
+                F.sum(F.col(col) * F.col(col)).alias("sum_of_squares"),
+                F.var_pop(col).alias("variance"),
+                F.stddev_pop(col).alias("std_deviation"),
+            )
+        elif kind == "percentile_ranks":
+            # EXACT rank: % of observed values <= v (ES approximates with
+            # t-digest; one conditional-sum pass here, no sort)
+            nn = joined.where(F.col(col).isNotNull())
+            out[name] = nn.agg(
+                *[
+                    (
+                        F.sum(F.when(F.col(col) <= float(v), 1).otherwise(0))
+                        * 100.0 / F.count("*")
+                    ).alias(f"r{float(v):g}")
+                    for v in body["values"]
+                ]
+            )
+        elif kind == "median_absolute_deviation":
+            # exact two-pass MAD: median via Spark's exact `percentile`
+            # (linear interpolation — same as pandas/DuckDB median), the
+            # 1-row median broadcast back over the hits
+            nn = joined.where(F.col(col).isNotNull())
+            med = nn.agg(F.expr(f"percentile({col}, 0.5)").alias("_med"))
+            out[name] = (
+                nn.crossJoin(F.broadcast(med))
+                .agg(F.expr(f"percentile(abs({col} - _med), 0.5)").alias("value"))
+            )
+        elif kind == "string_stats":
+            # ES string_stats: length stats + Shannon entropy (log2) over
+            # the character distribution of all values
+            nn = joined.where(F.col(col).isNotNull())
+            base = nn.agg(
+                F.count("*").alias("count"),
+                F.min(F.length(col)).alias("min_length"),
+                F.max(F.length(col)).alias("max_length"),
+                F.avg(F.length(col)).alias("avg_length"),
+            )
+            ent = (
+                nn.select(F.explode(F.split(F.col(col), "")).alias("c"))
+                .where(F.length("c") == 1)
+                .groupBy("c")
+                .agg(F.count("*").alias("n"))
+                .agg(
+                    F.sum("n").alias("_N"),
+                    F.sum(F.col("n") * F.log2("n")).alias("_S"),
+                )
+                .select(
+                    F.when(
+                        F.col("_N") > 0,
+                        F.log2("_N") - F.col("_S") / F.col("_N"),
+                    ).alias("entropy")
+                )
+            )
+            out[name] = base.crossJoin(ent)
         else:
             raise ValueError(f"unsupported agg type {kind!r} in {name!r}")
     for name, kind, body in pipelines:
@@ -2863,6 +2936,20 @@ def _aggs_pandas(
                 for nm, c in body["filters"].items()
             ]
             continue
+        if kind == "weighted_avg":
+            vf, wf = body["value"]["field"], body["weight"]["field"]
+            cols_ = getattr(pdf, "columns", [])
+            if vf in cols_ and wf in cols_ and len(pdf):
+                both = pdf[[vf, wf]].dropna()
+                v = pd.to_numeric(both[vf])
+                w = pd.to_numeric(both[wf])
+                ws = float(w.sum()) if len(both) else 0.0
+                out[name] = [
+                    {"value": (float((v * w).sum()) / ws) if ws else None}
+                ]
+            else:
+                out[name] = [{"value": None}]
+            continue
         if sub is not None:
             out[name] = _sub_bucket_pandas(pdf, name, kind, body, sub)
             continue
@@ -2909,6 +2996,57 @@ def _aggs_pandas(
             out[name] = [{
                 f"p{p:g}": (float(np.percentile(v, p)) if len(v) else None)
                 for p in pcts
+            }]
+        elif kind == "extended_stats":
+            v = pd.to_numeric(vals.dropna())
+            n = int(v.count())
+            out[name] = [{
+                "count": n,
+                "min": None if not n else v.min().item(),
+                "max": None if not n else v.max().item(),
+                "avg": None if not n else float(v.mean()),
+                "sum": None if not n else v.sum().item(),
+                "sum_of_squares": None if not n else float(
+                    (v.astype(float) * v.astype(float)).sum()
+                ),
+                "variance": None if not n else float(v.var(ddof=0)),
+                "std_deviation": None if not n else float(v.std(ddof=0)),
+            }]
+        elif kind == "percentile_ranks":
+            v = np.sort(pd.to_numeric(vals.dropna()).to_numpy(dtype=float))
+            out[name] = [{
+                f"r{float(x):g}": (
+                    float(np.searchsorted(v, float(x), side="right"))
+                    * 100.0 / len(v)
+                    if len(v) else None
+                )
+                for x in body["values"]
+            }]
+        elif kind == "median_absolute_deviation":
+            v = pd.to_numeric(vals.dropna())
+            out[name] = [{
+                "value": None if not len(v)
+                else float((v - v.median()).abs().median())
+            }]
+        elif kind == "string_stats":
+            import math
+            from collections import Counter
+
+            s = vals.dropna().astype(str)
+            lens = s.str.len()
+            cnt: Counter = Counter()
+            for t in s:
+                cnt.update(t)
+            total = sum(cnt.values())
+            out[name] = [{
+                "count": int(len(s)),
+                "min_length": int(lens.min()) if len(s) else None,
+                "max_length": int(lens.max()) if len(s) else None,
+                "avg_length": float(lens.mean()) if len(s) else None,
+                "entropy": (
+                    math.log2(total)
+                    - sum(n_ * math.log2(n_) for n_ in cnt.values()) / total
+                ) if total else None,
             }]
         else:
             raise ValueError(f"unsupported agg type {kind!r} in {name!r}")

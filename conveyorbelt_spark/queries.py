@@ -3684,6 +3684,121 @@ ORDER BY key
 """
 
 
+def q67_metric_aggs(spark, sf_dir):
+    """Round-5 ES metric agg kinds through the real index, over the full
+    BM25 matching set: extended_stats (POPULATION variance/stddev, the ES
+    default), weighted_avg (n_chars weighted by a derived per-doc weight),
+    EXACT percentile_ranks (ES approximates with t-digest), exact
+    median_absolute_deviation (interpolated median both sides), and
+    string_stats over lang (length stats + Shannon entropy, log2).
+    Flattened to (stat, v); the DuckDB twin recomputes every number from
+    the raw tables — doubles rounded to 4 on both sides."""
+    import shutil
+    import tempfile
+
+    from .index.build import build_index, write_docstore
+    from .index.query import search_aggs
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "w", F.col("doc_id") % 7 + 1
+    )
+    out = tempfile.mkdtemp(prefix="cb_q67_idx_")
+    try:
+        build_index(spark, docs.select("doc_id", "text"), out, url_col=None, n_buckets=8)
+        write_docstore(
+            spark, docs, out, url_col=None, extra_cols=("lang", "n_chars", "w")
+        )
+        res = search_aggs(
+            spark, out,
+            {
+                "xs": {"extended_stats": {"field": "n_chars"}},
+                "wa": {"weighted_avg": {"value": {"field": "n_chars"},
+                                        "weight": {"field": "w"}}},
+                "pr": {"percentile_ranks": {"field": "n_chars",
+                                            "values": [500, 2000]}},
+                "mad": {"median_absolute_deviation": {"field": "n_chars"}},
+                "ss": {"string_stats": {"field": "lang"}},
+            },
+            " ".join(BM25_QUERY_TERMS),
+        )
+        xs = res["xs"].collect()[0]
+        wa = res["wa"].collect()[0]
+        pr = res["pr"].collect()[0]
+        mad = res["mad"].collect()[0]
+        ss = res["ss"].collect()[0]
+        rows = [
+            ("mad", round(float(mad["value"]), 4)),
+            ("pr:2000", round(float(pr["r2000"]), 4)),
+            ("pr:500", round(float(pr["r500"]), 4)),
+            ("ss:avglen", round(float(ss["avg_length"]), 4)),
+            ("ss:count", float(ss["count"])),
+            ("ss:entropy", round(float(ss["entropy"]), 4)),
+            ("ss:maxlen", float(ss["max_length"])),
+            ("ss:minlen", float(ss["min_length"])),
+            ("wa", round(float(wa["value"]), 4)),
+            ("xs:avg", round(float(xs["avg"]), 4)),
+            ("xs:count", float(xs["count"])),
+            ("xs:max", float(xs["max"])),
+            ("xs:min", float(xs["min"])),
+            ("xs:sos", float(xs["sum_of_squares"])),
+            ("xs:std", round(float(xs["std_deviation"]), 4)),
+            ("xs:sum", float(xs["sum"])),
+            ("xs:variance", round(float(xs["variance"]), 4)),
+        ]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    out_df = spark.createDataFrame(rows, "stat string, v double")
+    return out_df.orderBy("stat")
+
+
+Q67_SQL = f"""
+WITH toks AS ({_TOKENS_SQL}),
+hits AS (
+  SELECT doc_id FROM toks GROUP BY doc_id
+  HAVING max(CASE WHEN term IN (SELECT unnest({BM25_QUERY_TERMS!r}))
+             THEN 1 ELSE 0 END) = 1
+),
+m AS (SELECT d.*, (d.doc_id % 7 + 1) AS w
+      FROM documents d JOIN hits USING (doc_id)),
+med AS (SELECT median(n_chars) AS mv FROM m WHERE n_chars IS NOT NULL),
+chars AS (
+  SELECT unnest(string_split(lang, '')) AS c FROM m WHERE lang IS NOT NULL
+),
+cc AS (SELECT c, count(*)::DOUBLE AS n FROM chars WHERE length(c) = 1 GROUP BY c)
+SELECT * FROM (
+  SELECT 'mad' AS stat,
+         round(median(abs(n_chars - (SELECT mv FROM med))), 4) AS v
+  FROM m WHERE n_chars IS NOT NULL
+  UNION ALL SELECT 'pr:2000',
+    round(100.0 * sum(CASE WHEN n_chars <= 2000 THEN 1 ELSE 0 END)
+          / count(*), 4)
+  FROM m WHERE n_chars IS NOT NULL
+  UNION ALL SELECT 'pr:500',
+    round(100.0 * sum(CASE WHEN n_chars <= 500 THEN 1 ELSE 0 END)
+          / count(*), 4)
+  FROM m WHERE n_chars IS NOT NULL
+  UNION ALL SELECT 'ss:avglen', round(avg(length(lang)), 4) FROM m
+  UNION ALL SELECT 'ss:count', count(lang)::DOUBLE FROM m
+  UNION ALL SELECT 'ss:entropy',
+    round(log2(sum(n)) - sum(n * log2(n)) / sum(n), 4) FROM cc
+  UNION ALL SELECT 'ss:maxlen', max(length(lang))::DOUBLE FROM m
+  UNION ALL SELECT 'ss:minlen', min(length(lang))::DOUBLE FROM m
+  UNION ALL SELECT 'wa',
+    round(sum(n_chars * w) / CAST(sum(w) AS DOUBLE), 4)
+  FROM m WHERE n_chars IS NOT NULL AND w IS NOT NULL
+  UNION ALL SELECT 'xs:avg', round(avg(n_chars), 4) FROM m
+  UNION ALL SELECT 'xs:count', count(n_chars)::DOUBLE FROM m
+  UNION ALL SELECT 'xs:max', max(n_chars)::DOUBLE FROM m
+  UNION ALL SELECT 'xs:min', min(n_chars)::DOUBLE FROM m
+  UNION ALL SELECT 'xs:sos', sum(n_chars * n_chars)::DOUBLE FROM m
+  UNION ALL SELECT 'xs:std', round(stddev_pop(n_chars), 4) FROM m
+  UNION ALL SELECT 'xs:sum', sum(n_chars)::DOUBLE FROM m
+  UNION ALL SELECT 'xs:variance', round(var_pop(n_chars), 4) FROM m
+)
+ORDER BY stat
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -3751,6 +3866,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q64_explain": q64_explain,
     "q65_knn_dsl": q65_knn_dsl,
     "q66_series_pipelines": q66_series_pipelines,
+    "q67_metric_aggs": q67_metric_aggs,
 }
 
 ORACLES: dict[str, str] = {
@@ -3820,4 +3936,5 @@ ORACLES: dict[str, str] = {
     "q64_explain": Q64_SQL,
     "q65_knn_dsl": Q65_SQL,
     "q66_series_pipelines": Q66_SQL,
+    "q67_metric_aggs": Q67_SQL,
 }

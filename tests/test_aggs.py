@@ -905,3 +905,58 @@ def test_series_pipeline_aggs(spark, aroot):
             "t": {"terms": {"field": "lang"}},
             "dv": {"derivative": {"buckets_path": "t>_count"}},
         }, "spark join")
+
+
+def test_extended_metric_aggs_and_serving_parity(spark, aroot):
+    """Round-5 metric kinds — extended_stats / weighted_avg /
+    percentile_ranks (exact rank) / median_absolute_deviation (exact MAD)
+    / string_stats (length stats + Shannon entropy) — distributed vs the
+    zero-job serving twin to float tolerance, each against a numpy truth
+    computed from the raw rows."""
+    import math
+    from collections import Counter
+
+    import numpy as np
+
+    from conveyorbelt_spark.index.query import Searcher, search_aggs
+
+    out, rows, matching = aroot
+    spec = {
+        "xs": {"extended_stats": {"field": "n_chars"}},
+        "wa": {"weighted_avg": {"value": {"field": "n_chars"},
+                                "weight": {"field": "doc_id"}}},
+        "pr": {"percentile_ranks": {"field": "n_chars", "values": [100, 400]}},
+        "mad": {"median_absolute_deviation": {"field": "n_chars"}},
+        "ss": {"string_stats": {"field": "lang"}},
+    }
+    got = {
+        name: [r.asDict() for r in df.collect()]
+        for name, df in search_aggs(spark, out, spec, "spark join").items()
+    }
+    srv = Searcher(spark, out).aggs_rows(spec, "spark join")
+    for name in spec:
+        assert len(got[name]) == 1 and len(srv[name]) == 1, name
+        for k, v in got[name][0].items():
+            assert srv[name][0][k] == pytest.approx(v, rel=1e-9), (name, k)
+
+    nc = np.array([r[3] for r in rows if r[0] in matching], dtype=float)
+    ids = np.array([r[0] for r in rows if r[0] in matching], dtype=float)
+    langs = [r[2] for r in rows if r[0] in matching]
+    xs = got["xs"][0]
+    assert xs["count"] == len(nc)
+    assert xs["variance"] == pytest.approx(nc.var(), rel=1e-9)
+    assert xs["std_deviation"] == pytest.approx(nc.std(), rel=1e-9)
+    assert xs["sum_of_squares"] == pytest.approx((nc ** 2).sum())
+    assert got["wa"][0]["value"] == pytest.approx((nc * ids).sum() / ids.sum())
+    assert got["pr"][0]["r100"] == pytest.approx((nc <= 100).sum() * 100.0 / len(nc))
+    assert got["pr"][0]["r400"] == pytest.approx((nc <= 400).sum() * 100.0 / len(nc))
+    assert got["mad"][0]["value"] == pytest.approx(
+        float(np.median(np.abs(nc - np.median(nc)))))
+    chars = "".join(langs)
+    cvals = np.array(list(Counter(chars).values()), dtype=float)
+    ent = math.log2(len(chars)) - float((cvals * np.log2(cvals)).sum()) / len(chars)
+    ss = got["ss"][0]
+    assert ss["count"] == len(langs)
+    assert ss["min_length"] == 2 and ss["max_length"] == 2
+    assert ss["avg_length"] == pytest.approx(2.0)
+    assert ss["entropy"] == pytest.approx(ent, rel=1e-9)
