@@ -1282,6 +1282,8 @@ def search_body(
             "max_bucket", "stats_bucket", "derivative", "cumulative_sum",
             "extended_stats", "weighted_avg", "percentile_ranks",
             "median_absolute_deviation", "string_stats",
+            "bucket_script", "bucket_selector", "bucket_sort",
+            "moving_fn", "serial_diff",
         }:
             # serving fast path: row-for-row identical to the distributed
             # plan for these kinds (escalates itself past max_hits);

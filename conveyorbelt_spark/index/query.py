@@ -2189,7 +2189,86 @@ def aggs_over_join(
         else:
             raise ValueError(f"unsupported agg type {kind!r} in {name!r}")
     for name, kind, body in pipelines:
+        if kind == "bucket_script":
+            # per-bucket computed value from sibling metrics (ES embeds
+            # this in the parent's aggs; here it is a top-level sibling
+            # addressed via buckets_path, same as derivative)
+            parent, colmap = _bucket_paths(out, name, body["buckets_path"])
+            node = _parse_script(body["script"])
+            pdfr = out[parent]
+            if "key" not in pdfr.columns:
+                raise ValueError(
+                    f"agg {name!r}: bucket_script needs a keyed parent"
+                )
+            out[name] = pdfr.select(
+                "key",
+                _script_col(node, {p: F.col(c) for p, c in colmap.items()})
+                .cast("double").alias("value"),
+            )
+            continue
+        if kind == "bucket_selector":
+            # filters the PARENT's buckets in place (ES drops buckets the
+            # script rejects); later pipelines see the filtered frame
+            parent, colmap = _bucket_paths(out, name, body["buckets_path"])
+            node = _parse_script(body["script"])
+            out[parent] = out[parent].where(
+                _script_col(node, {p: F.col(c) for p, c in colmap.items()})
+            )
+            continue
+        if kind == "bucket_sort":
+            # re-sort / paginate the parent's buckets in place.
+            # buckets_path names the parent (our sibling placement of
+            # ES's embedded pipeline); sort fields are _count / _key /
+            # metric columns
+            parent = str(body["buckets_path"])
+            if parent not in out:
+                raise ValueError(
+                    f"agg {name!r}: buckets_path parent {parent!r} is not "
+                    f"an earlier bucket agg in this request"
+                )
+            pdfr = out[parent]
+            cols = set(pdfr.columns)
+            order = []
+            for s in body.get("sort", []):
+                f_, spec = (
+                    next(iter(s.items())) if isinstance(s, dict) else (s, {})
+                )
+                cn = "key" if f_ == "_key" else _metric_colname(cols, f_)
+                desc = (spec or {}).get("order", "asc") == "desc"
+                order.append(F.col(cn).desc() if desc else F.col(cn).asc())
+            if order:
+                pdfr = pdfr.orderBy(*order)
+            frm = int(body.get("from", 0))
+            if frm:
+                pdfr = pdfr.offset(frm)
+            if body.get("size") is not None:
+                pdfr = pdfr.limit(int(body["size"]))
+            out[parent] = pdfr
+            continue
         parent_df, colname = _pipeline_parent(out, name, body)
+        if kind in ("moving_fn", "serial_diff"):
+            from pyspark.sql import Window
+
+            _series_parent_check(name, kind, body, bucket_kinds)
+            if kind == "serial_diff":
+                lagn = int(body.get("lag", 1))
+                w = Window.orderBy("key")
+                out[name] = parent_df.select(
+                    "key",
+                    (F.col(colname) - F.lag(colname, lagn).over(w))
+                    .alias("value"),
+                )
+            else:
+                # ES moving_fn, shift=0: the window is the `window`
+                # buckets BEFORE the current one (current excluded);
+                # an empty window yields null
+                wsz = int(body["window"])
+                fn = _MOVING_FNS[_moving_fn_name(body["script"])]
+                w = Window.orderBy("key").rowsBetween(-wsz, -1)
+                out[name] = parent_df.select(
+                    "key", fn(colname).over(w).alias("value")
+                )
+            continue
         if kind in ("derivative", "cumulative_sum"):
             from pyspark.sql import Window
 
@@ -2228,7 +2307,234 @@ def aggs_over_join(
 _PIPELINE_KINDS = (
     "avg_bucket", "sum_bucket", "min_bucket", "max_bucket", "stats_bucket",
     "derivative", "cumulative_sum",
+    "bucket_script", "bucket_selector", "bucket_sort",
+    "moving_fn", "serial_diff",
 )
+
+
+def _parse_script(script: str):
+    """ES painless SUBSET for bucket_script / bucket_selector: ``params.x``
+    references, numeric literals, ``+ - * / %``, comparisons, parentheses,
+    unary minus, and ``&&`` / ``||``. Returns a validated python AST the
+    two evaluators (Spark Column / per-row) walk — anything outside the
+    subset raises, never silently misparses. Division by zero yields null
+    on both paths (Spark SQL semantics; painless would raise or Infinity —
+    we pick the SQL answer and document it)."""
+    import ast
+
+    src = script.replace("&&", " and ").replace("||", " or ")
+    try:
+        tree = ast.parse(src, mode="eval")
+    except SyntaxError as e:
+        raise ValueError(f"unsupported script {script!r}: {e}") from None
+    ok_binop = (ast.Add, ast.Sub, ast.Mult, ast.Div, ast.Mod)
+    ok_cmp = (ast.Gt, ast.GtE, ast.Lt, ast.LtE, ast.Eq, ast.NotEq)
+    for node in ast.walk(tree):
+        if isinstance(node, (ast.Expression, ast.Load)):
+            continue
+        if isinstance(node, ast.BinOp) and isinstance(node.op, ok_binop):
+            continue
+        if isinstance(node, ast.Compare) and all(
+            isinstance(o, ok_cmp) for o in node.ops
+        ):
+            continue
+        if isinstance(node, (ast.And, ast.Or, ast.BoolOp)):
+            continue
+        if isinstance(node, ast.UnaryOp) and isinstance(node.op, ast.USub):
+            continue
+        if isinstance(node, ast.Constant) and isinstance(
+            node.value, (int, float)
+        ):
+            continue
+        if isinstance(node, ast.Attribute) and isinstance(
+            node.value, ast.Name
+        ) and node.value.id == "params":
+            continue
+        if isinstance(node, ast.Name) and node.id == "params":
+            continue
+        if isinstance(node, (ast.Gt, ast.GtE, ast.Lt, ast.LtE, ast.Eq,
+                             ast.NotEq, ast.Add, ast.Sub, ast.Mult,
+                             ast.Div, ast.Mod, ast.USub)):
+            continue
+        raise ValueError(
+            f"unsupported script construct {type(node).__name__} in {script!r}"
+        )
+    return tree.body
+
+
+def _script_col(node, params):
+    """Walk a ``_parse_script`` AST into a Spark Column (``params`` maps
+    param name → Column)."""
+    import ast
+
+    if isinstance(node, ast.Attribute):
+        if node.attr not in params:
+            raise ValueError(f"script references unknown param {node.attr!r}")
+        return params[node.attr]
+    if isinstance(node, ast.Constant):
+        return F.lit(node.value)
+    if isinstance(node, ast.UnaryOp):
+        return -_script_col(node.operand, params)
+    if isinstance(node, ast.BinOp):
+        left, right = _script_col(node.left, params), _script_col(node.right, params)
+        import ast as _a
+        op = node.op
+        if isinstance(op, _a.Add):
+            return left + right
+        if isinstance(op, _a.Sub):
+            return left - right
+        if isinstance(op, _a.Mult):
+            return left * right
+        if isinstance(op, _a.Div):
+            return left / right
+        return left % right
+    if isinstance(node, ast.Compare):
+        import ast as _a
+        left = _script_col(node.left, params)
+        outc = None
+        for op, cmp_ in zip(node.ops, node.comparators):
+            right = _script_col(cmp_, params)
+            c = (
+                (left > right) if isinstance(op, _a.Gt)
+                else (left >= right) if isinstance(op, _a.GtE)
+                else (left < right) if isinstance(op, _a.Lt)
+                else (left <= right) if isinstance(op, _a.LtE)
+                else (left == right) if isinstance(op, _a.Eq)
+                else (left != right)
+            )
+            outc = c if outc is None else (outc & c)
+            left = right
+        return outc
+    if isinstance(node, ast.BoolOp):
+        import ast as _a
+        parts = [_script_col(v, params) for v in node.values]
+        c = parts[0]
+        for p in parts[1:]:
+            c = (c & p) if isinstance(node.op, _a.And) else (c | p)
+        return c
+    raise ValueError(f"unsupported script node {type(node).__name__}")
+
+
+def _script_val(node, params):
+    """Per-row twin of ``_script_col`` (``params`` maps name → value)."""
+    import ast
+
+    if isinstance(node, ast.Attribute):
+        return params[node.attr]
+    if isinstance(node, ast.Constant):
+        return node.value
+    if isinstance(node, ast.UnaryOp):
+        return -_script_val(node.operand, params)
+    if isinstance(node, ast.BinOp):
+        left, right = _script_val(node.left, params), _script_val(node.right, params)
+        op = node.op
+        if isinstance(op, ast.Add):
+            return left + right
+        if isinstance(op, ast.Sub):
+            return left - right
+        if isinstance(op, ast.Mult):
+            return left * right
+        if isinstance(op, ast.Div):
+            return left / right
+        return left % right
+    if isinstance(node, ast.Compare):
+        left = _script_val(node.left, params)
+        for op, cmp_ in zip(node.ops, node.comparators):
+            right = _script_val(cmp_, params)
+            ok = (
+                (left > right) if isinstance(op, ast.Gt)
+                else (left >= right) if isinstance(op, ast.GtE)
+                else (left < right) if isinstance(op, ast.Lt)
+                else (left <= right) if isinstance(op, ast.LtE)
+                else (left == right) if isinstance(op, ast.Eq)
+                else (left != right)
+            )
+            if not ok:
+                return False
+            left = right
+        return True
+    if isinstance(node, ast.BoolOp):
+        vals = (_script_val(v, params) for v in node.values)
+        return all(vals) if isinstance(node.op, ast.And) else any(vals)
+    raise ValueError(f"unsupported script node {type(node).__name__}")
+
+
+def _script_eval_row(node, row: dict, colmap: dict):
+    """Serving-path script evaluation over one bucket row: any null
+    operand or a zero divisor yields None (the Spark twin's null)."""
+    vals = {p: row.get(c) for p, c in colmap.items()}
+    if any(v is None for v in vals.values()):
+        return None
+    try:
+        return _script_val(node, vals)
+    except ZeroDivisionError:
+        return None
+
+
+def _metric_colname(cols, metric: str) -> str:
+    """buckets_path metric segment → bucket-frame column: ``_count`` is
+    the doc count ``n``; a named metric matches its column, falling back
+    to the legacy unprefixed ``value`` a single metric child keeps."""
+    if metric in ("_count", ""):
+        return "n"
+    if metric in cols:
+        return metric
+    if "value" in cols:
+        return "value"
+    raise ValueError(
+        f"buckets_path metric {metric!r} is not a column (has {sorted(cols)})"
+    )
+
+
+def _frame_cols(fr) -> list:
+    return list(fr.columns) if hasattr(fr, "columns") else (
+        list(fr[0]) if fr else []
+    )
+
+
+def _bucket_paths(out: dict, name: str, paths) -> tuple[str, dict]:
+    """Resolve bucket_script / bucket_selector ``buckets_path`` ({param:
+    "parent>metric"}) against the computed bucket frames. Every path must
+    name the SAME parent — one frame in, one value per bucket out."""
+    if isinstance(paths, str):
+        paths = {"_value": paths}
+    parents, colmap = set(), {}
+    for p, path in paths.items():
+        parent, _, metric = str(path).partition(">")
+        if parent not in out:
+            raise ValueError(
+                f"agg {name!r}: buckets_path parent {parent!r} is not an "
+                f"earlier bucket agg in this request"
+            )
+        parents.add(parent)
+        cols = _frame_cols(out[parent])
+        colmap[p] = _metric_colname(set(cols), metric) if cols else (
+            "n" if metric in ("_count", "") else metric
+        )
+    if len(parents) != 1:
+        raise ValueError(
+            f"agg {name!r}: bucket_script paths must share one parent, "
+            f"got {sorted(parents)}"
+        )
+    return parents.pop(), colmap
+
+
+_MOVING_FNS = {
+    "unweightedAvg": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
+}
+
+
+def _moving_fn_name(script: str) -> str:
+    """``MovingFunctions.unweightedAvg(values)`` → ``unweightedAvg``."""
+    import re
+
+    m = re.fullmatch(r"\s*MovingFunctions\.(\w+)\(values\)\s*", script)
+    if not m or m.group(1) not in _MOVING_FNS:
+        raise ValueError(
+            f"moving_fn supports MovingFunctions.{{{'|'.join(_MOVING_FNS)}}}"
+            f"(values), got {script!r}"
+        )
+    return m.group(1)
 
 
 def _series_parent_check(
@@ -2258,17 +2564,12 @@ def _pipeline_parent(out: dict, name: str, body: dict):
             f"earlier bucket agg in this request"
         )
     pdfr = out[parent]
-    colname = "n" if metric in ("_count", "") else metric
-    cols = pdfr.columns if hasattr(pdfr, "columns") else (
-        list(pdfr[0]) if pdfr else []
-    )
+    cols = _frame_cols(pdfr)
     # an empty serving bucket list has no keys to validate against — the
     # pipeline then yields the ES null value downstream
-    if list(cols) and colname not in list(cols):
-        raise ValueError(
-            f"agg {name!r}: metric {metric!r} is not a column of "
-            f"{parent!r} (has {list(cols)})"
-        )
+    colname = _metric_colname(set(cols), metric) if cols else (
+        "n" if metric in ("_count", "") else metric
+    )
     return pdfr, colname
 
 
@@ -3051,7 +3352,88 @@ def _aggs_pandas(
         else:
             raise ValueError(f"unsupported agg type {kind!r} in {name!r}")
     for name, kind, body in pipelines:
+        if kind == "bucket_script":
+            parent, colmap = _bucket_paths(out, name, body["buckets_path"])
+            node = _parse_script(body["script"])
+            out[name] = [
+                {
+                    "key": r.get("key"),
+                    "value": (
+                        None if (v := _script_eval_row(node, r, colmap))
+                        is None else float(v)
+                    ),
+                }
+                for r in out[parent]
+            ]
+            continue
+        if kind == "bucket_selector":
+            parent, colmap = _bucket_paths(out, name, body["buckets_path"])
+            node = _parse_script(body["script"])
+            out[parent] = [
+                r for r in out[parent]
+                if bool(_script_eval_row(node, r, colmap))
+            ]
+            continue
+        if kind == "bucket_sort":
+            parent = str(body["buckets_path"])
+            if parent not in out:
+                raise ValueError(
+                    f"agg {name!r}: buckets_path parent {parent!r} is not "
+                    f"an earlier bucket agg in this request"
+                )
+            rows = list(out[parent])
+            cols = set(rows[0]) if rows else set()
+            for s in reversed(body.get("sort", [])):
+                f_, spec = (
+                    next(iter(s.items())) if isinstance(s, dict) else (s, {})
+                )
+                cn = "key" if f_ == "_key" else (
+                    _metric_colname(cols, f_) if cols else f_
+                )
+                rows.sort(
+                    key=lambda r: r[cn],
+                    reverse=(spec or {}).get("order", "asc") == "desc",
+                )
+            rows = rows[int(body.get("from", 0)):]
+            if body.get("size") is not None:
+                rows = rows[: int(body["size"])]
+            out[parent] = rows
+            continue
         rows, colname = _pipeline_parent(out, name, body)
+        if kind in ("moving_fn", "serial_diff"):
+            _series_parent_check(name, kind, body, bucket_kinds)
+            if kind == "serial_diff":
+                lagn = int(body.get("lag", 1))
+                vs = [r.get(colname) for r in rows]
+                out[name] = [
+                    {
+                        "key": r["key"],
+                        "value": (
+                            None
+                            if i < lagn or vs[i] is None or vs[i - lagn] is None
+                            else vs[i] - vs[i - lagn]
+                        ),
+                    }
+                    for i, r in enumerate(rows)
+                ]
+            else:
+                wsz = int(body["window"])
+                fname = _moving_fn_name(body["script"])
+                vs = [r.get(colname) for r in rows]
+                res = []
+                for i, r in enumerate(rows):
+                    win = [v for v in vs[max(0, i - wsz):i] if v is not None]
+                    if not win:
+                        res.append({"key": r["key"], "value": None})
+                    elif fname == "unweightedAvg":
+                        res.append(
+                            {"key": r["key"], "value": sum(win) / len(win)}
+                        )
+                    else:
+                        fn = {"sum": sum, "min": min, "max": max}[fname]
+                        res.append({"key": r["key"], "value": fn(win)})
+                out[name] = res
+            continue
         if kind in ("derivative", "cumulative_sum"):
             _series_parent_check(name, kind, body, bucket_kinds)
             res: list[dict] = []

@@ -3799,6 +3799,115 @@ ORDER BY stat
 """
 
 
+def q68_bucket_pipelines(spark, sf_dir):
+    """Round-5 bucket pipeline aggs through the real index: moving_fn
+    (window of the 3 PRECEDING buckets, current excluded), serial_diff
+    (lag 2), bucket_script (safe painless-subset arithmetic over sibling
+    bucket values), then a second request where bucket_selector filters
+    the parent histogram's buckets and bucket_sort pages them (n desc,
+    key asc, from 1 size 3). DuckDB twin: window frames / lag / row_number
+    over the identical histogram."""
+    import shutil
+    import tempfile
+
+    from .index.build import build_index, write_docstore
+    from .index.query import search_aggs
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="cb_q68_idx_")
+    try:
+        build_index(spark, docs.select("doc_id", "text"), out, url_col=None, n_buckets=8)
+        write_docstore(spark, docs, out, url_col=None, extra_cols=("n_chars",))
+        q = " ".join(BM25_QUERY_TERMS)
+        res = search_aggs(
+            spark, out,
+            {
+                "hist": {"histogram": {"field": "n_chars", "interval": 100}},
+                "mv": {"moving_fn": {
+                    "buckets_path": "hist>_count", "window": 3,
+                    "script": "MovingFunctions.unweightedAvg(values)"}},
+                "sd": {"serial_diff": {"buckets_path": "hist>_count",
+                                       "lag": 2}},
+                "rate": {"bucket_script": {
+                    "buckets_path": {"c": "hist>_count"},
+                    "script": "params.c * 100 / (params.c + 1)"}},
+            },
+            q,
+        )
+        rows = []
+        for r in res["hist"].collect():
+            rows.append((f"h:{int(r.key)}:n", float(r.n)))
+        for r in res["mv"].collect():
+            rows.append((
+                f"h:{int(r.key)}:mv",
+                None if r.value is None else round(float(r.value), 4),
+            ))
+        for r in res["sd"].collect():
+            rows.append((
+                f"h:{int(r.key)}:sd",
+                None if r.value is None else float(r.value),
+            ))
+        for r in res["rate"].collect():
+            rows.append((f"h:{int(r.key)}:rate", round(float(r.value), 4)))
+        res2 = search_aggs(
+            spark, out,
+            {
+                "hist": {"histogram": {"field": "n_chars", "interval": 100}},
+                "sel": {"bucket_selector": {
+                    "buckets_path": {"c": "hist>_count"},
+                    "script": "params.c >= 5"}},
+                "srt": {"bucket_sort": {
+                    "buckets_path": "hist",
+                    "sort": [{"_count": {"order": "desc"}},
+                             {"_key": {"order": "asc"}}],
+                    "from": 1, "size": 3}},
+            },
+            q,
+        )
+        for i, r in enumerate(res2["hist"].collect()):
+            rows.append((f"top{i}:{int(r.key)}", float(r.n)))
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    out_df = spark.createDataFrame(rows, "stat string, v double")
+    return out_df.orderBy("stat")
+
+
+Q68_SQL = f"""
+WITH toks AS ({_TOKENS_SQL}),
+hits AS (
+  SELECT doc_id FROM toks GROUP BY doc_id
+  HAVING max(CASE WHEN term IN (SELECT unnest({BM25_QUERY_TERMS!r}))
+             THEN 1 ELSE 0 END) = 1
+),
+m AS (SELECT d.* FROM documents d JOIN hits USING (doc_id)),
+hist AS (
+  SELECT CAST(floor(n_chars / 100) * 100 AS INT) AS key, count(*) AS n
+  FROM m WHERE n_chars IS NOT NULL GROUP BY 1
+),
+ext AS (
+  SELECT key, n,
+         avg(n) OVER (ORDER BY key
+                      ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS mv,
+         (n - lag(n, 2) OVER (ORDER BY key)) AS sd
+  FROM hist
+),
+top AS (
+  SELECT row_number() OVER (ORDER BY n DESC, key ASC) - 2 AS i, key, n
+  FROM hist WHERE n >= 5
+  ORDER BY n DESC, key ASC LIMIT 3 OFFSET 1
+)
+SELECT stat, v FROM (
+  SELECT 'h:' || CAST(key AS VARCHAR) || ':n' AS stat, n::DOUBLE AS v FROM ext
+  UNION ALL SELECT 'h:' || CAST(key AS VARCHAR) || ':mv', round(mv, 4) FROM ext
+  UNION ALL SELECT 'h:' || CAST(key AS VARCHAR) || ':sd', sd::DOUBLE FROM ext
+  UNION ALL SELECT 'h:' || CAST(key AS VARCHAR) || ':rate',
+    round(n * 100 / (n + 1.0), 4) FROM ext
+  UNION ALL SELECT 'top' || CAST(i AS VARCHAR) || ':' || CAST(key AS VARCHAR),
+    n::DOUBLE FROM top
+) ORDER BY stat
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -3867,6 +3976,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q65_knn_dsl": q65_knn_dsl,
     "q66_series_pipelines": q66_series_pipelines,
     "q67_metric_aggs": q67_metric_aggs,
+    "q68_bucket_pipelines": q68_bucket_pipelines,
 }
 
 ORACLES: dict[str, str] = {
@@ -3937,4 +4047,5 @@ ORACLES: dict[str, str] = {
     "q65_knn_dsl": Q65_SQL,
     "q66_series_pipelines": Q66_SQL,
     "q67_metric_aggs": Q67_SQL,
+    "q68_bucket_pipelines": Q68_SQL,
 }

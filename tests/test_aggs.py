@@ -960,3 +960,71 @@ def test_extended_metric_aggs_and_serving_parity(spark, aroot):
     assert ss["min_length"] == 2 and ss["max_length"] == 2
     assert ss["avg_length"] == pytest.approx(2.0)
     assert ss["entropy"] == pytest.approx(ent, rel=1e-9)
+
+
+def test_bucket_pipeline_aggs(spark, aroot):
+    """bucket_script / bucket_selector / bucket_sort / moving_fn /
+    serial_diff against python truths from the raw rows. selector and
+    sort mutate the PARENT frame (ES drops/pages the parent's buckets);
+    script/moving/diff emit their own (key, value) series; the zero-job
+    serving twin matches the distributed path row for row."""
+    from conveyorbelt_spark.index.query import Searcher, search_aggs
+
+    out, rows, matching = aroot
+    spec = {
+        "hist": {"histogram": {"field": "n_chars", "interval": 100}},
+        "mv": {"moving_fn": {"buckets_path": "hist>_count", "window": 2,
+                             "script": "MovingFunctions.sum(values)"}},
+        "sd": {"serial_diff": {"buckets_path": "hist>_count"}},
+        "rate": {"bucket_script": {"buckets_path": {"c": "hist>_count"},
+                                   "script": "params.c * 2 + 1"}},
+    }
+    res = search_aggs(spark, out, spec, "spark join")
+    got = {n: [r.asDict() for r in df.collect()] for n, df in res.items()}
+    hist: dict[float, int] = {}
+    for i, _, _, nc, _ in rows:
+        if i in matching:
+            b = float((nc // 100) * 100)
+            hist[b] = hist.get(b, 0) + 1
+    keys = sorted(hist)
+    ns = [hist[k] for k in keys]
+    assert got["hist"] == [{"key": k, "n": hist[k]} for k in keys]
+    want_mv = [None] + [sum(ns[max(0, i - 2):i]) for i in range(1, len(ns))]
+    assert [r["value"] for r in got["mv"]] == want_mv
+    assert [r["value"] for r in got["sd"]] == [None] + [
+        b - a for a, b in zip(ns, ns[1:])
+    ]
+    assert [r["value"] for r in got["rate"]] == [n * 2 + 1.0 for n in ns]
+    assert Searcher(spark, out).aggs_rows(spec, "spark join") == got
+
+    spec2 = {
+        "hist": {"histogram": {"field": "n_chars", "interval": 100}},
+        "sel": {"bucket_selector": {"buckets_path": {"c": "hist>_count"},
+                                    "script": "params.c >= 3"}},
+        "srt": {"bucket_sort": {
+            "buckets_path": "hist",
+            "sort": [{"_count": {"order": "desc"}}, {"_key": {"order": "asc"}}],
+            "from": 1, "size": 2,
+        }},
+    }
+    res2 = search_aggs(spark, out, spec2, "spark join")
+    got2 = {n: [r.asDict() for r in df.collect()] for n, df in res2.items()}
+    kept = sorted(((k, n) for k, n in hist.items() if n >= 3),
+                  key=lambda kn: (-kn[1], kn[0]))[1:3]
+    assert got2 == {"hist": [{"key": k, "n": n} for k, n in kept]}
+    assert Searcher(spark, out).aggs_rows(spec2, "spark join") == got2
+
+    with pytest.raises(ValueError, match="share one parent"):
+        search_aggs(spark, out, {
+            "a": {"terms": {"field": "lang"}},
+            "b": {"histogram": {"field": "n_chars", "interval": 100}},
+            "x": {"bucket_script": {
+                "buckets_path": {"p": "a>_count", "q": "b>_count"},
+                "script": "params.p + params.q"}},
+        }, "spark join")
+    with pytest.raises(ValueError, match="script"):
+        search_aggs(spark, out, {
+            "h": {"histogram": {"field": "n_chars", "interval": 100}},
+            "x": {"bucket_script": {"buckets_path": {"c": "h>_count"},
+                                    "script": "__import__('os')"}},
+        }, "spark join")
