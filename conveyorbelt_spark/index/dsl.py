@@ -473,7 +473,7 @@ def parse_query(query: dict, analyzer=None) -> dict:
         "or_groups": [], "not_atoms": [], "extra_not_text": [],
         "boost": 1.0, "ids": None,
         "dis_max": None, "boosting": None, "fscore": None,
-        "phrase_prefix": None,
+        "phrase_prefix": None, "span_near": None,
     }
     if query is None:
         plan["match_all"] = True
@@ -527,6 +527,38 @@ def parse_query(query: dict, analyzer=None) -> dict:
         field, spec = _one(body)
         val = spec["value"] if isinstance(spec, dict) else spec
         plan["expand"] = (kind, str(val), spec if isinstance(spec, dict) else {})
+    elif kind == "span_near":
+        vals = []
+        for c in body.get("clauses") or []:
+            ck, cb = _one(c)
+            if ck != "span_term":
+                raise UnsupportedDSL(
+                    "span_near supports span_term clauses only"
+                )
+            _f, spec = _one(cb)
+            vals.append(
+                spec["value"] if isinstance(spec, dict) else str(spec)
+            )
+        if len(vals) < 2:
+            raise UnsupportedDSL(
+                "span_near needs at least two span_term clauses"
+            )
+        plan["span_near"] = {
+            "clauses": vals,
+            "slop": int(body.get("slop", 0)),
+            "in_order": bool(body.get("in_order", True)),
+        }
+    elif kind == "span_term":
+        # a lone single-position span ≡ a one-term match (identical
+        # BM25: spanFreq of a single term IS its term frequency)
+        f, spec = _one(body)
+        val = spec["value"] if isinstance(spec, dict) else str(spec)
+        try:
+            plan["query"] = _match_text({f: val})
+        except _NonMainMatch as nm:
+            plan["mm"] = {
+                "query": nm.text, "fields": [nm.field], "type": "best_fields",
+            }
     elif kind == "more_like_this":
         plan["mlt"] = dict(body)
     elif kind in ("term", "terms", "range", "exists"):
@@ -1020,13 +1052,20 @@ def search_body(
             "dis_max / boosting / function_score / match_phrase_prefix "
             "rank by relevance only (no sort or search_after)"
         )
+    if plan["span_near"] is not None and (
+        sort_spec or body.get("search_after") and not score_sorted
+    ):
+        raise UnsupportedDSL(
+            "span_near ranks by relevance only (sort by _score is the "
+            "supported search_after shape)"
+        )
     collapse = body.get("collapse")
     collapse_vals: dict[int, Any] = {}
     if collapse is not None and (
         sort_spec or after is not None or plan["phrase"] is not None
         or plan["mm"] is not None or plan["expand"] is not None
         or plan["mlt"] is not None or plan["ids"] is not None
-        or plan["match_all"] or compound
+        or plan["match_all"] or compound or plan["span_near"] is not None
     ):
         raise UnsupportedDSL(
             "collapse supports relevance-ranked match/bool queries "
@@ -1039,6 +1078,7 @@ def search_body(
         or plan["phrase"] is not None or plan["mm"] is not None
         or plan["expand"] is not None or plan["mlt"] is not None
         or plan["ids"] is not None or plan["match_all"] or compound
+        or plan["span_near"] is not None
     ):
         raise UnsupportedDSL(
             "rescore supports relevance-ranked match/bool primaries "
@@ -1050,6 +1090,7 @@ def search_body(
         or plan["phrase"] is not None or plan["mm"] is not None
         or plan["expand"] is not None or plan["mlt"] is not None
         or plan["ids"] is not None or plan["match_all"]
+        or plan["span_near"] is not None
     ):
         raise UnsupportedDSL(
             "explain supports relevance-ranked match/bool queries"
@@ -1088,6 +1129,12 @@ def search_body(
         rows = s.phrase_rows(
             plan["phrase"], size + from_, after=after,
             slop=plan["phrase_slop"],
+        )[from_:]
+    elif plan["span_near"] is not None:
+        sn = plan["span_near"]
+        rows = s.span_near_rows(
+            sn["clauses"], size + from_, slop=sn["slop"],
+            in_order=sn["in_order"], after=after,
         )[from_:]
     elif plan["mm"] is not None:
         if after is not None:
@@ -1263,6 +1310,12 @@ def search_body(
         }
 
     resp: dict[str, Any] = {"hits": {"total": total, "hits": hits}}
+    if body.get("aggs") and plan["span_near"] is not None:
+        raise UnsupportedDSL(
+            "aggs with span_near are unsupported (the agg scope would "
+            "need the span matching set; send the agg as a filtered "
+            "request instead)"
+        )
     if body.get("aggs"):
         kinds = set()
 
@@ -1601,6 +1654,14 @@ def _exact_total(
     if plan["phrase"] is not None:
         return phrase_doc_ids(
             spark, out_dir, plan["phrase"], slop=plan["phrase_slop"]
+        ).count()
+    if plan.get("span_near") is not None:
+        from .query import span_near_doc_ids
+
+        sn = plan["span_near"]
+        return span_near_doc_ids(
+            spark, out_dir, sn["clauses"], slop=sn["slop"],
+            in_order=sn["in_order"],
         ).count()
     if plan["mm"] is not None:
         mm_plan = _multi_match_plan(

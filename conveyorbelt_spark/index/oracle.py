@@ -118,3 +118,50 @@ class BM25Oracle:
             hits[d] = idf_sum * w
         ranked = sorted(hits.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]
+
+    def span_near_search(
+        self, terms: list[str], k: int = 10, *,
+        slop: int = 0, in_order: bool = True,
+    ) -> list[tuple[int, float]]:
+        """span_near ground truth (single-term clauses, the engine's
+        documented semantics — see ``_span_kernel``): ordered = greedy
+        minimal chain from each clause-1 position, window ≤ (k−1)+slop;
+        unordered = any clause-term position whose [p, p+W] window holds
+        every clause term. spanFreq = matching anchors; score =
+        idf_sum × tfNorm(spanFreq, dl)."""
+        if any(t not in self.postings for t in terms):
+            return []
+        W = len(terms) - 1 + slop
+        idf_sum = sum(self.idf(t) for t in terms)
+        cand = set(self.postings[terms[0]])
+        for t in terms[1:]:
+            cand &= set(self.postings[t])
+        scored = []
+        for d in cand:
+            pos = {t: sorted(self.positions[t][d]) for t in terms}
+            pf = 0
+            if in_order:
+                for p in pos[terms[0]]:
+                    cur, ok = p, True
+                    for t in terms[1:]:
+                        nxt = [q for q in pos[t] if q > cur]
+                        if not nxt:
+                            ok = False
+                            break
+                        cur = nxt[0]
+                    if ok and cur - p <= W:
+                        pf += 1
+            else:
+                for p in sorted({q for t in terms for q in pos[t]}):
+                    if all(
+                        any(p <= q <= p + W for q in pos[t]) for t in terms
+                    ):
+                        pf += 1
+            if pf:
+                dl = self.dl[d]
+                w = (pf * (self.k1 + 1.0)) / (
+                    pf + self.k1 * (1.0 - self.b + self.b * (dl / self.avgdl))
+                )
+                scored.append((d, idf_sum * w))
+        scored.sort(key=lambda kv: (-kv[1], kv[0]))
+        return scored[:k]

@@ -1408,6 +1408,209 @@ def phrase_doc_ids(
     )
 
 
+def _span_kernel(
+    span_terms: list[str], slop: int, in_order: bool, idf_sum: float,
+    k: int | None, after: tuple[float, int] | None = None,
+):
+    """Per-bucket span_near scorer over the positional postings (Lucene
+    SpanNearQuery, documented simplification for SINGLE-TERM clauses —
+    the reference's ES indexes accept these bodies verbatim,
+    ElasticsearchClient.cs:31-135): candidates = docs containing every
+    clause term. ``in_order=True``: a match is a clause-1 position p from
+    which the GREEDY MINIMAL chain p < q2 < … < qk (q_i = the smallest
+    clause-i position after the previous link) ends inside the window —
+    qk − p ≤ (k−1) + slop; the greedy chain reaches the window iff ANY
+    ordered assignment does, so this is exact EXISTS semantics.
+    ``in_order=False``: a match is any clause-term position p where EVERY
+    clause term occurs in [p, p+(k−1)+slop] (p is the window minimum by
+    construction — distinct terms can never share a position, so the
+    assignment is automatically injective). spanFreq = the number of
+    matching anchor positions; score = (Σ idf over clause terms) ·
+    tfNorm(spanFreq, dl) — the same BM25 shape as the phrase scorer
+    (Lucene weights each span by 1/(1+width) instead; we count anchors
+    once and pin that in tests). Fully vectorized: doc-major
+    (candidate-index << 33) + position keys, one searchsorted per clause
+    per round — no per-anchor python."""
+    distinct_terms = sorted(set(span_terms))
+    W = len(span_terms) - 1 + slop
+
+    def span_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")}
+        )
+        k1, b, avgdl = span_bucket.k1, span_bucket.b, span_bucket.avgdl
+        tp_cache = getattr(span_bucket, "tp_cache", None)
+        per_term: dict[str, _TermPostings] = {}
+        for term, grp in pdf.groupby("term", sort=True):
+            tp = _tp_for(grp, term, tp_cache)
+            if len(np.unique(tp.docs)) != len(tp.docs):
+                uniq, first_idx = np.unique(tp.docs, return_index=True)
+                keep = np.zeros(len(tp.docs), dtype=bool)
+                keep[first_idx] = True
+                tp._dedup_mask = keep
+            per_term[term] = tp
+        if any(t not in per_term for t in distinct_terms):
+            return empty
+        cand = per_term[distinct_terms[0]].sorted_docs
+        for t in distinct_terms[1:]:
+            cand = cand[_in_sorted(cand, per_term[t].sorted_docs)]
+        cand = np.unique(cand)
+        if not len(cand):
+            return empty
+        keys: dict[str, np.ndarray] = {}
+        dl_by_cand: np.ndarray | None = None
+        for t in distinct_terms:
+            tp = per_term[t]
+            sel = _in_sorted(tp.docs, cand)
+            if tp._dedup_mask is not None:
+                sel &= tp._dedup_mask
+            docs_t, pos_t, l_t = tp.positions_for(sel)
+            if dl_by_cand is None:
+                first = np.ones(len(docs_t), dtype=bool)
+                first[1:] = docs_t[1:] != docs_t[:-1]
+                dl_by_cand = np.zeros(len(cand), dtype=np.float64)
+                dl_by_cand[np.searchsorted(cand, docs_t[first])] = l_t[first]
+            keys[t] = np.unique(
+                (np.searchsorted(cand, docs_t).astype(np.int64)
+                 << _POS_KEY_SHIFT) + pos_t
+            )
+        if in_order:
+            anchors = keys[span_terms[0]]
+            cur = anchors
+            alive = np.ones(len(anchors), dtype=bool)
+            for t in span_terms[1:]:
+                kt = keys[t]
+                nxt = np.searchsorted(kt, cur, side="right")
+                ok = nxt < len(kt)
+                alive &= ok
+                cur = np.where(ok, kt[np.minimum(nxt, len(kt) - 1)], cur)
+            hits_keys = anchors[alive & (cur - anchors <= W)]
+        else:
+            allk = np.unique(np.concatenate([keys[t] for t in span_terms]))
+            goodm = np.ones(len(allk), dtype=bool)
+            for t in span_terms:
+                kt = keys[t]
+                lo = np.searchsorted(kt, allk)
+                inb = lo < len(kt)
+                v = kt[np.minimum(lo, len(kt) - 1)]
+                goodm &= inb & (v <= allk + W)
+            hits_keys = allk[goodm]
+        if not len(hits_keys):
+            return empty
+        hit_idx, pf = np.unique(hits_keys >> _POS_KEY_SHIFT, return_counts=True)
+        docs_hit = cand[hit_idx]
+        dl = dl_by_cand[hit_idx]
+        pf = pf.astype(np.float64)
+        w = (pf * (k1 + 1.0)) / (pf + k1 * (1.0 - b + b * (dl / avgdl)))
+        scores = idf_sum * w
+        if after is not None:
+            a_s, a_d = float(after[0]), int(after[1])
+            keep = (scores < a_s) | ((scores == a_s) & (docs_hit > a_d))
+            docs_hit, scores = docs_hit[keep], scores[keep]
+            if not len(docs_hit):
+                return empty
+        if k is None:
+            return pd.DataFrame({"doc_id": docs_hit, "score": scores})
+        idx = _topk_idx(scores, docs_hit, k)
+        return pd.DataFrame({"doc_id": docs_hit[idx], "score": scores[idx]})
+
+    return span_bucket
+
+
+def _span_plan(spark, out_dir, stats, clause_texts, lookup=None):
+    """span_near clause values → (terms, idf_sum, tbs). Each clause must
+    analyze to exactly ONE token (span_term is a single-position span);
+    duplicate clause terms are unsupported (their spans could overlap,
+    which single-pass anchor counting cannot dedup)."""
+    if not stats.get("positions"):
+        raise ValueError("span queries need an index built with positions=True")
+    from ..textutils import analyze_with_slots
+
+    terms = []
+    for c in clause_texts:
+        toks = analyze_with_slots(str(c), stats.get("analyzer"))
+        if len(toks) != 1:
+            raise ValueError(
+                f"span_term {c!r} must analyze to exactly one token, "
+                f"got {[t for t, _ in toks]}"
+            )
+        terms.append(toks[0][0])
+    if len(set(terms)) != len(terms):
+        raise ValueError("span_near with duplicate clause terms is unsupported")
+    if len(terms) < 2:
+        raise ValueError("span_near needs at least two clauses")
+    lookup = lookup or (
+        lambda ts: _lookup_terms(
+            spark, out_dir, ts, stats["n_term_buckets"], committed=_committed(stats)
+        )
+    )
+    entries = {e["term"]: e for e in lookup(sorted(set(terms)))}
+    if any(t not in entries for t in terms):
+        return None  # a clause term indexed nowhere → no spans anywhere
+    idf_sum = sum(idf(stats["n_docs"], int(entries[t]["df"])) for t in terms)
+    tbs = sorted({int(entries[t]["tb"]) for t in terms})
+    return terms, idf_sum, tbs
+
+
+def span_near_topk(
+    spark: SparkSession, out_dir: str, clauses: list[str], k: int = 10,
+    *, slop: int = 0, in_order: bool = True,
+    after: tuple[float, int] | None = None,
+) -> DataFrame:
+    """Distributed span_near search over the positional index: top-k docs
+    with an in-window (ordered or unordered) occurrence of every clause
+    term, scored idf_sum × tfNorm(spanFreq, dl), ranked (score desc,
+    doc_id asc). Semantics in ``_span_kernel``."""
+    stats = load_stats(out_dir)
+    empty = spark.createDataFrame([], "doc_id long, score double")
+    plan = _span_plan(spark, out_dir, stats, clauses)
+    if plan is None:
+        return empty
+    terms, idf_sum, tbs = plan
+    tomb = _tombs(out_dir, stats)
+    seg = (
+        _seg_scan(spark, out_dir, stats)
+        .where(F.col("tb").isin(tbs) & F.col("term").isin(sorted(set(terms))))
+        .select(*_BLOCK_COLS, "poss", *(["run"] if tomb else []))
+    )
+    kern = _span_kernel(terms, slop, in_order, idf_sum, k, after=after)
+    kern.k1, kern.b, kern.avgdl = stats["k1"], stats["b"], stats["avgdl"]
+    func = kern if not tomb else _with_tombstones(kern, tomb)
+    local = seg.groupBy("bucket").applyInPandas(
+        func, schema="doc_id long, score double"
+    )
+    return local.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def span_near_doc_ids(
+    spark: SparkSession, out_dir: str, clauses: list[str], *,
+    slop: int = 0, in_order: bool = True,
+) -> DataFrame:
+    """EVERY doc with a qualifying span (top-k off) — exact
+    ``track_total_hits`` for span_near requests, same pruned positional
+    scan and kernel as ``span_near_topk``."""
+    stats = load_stats(out_dir)
+    empty = spark.createDataFrame([], "doc_id long")
+    plan = _span_plan(spark, out_dir, stats, clauses)
+    if plan is None:
+        return empty
+    terms, idf_sum, tbs = plan
+    tomb = _tombs(out_dir, stats)
+    seg = (
+        _seg_scan(spark, out_dir, stats)
+        .where(F.col("tb").isin(tbs) & F.col("term").isin(sorted(set(terms))))
+        .select(*_BLOCK_COLS, "poss", *(["run"] if tomb else []))
+    )
+    kern = _span_kernel(terms, slop, in_order, idf_sum, None)
+    kern.k1, kern.b, kern.avgdl = stats["k1"], stats["b"], stats["avgdl"]
+    func = kern if not tomb else _with_tombstones(kern, tomb)
+    return (
+        seg.groupBy("bucket")
+        .applyInPandas(func, schema="doc_id long, score double")
+        .select("doc_id")
+    )
+
+
 def posting_docs(spark: SparkSession, out_dir: str, terms_query: str) -> DataFrame:
     """All doc_ids containing ANY of the query's terms (pruned scan +
     decode-docs-only kernel) — the candidate generator for MUST_NOT (J4)
@@ -4743,6 +4946,47 @@ class Searcher:
             return []
         allr = pd.concat(outs, ignore_index=True)
         allr = allr.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
+        return [(int(r.doc_id), float(r.score)) for r in allr.head(k).itertuples()]
+
+    def span_near_rows(
+        self, clauses: list[str], k: int = 10, *,
+        slop: int = 0, in_order: bool = True,
+        after: tuple[float, int] | None = None,
+    ) -> list[tuple[int, float]]:
+        """Serving-path span_near: the same per-bucket span kernel as
+        ``span_near_topk``, run on the driver with pruned pyarrow block
+        reads — zero Spark jobs (semantics in ``_span_kernel``)."""
+        self._maybe_invalidate()
+        plan = _span_plan(
+            self.spark, self.out_dir, self.stats, clauses, lookup=self._entries
+        )
+        if plan is None:
+            return []
+        terms, idf_sum, tbs = plan
+        blocks = self._local_blocks(
+            tbs, sorted(set(terms)), columns=_BLOCK_COLS + ["poss"]
+        )
+        if blocks is None:
+            return [
+                (r.doc_id, r.score)
+                for r in span_near_topk(
+                    self.spark, self.out_dir, clauses, k,
+                    slop=slop, in_order=in_order, after=after,
+                ).collect()
+            ]
+        kern = _span_kernel(terms, slop, in_order, idf_sum, k, after=after)
+        kern.k1, kern.b, kern.avgdl = (
+            self.stats["k1"], self.stats["b"], self.stats["avgdl"]
+        )
+        kern.tp_cache = self._tp_cache
+        outs = [kern(grp) for _, grp in blocks.groupby("bucket", sort=True)]
+        outs = [o for o in outs if len(o)]
+        if not outs:
+            return []
+        allr = pd.concat(outs, ignore_index=True)
+        allr = allr.sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+        )
         return [(int(r.doc_id), float(r.score)) for r in allr.head(k).itertuples()]
 
     def prefix_rows(

@@ -3908,6 +3908,129 @@ SELECT stat, v FROM (
 """
 
 
+def q69_span_near(spark, sf_dir):
+    """Lucene span_near through the ES DSL over a REAL positional index:
+    ordered (greedy-chain window, slop 3) and unordered (anchor-window,
+    slop 2) two-term spans with exact track_total_hits. spanFreq =
+    matching anchors, score = idf_sum × tfNorm (see _span_kernel). The
+    DuckDB twin recomputes anchors with correlated EXISTS over the
+    token-position table and the identical BM25 arithmetic."""
+    import shutil
+    import tempfile
+
+    from .index.build import build_index
+    from .index.dsl import search_body
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="cb_q69_idx_")
+    try:
+        build_index(
+            spark, docs.select("doc_id", "text"), out, url_col=None,
+            n_buckets=8, positions=True,
+        )
+        rows = []
+        resp = search_body(spark, out, {
+            "query": {"span_near": {
+                "clauses": [
+                    {"span_term": {"text": {"value": "spark"}}},
+                    {"span_term": {"text": {"value": "join"}}},
+                ],
+                "slop": 3, "in_order": True,
+            }},
+            "size": 15, "track_total_hits": True,
+        })
+        rows += [
+            ("ord", int(h["_id"]), round(float(h["_score"]), 4))
+            for h in resp["hits"]["hits"]
+        ]
+        rows.append(("ord_total", int(resp["hits"]["total"]["value"]), None))
+        resp2 = search_body(spark, out, {
+            "query": {"span_near": {
+                "clauses": [
+                    {"span_term": {"text": {"value": "window"}}},
+                    {"span_term": {"text": {"value": "join"}}},
+                ],
+                "slop": 2, "in_order": False,
+            }},
+            "size": 15,
+        })
+        rows += [
+            ("uno", int(h["_id"]), round(float(h["_score"]), 4))
+            for h in resp2["hits"]["hits"]
+        ]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    out_df = spark.createDataFrame(rows, "part string, doc_id long, score double")
+    return out_df.orderBy("part", "doc_id")
+
+
+Q69_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t != '') AS arr
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) - 1 AS pos FROM base
+),
+dl AS (SELECT doc_id, len(arr) AS dl FROM base),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(len(arr)) FROM base)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+dfs AS (
+  SELECT count(DISTINCT CASE WHEN term = 'spark' THEN doc_id END) AS df_s,
+         count(DISTINCT CASE WHEN term = 'join' THEN doc_id END) AS df_j,
+         count(DISTINCT CASE WHEN term = 'window' THEN doc_id END) AS df_w
+  FROM toks
+),
+o1 AS (
+  SELECT a.doc_id, count(*) AS pf
+  FROM toks a
+  WHERE a.term = 'spark' AND EXISTS (
+    SELECT 1 FROM toks b
+    WHERE b.doc_id = a.doc_id AND b.term = 'join'
+      AND b.pos > a.pos AND b.pos <= a.pos + 4)
+  GROUP BY a.doc_id
+),
+o1s AS (
+  SELECT o1.doc_id,
+         (ln(1.0 + (s.n - d.df_s + 0.5) / (d.df_s + 0.5))
+          + ln(1.0 + (s.n - d.df_j + 0.5) / (d.df_j + 0.5)))
+         * (o1.pf * 2.2) / (o1.pf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / s.avgdl))) AS raw
+  FROM o1 JOIN dl USING (doc_id) CROSS JOIN stats s CROSS JOIN dfs d
+),
+u1 AS (
+  SELECT p.doc_id, count(DISTINCT p.pos) AS pf
+  FROM toks p
+  WHERE p.term IN ('window', 'join')
+    AND EXISTS (SELECT 1 FROM toks b
+                WHERE b.doc_id = p.doc_id AND b.term = 'window'
+                  AND b.pos >= p.pos AND b.pos <= p.pos + 3)
+    AND EXISTS (SELECT 1 FROM toks c
+                WHERE c.doc_id = p.doc_id AND c.term = 'join'
+                  AND c.pos >= p.pos AND c.pos <= p.pos + 3)
+  GROUP BY p.doc_id
+),
+u1s AS (
+  SELECT u1.doc_id,
+         (ln(1.0 + (s.n - d.df_w + 0.5) / (d.df_w + 0.5))
+          + ln(1.0 + (s.n - d.df_j + 0.5) / (d.df_j + 0.5)))
+         * (u1.pf * 2.2) / (u1.pf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / s.avgdl))) AS raw
+  FROM u1 JOIN dl USING (doc_id) CROSS JOIN stats s CROSS JOIN dfs d
+)
+SELECT part, doc_id, score FROM (
+  SELECT 'ord' AS part, doc_id, round(raw, 4) AS score
+  FROM (SELECT * FROM o1s ORDER BY raw DESC, doc_id ASC LIMIT 15)
+  UNION ALL
+  SELECT 'ord_total', (SELECT count(*) FROM o1), NULL
+  UNION ALL
+  SELECT 'uno', doc_id, round(raw, 4)
+  FROM (SELECT * FROM u1s ORDER BY raw DESC, doc_id ASC LIMIT 15)
+) ORDER BY part, doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -3977,6 +4100,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q66_series_pipelines": q66_series_pipelines,
     "q67_metric_aggs": q67_metric_aggs,
     "q68_bucket_pipelines": q68_bucket_pipelines,
+    "q69_span_near": q69_span_near,
 }
 
 ORACLES: dict[str, str] = {
@@ -4048,4 +4172,5 @@ ORACLES: dict[str, str] = {
     "q66_series_pipelines": Q66_SQL,
     "q67_metric_aggs": Q67_SQL,
     "q68_bucket_pipelines": Q68_SQL,
+    "q69_span_near": Q69_SQL,
 }
