@@ -1006,6 +1006,60 @@ def _suggest_section(s: Searcher, spec: dict) -> dict:
     return out
 
 
+def msearch(
+    spark: SparkSession, out_dir: str, requests: list[dict], *,
+    searcher: Searcher | None = None,
+) -> list[dict]:
+    """ES ``_msearch``: a batch of request bodies against one index (the
+    header line's index routing collapses to ``out_dir`` here), each
+    evaluated exactly like ``search_body`` against the SAME warm searcher.
+    A failing body yields an ``{"error": ...}`` slot instead of failing
+    the batch — the ES contract (responses align 1:1 with requests)."""
+    s = searcher if searcher is not None and searcher.out_dir == out_dir \
+        else Searcher(spark, out_dir)
+    out: list[dict] = []
+    for body in requests:
+        try:
+            out.append(search_body(spark, out_dir, body, searcher=s))
+        except (UnsupportedDSL, ValueError) as e:
+            out.append(
+                {"error": {"type": type(e).__name__, "reason": str(e)}}
+            )
+    return out
+
+
+def count_body(
+    spark: SparkSession, out_dir: str, body: dict | None = None, *,
+    searcher: Searcher | None = None,
+) -> dict:
+    """ES ``_count``: the exact matching-doc count of a query body — no
+    hits, no aggs, no search phase; the ``track_total_hits`` machinery
+    alone (distributed, uncapped — never a driver materialization). An
+    absent/match_all query counts live docs: n_docs minus tombstones."""
+    from .delete import n_tombstoned
+
+    s = searcher if searcher is not None and searcher.out_dir == out_dir \
+        else Searcher(spark, out_dir)
+    q = (body or {}).get("query")
+    plan = parse_query(q, analyzer=s.stats.get("analyzer"))
+    filters = plan["filters"] or None
+    ranges = plan["ranges"] or None
+    or_groups = plan["or_groups"] or None
+    not_atoms = plan["not_atoms"] or None
+    if (
+        plan["match_all"] and not plan["query"] and not plan["must"]
+        and not plan["must_not"] and not filters and not ranges
+        and not or_groups and not not_atoms
+    ):
+        return {"count": int(s.stats["n_docs"]) - n_tombstoned(out_dir, s.stats)}
+    return {
+        "count": _exact_total(
+            spark, out_dir, s, plan, filters, ranges,
+            or_groups=or_groups, not_atoms=not_atoms,
+        )
+    }
+
+
 def search_body(
     spark: SparkSession, out_dir: str, body: dict, *,
     searcher: Searcher | None = None,

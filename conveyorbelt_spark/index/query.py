@@ -4257,6 +4257,25 @@ def _rank_expansions(
     return pdf["term"].head(max_expansions).tolist()
 
 
+def terms_enum(out_dir: str, string: str, size: int = 10) -> dict:
+    """ES ``_terms_enum``: index terms starting with ``string``,
+    TERM-SORTED (unlike query expansions' df-desc ranking), capped at
+    ``size`` — the field-autocomplete probe. Keyword-field postings
+    (``field:value`` internals) are excluded unless the prefix itself
+    targets one. Served from the range-pruned term_index sidecar, zero
+    Spark jobs. Response in the ES shape: {"terms": [...], "complete":
+    bool} — ``complete`` is False when the cap truncated the
+    enumeration."""
+    from .build import KEYWORD_SEP
+
+    pdf = expansion_candidates(out_dir, "prefix", string)
+    terms = sorted(
+        t for t in pdf["term"].tolist()
+        if KEYWORD_SEP not in t or KEYWORD_SEP in string
+    )
+    return {"terms": terms[: int(size)], "complete": len(terms) <= int(size)}
+
+
 def expansion_candidates(
     out_dir: str, kind: str, value: str, *,
     fuzziness: int = 1, prefix_length: int = 1,
@@ -4947,6 +4966,80 @@ class Searcher:
         allr = pd.concat(outs, ignore_index=True)
         allr = allr.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
         return [(int(r.doc_id), float(r.score)) for r in allr.head(k).itertuples()]
+
+    def termvectors(self, doc_id: int, *, term_statistics: bool = False) -> dict:
+        """ES ``_termvectors`` (REALTIME semantics — the _source
+        re-analysis path ES takes): the doc's STORED text is re-analyzed
+        with the index analyzer, so the docstore must carry it
+        (``write_docstore(extra_cols=("text",))``). Response in the ES
+        shape: per-term ``term_freq`` + token ``position``s, and with
+        ``term_statistics=True`` per-term ``doc_freq``/``ttf`` from the
+        live dictionary plus ``field_statistics`` (doc_count, sum_ttf
+        from stats.json; sum_doc_freq from one cached dictionary column
+        scan — the one O(terms) stat, a distributed agg once the
+        dictionary outgrows the driver). Zero Spark jobs."""
+        from ..textutils import analyze_with_slots
+        from .build import lookup_docs
+
+        self._maybe_invalidate()
+        row = lookup_docs(self.out_dir, [int(doc_id)]).get(int(doc_id))
+        if row is None:
+            return {"_id": int(doc_id), "found": False}
+        if row.get("text") is None:
+            raise ValueError(
+                "termvectors needs the stored text — build the docstore "
+                "with write_docstore(extra_cols=('text',))"
+            )
+        toks = analyze_with_slots(row["text"], self.stats.get("analyzer"))
+        terms: dict[str, dict] = {}
+        for t, p in toks:
+            e = terms.setdefault(t, {"term_freq": 0, "tokens": []})
+            e["term_freq"] += 1
+            e["tokens"].append({"position": int(p)})
+        fs = {
+            "doc_count": int(self.stats["n_docs"]),
+            "sum_ttf": int(self.stats.get("total_tokens") or 0),
+        }
+        if term_statistics:
+            entries = {e["term"]: e for e in self._entries(sorted(terms))}
+            for t, e in terms.items():
+                de = entries.get(t)
+                e["doc_freq"] = int(de["df"]) if de else 0
+                e["ttf"] = int(de["cf"]) if de and "cf" in de else 0
+            fs["sum_doc_freq"] = self._sum_doc_freq()
+        return {
+            "_id": int(doc_id),
+            "found": True,
+            "term_vectors": {
+                "text": {
+                    "field_statistics": fs,
+                    "terms": dict(sorted(terms.items())),
+                }
+            },
+        }
+
+    def _sum_doc_freq(self) -> int:
+        """Σ doc_freq over the committed dictionary (field_statistics),
+        cached per Searcher snapshot."""
+        if getattr(self, "_sdf_cache", None) is not None:
+            return self._sdf_cache
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+
+        committed = _committed(self.stats)
+        total = 0
+        for f in _glob.glob(
+            os.path.join(self.out_dir, "dictionary", "tb=*", "run=*", "*.parquet")
+        ):
+            run = f.split("run=")[-1].split(os.sep)[0]
+            if committed is not None and run not in committed:
+                continue
+            tbl = pq.read_table(f, columns=["df"])
+            s = tbl["df"].to_pandas().sum()
+            total += int(s) if len(tbl) else 0
+        self._sdf_cache = total
+        return total
 
     def span_near_rows(
         self, clauses: list[str], k: int = 10, *,

@@ -4031,6 +4031,63 @@ SELECT part, doc_id, score FROM (
 """
 
 
+def q70_termvectors(spark, sf_dir):
+    """ES _termvectors with term_statistics through the real index: the
+    min-doc_id document's stored text re-analyzed (realtime semantics),
+    per-term tf + first position, and live-dictionary doc_freq / total
+    term freq. All-integer output; the DuckDB twin recomputes every number
+    from the raw token-position table."""
+    import shutil
+    import tempfile
+
+    from .index.build import build_index, write_docstore
+    from .index.query import Searcher
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="cb_q70_idx_")
+    try:
+        build_index(spark, docs.select("doc_id", "text"), out, url_col=None, n_buckets=8)
+        write_docstore(spark, docs, out, url_col=None, extra_cols=("text",))
+        did = int(docs.agg(F.min("doc_id")).collect()[0][0])
+        tv = Searcher(spark, out).termvectors(did, term_statistics=True)
+        terms = tv["term_vectors"]["text"]["terms"]
+        rows = [
+            (t, int(e["term_freq"]), int(e["doc_freq"]), int(e["ttf"]),
+             int(e["tokens"][0]["position"]))
+            for t, e in terms.items()
+        ]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    out_df = spark.createDataFrame(
+        rows, "term string, tf long, df long, ttf long, first_pos long"
+    )
+    return out_df.orderBy("term")
+
+
+Q70_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t != '') AS arr
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) - 1 AS pos FROM base
+),
+mine AS (
+  SELECT term, count(*) AS tf, min(pos) AS first_pos
+  FROM toks WHERE doc_id = (SELECT min(doc_id) FROM documents)
+  GROUP BY term
+),
+stats AS (
+  SELECT term, count(DISTINCT doc_id) AS df, count(*) AS ttf
+  FROM toks GROUP BY term
+)
+SELECT m.term, m.tf, s.df, s.ttf, m.first_pos
+FROM mine m JOIN stats s USING (term)
+ORDER BY term
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -4101,6 +4158,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q67_metric_aggs": q67_metric_aggs,
     "q68_bucket_pipelines": q68_bucket_pipelines,
     "q69_span_near": q69_span_near,
+    "q70_termvectors": q70_termvectors,
 }
 
 ORACLES: dict[str, str] = {
@@ -4173,4 +4231,5 @@ ORACLES: dict[str, str] = {
     "q67_metric_aggs": Q67_SQL,
     "q68_bucket_pipelines": Q68_SQL,
     "q69_span_near": Q69_SQL,
+    "q70_termvectors": Q70_SQL,
 }
