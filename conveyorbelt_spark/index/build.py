@@ -1493,3 +1493,73 @@ def pick_tier(spark: SparkSession, out_dir: str, max_runs: int = 8) -> list[str]
     sizes.sort(key=lambda r: (int(r.np), r.run))
     k = max(2, len(sizes) - max_runs + 1)
     return [r.run for r in sizes[:k]]
+
+
+def reindex(
+    spark: SparkSession, src_dir: str, dest_dir: str, **build_kw
+) -> int:
+    """ES ``_reindex``: rebuild a NEW index at ``dest_dir`` from the
+    source index's stored documents (its docstore must carry the text —
+    the ES _source contract) under new settings (``analyzer``,
+    ``positions``, ``n_buckets``, …, any ``build_index`` kwarg). Live
+    docs only: a doc_id is dead iff it is tombstoned in EVERY committed
+    segment run — the kernel's visibility rule seen from the docstore
+    (which doesn't know which segment serves a doc): normal deletes
+    tombstone across all committed runs, and update replay excludes the
+    run that re-added the doc, so a re-added doc stays live here exactly
+    as it does in search. One distributed anti-join drops them. The
+    destination docstore carries the same stored columns. Returns the
+    number of documents reindexed.
+
+    Scale shape: one docstore scan → anti-join (tombstones are a
+    broadcast-sized parquet) → the standard build pipeline (salted
+    shuffle, sorted posting blocks, manifests) — no driver
+    materialization of documents anywhere."""
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from .delete import _tomb_dir
+    from .query import _docstore_scan
+
+    stats = load_stats(src_dir)
+    store = _docstore_scan(spark, src_dir)
+    if "text" not in store.columns:
+        raise ValueError(
+            "reindex needs the stored text — build the source docstore "
+            "with write_docstore(extra_cols=('text',))"
+        )
+    truns = stats.get("tombstone_runs") or []
+    committed = sorted(stats.get("committed_runs") or [])
+    tdir = _tomb_dir(src_dir)
+    if truns and committed and os.path.isdir(tdir):
+        dead = (
+            spark.read.parquet(tdir)
+            .where(F.col("trun").isin(truns))
+            .where(F.col("run").isin(committed))
+            .select("doc_id", "run")
+            .distinct()
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("_nr"))
+            .where(F.col("_nr") == len(committed))
+            .select("doc_id")
+        )
+        # no forced broadcast: AQE picks broadcast for the typical small
+        # tombstone set and falls back to shuffle when a mass delete made
+        # it large
+        store = store.join(dead, "doc_id", "left_anti")
+    build_index(
+        spark, store.select("doc_id", "text"), dest_dir,
+        url_col=None, **build_kw,
+    )
+    extra = tuple(
+        c for c in store.columns
+        if c not in ("doc_id", "text", "url", "bucket", "run")
+    )
+    write_docstore(
+        spark,
+        store.select(
+            "doc_id", *(("url",) if "url" in store.columns else ()),
+            "text", *extra,
+        ),
+        dest_dir, url_col=None, extra_cols=("text",) + extra,
+    )
+    return int(load_stats(dest_dir)["n_docs"])

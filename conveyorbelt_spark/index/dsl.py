@@ -1060,6 +1060,54 @@ def count_body(
     }
 
 
+def delete_by_query_body(
+    spark: SparkSession, out_dir: str, body: dict, *, op_id: str,
+) -> dict:
+    """ES ``_delete_by_query`` with a request body: the query's FULL
+    matching set (the shapes ``bool_doc_ids`` serves — match / bool /
+    term / terms / range / exists / query_string filter contexts) is
+    resolved distributed, uncapped, and tombstoned in one shot.
+    ``op_id`` names the operation for idempotent retry (the reference's
+    at-least-once delivery). Returns ``{"deleted": n}`` — matching DOC
+    count, ES's number. Positional/expansion primaries (phrase, span,
+    prefix…, more_like_this) are unsupported — delete those by ids."""
+    from .delete import delete_docs
+    from .query import bool_doc_ids
+
+    s = Searcher(spark, out_dir)
+    plan = parse_query((body or {}).get("query"), s.stats.get("analyzer"))
+    blocked = [
+        k for k in ("phrase", "span_near", "mm", "expand", "mlt", "ids",
+                    "dis_max", "boosting", "fscore", "phrase_prefix")
+        if plan.get(k) is not None
+    ]
+    if blocked:
+        raise UnsupportedDSL(
+            f"delete_by_query supports match/bool/filter-context bodies "
+            f"(got {blocked[0]})"
+        )
+    if (
+        plan["match_all"] and not plan["query"] and not plan["must"]
+        and not plan["filters"] and not plan["ranges"]
+        and not plan["or_groups"] and not plan["must_not"]
+    ):
+        raise UnsupportedDSL(
+            "delete_by_query with match_all would tombstone the whole "
+            "index — drop the index dir instead"
+        )
+    hits = bool_doc_ids(
+        spark, out_dir, plan["query"], must=plan["must"],
+        must_not=plan["must_not"], min_should=plan["min_should"],
+        filters=plan["filters"] or None, ranges=plan["ranges"] or None,
+        or_groups=plan["or_groups"] or None,
+        not_atoms=plan["not_atoms"] or None,
+    ).localCheckpoint(eager=True)
+    n = hits.count()
+    if n:
+        delete_docs(spark, out_dir, hits, op_id=op_id)
+    return {"deleted": int(n)}
+
+
 def search_body(
     spark: SparkSession, out_dir: str, body: dict, *,
     searcher: Searcher | None = None,

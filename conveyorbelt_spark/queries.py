@@ -4088,6 +4088,80 @@ ORDER BY term
 """
 
 
+def q71_reindex(spark, sf_dir):
+    """ES _delete_by_query (request-body form) + _reindex through the real
+    index: tombstone every doc matching {"match": {"text": "window"}} in
+    the source, then rebuild a brand-new index from the source docstore
+    (live docs only) and BM25 top-k on the destination. The discriminating
+    semantics vs q36: reindex RECOMPUTES corpus statistics from the live
+    docs (n_docs, avgdl, df all shrink — a fresh Lucene index has no
+    deleted-doc ghosts), where q36's in-place delete keeps them. DuckDB
+    twin: BM25 with every statistic computed over the live corpus only."""
+    import shutil
+    import tempfile
+
+    from .index.build import build_index, reindex, write_docstore
+    from .index.dsl import delete_by_query_body
+    from .index.query import Searcher
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    src = tempfile.mkdtemp(prefix="cb_q71_src_")
+    dest = tempfile.mkdtemp(prefix="cb_q71_dest_")
+    try:
+        build_index(spark, docs, src, url_col=None, n_buckets=8)
+        write_docstore(spark, docs, src, url_col=None, extra_cols=("text",))
+        delete_by_query_body(
+            spark, src, {"query": {"match": {"text": "window"}}}, op_id="q71"
+        )
+        reindex(spark, src, dest, n_buckets=4)
+        rows = Searcher(spark, dest).search_rows(" ".join(BM25_QUERY_TERMS), 20)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(dest, ignore_errors=True)
+    res = spark.createDataFrame(
+        [(int(d), float(s)) for d, s in rows], "doc_id long, score double"
+    )
+    return res.select("doc_id", F.round("score", 4).alias("score")).orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+
+
+Q71_SQL = f"""
+WITH toks AS ({_TOKENS_SQL}),
+tf0 AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks WHERE term != '' GROUP BY doc_id, term
+),
+dead AS (SELECT DISTINCT doc_id FROM tf0 WHERE term = 'window'),
+tf AS (SELECT * FROM tf0 WHERE doc_id NOT IN (SELECT doc_id FROM dead)),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+live_n AS (
+  SELECT count(*) AS n_docs FROM documents
+  WHERE doc_id NOT IN (SELECT doc_id FROM dead)
+),
+stats AS (
+  SELECT live_n.n_docs AS n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE / live_n.n_docs AS avgdl
+  FROM live_n
+),
+q AS (SELECT unnest({BM25_QUERY_TERMS!r}) AS term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf
+       WHERE term IN (SELECT term FROM q) GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl)))) AS raw
+  FROM tf
+  JOIN df ON tf.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(raw, 4) AS score
+FROM scored ORDER BY raw DESC, doc_id ASC LIMIT 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -4159,6 +4233,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q68_bucket_pipelines": q68_bucket_pipelines,
     "q69_span_near": q69_span_near,
     "q70_termvectors": q70_termvectors,
+    "q71_reindex": q71_reindex,
 }
 
 ORACLES: dict[str, str] = {
@@ -4232,4 +4307,5 @@ ORACLES: dict[str, str] = {
     "q68_bucket_pipelines": Q68_SQL,
     "q69_span_near": Q69_SQL,
     "q70_termvectors": Q70_SQL,
+    "q71_reindex": Q71_SQL,
 }
