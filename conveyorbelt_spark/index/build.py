@@ -674,12 +674,52 @@ def write_docstore(
     _dyn_overwrite(d, os.path.join(out_dir, "docstore"), ("bucket", "run"))
 
 
+def docstore_runs(out_dir: str) -> list[str]:
+    """Distinct run partition values present in the docstore (one driver
+    listing — the same cost every dataset probe already pays)."""
+    import glob as _glob
+
+    store = os.path.join(out_dir, "docstore")
+    return sorted(
+        {
+            os.path.basename(d).split("=", 1)[1]
+            for d in _glob.glob(os.path.join(store, "bucket=*", "run=*"))
+        }
+    )
+
+
+def docstore_run_rank(out_dir: str) -> dict[str, int]:
+    """Docstore run → recency rank (higher = newer). Docstore runs are
+    run_id-keyed (write_docstore gets index_batch's run_id), so recency
+    comes from the manifest's committed_at ledger — max per run_id. Runs
+    absent from the manifest rank oldest; ties break by name, so the
+    order is deterministic. Used by every docstore reader to resolve an
+    updated doc to its NEWEST stored version (update_docs appends the new
+    version as a delta docstore run; the old run's row stays on disk
+    until a docstore fold)."""
+    import pyarrow.dataset as pds
+
+    runs = docstore_runs(out_dir)
+    ts: dict[str, float] = {}
+    man = os.path.join(out_dir, "manifest")
+    if len(runs) > 1 and os.path.isdir(man):
+        tbl = pds.dataset(man, format="parquet").to_table(
+            columns=["run_id", "committed_at"]
+        )
+        pdf = tbl.to_pandas()
+        if len(pdf):
+            for r, t in pdf.groupby("run_id")["committed_at"].max().items():
+                ts[str(r)] = t.timestamp() if hasattr(t, "timestamp") else float(t)
+    order = sorted(runs, key=lambda r: (ts.get(r, float("-inf")), r))
+    return {r: i for i, r in enumerate(order)}
+
+
 def lookup_docs(out_dir: str, doc_ids: list[int]) -> dict[int, dict]:
     """Driver-side pyarrow resolve of doc ids → stored columns, pruned to
     the ids' bucket partitions (zero Spark jobs, serving-path companion to
-    Searcher.search_rows)."""
-    import glob as _glob
-
+    Searcher.search_rows). Multi-version docs (updated: one row per
+    docstore run) resolve to the NEWEST run's row — same rule as the
+    distributed ``_docstore_scan``."""
     import pyarrow.dataset as ds
 
     store = os.path.join(out_dir, "docstore")
@@ -687,19 +727,24 @@ def lookup_docs(out_dir: str, doc_ids: list[int]) -> dict[int, dict]:
         return {}
     stats = load_stats(out_dir)
     bits = int(np.log2(stats["n_buckets"]))
+    rank = docstore_run_rank(out_dir)
     by_bucket: dict[int, list[int]] = {}
     for did in doc_ids:
         by_bucket.setdefault(did >> (63 - bits), []).append(did)
     out: dict[int, dict] = {}
     for bkt, ids in sorted(by_bucket.items()):
-        files = _glob.glob(os.path.join(store, f"bucket={bkt}", "run=*", "*.parquet"))
-        if not files:
+        bdir = os.path.join(store, f"bucket={bkt}")
+        if not os.path.isdir(bdir):
             continue
-        tbl = ds.dataset(files, format="parquet").to_table(
+        tbl = ds.dataset(bdir, format="parquet", partitioning="hive").to_table(
             filter=ds.field("doc_id").isin(ids)
         )
         for row in tbl.to_pylist():
-            out[row["doc_id"]] = row
+            prev = out.get(row["doc_id"])
+            if prev is None or rank.get(str(row.get("run")), -1) >= rank.get(
+                str(prev.get("run")), -1
+            ):
+                out[row["doc_id"]] = row
     return out
 
 

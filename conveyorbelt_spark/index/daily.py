@@ -575,11 +575,14 @@ class DailySearcher:
         ancestor dirs), narrow union — still one plan, one action. Schema
         comes from ONE driver-side pyarrow footer probe (day configs agree
         — enforced by _merged_stats) so no per-day schema-inference Spark
-        job runs."""
+        job runs. Each day's scan resolves updated docs latest-version-
+        wins (``_dedup_docstore_df`` — a no-op for single-run days)."""
         from functools import reduce
 
         import pyarrow.dataset as pds
         from pyspark.sql.pandas.types import from_arrow_schema
+
+        from .query import _dedup_docstore_df
 
         store_schema = from_arrow_schema(
             pds.dataset(
@@ -590,8 +593,11 @@ class DailySearcher:
         return reduce(
             DataFrame.unionByName,
             [
-                self.spark.read.schema(store_schema).parquet(
-                    os.path.join(day_dir(self.root, d), "docstore")
+                _dedup_docstore_df(
+                    self.spark.read.schema(store_schema).parquet(
+                        os.path.join(day_dir(self.root, d), "docstore")
+                    ),
+                    day_dir(self.root, d),
                 )
                 for d in days
             ],

@@ -1108,6 +1108,253 @@ def delete_by_query_body(
     return {"deleted": int(n)}
 
 
+def _src_field(node) -> str | None:
+    """``ctx._source.<field>`` attribute chain → field name (else None)."""
+    import ast
+
+    if (
+        isinstance(node, ast.Attribute)
+        and isinstance(node.value, ast.Attribute)
+        and node.value.attr == "_source"
+        and isinstance(node.value.value, ast.Name)
+        and node.value.value.id == "ctx"
+    ):
+        return node.attr
+    return None
+
+
+def _parse_update_script(source: str) -> list[tuple[str, object]]:
+    """ES painless SUBSET for ``_update_by_query`` scripts: ``;``-separated
+    assignments ``ctx._source.<field> = <expr>`` where ``<expr>`` composes
+    ``ctx._source.<field>`` references, ``params.<name>`` references,
+    numeric/string literals, ``+ - * / %``, comparisons, ``&&``/``||``
+    and parentheses. Statements apply IN ORDER (later ones see earlier
+    results — painless sequential semantics). Validated python AST —
+    anything outside the subset raises, never silently misparses."""
+    import ast
+
+    src = source.replace("&&", " and ").replace("||", " or ")
+    try:
+        tree = ast.parse(src, mode="exec")
+    except SyntaxError as e:
+        raise UnsupportedDSL(f"unsupported script {source!r}: {e}") from None
+    ok_binop = (ast.Add, ast.Sub, ast.Mult, ast.Div, ast.Mod)
+    ok_cmp = (ast.Gt, ast.GtE, ast.Lt, ast.LtE, ast.Eq, ast.NotEq)
+    out: list[tuple[str, object]] = []
+    for stmt in tree.body:
+        if not (isinstance(stmt, ast.Assign) and len(stmt.targets) == 1):
+            raise UnsupportedDSL(
+                "update script statements must be "
+                "'ctx._source.<field> = <expr>'"
+            )
+        tgt = _src_field(stmt.targets[0])
+        if tgt is None:
+            raise UnsupportedDSL(
+                "update script may only assign ctx._source.<field>"
+            )
+        for node in ast.walk(stmt.value):
+            if isinstance(node, (ast.Load, ast.Store)):
+                continue
+            if _src_field(node) is not None:
+                continue
+            if isinstance(node, ast.Attribute):
+                base = node.value
+                if node.attr == "_source" and isinstance(
+                    base, ast.Name
+                ) and base.id == "ctx":
+                    continue
+                if isinstance(base, ast.Name) and base.id == "params":
+                    continue
+                raise UnsupportedDSL(
+                    f"unsupported script reference in {source!r}"
+                )
+            if isinstance(node, ast.Name) and node.id in ("ctx", "params"):
+                continue
+            if isinstance(node, ast.BinOp) and isinstance(node.op, ok_binop):
+                continue
+            if isinstance(node, ast.Compare) and all(
+                isinstance(o, ok_cmp) for o in node.ops
+            ):
+                continue
+            if isinstance(node, (ast.And, ast.Or, ast.BoolOp)):
+                continue
+            if isinstance(node, ast.UnaryOp) and isinstance(
+                node.op, ast.USub
+            ):
+                continue
+            if isinstance(node, ast.Constant) and isinstance(
+                node.value, (int, float, str)
+            ):
+                continue
+            if isinstance(node, (ast.Gt, ast.GtE, ast.Lt, ast.LtE, ast.Eq,
+                                 ast.NotEq, ast.Add, ast.Sub, ast.Mult,
+                                 ast.Div, ast.Mod, ast.USub)):
+                continue
+            raise UnsupportedDSL(
+                f"unsupported script construct "
+                f"{type(node).__name__} in {source!r}"
+            )
+        out.append((tgt, stmt.value))
+    return out
+
+
+def _update_col(node, params: dict):
+    """Walk a ``_parse_update_script`` expression AST into a Spark Column:
+    ``ctx._source.f`` → ``F.col(f)``, ``params.x`` → literal, arithmetic /
+    comparison / boolean ops JVM-side — no Python UDF in the update path."""
+    import ast
+
+    from pyspark.sql import functions as F  # noqa: N812
+
+    f = _src_field(node)
+    if f is not None:
+        return F.col(f)
+    if isinstance(node, ast.Attribute):  # params.<name> (validated above)
+        if node.attr not in params:
+            raise UnsupportedDSL(f"script references missing param {node.attr!r}")
+        return F.lit(params[node.attr])
+    if isinstance(node, ast.Constant):
+        return F.lit(node.value)
+    if isinstance(node, ast.UnaryOp):
+        return -_update_col(node.operand, params)
+    if isinstance(node, ast.BinOp):
+        left = _update_col(node.left, params)
+        right = _update_col(node.right, params)
+        op = node.op
+        if isinstance(op, ast.Add):
+            return left + right
+        if isinstance(op, ast.Sub):
+            return left - right
+        if isinstance(op, ast.Mult):
+            return left * right
+        if isinstance(op, ast.Div):
+            return left / right
+        return left % right
+    if isinstance(node, ast.Compare):
+        left = _update_col(node.left, params)
+        conds = []
+        for op, cmp_ in zip(node.ops, node.comparators):
+            right = _update_col(cmp_, params)
+            conds.append(
+                (left > right) if isinstance(op, ast.Gt)
+                else (left >= right) if isinstance(op, ast.GtE)
+                else (left < right) if isinstance(op, ast.Lt)
+                else (left <= right) if isinstance(op, ast.LtE)
+                else (left == right) if isinstance(op, ast.Eq)
+                else (left != right)
+            )
+            left = right
+        out = conds[0]
+        for c in conds[1:]:
+            out = out & c
+        return out
+    if isinstance(node, ast.BoolOp):
+        import functools
+        import operator as _op
+
+        vals = [_update_col(v, params) for v in node.values]
+        return functools.reduce(
+            _op.and_ if isinstance(node.op, ast.And) else _op.or_, vals
+        )
+    raise UnsupportedDSL(f"unsupported script node {type(node).__name__}")
+
+
+def update_by_query_body(
+    spark: SparkSession, out_dir: str, body: dict, *, op_id: str,
+    **index_kw,
+) -> dict:
+    """ES ``_update_by_query``: the query's FULL matching set (the same
+    shapes ``delete_by_query_body`` serves; ``match_all``/empty allowed —
+    the re-push-everything mapping-refresh idiom), each matching doc's
+    STORED version mutated by the painless-subset script (compiled to JVM
+    column expressions over the docstore scan) and re-pushed as an update:
+    tombstone the old versions + append a delta run (``update_docs``), the
+    new docstore rows winning every reader's latest-version resolution.
+    Index settings replay from stats.json; extra analyzed/keyword columns
+    pass through ``**index_kw``. Script targets must be EXISTING stored
+    columns (delta docstore runs keep one schema — new fields would fork
+    it) and values cast to the column's current type. Returns
+    ``{"updated": n}``. Idempotent per ``op_id``: a replay no-ops at the
+    committed-run gate — ONE application, stricter than ES's re-apply.
+
+    Scale shape: pruned matching-set scan ⋈ docstore → JVM column mutate →
+    one eager checkpoint (freezes the pre-update snapshot so the delta
+    write never reads under its own overwrite; sized by the matching set,
+    the same bound ES's scroll snapshot pays) → standard O(delta) update."""
+    from .delete import update_docs
+    from .query import Searcher, _docstore_scan, bool_doc_ids
+
+    s = Searcher(spark, out_dir)
+    plan = parse_query((body or {}).get("query"), s.stats.get("analyzer"))
+    blocked = [
+        k for k in ("phrase", "span_near", "mm", "expand", "mlt", "ids",
+                    "dis_max", "boosting", "fscore", "phrase_prefix")
+        if plan.get(k) is not None
+    ]
+    if blocked:
+        raise UnsupportedDSL(
+            f"update_by_query supports match/bool/filter-context bodies "
+            f"(got {blocked[0]})"
+        )
+    script = (body or {}).get("script")
+    stmts: list = []
+    params: dict = {}
+    if script is not None:
+        src = script["source"] if isinstance(script, dict) else str(script)
+        if isinstance(script, dict):
+            params = script.get("params") or {}
+        stmts = _parse_update_script(src)
+    store = _docstore_scan(spark, out_dir)
+    if "text" not in store.columns:
+        raise ValueError(
+            "update_by_query needs the stored text — build the docstore "
+            "with write_docstore(extra_cols=('text',))"
+        )
+    everything = (
+        plan["match_all"] and not plan["query"] and not plan["must"]
+        and not plan["filters"] and not plan["ranges"]
+        and not plan["or_groups"] and not plan["must_not"]
+    )
+    if everything:
+        matched = store
+    else:
+        hits = bool_doc_ids(
+            spark, out_dir, plan["query"], must=plan["must"],
+            must_not=plan["must_not"], min_should=plan["min_should"],
+            filters=plan["filters"] or None, ranges=plan["ranges"] or None,
+            or_groups=plan["or_groups"] or None,
+            not_atoms=plan["not_atoms"] or None,
+        )
+        matched = store.join(hits, "doc_id")
+    dtypes = dict(matched.dtypes)
+    for field, expr in stmts:
+        if field not in dtypes:
+            raise UnsupportedDSL(
+                f"update script targets unknown stored field {field!r} "
+                f"(delta docstore runs keep one schema)"
+            )
+        matched = matched.withColumn(
+            field, _update_col(expr, params).cast(dtypes[field])
+        )
+    keep = [c for c in matched.columns if c not in ("bucket", "run")]
+    matched = matched.select(*keep).localCheckpoint(eager=True)
+    n = matched.count()
+    if n:
+        st = s.stats
+        cfg = dict(
+            n_buckets=st["n_buckets"], block_size=st["block_size"],
+            n_term_buckets=st["n_term_buckets"], k1=st["k1"], b=st["b"],
+            positions=bool(st.get("positions")), analyzer=st.get("analyzer"),
+        )
+        cfg.update(index_kw)
+        store_cols = tuple(c for c in keep if c not in ("doc_id", "url"))
+        update_docs(
+            spark, matched, out_dir, op_id, url_col=None,
+            store_docs=True, store_cols=store_cols, **cfg,
+        )
+    return {"updated": int(n)}
+
+
 def search_body(
     spark: SparkSession, out_dir: str, body: dict, *,
     searcher: Searcher | None = None,

@@ -1822,7 +1822,15 @@ def _bool_match_ids(
 def _docstore_scan(spark: SparkSession, out_dir: str) -> DataFrame:
     """Docstore read with an EXPLICIT schema from one driver-side pyarrow
     footer probe — skips Spark's 1-task parquet schema-inference job on
-    every facet/sort/agg query (same treatment as ``_seg_scan``)."""
+    every facet/sort/agg query (same treatment as ``_seg_scan``).
+
+    Multi-run docstores (incremental/update deltas) resolve each doc_id
+    to its NEWEST run's row (manifest committed_at order) — an updated
+    doc must surface its new stored version exactly once, matching the
+    posting layer where the old version's postings are tombstoned. The
+    single-run common case takes the plain scan, zero extra work; the
+    dedup window only appears once deltas exist (a doc's versions share
+    a bucket — doc-id top bits — so the exchange is bucket-local)."""
     import pyarrow.dataset as pds
     from pyspark.sql.pandas.types import from_arrow_schema
 
@@ -1830,7 +1838,30 @@ def _docstore_scan(spark: SparkSession, out_dir: str) -> DataFrame:
     schema = from_arrow_schema(
         pds.dataset(path, format="parquet", partitioning="hive").schema
     )
-    return spark.read.schema(schema).parquet(path)
+    df = spark.read.schema(schema).parquet(path)
+    return _dedup_docstore_df(df, out_dir)
+
+
+def _dedup_docstore_df(df: DataFrame, out_dir: str) -> DataFrame:
+    """Latest-version-wins over a docstore scan (no-op single-run fast
+    path) — shared by ``_docstore_scan`` and the daily window union."""
+    from .build import docstore_run_rank
+
+    rank = docstore_run_rank(out_dir)
+    if len(rank) <= 1:
+        return df
+    from pyspark.sql import Window
+
+    m = F.create_map(
+        *[F.lit(x) for r, i in sorted(rank.items()) for x in (r, i)]
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("_ver"))
+    return (
+        df.withColumn("_ver", m[F.col("run")])
+        .withColumn("_vn", F.row_number().over(w))
+        .where(F.col("_vn") == 1)
+        .drop("_ver", "_vn")
+    )
 
 def facet_counts_spark(
     spark: SparkSession,
@@ -4749,13 +4780,19 @@ class Searcher:
         if field not in self._bg_cache:
             import pyarrow.dataset as pds
 
+            from .build import docstore_run_rank
+
             store = os.path.join(self.out_dir, "docstore")
-            s = (
-                pds.dataset(store, format="parquet", partitioning="hive")
-                .to_table(columns=[field])
-                .column(field)
-                .to_pandas()
-            )
+            rank = docstore_run_rank(self.out_dir)
+            dset = pds.dataset(store, format="parquet", partitioning="hive")
+            if len(rank) > 1:
+                t = dset.to_table(columns=[field, "doc_id", "run"]).to_pandas()
+                t["_v"] = t["run"].map(rank)
+                s = t.sort_values(["doc_id", "_v"]).drop_duplicates(
+                    "doc_id", keep="last"
+                )[field]
+            else:
+                s = dset.to_table(columns=[field]).column(field).to_pandas()
             self._bg_cache[field] = (s.dropna().value_counts(), len(s))
         return self._bg_cache[field]
 

@@ -4162,6 +4162,69 @@ FROM scored ORDER BY raw DESC, doc_id ASC LIMIT 20
 """
 
 
+def q72_update_by_query(spark, sf_dir):
+    """ES _update_by_query through the real index: every doc matching
+    {"match": {"text": "window"}} has its stored numeric field mutated by
+    a painless-subset script (views = views * 10 + 3, compiled to JVM
+    column expressions), re-pushed via the standard update path (tombstone
+    old versions + delta run + delta docstore run), then the FULL docstore
+    read back — exercising matching-set resolution, script compilation,
+    and the latest-version-wins docstore dedup in one gate. DuckDB twin:
+    a CASE over token membership."""
+    import shutil
+    import tempfile
+
+    from .index.build import build_index, write_docstore
+    from .index.dsl import update_by_query_body
+    from .index.query import _docstore_scan
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .withColumn("views", F.pmod(F.col("doc_id"), F.lit(7)).cast("long"))
+    )
+    out = tempfile.mkdtemp(prefix="cb_q72_idx_")
+    try:
+        build_index(spark, docs, out, url_col=None, n_buckets=8)
+        write_docstore(spark, docs, out, url_col=None, extra_cols=("text", "views"))
+        update_by_query_body(
+            spark, out,
+            {
+                "query": {"match": {"text": "window"}},
+                "script": {
+                    "source":
+                        "ctx._source.views = ctx._source.views * params.m + 3",
+                    "params": {"m": 10},
+                },
+            },
+            op_id="q72",
+        )
+        res = (
+            _docstore_scan(spark, out)
+            .select("doc_id", "views")
+            .orderBy("doc_id")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(int(r.doc_id), int(r.views)) for r in res],
+        "doc_id long, views long",
+    ).orderBy("doc_id")
+
+
+Q72_SQL = f"""
+WITH toks AS ({_TOKENS_SQL}),
+matched AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'window')
+SELECT d.doc_id,
+       CASE WHEN m.doc_id IS NOT NULL
+            THEN (d.doc_id % 7) * 10 + 3
+            ELSE d.doc_id % 7 END AS views
+FROM documents d LEFT JOIN matched m ON d.doc_id = m.doc_id
+ORDER BY d.doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -4234,6 +4297,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q69_span_near": q69_span_near,
     "q70_termvectors": q70_termvectors,
     "q71_reindex": q71_reindex,
+    "q72_update_by_query": q72_update_by_query,
 }
 
 ORACLES: dict[str, str] = {
@@ -4308,4 +4372,5 @@ ORACLES: dict[str, str] = {
     "q69_span_near": Q69_SQL,
     "q70_termvectors": Q70_SQL,
     "q71_reindex": Q71_SQL,
+    "q72_update_by_query": Q72_SQL,
 }
