@@ -208,6 +208,38 @@ def _in_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return mask
 
 
+def dead_doc_set(
+    out_dir: str, stats: dict | None = None,
+    tomb: dict[str, np.ndarray] | None = None,
+) -> set[int]:
+    """doc_ids invisible to EVERY committed segment run — fully deleted
+    docs (an updated doc's tombstones exclude its re-adding run, so it
+    stays out of this set). Driver-side (tombstone volume is bounded by
+    the compaction cadence); serving-path companion for the point-lookup
+    APIs (_mget, _termvectors), mirroring the distributed rule
+    ``build.reindex`` applies. Pass a preloaded ``tomb`` map (a Searcher's
+    snapshot) to skip the parquet read."""
+    if stats is None:
+        from .build import load_stats
+
+        stats = load_stats(out_dir)
+    committed = stats.get("committed_runs") or []
+    if tomb is None:
+        tomb = load_tombstones(out_dir, stats)
+    if not committed or not tomb:
+        return set()
+    dead: set[int] | None = None
+    for r in committed:
+        ids = tomb.get(r)
+        if ids is None or not len(ids):
+            return set()
+        s = set(int(i) for i in ids)
+        dead = s if dead is None else dead & s
+        if not dead:
+            return set()
+    return dead or set()
+
+
 def apply_tombstones(pdf: pd.DataFrame, tomb: dict[str, np.ndarray]) -> pd.DataFrame:
     """Block surgery: return ``pdf`` (a segment-block frame WITH its ``run``
     column) as if the tombstoned postings were never indexed. Blocks whose

@@ -1355,6 +1355,111 @@ def update_by_query_body(
     return {"updated": int(n)}
 
 
+def analyze_body(out_dir: str | None, body: dict) -> dict:
+    """ES ``_analyze``: run the analyzer chain over ``body["text"]`` and
+    return the token stream in the ES shape — ``{"tokens": [{"token",
+    "start_offset", "end_offset", "type", "position"}]}``. With an index
+    (``out_dir``) the index's persisted analyzer applies by default (the
+    chain every build/query runs — what users call _analyze to debug);
+    ``body["analyzer"]`` overrides with an explicit chain config (our
+    analyzers are config dicts, not registry names) and works with
+    ``out_dir=None`` too. Positions keep increment semantics (stopword
+    gaps); offsets index the lowercased text. Zero Spark jobs."""
+    from ..textutils import analyze_with_offsets, analyzer_config
+
+    if "text" not in (body or {}):
+        raise UnsupportedDSL('_analyze needs a "text" field')
+    if "analyzer" in (body or {}):
+        cfg = analyzer_config(body["analyzer"])
+    elif out_dir is not None:
+        from .build import load_stats
+
+        cfg = load_stats(out_dir).get("analyzer")
+    else:
+        cfg = None
+    toks = analyze_with_offsets(str(body["text"]), cfg)
+    return {
+        "tokens": [
+            {
+                "token": t,
+                "start_offset": int(a),
+                "end_offset": int(b),
+                "type": "<NUM>" if t.isdigit() else "<ALPHANUM>",
+                "position": int(p),
+            }
+            for t, p, a, b in toks
+        ]
+    }
+
+
+def mget(out_dir: str, body: dict) -> dict:
+    """ES ``_mget``: bulk point lookups. ``body`` is ``{"ids": [...]}`` or
+    ``{"docs": [{"_id": ...}, ...]}``; the response preserves request
+    order, one ``{"_id", "found"[, "_source"]}`` per ask. Stored columns
+    resolve latest-version-wins via ``lookup_docs`` (bucket-pruned pyarrow,
+    zero Spark jobs); fully deleted docs come back ``found: false``
+    (``dead_doc_set`` — the same visibility rule the query path serves)."""
+    from .build import lookup_docs
+    from .delete import dead_doc_set
+
+    if "ids" in (body or {}):
+        ids = [int(i) for i in body["ids"]]
+    elif "docs" in (body or {}):
+        ids = [int(d["_id"]) for d in body["docs"]]
+    else:
+        raise UnsupportedDSL('_mget needs "ids" or "docs"')
+    rows = lookup_docs(out_dir, ids)
+    dead = dead_doc_set(out_dir)
+    docs = []
+    for i in ids:
+        row = rows.get(i)
+        if row is None or i in dead:
+            docs.append({"_id": i, "found": False})
+        else:
+            src = {
+                k: v for k, v in row.items()
+                if k not in ("doc_id", "bucket", "run")
+            }
+            docs.append({"_id": i, "found": True, "_source": src})
+    return {"docs": docs}
+
+
+def scroll_body(
+    spark: SparkSession, out_dir: str, body: dict, *,
+    searcher: Searcher | None = None,
+):
+    """ES scroll analogue: a GENERATOR of page responses for one request
+    body, deep-paginating by threading each page's last-hit ``sort``
+    values into the next ``search_after`` (the ES-recommended PIT +
+    search_after replacement for classic scroll). Scored bodies default
+    to the ``["_score"]`` cursor; field-sorted bodies keep their sort.
+    Page N+1 costs the same as page 1 — the after-predicate applies
+    before top-k, never offset re-ranking. Snapshot consistency comes
+    from ONE shared Searcher (stats/tombstone snapshot pinned at open),
+    like an ES PIT keeping segment readers alive."""
+    body = dict(body or {})
+    if body.get("from"):
+        raise UnsupportedDSL("scroll cannot combine with from (ES contract)")
+    if "search_after" in body:
+        raise UnsupportedDSL("scroll manages search_after itself")
+    body.setdefault("size", 10)
+    body.setdefault("sort", ["_score"])
+    s = searcher if searcher is not None else Searcher(spark, out_dir)
+    after = None
+    while True:
+        b = dict(body)
+        if after is not None:
+            b["search_after"] = after
+        resp = search_body(spark, out_dir, b, searcher=s)
+        hits = resp["hits"]["hits"]
+        if after is not None and not hits:
+            return
+        yield resp
+        if len(hits) < int(body["size"]):
+            return
+        after = hits[-1]["sort"]
+
+
 def search_body(
     spark: SparkSession, out_dir: str, body: dict, *,
     searcher: Searcher | None = None,

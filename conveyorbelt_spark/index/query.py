@@ -4722,6 +4722,7 @@ class Searcher:
         self._stats_mtime = os.path.getmtime(os.path.join(out_dir, "stats.json"))
         self._term_cache: dict[str, dict | None] = {}
         self._tomb = _tombs(out_dir, self.stats)
+        self._dead_cache: set[int] | None = None
         from collections import OrderedDict
 
         # (term, with_poss) → post-tombstone block frame; the ES node-
@@ -4763,6 +4764,19 @@ class Searcher:
             self._tp_cache.clear()
             self._bg_cache.clear()
             self._tomb = _tombs(self.out_dir, self.stats)
+            self._dead_cache = None
+
+    def dead_ids(self) -> set[int]:
+        """Fully deleted doc_ids under this snapshot (``dead_doc_set``
+        over the already-loaded tombstone map) — the point-lookup APIs'
+        liveness filter. Cached until the stats snapshot moves."""
+        if self._dead_cache is None:
+            from .delete import dead_doc_set
+
+            self._dead_cache = dead_doc_set(
+                self.out_dir, self.stats, tomb=self._tomb
+            )
+        return self._dead_cache
 
     def _range_expand(self, lo: str, hi: str) -> list[str]:
         key = (lo, hi)
@@ -5020,7 +5034,7 @@ class Searcher:
 
         self._maybe_invalidate()
         row = lookup_docs(self.out_dir, [int(doc_id)]).get(int(doc_id))
-        if row is None:
+        if row is None or int(doc_id) in self.dead_ids():
             return {"_id": int(doc_id), "found": False}
         if row.get("text") is None:
             raise ValueError(

@@ -4225,6 +4225,55 @@ ORDER BY d.doc_id
 """
 
 
+def q73_analyze_api(spark, sf_dir):
+    """ES _analyze over every document's text with the english-stopword +
+    minimal-plural-stem chain: the serving-side token stream (token,
+    position) per doc, positions keeping Lucene increment gaps where
+    stopwords fell out. The DuckDB twin recomputes the chain in SQL
+    (subscripts over the non-empty raw token array, stoplist filter, the
+    q39 CASE stemmer). Pins analyze_body — the exact chain the build
+    kernel and every query-side parse run."""
+    from .index.dsl import analyze_body
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    analyzer = {"stopwords": "english", "stem": "s"}
+    rows = []
+    for r in docs:
+        for t in analyze_body(None, {"text": r.text, "analyzer": analyzer})[
+            "tokens"
+        ]:
+            rows.append((int(r.doc_id), int(t["position"]), t["token"]))
+    return spark.createDataFrame(
+        rows, "doc_id long, pos long, term string"
+    ).orderBy("doc_id", "pos")
+
+
+Q73_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t != '') AS arr
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) - 1 AS pos FROM base
+),
+an AS (SELECT * FROM toks WHERE term NOT IN ({_STOPWORDS_SQL}))
+SELECT doc_id, pos,
+  CASE
+    WHEN length(term) >= 5 AND substr(term, length(term)-3, 1) NOT IN ('a','e')
+         AND term LIKE '%ies'
+      THEN substr(term, 1, length(term)-3) || 'y'
+    WHEN regexp_matches(term, '[iaoe]es$') THEN term
+    WHEN length(term) >= 4 AND substr(term, length(term)-1, 1) NOT IN ('s','u')
+         AND term LIKE '%s'
+      THEN substr(term, 1, length(term)-1)
+    ELSE term
+  END AS term
+FROM an
+ORDER BY doc_id, pos
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -4298,6 +4347,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q70_termvectors": q70_termvectors,
     "q71_reindex": q71_reindex,
     "q72_update_by_query": q72_update_by_query,
+    "q73_analyze_api": q73_analyze_api,
 }
 
 ORACLES: dict[str, str] = {
@@ -4373,4 +4423,5 @@ ORACLES: dict[str, str] = {
     "q70_termvectors": Q70_SQL,
     "q71_reindex": Q71_SQL,
     "q72_update_by_query": Q72_SQL,
+    "q73_analyze_api": Q73_SQL,
 }

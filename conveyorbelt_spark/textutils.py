@@ -143,5 +143,26 @@ def analyze_with_slots(text: str, analyzer: dict | None) -> list[tuple[str, int]
     return out
 
 
+def analyze_with_offsets(
+    text: str, analyzer: dict | None
+) -> list[tuple[str, int, int, int]]:
+    """Tokenize + analyzer chain keeping (token, position, start_offset,
+    end_offset) — the ES ``_analyze`` response quadruple. Position is the
+    original slot index (increment semantics, gaps where stopwords fell
+    out — same rule as ``analyze_with_slots``); offsets index into the
+    lowercased text (identical to the original for ASCII input)."""
+    lowered = text.lower()
+    stop = set((analyzer or {}).get("stopwords") or [])
+    min_len = int((analyzer or {}).get("min_len", 1))
+    stem = (analyzer or {}).get("stem") == "s"
+    out = []
+    for i, m in enumerate(TOKEN_RE.finditer(lowered)):
+        t = m.group(0)
+        if analyzer and (t in stop or len(t) < min_len):
+            continue
+        out.append((stem_s(t) if stem else t, i, m.start(), m.end()))
+    return out
+
+
 def enumerate_tokens(toks: list[str]) -> list[tuple[str, int]]:
     return [(t, i) for i, t in enumerate(toks)]
