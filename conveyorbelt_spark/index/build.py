@@ -688,15 +688,28 @@ def docstore_runs(out_dir: str) -> list[str]:
     )
 
 
+def _storefold_ts(run: str) -> float | None:
+    """Embedded microsecond epoch of a ``storefold-<epoch_us>-<hash>``
+    run name (None for every other run)."""
+    if not run.startswith("storefold-"):
+        return None
+    parts = run.split("-")
+    if len(parts) == 3 and parts[1].isdigit():
+        return int(parts[1]) / 1e6
+    return None
+
+
 def docstore_run_rank(out_dir: str) -> dict[str, int]:
     """Docstore run → recency rank (higher = newer). Docstore runs are
     run_id-keyed (write_docstore gets index_batch's run_id), so recency
-    comes from the manifest's committed_at ledger — max per run_id. Runs
-    absent from the manifest rank oldest; ties break by name, so the
-    order is deterministic. Used by every docstore reader to resolve an
-    updated doc to its NEWEST stored version (update_docs appends the new
+    comes from the manifest's committed_at ledger — max per run_id;
+    ``storefold-`` runs (compact_docstore output) carry their epoch IN
+    the name, strictly newer than every run they folded. Runs known to
+    neither rank oldest; ties break by name, so the order is
+    deterministic. Used by every docstore reader to resolve an updated
+    doc to its NEWEST stored version (update_docs appends the new
     version as a delta docstore run; the old run's row stays on disk
-    until a docstore fold)."""
+    until a ``compact_docstore`` fold)."""
     import pyarrow.dataset as pds
 
     runs = docstore_runs(out_dir)
@@ -710,8 +723,80 @@ def docstore_run_rank(out_dir: str) -> dict[str, int]:
         if len(pdf):
             for r, t in pdf.groupby("run_id")["committed_at"].max().items():
                 ts[str(r)] = t.timestamp() if hasattr(t, "timestamp") else float(t)
+    for r in runs:
+        fts = _storefold_ts(r)
+        if fts is not None:
+            ts[r] = fts
     order = sorted(runs, key=lambda r: (ts.get(r, float("-inf")), r))
     return {r: i for i, r in enumerate(order)}
+
+
+def compact_docstore(spark: SparkSession, out_dir: str, *,
+                     purge_deleted: bool = False) -> int:
+    """Fold every docstore run into ONE latest-version-wins run, giving
+    readers back the single-run no-window scan (the docstore twin of
+    ``compact_runs``; run it on the same ops cadence). The fold run's
+    name embeds max(source recency) + 1 µs — ``storefold-<epoch_us>-
+    <md5(sources)>`` — so it outranks everything it folded from the
+    moment it lands: a crash between the fold write and the old-run
+    removals leaves readers picking the fold's rows (correct — they ARE
+    the latest versions), and a retry converges. Any post-fold update
+    delta gets a strictly later manifest committed_at, so it outranks
+    the fold in turn. ``purge_deleted=True`` also drops fully deleted
+    docs' rows (the ES merge-expunges-deletes analogue; changes the
+    significant_terms background denominator exactly like an ES merge
+    would). Returns the number of old run partitions removed."""
+    import hashlib
+    import shutil as _shutil
+
+    from .query import _docstore_scan
+
+    runs = docstore_runs(out_dir)
+    if len(runs) <= 1 and not purge_deleted:
+        return 0
+    # the numeric recency the rank rule uses, for the new name's epoch
+    import pyarrow.dataset as pds
+
+    ts: dict[str, float] = {}
+    man = os.path.join(out_dir, "manifest")
+    if os.path.isdir(man):
+        tbl = pds.dataset(man, format="parquet").to_table(
+            columns=["run_id", "committed_at"]
+        )
+        pdf = tbl.to_pandas()
+        if len(pdf):
+            for r, t in pdf.groupby("run_id")["committed_at"].max().items():
+                ts[str(r)] = t.timestamp() if hasattr(t, "timestamp") else float(t)
+    for r in runs:
+        fts = _storefold_ts(r)
+        if fts is not None:
+            ts[r] = fts
+    max_us = max(int(ts.get(r, 0) * 1e6) for r in runs)
+    h = hashlib.md5("|".join(sorted(runs)).encode()).hexdigest()[:8]
+    new_run = f"storefold-{max_us + 1:020d}-{h}"
+
+    merged = _docstore_scan(spark, out_dir)  # latest-version-wins
+    if purge_deleted:
+        from .delete import dead_doc_set
+
+        dead = sorted(dead_doc_set(out_dir))
+        if dead:
+            dead_df = F.broadcast(
+                spark.createDataFrame([(d,) for d in dead], "doc_id long")
+            )
+            merged = merged.join(dead_df, "doc_id", "left_anti")
+    merged = merged.withColumn("run", F.lit(new_run))
+    _dyn_overwrite(merged, os.path.join(out_dir, "docstore"), ("bucket", "run"))
+
+    removed = 0
+    store = os.path.join(out_dir, "docstore")
+    import glob as _glob
+
+    for d in _glob.glob(os.path.join(store, "bucket=*", "run=*")):
+        if os.path.basename(d) != f"run={new_run}":
+            _shutil.rmtree(d, ignore_errors=True)
+            removed += 1
+    return removed
 
 
 def lookup_docs(out_dir: str, doc_ids: list[int]) -> dict[int, dict]:

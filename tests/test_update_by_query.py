@@ -150,6 +150,63 @@ def test_update_by_query_body(spark, tmp_path):
     ) == {"count": len(matching)}
 
 
+def test_compact_docstore(spark, tmp_path):
+    from conveyorbelt_spark.index.build import compact_docstore, docstore_runs
+    from conveyorbelt_spark.index.delete import delete_docs
+    from conveyorbelt_spark.index.query import _docstore_scan
+
+    out = str(tmp_path / "idx4")
+    docs = _corpus(spark, n=60, seed=31)
+    build_index(spark, docs, out, url_col=None, n_buckets=2)
+    write_docstore(spark, docs, out, url_col=None, extra_cols=("text", "views"))
+
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    upd = spark.createDataFrame(
+        [(ids[0], "new text one", 111), (ids[1], "new text two", 222)],
+        "doc_id long, text string, views long",
+    )
+    update_docs(
+        spark, upd, out, "c1", url_col=None, n_buckets=2,
+        store_docs=True, store_cols=("text", "views"),
+    )
+    assert len(docstore_runs(out)) == 2
+
+    removed = compact_docstore(spark, out)
+    assert removed > 0
+    assert len(docstore_runs(out)) == 1
+    store = _docstore_scan(spark, out)
+    assert "Window" not in store._jdf.queryExecution().toString()
+    got = {r.doc_id: (r.text, r.views) for r in store.collect()}
+    assert len(got) == 60
+    assert got[ids[0]] == ("new text one", 111)
+    assert got[ids[1]] == ("new text two", 222)
+
+    # idempotent no-op on a single-run store
+    assert compact_docstore(spark, out) == 0
+
+    # a post-fold update outranks the fold
+    upd2 = spark.createDataFrame(
+        [(ids[0], "third version", 333)], "doc_id long, text string, views long"
+    )
+    update_docs(
+        spark, upd2, out, "c2", url_col=None, n_buckets=2,
+        store_docs=True, store_cols=("text", "views"),
+    )
+    row = _docstore_scan(spark, out).where(F.col("doc_id") == ids[0]).collect()
+    assert len(row) == 1 and row[0].text == "third version"
+
+    # purge_deleted drops fully deleted docs' rows
+    delete_docs(spark, out, [ids[2]], op_id="pd1")
+    assert _docstore_scan(spark, out).where(
+        F.col("doc_id") == ids[2]
+    ).count() == 1  # kept without purge
+    compact_docstore(spark, out, purge_deleted=True)
+    assert _docstore_scan(spark, out).where(
+        F.col("doc_id") == ids[2]
+    ).count() == 0
+    assert _docstore_scan(spark, out).count() == 59
+
+
 def test_update_by_query_guards(spark, tmp_path):
     out = str(tmp_path / "idx3")
     docs = _corpus(spark, n=40, seed=5)
