@@ -777,14 +777,9 @@ def compact_docstore(spark: SparkSession, out_dir: str, *,
 
     merged = _docstore_scan(spark, out_dir)  # latest-version-wins
     if purge_deleted:
-        from .delete import dead_doc_set
+        from .delete import drop_dead_store_rows
 
-        dead = sorted(dead_doc_set(out_dir))
-        if dead:
-            dead_df = F.broadcast(
-                spark.createDataFrame([(d,) for d in dead], "doc_id long")
-            )
-            merged = merged.join(dead_df, "doc_id", "left_anti")
+        merged = drop_dead_store_rows(spark, out_dir, merged)
     merged = merged.withColumn("run", F.lit(new_run))
     _dyn_overwrite(merged, os.path.join(out_dir, "docstore"), ("bucket", "run"))
 
@@ -1632,22 +1627,18 @@ def reindex(
     source index's stored documents (its docstore must carry the text —
     the ES _source contract) under new settings (``analyzer``,
     ``positions``, ``n_buckets``, …, any ``build_index`` kwarg). Live
-    docs only: a doc_id is dead iff it is tombstoned in EVERY committed
-    segment run — the kernel's visibility rule seen from the docstore
-    (which doesn't know which segment serves a doc): normal deletes
-    tombstone across all committed runs, and update replay excludes the
-    run that re-added the doc, so a re-added doc stays live here exactly
-    as it does in search. One distributed anti-join drops them. The
-    destination docstore carries the same stored columns. Returns the
-    number of documents reindexed.
+    docs only, newest versions only: the docstore scan resolves each doc
+    latest-version-wins, then ``drop_dead_store_rows`` removes fully
+    deleted docs (every committed segment run the newest stored version
+    maps to is tombstoned — the kernel's visibility rule seen from the
+    docstore; an update-replayed doc stays live, a later unrelated batch
+    cannot resurrect a deleted one). The destination docstore carries
+    the same stored columns. Returns the number of documents reindexed.
 
     Scale shape: one docstore scan → anti-join (tombstones are a
     broadcast-sized parquet) → the standard build pipeline (salted
     shuffle, sorted posting blocks, manifests) — no driver
     materialization of documents anywhere."""
-    from pyspark.sql import functions as F  # noqa: N812
-
-    from .delete import _tomb_dir
     from .query import _docstore_scan
 
     stats = load_stats(src_dir)
@@ -1657,25 +1648,9 @@ def reindex(
             "reindex needs the stored text — build the source docstore "
             "with write_docstore(extra_cols=('text',))"
         )
-    truns = stats.get("tombstone_runs") or []
-    committed = sorted(stats.get("committed_runs") or [])
-    tdir = _tomb_dir(src_dir)
-    if truns and committed and os.path.isdir(tdir):
-        dead = (
-            spark.read.parquet(tdir)
-            .where(F.col("trun").isin(truns))
-            .where(F.col("run").isin(committed))
-            .select("doc_id", "run")
-            .distinct()
-            .groupBy("doc_id")
-            .agg(F.count("*").alias("_nr"))
-            .where(F.col("_nr") == len(committed))
-            .select("doc_id")
-        )
-        # no forced broadcast: AQE picks broadcast for the typical small
-        # tombstone set and falls back to shuffle when a mass delete made
-        # it large
-        store = store.join(dead, "doc_id", "left_anti")
+    from .delete import drop_dead_store_rows
+
+    store = drop_dead_store_rows(spark, src_dir, store, stats)
     build_index(
         spark, store.select("doc_id", "text"), dest_dir,
         url_col=None, **build_kw,

@@ -36,6 +36,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import re
 
 import numpy as np
 import pandas as pd
@@ -208,36 +209,106 @@ def _in_sorted(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return mask
 
 
-def dead_doc_set(
-    out_dir: str, stats: dict | None = None,
+_GSUF_RE = re.compile(r"-g\d+$")
+
+
+def _base_to_segs(committed: list[str]) -> dict[str, list[str]]:
+    """Committed segment runs grouped by their docstore-run base (a full
+    build's run_id R writes segments R-g0..R-gN but one docstore run R;
+    incremental batches use R for both)."""
+    out: dict[str, list[str]] = {}
+    for r in committed:
+        out.setdefault(_GSUF_RE.sub("", r), []).append(r)
+    return out
+
+
+def dead_lookup_ids(
+    out_dir: str,
+    rows: dict[int, dict],
+    stats: dict | None = None,
     tomb: dict[str, np.ndarray] | None = None,
 ) -> set[int]:
-    """doc_ids invisible to EVERY committed segment run — fully deleted
-    docs (an updated doc's tombstones exclude its re-adding run, so it
-    stays out of this set). Driver-side (tombstone volume is bounded by
-    the compaction cadence); serving-path companion for the point-lookup
-    APIs (_mget, _termvectors), mirroring the distributed rule
-    ``build.reindex`` applies. Pass a preloaded ``tomb`` map (a Searcher's
-    snapshot) to skip the parquet read."""
+    """The point-lookup liveness rule: of ``rows`` (doc_id → newest
+    docstore row, from ``lookup_docs`` — each carries its ``run``), the
+    doc_ids that are FULLY DELETED. A doc is dead iff every committed
+    segment run its newest stored version maps to is tombstoned for it —
+    the same visibility the posting kernel serves, evaluated from the
+    docstore side. A later unrelated batch commit cannot resurrect a
+    deleted doc (its own runs stay tombstoned); an update genuinely does
+    (the new row's run has no tombstone). Rows whose run maps to no
+    committed segment run (a ``storefold-`` row, or post-compaction
+    renames) fall back to the conservative all-committed-runs test —
+    pair physical purges with ``compact_docstore(purge_deleted=True)``.
+    Driver-side; tombstone volume is bounded by the compaction cadence.
+    Pass a Searcher's preloaded ``tomb`` snapshot to skip the read."""
     if stats is None:
         from .build import load_stats
 
         stats = load_stats(out_dir)
-    committed = stats.get("committed_runs") or []
+    committed = list(stats.get("committed_runs") or [])
     if tomb is None:
         tomb = load_tombstones(out_dir, stats)
     if not committed or not tomb:
         return set()
-    dead: set[int] | None = None
-    for r in committed:
-        ids = tomb.get(r)
-        if ids is None or not len(ids):
-            return set()
-        s = set(int(i) for i in ids)
-        dead = s if dead is None else dead & s
-        if not dead:
-            return set()
-    return dead or set()
+    segs_of = _base_to_segs(committed)
+    tomb_sets = {r: set(int(i) for i in ids) for r, ids in tomb.items()}
+    dead: set[int] = set()
+    for did, row in rows.items():
+        segs = segs_of.get(str(row.get("run"))) or committed
+        if segs and all(did in tomb_sets.get(s, ()) for s in segs):
+            dead.add(int(did))
+    return dead
+
+
+def drop_dead_store_rows(spark, out_dir: str, store, stats: dict | None = None):
+    """Distributed twin of ``dead_lookup_ids`` over a (deduped) docstore
+    scan: drop rows whose doc is fully deleted. One pass over the
+    tombstone parquet (bounded, AQE broadcasts it) grouped per (doc_id,
+    base run) and compared against the base's committed segment-run
+    count; rows with an unrecognized run fall back to the
+    all-committed-runs test. No-op (the unmodified plan) when the index
+    has no tombstones."""
+    from .build import load_stats
+
+    if stats is None:
+        stats = load_stats(out_dir)
+    truns = stats.get("tombstone_runs") or []
+    committed = sorted(stats.get("committed_runs") or [])
+    tdir = _tomb_dir(out_dir)
+    if not truns or not committed or not os.path.isdir(tdir):
+        return store
+    tomb = (
+        spark.read.parquet(tdir)
+        .where(F.col("trun").isin(truns))
+        .where(F.col("run").isin(committed))
+        .select("doc_id", "run")
+        .distinct()
+    )
+    segs_of = _base_to_segs(committed)
+    base_n = F.create_map(
+        *[F.lit(x) for b, s in sorted(segs_of.items()) for x in (b, len(s))]
+    )
+    tomb_base = (
+        tomb.withColumn("base", F.regexp_replace("run", r"-g\d+$", ""))
+        .groupBy("doc_id", "base")
+        .agg(F.countDistinct("run").alias("_nt"))
+    )
+    dead_pairs = (
+        tomb_base.where(F.col("_nt") == base_n[F.col("base")])
+        .select("doc_id", F.col("base").alias("run"))
+    )
+    dead_all = (
+        tomb.groupBy("doc_id")
+        .agg(F.countDistinct("run").alias("_nt"))
+        .where(F.col("_nt") == len(committed))
+        .select("doc_id")
+    )
+    known = F.col("run").isin(sorted(segs_of))
+    kept_known = store.where(known).join(
+        dead_pairs, ["doc_id", "run"], "left_anti"
+    )
+    kept_unknown = store.where(~known).join(dead_all, "doc_id", "left_anti")
+    return kept_known.unionByName(kept_unknown)
 
 
 def apply_tombstones(pdf: pd.DataFrame, tomb: dict[str, np.ndarray]) -> pd.DataFrame:

@@ -98,6 +98,7 @@ Simplifications vs real ES (documented, deliberate):
 
 from __future__ import annotations
 
+import json
 import math
 import os
 from typing import Any
@@ -1035,9 +1036,15 @@ def count_body(
     """ES ``_count``: the exact matching-doc count of a query body — no
     hits, no aggs, no search phase; the ``track_total_hits`` machinery
     alone (distributed, uncapped — never a driver materialization). An
-    absent/match_all query counts live docs: n_docs minus tombstones."""
-    from .delete import n_tombstoned
-
+    absent/match_all query counts LIVE docs: the zero-job ledger count
+    when the index has no tombstones; with tombstones, the exact
+    distributed count over the deduped docstore minus fully deleted rows
+    (the ledger alone cannot be exact once updates double-count versions
+    — an updated doc sits in two runs while its tombstones cover only
+    the old ones); a tombstoned index WITHOUT a docstore falls back to
+    the ledger-minus-distinct-tombstoned approximation (exact for pure
+    deletes, an undercount when updates upserted brand-new docs —
+    carry a docstore, as every _source-serving API needs anyway)."""
     s = searcher if searcher is not None and searcher.out_dir == out_dir \
         else Searcher(spark, out_dir)
     q = (body or {}).get("query")
@@ -1051,6 +1058,18 @@ def count_body(
         and not plan["must_not"] and not filters and not ranges
         and not or_groups and not not_atoms
     ):
+        if not s.stats.get("tombstone_runs"):
+            return {"count": int(s.stats["n_docs"])}
+        if os.path.isdir(os.path.join(out_dir, "docstore")):
+            from .delete import drop_dead_store_rows
+            from .query import _docstore_scan
+
+            live = drop_dead_store_rows(
+                spark, out_dir, _docstore_scan(spark, out_dir), s.stats
+            )
+            return {"count": int(live.count())}
+        from .delete import n_tombstoned
+
         return {"count": int(s.stats["n_docs"]) - n_tombstoned(out_dir, s.stats)}
     return {
         "count": _exact_total(
@@ -1355,6 +1374,182 @@ def update_by_query_body(
     return {"updated": int(n)}
 
 
+def bulk_body(
+    spark: SparkSession, out_dir: str, payload, *, batch_id, **index_kw,
+) -> dict:
+    """ES ``_bulk``: the reference's write path (NestBatchPusher.cs:68-82
+    builds bulk requests with explicit ids — PartitionKey+RowKey — against
+    the daily index). ``payload`` is NDJSON (action line, then a source
+    line for index/create/update) or an already-parsed list of those
+    dicts. Supported actions: ``index`` (upsert), ``create`` (409
+    version-conflict on a live doc), ``update`` (``{"doc": ...}`` partial
+    merge onto the stored _source; 404 on a missing doc unless
+    ``doc_as_upsert``), ``delete`` (404-not-found without the errors
+    flag, like ES). Every action needs an integer ``_id`` (the
+    reference's contract — it always sets explicit ids).
+
+    Semantics: actions apply IN ORDER per doc (driver-side state machine
+    over the stored rows — bulk request size is bounded by the client,
+    the reference's BulkBatchSize); the NET effect then lands in two
+    distributed ops — one ``delete_docs`` for net deletions and one
+    ``update_docs`` delta run for net upserts (tombstone old versions +
+    append; a doc not previously indexed upserts cleanly). Index settings
+    replay from stats.json. Idempotent per ``batch_id``: both ops gate on
+    committed run/op ids. Returns the ES shape ``{"errors": bool,
+    "items": [...]}`` in request order."""
+    from .build import load_stats, lookup_docs
+    from .delete import dead_lookup_ids, delete_docs, update_docs
+    from .query import _docstore_scan
+
+    # --- parse
+    if isinstance(payload, str):
+        lines = [json.loads(x) for x in payload.splitlines() if x.strip()]
+    else:
+        lines = list(payload)
+    items: list[tuple[str, int, dict | None]] = []
+    i = 0
+    while i < len(lines):
+        action = lines[i]
+        if not (isinstance(action, dict) and len(action) == 1):
+            raise UnsupportedDSL(f"malformed bulk action line: {action!r}")
+        op, meta = next(iter(action.items()))
+        if op not in ("index", "create", "update", "delete"):
+            raise UnsupportedDSL(f"unsupported bulk action {op!r}")
+        if "_id" not in (meta or {}):
+            raise UnsupportedDSL(
+                "bulk actions need an explicit integer _id (the "
+                "reference's contract)"
+            )
+        did = int(meta["_id"])
+        i += 1
+        src = None
+        if op != "delete":
+            if i >= len(lines):
+                raise UnsupportedDSL(f"bulk {op} action missing its source line")
+            src = lines[i]
+            i += 1
+        items.append((op, did, src))
+
+    store = _docstore_scan(spark, out_dir)
+    if "text" not in store.columns:
+        raise ValueError(
+            "bulk needs the stored text — build the docstore with "
+            "write_docstore(extra_cols=('text',))"
+        )
+    doc_cols = [c for c in store.columns if c not in ("bucket", "run")]
+    ids = sorted({d for _, d, _ in items})
+    stored = lookup_docs(out_dir, ids)
+    dead = dead_lookup_ids(out_dir, stored)
+
+    # --- sequential per-doc state machine
+    state: dict[int, dict | None] = {}
+    for d in ids:
+        row = stored.get(d)
+        state[d] = (
+            None if row is None or d in dead
+            else {k: row.get(k) for k in doc_cols}
+        )
+    pre_live = {d: state[d] is not None for d in ids}
+    out_items: list[dict] = []
+    errors = False
+
+    def _merge(did: int, base: dict | None, fields: dict) -> dict:
+        bad = set(fields) - set(doc_cols)
+        if bad:
+            raise UnsupportedDSL(
+                f"bulk source has non-stored fields {sorted(bad)} "
+                f"(delta docstore runs keep one schema)"
+            )
+        doc = {k: None for k in doc_cols}
+        if base:
+            doc.update(base)
+        doc.update(fields)
+        doc["doc_id"] = did
+        return doc
+
+    for op, did, src in items:
+        live = state[did] is not None
+        if op == "delete":
+            if live:
+                state[did] = None
+                out_items.append({"delete": {
+                    "_id": did, "status": 200, "result": "deleted"}})
+            else:
+                out_items.append({"delete": {
+                    "_id": did, "status": 404, "result": "not_found"}})
+        elif op == "create":
+            if live:
+                errors = True
+                out_items.append({"create": {
+                    "_id": did, "status": 409,
+                    "error": {"type": "version_conflict_engine_exception"}}})
+            else:
+                state[did] = _merge(did, None, src)
+                out_items.append({"create": {
+                    "_id": did, "status": 201, "result": "created"}})
+        elif op == "index":
+            state[did] = _merge(did, None, src)
+            out_items.append({"index": {
+                "_id": did, "status": 200 if live else 201,
+                "result": "updated" if live else "created"}})
+        else:  # update
+            fields = (src or {}).get("doc")
+            if fields is None:
+                raise UnsupportedDSL(
+                    'bulk update supports {"doc": ...} partial documents'
+                )
+            if not live and not (src or {}).get("doc_as_upsert"):
+                errors = True
+                out_items.append({"update": {
+                    "_id": did, "status": 404,
+                    "error": {"type": "document_missing_exception"}}})
+            else:
+                state[did] = _merge(did, state[did], fields)
+                out_items.append({"update": {
+                    "_id": did, "status": 200, "result": "updated"}})
+
+    # --- net application: genuinely-new docs append as a plain delta run
+    # (no tombstones — they'd poison the ledger's live count), updates of
+    # pre-live docs go through the tombstone+delta update path, and the
+    # delete pass runs LAST so its tombstones also cover the fresh runs —
+    # a net-deleted doc stays dead under the newest-stored-version
+    # liveness rule no matter which runs later readers see.
+    del_ids = [d for d in ids if state[d] is None and pre_live[d]]
+    news = [state[d] for d in ids if state[d] is not None and not pre_live[d]]
+    upds = [state[d] for d in ids if state[d] is not None and pre_live[d]]
+    if news or upds:
+        from ..streaming.incremental import index_batch
+
+        st = load_stats(out_dir)
+        cfg = dict(
+            n_buckets=st["n_buckets"], block_size=st["block_size"],
+            n_term_buckets=st["n_term_buckets"], k1=st["k1"], b=st["b"],
+            positions=bool(st.get("positions")), analyzer=st.get("analyzer"),
+        )
+        cfg.update(index_kw)
+        store_cols = tuple(c for c in doc_cols if c not in ("doc_id", "url"))
+        schema = store.select(*doc_cols).schema
+
+        def _df(rows):
+            return spark.createDataFrame(
+                [tuple(u.get(c) for c in doc_cols) for u in rows], schema
+            )
+
+        if news:
+            index_batch(
+                spark, _df(news), out_dir, f"bulk_{batch_id}_new",
+                url_col=None, store_docs=True, store_cols=store_cols, **cfg,
+            )
+        if upds:
+            update_docs(
+                spark, _df(upds), out_dir, f"bulk_{batch_id}", url_col=None,
+                store_docs=True, store_cols=store_cols, **cfg,
+            )
+    if del_ids:
+        delete_docs(spark, out_dir, del_ids, op_id=f"bulk_{batch_id}_del")
+    return {"errors": errors, "items": out_items}
+
+
 def analyze_body(out_dir: str | None, body: dict) -> dict:
     """ES ``_analyze``: run the analyzer chain over ``body["text"]`` and
     return the token stream in the ES shape — ``{"tokens": [{"token",
@@ -1398,9 +1593,10 @@ def mget(out_dir: str, body: dict) -> dict:
     order, one ``{"_id", "found"[, "_source"]}`` per ask. Stored columns
     resolve latest-version-wins via ``lookup_docs`` (bucket-pruned pyarrow,
     zero Spark jobs); fully deleted docs come back ``found: false``
-    (``dead_doc_set`` — the same visibility rule the query path serves)."""
+    (``dead_lookup_ids`` — the same visibility rule the query path
+    serves, evaluated from each doc's newest stored version)."""
     from .build import lookup_docs
-    from .delete import dead_doc_set
+    from .delete import dead_lookup_ids
 
     if "ids" in (body or {}):
         ids = [int(i) for i in body["ids"]]
@@ -1409,7 +1605,7 @@ def mget(out_dir: str, body: dict) -> dict:
     else:
         raise UnsupportedDSL('_mget needs "ids" or "docs"')
     rows = lookup_docs(out_dir, ids)
-    dead = dead_doc_set(out_dir)
+    dead = dead_lookup_ids(out_dir, rows)
     docs = []
     for i in ids:
         row = rows.get(i)

@@ -4722,7 +4722,6 @@ class Searcher:
         self._stats_mtime = os.path.getmtime(os.path.join(out_dir, "stats.json"))
         self._term_cache: dict[str, dict | None] = {}
         self._tomb = _tombs(out_dir, self.stats)
-        self._dead_cache: set[int] | None = None
         from collections import OrderedDict
 
         # (term, with_poss) → post-tombstone block frame; the ES node-
@@ -4764,19 +4763,19 @@ class Searcher:
             self._tp_cache.clear()
             self._bg_cache.clear()
             self._tomb = _tombs(self.out_dir, self.stats)
-            self._dead_cache = None
 
-    def dead_ids(self) -> set[int]:
-        """Fully deleted doc_ids under this snapshot (``dead_doc_set``
-        over the already-loaded tombstone map) — the point-lookup APIs'
-        liveness filter. Cached until the stats snapshot moves."""
-        if self._dead_cache is None:
-            from .delete import dead_doc_set
+    def _is_dead(self, doc_id: int, row: dict) -> bool:
+        """Point-lookup liveness under this snapshot: is the doc's newest
+        stored version (``row`` from ``lookup_docs``) fully deleted —
+        every committed segment run it maps to tombstoned
+        (``dead_lookup_ids``)."""
+        from .delete import dead_lookup_ids
 
-            self._dead_cache = dead_doc_set(
-                self.out_dir, self.stats, tomb=self._tomb
+        return bool(
+            dead_lookup_ids(
+                self.out_dir, {int(doc_id): row}, self.stats, tomb=self._tomb
             )
-        return self._dead_cache
+        )
 
     def _range_expand(self, lo: str, hi: str) -> list[str]:
         key = (lo, hi)
@@ -5034,7 +5033,7 @@ class Searcher:
 
         self._maybe_invalidate()
         row = lookup_docs(self.out_dir, [int(doc_id)]).get(int(doc_id))
-        if row is None or int(doc_id) in self.dead_ids():
+        if row is None or self._is_dead(doc_id, row):
             return {"_id": int(doc_id), "found": False}
         if row.get("text") is None:
             raise ValueError(

@@ -4274,6 +4274,74 @@ ORDER BY doc_id, pos
 """
 
 
+def q74_bulk_api(spark, sf_dir):
+    """ES _bulk through the real index (the reference pusher's write path,
+    NestBatchPusher.cs:68-82): one payload mixing deletes (doc_id%10==0),
+    partial-doc updates (doc_id%10==1 → patched text), and brand-new
+    indexed docs, applied with sequential per-doc semantics and landed as
+    plain-append + tombstone-update + delete passes. Result: the final
+    live corpus read back through the engine's own readers (deduped
+    docstore minus dead rows). DuckDB twin: the net effect as a
+    CASE + anti-filter + UNION ALL."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from .index.build import build_index, write_docstore
+    from .index.delete import drop_dead_store_rows
+    from .index.dsl import bulk_body
+    from .index.query import _docstore_scan
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = tempfile.mkdtemp(prefix="cb_q74_idx_")
+    try:
+        build_index(spark, docs, out, url_col=None, n_buckets=8)
+        write_docstore(spark, docs, out, url_col=None, extra_cols=("text",))
+        ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+        actions = []
+        for d in ids:
+            if d % 10 == 0:
+                actions.append({"delete": {"_id": d}})
+            elif d % 10 == 1:
+                actions.append({"update": {"_id": d}})
+                actions.append({"doc": {"text": "patched replacement text"}})
+        for k in range(5):
+            actions.append({"index": {"_id": 10_000_000 + k}})
+            actions.append({"text": f"bulknew{k} content"})
+        resp = bulk_body(
+            spark, out, "\n".join(_json.dumps(a) for a in actions),
+            batch_id="q74",
+        )
+        assert resp["errors"] is False
+        final = (
+            drop_dead_store_rows(spark, out, _docstore_scan(spark, out))
+            .select("doc_id", "text")
+            .orderBy("doc_id")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(int(r.doc_id), r.text) for r in final], "doc_id long, text string"
+    ).orderBy("doc_id")
+
+
+Q74_SQL = """
+WITH live AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 1 THEN 'patched replacement text'
+              ELSE text END AS text
+  FROM documents WHERE doc_id % 10 <> 0
+)
+SELECT doc_id, text FROM live
+UNION ALL
+SELECT 10000000 + range AS doc_id,
+       'bulknew' || range || ' content' AS text
+FROM range(0, 5)
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -4348,6 +4416,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q71_reindex": q71_reindex,
     "q72_update_by_query": q72_update_by_query,
     "q73_analyze_api": q73_analyze_api,
+    "q74_bulk_api": q74_bulk_api,
 }
 
 ORACLES: dict[str, str] = {
@@ -4424,4 +4493,5 @@ ORACLES: dict[str, str] = {
     "q71_reindex": Q71_SQL,
     "q72_update_by_query": Q72_SQL,
     "q73_analyze_api": Q73_SQL,
+    "q74_bulk_api": Q74_SQL,
 }
