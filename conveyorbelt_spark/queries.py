@@ -4342,6 +4342,83 @@ ORDER BY doc_id
 """
 
 
+def q75_alias_search(spark, sf_dir):
+    """ES alias + multi-index search (the daily-rotation idiom: dated
+    indexes behind one alias — IndexNamer.cs:21-41 names them, Kibana
+    queries the pattern): documents split by doc_id parity into two real
+    indexes, an alias registered over both, one body searched through it.
+    Pins ES query_then_fetch semantics — each index scores with its OWN
+    df/avgdl/n_docs, the merge is by score. DuckDB twin: BM25 with every
+    statistic computed PER PARITY, merged."""
+    import shutil
+    import tempfile
+
+    from .index.aliases import search_body_alias, update_aliases
+    from .index.build import build_index
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    import os
+
+    root = tempfile.mkdtemp(prefix="cb_q75_")
+    try:
+        for p in (0, 1):
+            build_index(
+                spark, docs.where(F.pmod(F.col("doc_id"), F.lit(2)) == p),
+                os.path.join(root, f"idx-{p}"), url_col=None, n_buckets=4,
+            )
+        update_aliases(root, {"actions": [
+            {"add": {"index": os.path.join(root, "idx-*"), "alias": "docs"}},
+        ]})
+        hits = search_body_alias(
+            spark, root, "docs",
+            {"query": {"match": {"text": " ".join(BM25_QUERY_TERMS)}},
+             "size": 20},
+        )["hits"]["hits"]
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [(int(h["_id"]), round(float(h["_score"]), 4)) for h in hits],
+        "doc_id long, score double",
+    ).orderBy(F.desc("score"), F.asc("doc_id"))
+
+
+Q75_SQL = f"""
+WITH toks AS ({_TOKENS_SQL}),
+tf AS (
+  SELECT doc_id, doc_id % 2 AS par, term, count(*) AS tf
+  FROM toks WHERE term != '' GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, par, sum(tf) AS dl FROM tf GROUP BY doc_id, par),
+pstats AS (
+  SELECT doc_id % 2 AS par, count(*) AS n_docs
+  FROM documents GROUP BY doc_id % 2
+),
+pavg AS (
+  SELECT dl.par, sum(dl.dl)::DOUBLE / max(pstats.n_docs) AS avgdl,
+         max(pstats.n_docs) AS n_docs
+  FROM dl JOIN pstats ON dl.par = pstats.par GROUP BY dl.par
+),
+q AS (SELECT unnest({BM25_QUERY_TERMS!r}) AS term),
+df AS (
+  SELECT par, term, count(DISTINCT doc_id) AS df FROM tf
+  WHERE term IN (SELECT term FROM q) GROUP BY par, term
+),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (pavg.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / pavg.avgdl)))) AS raw
+  FROM tf
+  JOIN df ON tf.term = df.term AND tf.par = df.par
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN pavg ON tf.par = pavg.par
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(raw, 4) AS score
+FROM scored ORDER BY raw DESC, doc_id ASC LIMIT 20
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -4417,6 +4494,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q72_update_by_query": q72_update_by_query,
     "q73_analyze_api": q73_analyze_api,
     "q74_bulk_api": q74_bulk_api,
+    "q75_alias_search": q75_alias_search,
 }
 
 ORACLES: dict[str, str] = {
@@ -4494,4 +4572,5 @@ ORACLES: dict[str, str] = {
     "q72_update_by_query": Q72_SQL,
     "q73_analyze_api": Q73_SQL,
     "q74_bulk_api": Q74_SQL,
+    "q75_alias_search": Q75_SQL,
 }
