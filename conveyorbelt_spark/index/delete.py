@@ -303,12 +303,24 @@ def drop_dead_store_rows(spark, out_dir: str, store, stats: dict | None = None):
         .where(F.col("_nt") == len(committed))
         .select("doc_id")
     )
+    # ONE docstore scan: two left joins against the (bounded, broadcast)
+    # dead frames, then a single filter — a union of per-case anti-joins
+    # would read the 100 TB store twice
     known = F.col("run").isin(sorted(segs_of))
-    kept_known = store.where(known).join(
-        dead_pairs, ["doc_id", "run"], "left_anti"
+    dp = dead_pairs.withColumn("_dp", F.lit(True))
+    da = dead_all.withColumn("_da", F.lit(True))
+    out = (
+        store.join(F.broadcast(dp), ["doc_id", "run"], "left")
+        .join(F.broadcast(da), ["doc_id"], "left")
+        .where(
+            ~(
+                (known & F.coalesce(F.col("_dp"), F.lit(False)))
+                | (~known & F.coalesce(F.col("_da"), F.lit(False)))
+            )
+        )
+        .drop("_dp", "_da")
     )
-    kept_unknown = store.where(~known).join(dead_all, "doc_id", "left_anti")
-    return kept_known.unionByName(kept_unknown)
+    return out
 
 
 def apply_tombstones(pdf: pd.DataFrame, tomb: dict[str, np.ndarray]) -> pd.DataFrame:
