@@ -15,6 +15,13 @@ query context:
   multi_match      {"multi_match": {"query": q, "fields": ["title^2","text"],
                     "type": "best_fields"|"most_fields"}}
   prefix/wildcard/fuzzy  {"prefix": {"text": "te"}} …          → expansion bag
+  span_near        {"span_near": {"clauses": [{"span_term": {...}}, ...],
+                    "slop": n, "in_order": bool}} — positional window
+                   match (see ``query._span_kernel``)
+  intervals        {"intervals": {"text": {"match": {"query": "a b c",
+                    "max_gaps": g, "ordered": bool}}}} — also all_of over
+                   single-term matches; reduces exactly to the span
+                   kernel (max_gaps must be explicit ≥ 0)
   more_like_this   {"more_like_this": {"like": <doc_id|text>, ...knobs}}
   match_all        {"match_all": {}} (only with filters/sort — something
                    must bound the result)
@@ -463,6 +470,54 @@ def _parse_bool_core(body: dict, plan: dict, analyzer, top: bool = False) -> _Bo
     return ctx
 
 
+def _parse_intervals(rule: dict) -> dict:
+    """ES ``intervals`` query → plan updates. Supported rules: ``match``
+    (multi-term source text) and ``all_of`` over single-term ``match``
+    sub-intervals. Both reduce EXACTLY to the span kernel: an interval of
+    k terms with ``max_gaps`` G matches iff the terms fit in a window of
+    width (k-1)+G — ordered (greedy chain) or unordered (anchor window) —
+    which is ``span_near`` with slop=G (semantics and the documented
+    scoring simplification in ``query._span_kernel``). ``max_gaps`` must
+    be explicit and ≥ 0: the ES default (-1, unbounded) degenerates to a
+    doc-level AND whose interval frequency the window kernel cannot
+    count, so it is rejected rather than silently misparsed. A one-term
+    source is the plain match it is in ES."""
+    kind, spec = _one(rule)
+    if kind == "match":
+        words = [w for w in str(spec.get("query", "")).split() if w]
+    elif kind == "all_of":
+        words = []
+        for sub in spec.get("intervals") or []:
+            sk, sb = _one(sub)
+            if sk != "match":
+                raise UnsupportedDSL(
+                    "intervals all_of supports match sub-intervals only"
+                )
+            parts = [w for w in str(sb.get("query", "")).split() if w]
+            if len(parts) != 1 or "max_gaps" in sb or "ordered" in sb:
+                raise UnsupportedDSL(
+                    "intervals all_of sub-matches must be single plain terms"
+                )
+            words += parts
+    else:
+        raise UnsupportedDSL(f"unsupported intervals rule {kind!r}")
+    if not words:
+        raise UnsupportedDSL("intervals needs a non-empty source")
+    if len(words) == 1:
+        return {"query": words[0]}
+    gaps = spec.get("max_gaps", -1)
+    if int(gaps) < 0:
+        raise UnsupportedDSL(
+            "intervals needs an explicit max_gaps >= 0 (the ES default -1 "
+            "= unbounded is unsupported)"
+        )
+    return {"span_near": {
+        "clauses": words,
+        "slop": int(gaps),
+        "in_order": bool(spec.get("ordered", False)),
+    }}
+
+
 def parse_query(query: dict, analyzer=None) -> dict:
     """The query-context half of a request body → engine arguments.
     ``analyzer`` is the index's analyzer config (stats.json), used to
@@ -549,6 +604,9 @@ def parse_query(query: dict, analyzer=None) -> dict:
             "slop": int(body.get("slop", 0)),
             "in_order": bool(body.get("in_order", True)),
         }
+    elif kind == "intervals":
+        _field, rule = _one(body)
+        plan.update(_parse_intervals(rule))
     elif kind == "span_term":
         # a lone single-position span ≡ a one-term match (identical
         # BM25: spanFreq of a single term IS its term frequency)

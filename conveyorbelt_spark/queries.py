@@ -4419,6 +4419,131 @@ FROM scored ORDER BY raw DESC, doc_id ASC LIMIT 20
 """
 
 
+def q76_intervals(spark, sf_dir):
+    """ES ``intervals`` query through the DSL over a real positional
+    index: a 3-term unordered match rule (max_gaps 4 → anchor-window
+    width 6) with exact track_total_hits, and an ordered ``all_of`` of
+    single-term matches (max_gaps 1 → greedy-chain window 2). Both
+    reduce exactly to the span kernel (dsl._parse_intervals); the DuckDB
+    twin recomputes anchor counts with correlated EXISTS over the
+    token-position table and the identical BM25 arithmetic (the q69
+    shape, fresh rules and terms)."""
+    import shutil
+    import tempfile
+
+    from .index.build import build_index
+    from .index.dsl import search_body
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="cb_q76_idx_")
+    try:
+        build_index(
+            spark, docs.select("doc_id", "text"), out, url_col=None,
+            n_buckets=8, positions=True,
+        )
+        rows = []
+        resp = search_body(spark, out, {
+            "query": {"intervals": {"text": {"match": {
+                "query": "scan filter join", "max_gaps": 4,
+            }}}},
+            "size": 15, "track_total_hits": True,
+        })
+        rows += [
+            ("uno", int(h["_id"]), round(float(h["_score"]), 4))
+            for h in resp["hits"]["hits"]
+        ]
+        rows.append(("uno_total", int(resp["hits"]["total"]["value"]), None))
+        resp2 = search_body(spark, out, {
+            "query": {"intervals": {"text": {"all_of": {
+                "intervals": [{"match": {"query": "merge"}},
+                              {"match": {"query": "sort"}}],
+                "max_gaps": 1, "ordered": True,
+            }}}},
+            "size": 15,
+        })
+        rows += [
+            ("ord", int(h["_id"]), round(float(h["_score"]), 4))
+            for h in resp2["hits"]["hits"]
+        ]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    out_df = spark.createDataFrame(rows, "part string, doc_id long, score double")
+    return out_df.orderBy("part", "doc_id")
+
+
+Q76_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t != '') AS arr
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) - 1 AS pos FROM base
+),
+dl AS (SELECT doc_id, len(arr) AS dl FROM base),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(len(arr)) FROM base)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+dfs AS (
+  SELECT count(DISTINCT CASE WHEN term = 'scan' THEN doc_id END) AS df_sc,
+         count(DISTINCT CASE WHEN term = 'filter' THEN doc_id END) AS df_f,
+         count(DISTINCT CASE WHEN term = 'join' THEN doc_id END) AS df_j,
+         count(DISTINCT CASE WHEN term = 'merge' THEN doc_id END) AS df_m,
+         count(DISTINCT CASE WHEN term = 'sort' THEN doc_id END) AS df_so
+  FROM toks
+),
+u1 AS (
+  SELECT p.doc_id, count(DISTINCT p.pos) AS pf
+  FROM toks p
+  WHERE p.term IN ('scan', 'filter', 'join')
+    AND EXISTS (SELECT 1 FROM toks b
+                WHERE b.doc_id = p.doc_id AND b.term = 'scan'
+                  AND b.pos >= p.pos AND b.pos <= p.pos + 6)
+    AND EXISTS (SELECT 1 FROM toks c
+                WHERE c.doc_id = p.doc_id AND c.term = 'filter'
+                  AND c.pos >= p.pos AND c.pos <= p.pos + 6)
+    AND EXISTS (SELECT 1 FROM toks e
+                WHERE e.doc_id = p.doc_id AND e.term = 'join'
+                  AND e.pos >= p.pos AND e.pos <= p.pos + 6)
+  GROUP BY p.doc_id
+),
+u1s AS (
+  SELECT u1.doc_id,
+         (ln(1.0 + (s.n - d.df_sc + 0.5) / (d.df_sc + 0.5))
+          + ln(1.0 + (s.n - d.df_f + 0.5) / (d.df_f + 0.5))
+          + ln(1.0 + (s.n - d.df_j + 0.5) / (d.df_j + 0.5)))
+         * (u1.pf * 2.2) / (u1.pf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / s.avgdl))) AS raw
+  FROM u1 JOIN dl USING (doc_id) CROSS JOIN stats s CROSS JOIN dfs d
+),
+o1 AS (
+  SELECT a.doc_id, count(*) AS pf
+  FROM toks a
+  WHERE a.term = 'merge' AND EXISTS (
+    SELECT 1 FROM toks b
+    WHERE b.doc_id = a.doc_id AND b.term = 'sort'
+      AND b.pos > a.pos AND b.pos <= a.pos + 2)
+  GROUP BY a.doc_id
+),
+o1s AS (
+  SELECT o1.doc_id,
+         (ln(1.0 + (s.n - d.df_m + 0.5) / (d.df_m + 0.5))
+          + ln(1.0 + (s.n - d.df_so + 0.5) / (d.df_so + 0.5)))
+         * (o1.pf * 2.2) / (o1.pf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / s.avgdl))) AS raw
+  FROM o1 JOIN dl USING (doc_id) CROSS JOIN stats s CROSS JOIN dfs d
+)
+SELECT part, doc_id, score FROM (
+  SELECT 'uno' AS part, doc_id, round(raw, 4) AS score
+  FROM (SELECT * FROM u1s ORDER BY raw DESC, doc_id ASC LIMIT 15)
+  UNION ALL
+  SELECT 'uno_total', (SELECT count(*) FROM u1), NULL
+  UNION ALL
+  SELECT 'ord', doc_id, round(raw, 4)
+  FROM (SELECT * FROM o1s ORDER BY raw DESC, doc_id ASC LIMIT 15)
+) ORDER BY part, doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -4495,6 +4620,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q73_analyze_api": q73_analyze_api,
     "q74_bulk_api": q74_bulk_api,
     "q75_alias_search": q75_alias_search,
+    "q76_intervals": q76_intervals,
 }
 
 ORACLES: dict[str, str] = {
@@ -4573,4 +4699,5 @@ ORACLES: dict[str, str] = {
     "q73_analyze_api": Q73_SQL,
     "q74_bulk_api": Q74_SQL,
     "q75_alias_search": Q75_SQL,
+    "q76_intervals": Q76_SQL,
 }

@@ -167,3 +167,77 @@ def test_span_needs_positions(spark, tmp_path_factory):
     build_index(spark, docs, out, n_buckets=2, positions=False)
     with pytest.raises(ValueError, match="positions"):
         span_near_topk(spark, out, ["term00000", "term00001"], 5)
+
+
+def test_intervals_dsl(spark, sidx):
+    """ES intervals bodies reduce exactly to the span kernel: a match
+    rule with max_gaps/ordered equals the corresponding span_near (hits
+    and totals), all_of over single-term matches composes the same
+    clause list, a one-term source is the plain match, and the ES
+    unbounded default (max_gaps absent or -1) is rejected rather than
+    misparsed."""
+    out, oracle = sidx
+    terms = ["term00000", "term00001"]
+    resp = search_body(spark, out, {
+        "query": {"intervals": {"text": {"match": {
+            "query": " ".join(terms), "max_gaps": 2, "ordered": True,
+        }}}},
+        "size": 10, "track_total_hits": True,
+    })
+    want = oracle.span_near_search(terms, 10, slop=2, in_order=True)
+    assert [(h["_id"], h["_score"]) for h in resp["hits"]["hits"]] == want
+    assert resp["hits"]["total"] == {
+        "value": len(oracle.span_near_search(terms, 10**6, slop=2,
+                                             in_order=True)),
+        "relation": "eq",
+    }
+
+    # unordered is the ES default; all_of composes single-term matches
+    tri = ["term00000", "term00002", "term00005"]
+    via_match = search_body(spark, out, {
+        "query": {"intervals": {"text": {"match": {
+            "query": " ".join(tri), "max_gaps": 4,
+        }}}},
+        "size": 10,
+    })
+    via_all_of = search_body(spark, out, {
+        "query": {"intervals": {"text": {"all_of": {
+            "intervals": [{"match": {"query": t}} for t in tri],
+            "max_gaps": 4,
+        }}}},
+        "size": 10,
+    })
+    want3 = oracle.span_near_search(tri, 10, slop=4, in_order=False)
+    got = [(h["_id"], h["_score"]) for h in via_match["hits"]["hits"]]
+    assert got == want3
+    assert via_all_of["hits"]["hits"] == via_match["hits"]["hits"]
+
+    one = search_body(spark, out, {
+        "query": {"intervals": {"text": {"match": {"query": "term00000"}}}},
+        "size": 5,
+    })
+    match = search_body(spark, out, {
+        "query": {"match": {"text": "term00000"}}, "size": 5,
+    })
+    assert one["hits"]["hits"] == match["hits"]["hits"]
+
+    with pytest.raises(UnsupportedDSL, match="max_gaps"):
+        search_body(spark, out, {
+            "query": {"intervals": {"text": {"match": {
+                "query": "term00000 term00001",
+            }}}},
+        })
+    with pytest.raises(UnsupportedDSL, match="intervals rule"):
+        search_body(spark, out, {
+            "query": {"intervals": {"text": {"any_of": {
+                "intervals": [{"match": {"query": "x"}}],
+            }}}},
+        })
+    with pytest.raises(UnsupportedDSL, match="single plain terms"):
+        search_body(spark, out, {
+            "query": {"intervals": {"text": {"all_of": {
+                "intervals": [{"match": {"query": "a b"}},
+                              {"match": {"query": "c"}}],
+                "max_gaps": 1,
+            }}}},
+        })
