@@ -22,6 +22,11 @@ query context:
                     "max_gaps": g, "ordered": bool}}}} — also all_of over
                    single-term matches; reduces exactly to the span
                    kernel (max_gaps must be explicit ≥ 0)
+  terms_set        {"terms_set": {"text": {"terms": [...],
+                    "minimum_should_match_field": f}}} — docs matching
+                   ≥ doc[f] of the EXACT index terms (not analyzed, ES
+                   semantics); score = Σ BM25 over matched terms (see
+                   ``query.terms_set_match``)
   more_like_this   {"more_like_this": {"like": <doc_id|text>, ...knobs}}
   match_all        {"match_all": {}} (only with filters/sort — something
                    must bound the result)
@@ -529,7 +534,7 @@ def parse_query(query: dict, analyzer=None) -> dict:
         "or_groups": [], "not_atoms": [], "extra_not_text": [],
         "boost": 1.0, "ids": None,
         "dis_max": None, "boosting": None, "fscore": None,
-        "phrase_prefix": None, "span_near": None,
+        "phrase_prefix": None, "span_near": None, "terms_set": None,
     }
     if query is None:
         plan["match_all"] = True
@@ -607,6 +612,24 @@ def parse_query(query: dict, analyzer=None) -> dict:
     elif kind == "intervals":
         _field, rule = _one(body)
         plan.update(_parse_intervals(rule))
+    elif kind == "terms_set":
+        field, spec = _one(body)
+        if field not in MAIN_FIELDS:
+            raise UnsupportedDSL(
+                "terms_set is supported on the main text field only"
+            )
+        if "minimum_should_match_field" not in spec:
+            raise UnsupportedDSL(
+                "terms_set needs minimum_should_match_field "
+                "(minimum_should_match_script is unsupported)"
+            )
+        vals = [str(t) for t in (spec.get("terms") or [])]
+        if not vals:
+            raise UnsupportedDSL("terms_set needs a non-empty terms list")
+        plan["terms_set"] = {
+            "terms": vals,
+            "msm_field": str(spec["minimum_should_match_field"]),
+        }
     elif kind == "span_term":
         # a lone single-position span ≡ a one-term match (identical
         # BM25: spanFreq of a single term IS its term frequency)
@@ -1154,8 +1177,8 @@ def delete_by_query_body(
     s = Searcher(spark, out_dir)
     plan = parse_query((body or {}).get("query"), s.stats.get("analyzer"))
     blocked = [
-        k for k in ("phrase", "span_near", "mm", "expand", "mlt", "ids",
-                    "dis_max", "boosting", "fscore", "phrase_prefix")
+        k for k in ("phrase", "span_near", "terms_set", "mm", "expand", "mlt",
+                    "ids", "dis_max", "boosting", "fscore", "phrase_prefix")
         if plan.get(k) is not None
     ]
     if blocked:
@@ -1364,8 +1387,8 @@ def update_by_query_body(
     s = Searcher(spark, out_dir)
     plan = parse_query((body or {}).get("query"), s.stats.get("analyzer"))
     blocked = [
-        k for k in ("phrase", "span_near", "mm", "expand", "mlt", "ids",
-                    "dis_max", "boosting", "fscore", "phrase_prefix")
+        k for k in ("phrase", "span_near", "terms_set", "mm", "expand", "mlt",
+                    "ids", "dis_max", "boosting", "fscore", "phrase_prefix")
         if plan.get(k) is not None
     ]
     if blocked:
@@ -1767,6 +1790,12 @@ def search_body(
             "span_near ranks by relevance only (sort by _score is the "
             "supported search_after shape)"
         )
+    if plan["terms_set"] is not None and (
+        sort_spec or body.get("search_after") or after is not None
+    ):
+        raise UnsupportedDSL(
+            "terms_set ranks by relevance only (no sort / search_after)"
+        )
     collapse = body.get("collapse")
     collapse_vals: dict[int, Any] = {}
     if collapse is not None and (
@@ -1774,6 +1803,7 @@ def search_body(
         or plan["mm"] is not None or plan["expand"] is not None
         or plan["mlt"] is not None or plan["ids"] is not None
         or plan["match_all"] or compound or plan["span_near"] is not None
+        or plan["terms_set"] is not None
     ):
         raise UnsupportedDSL(
             "collapse supports relevance-ranked match/bool queries "
@@ -1786,7 +1816,7 @@ def search_body(
         or plan["phrase"] is not None or plan["mm"] is not None
         or plan["expand"] is not None or plan["mlt"] is not None
         or plan["ids"] is not None or plan["match_all"] or compound
-        or plan["span_near"] is not None
+        or plan["span_near"] is not None or plan["terms_set"] is not None
     ):
         raise UnsupportedDSL(
             "rescore supports relevance-ranked match/bool primaries "
@@ -1798,7 +1828,7 @@ def search_body(
         or plan["phrase"] is not None or plan["mm"] is not None
         or plan["expand"] is not None or plan["mlt"] is not None
         or plan["ids"] is not None or plan["match_all"]
-        or plan["span_near"] is not None
+        or plan["span_near"] is not None or plan["terms_set"] is not None
     ):
         raise UnsupportedDSL(
             "explain supports relevance-ranked match/bool queries"
@@ -1844,6 +1874,16 @@ def search_body(
             sn["clauses"], size + from_, slop=sn["slop"],
             in_order=sn["in_order"], after=after,
         )[from_:]
+    elif plan["terms_set"] is not None:
+        from .query import terms_set_topk
+
+        ts = plan["terms_set"]
+        rows = [
+            (int(r[0]), float(r[1]))
+            for r in terms_set_topk(
+                spark, out_dir, ts["terms"], ts["msm_field"], size + from_
+            ).collect()
+        ][from_:]
     elif plan["mm"] is not None:
         if after is not None:
             raise UnsupportedDSL(
@@ -2018,11 +2058,13 @@ def search_body(
         }
 
     resp: dict[str, Any] = {"hits": {"total": total, "hits": hits}}
-    if body.get("aggs") and plan["span_near"] is not None:
+    if body.get("aggs") and (
+        plan["span_near"] is not None or plan["terms_set"] is not None
+    ):
         raise UnsupportedDSL(
-            "aggs with span_near are unsupported (the agg scope would "
-            "need the span matching set; send the agg as a filtered "
-            "request instead)"
+            "aggs with span_near / terms_set are unsupported (the agg "
+            "scope would need that matching set; send the agg as a "
+            "filtered request instead)"
         )
     if body.get("aggs"):
         kinds = set()
@@ -2182,6 +2224,15 @@ def search_body_daily(
         rows = ds.more_like_this(
             plan["mlt"]["like"], size + from_, time_range=time_range, **knobs
         )[from_:]
+    elif plan["span_near"] is not None or plan["terms_set"] is not None or any(
+        plan[kk] is not None
+        for kk in ("dis_max", "boosting", "fscore", "phrase_prefix")
+    ):
+        raise UnsupportedDSL(
+            "span_near / intervals / terms_set / dis_max / boosting / "
+            "function_score / match_phrase_prefix over daily windows are "
+            "unsupported (send them to the day indexes directly)"
+        )
     elif plan["ids"] is not None:
         present = _daily_ids_present(root, sel_days, plan["ids"])
         rows = [(d, plan["boost"]) for d in present][from_ : from_ + size]
@@ -2370,6 +2421,13 @@ def _exact_total(
         return span_near_doc_ids(
             spark, out_dir, sn["clauses"], slop=sn["slop"],
             in_order=sn["in_order"],
+        ).count()
+    if plan.get("terms_set") is not None:
+        from .query import terms_set_match
+
+        ts = plan["terms_set"]
+        return terms_set_match(
+            spark, out_dir, ts["terms"], ts["msm_field"]
         ).count()
     if plan["mm"] is not None:
         mm_plan = _multi_match_plan(

@@ -1722,6 +1722,126 @@ def term_doc_pairs(
     return out.distinct() if distinct else out
 
 
+def term_doc_stats(
+    spark: SparkSession, out_dir: str, terms: list[str]
+) -> DataFrame:
+    """(term, doc_id, tf, dl) rows for the given RAW index terms — the
+    scored sibling of ``term_doc_pairs``: the same pruned segment scan
+    (tb partitions + term row groups) also decoding the tf/dl varint
+    frames, tombstones applied per run. The building block for scored
+    set algebra whose per-doc term counts matter (terms_set)."""
+    stats = load_stats(out_dir)
+    terms = sorted(set(terms))
+    entries = _lookup_terms(
+        spark, out_dir, terms, stats["n_term_buckets"], committed=_committed(stats)
+    )
+    schema = "term string, doc_id long, tf long, dl long"
+    if not entries:
+        return spark.createDataFrame([], schema)
+    tbs = sorted({int(e["tb"]) for e in entries})
+    present = sorted({e["term"] for e in entries})
+    tomb = _tombs(out_dir, stats)
+    seg = (
+        _seg_scan(spark, out_dir, stats)
+        .where(F.col("tb").isin(tbs) & F.col("term").isin(present))
+        .select("term", "n", "docs", "tfs", "dls", *(["run"] if tomb else []))
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            runs = pdf["run"] if tomb else [None] * len(pdf)
+            outs = []
+            for t, bb, tb_, db_, n, run in zip(
+                pdf["term"], pdf["docs"], pdf["tfs"], pdf["dls"], pdf["n"], runs
+            ):
+                n = int(n)
+                d = np.cumsum(varint_decode(bb, n)).astype(np.int64)
+                tf = varint_decode(tb_, n).astype(np.int64)
+                dl = varint_decode(db_, n).astype(np.int64)
+                if tomb:
+                    ids = tomb.get(run)
+                    if ids is not None and len(ids):
+                        alive = ~_in_sorted(d, ids)
+                        d, tf, dl = d[alive], tf[alive], dl[alive]
+                if len(d):
+                    outs.append(
+                        pd.DataFrame({"term": t, "doc_id": d, "tf": tf, "dl": dl})
+                    )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    return seg.mapInPandas(decode, schema=schema)
+
+
+def terms_set_match(
+    spark: SparkSession, out_dir: str, terms: list[str], msm_field: str
+) -> DataFrame:
+    """ES ``terms_set`` matching set, fully distributed: every doc
+    containing ≥ m(doc) of ``terms``, where m(doc) is the doc's OWN value
+    of the stored numeric field ``msm_field``
+    (minimum_should_match_field). ``terms`` are EXACT index terms — ES
+    does not analyze terms_set values. Score = Σ BM25 over the doc's
+    matched terms (the bool-should sum), accumulated in ascending-term
+    float64 order so it is bit-identical to the WAND kernel's.
+
+    One pruned posting scan (term_doc_stats) → per-doc hash aggregation →
+    join against the bucket-partitioned docstore for m(doc) (AQE
+    broadcasts the aggregated side when small). Docs missing the field
+    never match (ES raises per-shard; we drop — documented). Returns an
+    unordered (doc_id, score) frame; callers top-k or count it."""
+    stats = load_stats(out_dir)
+    terms = sorted({str(t) for t in terms})
+    entries = _lookup_terms(
+        spark, out_dir, terms, stats["n_term_buckets"], committed=_committed(stats)
+    )
+    if not entries:
+        return spark.createDataFrame([], "doc_id long, score double")
+    k1, b, avgdl = stats["k1"], stats["b"], stats["avgdl"]
+    idf_map = {e["term"]: idf(stats["n_docs"], int(e["df"])) for e in entries}
+    pairs = term_doc_stats(spark, out_dir, sorted(idf_map))
+    imap = F.create_map(
+        *[F.lit(x) for t, v in sorted(idf_map.items()) for x in (t, float(v))]
+    )
+    # idf × (tfNorm) with the kernel's exact fp association (idf * w,
+    # w = num/denom) so scores are bit-identical to the WAND path
+    w = imap[F.col("term")] * (
+        (F.col("tf") * (k1 + 1.0))
+        / (F.col("tf") + k1 * (1.0 - b + b * (F.col("dl") / float(avgdl))))
+    )
+    per_doc = (
+        pairs.withColumn("_w", w)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("_n"),
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term", "_w"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["_w"],
+            ).alias("score"),
+        )
+    )
+    store = _docstore_scan(spark, out_dir).select(
+        "doc_id", F.col(msm_field).cast("long").alias("_m")
+    )
+    return (
+        per_doc.join(store, "doc_id")
+        .where(F.col("_m").isNotNull() & (F.col("_n") >= F.col("_m")))
+        .select("doc_id", "score")
+    )
+
+
+def terms_set_topk(
+    spark: SparkSession, out_dir: str, terms: list[str], msm_field: str, k: int
+) -> DataFrame:
+    """Top-k of ``terms_set_match`` by (score desc, doc_id asc) — the
+    terms_set query's hit page."""
+    return (
+        terms_set_match(spark, out_dir, terms, msm_field)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def bool_doc_ids(
     spark: SparkSession,
     out_dir: str,

@@ -4544,6 +4544,95 @@ SELECT part, doc_id, score FROM (
 """
 
 
+def q77_terms_set(spark, sf_dir):
+    """ES ``terms_set`` through the DSL: per-doc minimum_should_match
+    from a stored numeric field (req = doc_id % 4 + 1, written at index
+    time as a docstore column), score = Σ BM25 over the doc's matched
+    terms, exact track_total_hits. One pruned posting scan → per-doc
+    hash agg → docstore join (query.terms_set_match); the DuckDB twin
+    recomputes matched-term counts and the identical BM25 sum."""
+    import shutil
+    import tempfile
+
+    from .index.build import build_index
+    from .index.dsl import search_body
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text",
+        (F.pmod(F.col("doc_id"), F.lit(4)) + 1).cast("long").alias("req"),
+    )
+    out = tempfile.mkdtemp(prefix="cb_q77_idx_")
+    try:
+        build_index(
+            spark, docs, out, url_col=None, n_buckets=8,
+            store_cols=("req",),
+        )
+        resp = search_body(spark, out, {
+            "query": {"terms_set": {"text": {
+                "terms": ["scan", "filter", "join", "window"],
+                "minimum_should_match_field": "req",
+            }}},
+            "size": 15, "track_total_hits": True,
+        })
+        rows = [
+            (int(h["_id"]), round(float(h["_score"]), 4))
+            for h in resp["hits"]["hits"]
+        ]
+        rows.append((int(resp["hits"]["total"]["value"]), None))
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "doc_id long, score double"
+    ).orderBy("doc_id")
+
+
+Q77_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t != '') AS arr
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, unnest(arr) AS term FROM base
+),
+tfc AS (
+  SELECT doc_id, term, count(*) AS tf FROM tf
+  WHERE term IN ('scan', 'filter', 'join', 'window')
+  GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, len(arr) AS dl FROM base),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(len(arr)) FROM base)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+df AS (
+  SELECT term, count(*) AS df FROM tfc GROUP BY term
+),
+scored AS (
+  SELECT tfc.doc_id, count(*) AS n_matched,
+         sum(ln(1.0 + (s.n - df.df + 0.5) / (df.df + 0.5))
+             * ((tfc.tf * 2.2)
+                / (tfc.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / s.avgdl))))) AS raw
+  FROM tfc
+  JOIN df USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats s
+  GROUP BY tfc.doc_id
+),
+hits AS (
+  SELECT scored.doc_id, scored.raw
+  FROM scored
+  WHERE scored.n_matched >= (scored.doc_id % 4) + 1
+)
+SELECT doc_id, score FROM (
+  SELECT doc_id, round(raw, 4) AS score
+  FROM (SELECT * FROM hits ORDER BY raw DESC, doc_id ASC LIMIT 15)
+  UNION ALL
+  SELECT (SELECT count(*) FROM hits), NULL
+) ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -4621,6 +4710,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q74_bulk_api": q74_bulk_api,
     "q75_alias_search": q75_alias_search,
     "q76_intervals": q76_intervals,
+    "q77_terms_set": q77_terms_set,
 }
 
 ORACLES: dict[str, str] = {
@@ -4700,4 +4790,5 @@ ORACLES: dict[str, str] = {
     "q74_bulk_api": Q74_SQL,
     "q75_alias_search": Q75_SQL,
     "q76_intervals": Q76_SQL,
+    "q77_terms_set": Q77_SQL,
 }
