@@ -27,6 +27,12 @@ query context:
                    ≥ doc[f] of the EXACT index terms (not analyzed, ES
                    semantics); score = Σ BM25 over matched terms (see
                    ``query.terms_set_match``)
+  nested           {"nested": {"path": p, "query": {...}}} — docs whose
+                   stored array<struct> column ``p`` has ONE element
+                   satisfying every sub-clause (term/terms/range/exists
+                   on ``p.field``, composed via bool.must/filter) —
+                   real same-element semantics, constant score (see
+                   ``query.nested_filter_ids``)
   more_like_this   {"more_like_this": {"like": <doc_id|text>, ...knobs}}
   match_all        {"match_all": {}} (only with filters/sort — something
                    must bound the result)
@@ -523,6 +529,65 @@ def _parse_intervals(rule: dict) -> dict:
     }}
 
 
+def _parse_nested(body: dict) -> dict:
+    """ES ``nested`` query → {"path", "clauses"}. Filter-context subset:
+    the inner query is one clause or a bool.must/filter list of clauses,
+    each a term / terms / range / exists on a ``path.field`` subfield.
+    All conditions must hold on the SAME array element (real nested
+    semantics — see ``query.nested_filter_ids``); scoring sub-queries
+    (match etc.) and inner_hits are unsupported."""
+    path = body.get("path")
+    q = body.get("query")
+    if not path or q is None:
+        raise UnsupportedDSL("nested needs path and query")
+    if body.get("inner_hits") is not None:
+        raise UnsupportedDSL("nested inner_hits are unsupported")
+    kind, inner = _one(q)
+    if kind == "bool":
+        extra = [k for k in inner if k not in ("must", "filter")]
+        if extra:
+            raise UnsupportedDSL(
+                f"nested bool supports must/filter only (got {extra[0]!r})"
+            )
+        clause_list = list(inner.get("must") or []) + list(inner.get("filter") or [])
+    else:
+        clause_list = [q]
+    if not clause_list:
+        raise UnsupportedDSL("nested query has no clauses")
+
+    def sub(field: str) -> str:
+        if not field.startswith(path + "."):
+            raise UnsupportedDSL(
+                f"nested field {field!r} must be under path {path!r}"
+            )
+        return field[len(path) + 1:]
+
+    parsed: list[tuple] = []
+    for c in clause_list:
+        ck, cb = _one(c)
+        if ck == "term":
+            f, spec = _one(cb)
+            parsed.append(
+                ("term", sub(f), spec["value"] if isinstance(spec, dict) else spec)
+            )
+        elif ck == "terms":
+            f, vals = _one(cb)
+            parsed.append(("terms", sub(f), list(vals)))
+        elif ck == "range":
+            f, spec = _one(cb)
+            ops = {k: v for k, v in spec.items() if k in ("gte", "gt", "lte", "lt")}
+            if not ops:
+                raise UnsupportedDSL("nested range needs gte/gt/lte/lt bounds")
+            parsed.append(("range", sub(f), ops))
+        elif ck == "exists":
+            parsed.append(("exists", sub(cb["field"]), None))
+        else:
+            raise UnsupportedDSL(
+                f"nested supports term/terms/range/exists sub-clauses, got {ck!r}"
+            )
+    return {"path": path, "clauses": parsed}
+
+
 def parse_query(query: dict, analyzer=None) -> dict:
     """The query-context half of a request body → engine arguments.
     ``analyzer`` is the index's analyzer config (stats.json), used to
@@ -535,6 +600,7 @@ def parse_query(query: dict, analyzer=None) -> dict:
         "boost": 1.0, "ids": None,
         "dis_max": None, "boosting": None, "fscore": None,
         "phrase_prefix": None, "span_near": None, "terms_set": None,
+        "nested": None,
     }
     if query is None:
         plan["match_all"] = True
@@ -612,6 +678,8 @@ def parse_query(query: dict, analyzer=None) -> dict:
     elif kind == "intervals":
         _field, rule = _one(body)
         plan.update(_parse_intervals(rule))
+    elif kind == "nested":
+        plan["nested"] = _parse_nested(body)
     elif kind == "terms_set":
         field, spec = _one(body)
         if field not in MAIN_FIELDS:
@@ -1177,8 +1245,9 @@ def delete_by_query_body(
     s = Searcher(spark, out_dir)
     plan = parse_query((body or {}).get("query"), s.stats.get("analyzer"))
     blocked = [
-        k for k in ("phrase", "span_near", "terms_set", "mm", "expand", "mlt",
-                    "ids", "dis_max", "boosting", "fscore", "phrase_prefix")
+        k for k in ("phrase", "span_near", "terms_set", "nested", "mm", "expand",
+                    "mlt", "ids", "dis_max", "boosting", "fscore",
+                    "phrase_prefix")
         if plan.get(k) is not None
     ]
     if blocked:
@@ -1387,8 +1456,9 @@ def update_by_query_body(
     s = Searcher(spark, out_dir)
     plan = parse_query((body or {}).get("query"), s.stats.get("analyzer"))
     blocked = [
-        k for k in ("phrase", "span_near", "terms_set", "mm", "expand", "mlt",
-                    "ids", "dis_max", "boosting", "fscore", "phrase_prefix")
+        k for k in ("phrase", "span_near", "terms_set", "nested", "mm", "expand",
+                    "mlt", "ids", "dis_max", "boosting", "fscore",
+                    "phrase_prefix")
         if plan.get(k) is not None
     ]
     if blocked:
@@ -1796,6 +1866,14 @@ def search_body(
         raise UnsupportedDSL(
             "terms_set ranks by relevance only (no sort / search_after)"
         )
+    if plan["nested"] is not None and (
+        sort_spec or body.get("search_after") or after is not None
+        or body.get("aggs")
+    ):
+        raise UnsupportedDSL(
+            "nested supports plain filter-context retrieval only "
+            "(no sort / search_after / aggs)"
+        )
     collapse = body.get("collapse")
     collapse_vals: dict[int, Any] = {}
     if collapse is not None and (
@@ -1803,7 +1881,7 @@ def search_body(
         or plan["mm"] is not None or plan["expand"] is not None
         or plan["mlt"] is not None or plan["ids"] is not None
         or plan["match_all"] or compound or plan["span_near"] is not None
-        or plan["terms_set"] is not None
+        or plan["terms_set"] is not None or plan["nested"] is not None
     ):
         raise UnsupportedDSL(
             "collapse supports relevance-ranked match/bool queries "
@@ -1817,6 +1895,7 @@ def search_body(
         or plan["expand"] is not None or plan["mlt"] is not None
         or plan["ids"] is not None or plan["match_all"] or compound
         or plan["span_near"] is not None or plan["terms_set"] is not None
+        or plan["nested"] is not None
     ):
         raise UnsupportedDSL(
             "rescore supports relevance-ranked match/bool primaries "
@@ -1829,6 +1908,7 @@ def search_body(
         or plan["expand"] is not None or plan["mlt"] is not None
         or plan["ids"] is not None or plan["match_all"]
         or plan["span_near"] is not None or plan["terms_set"] is not None
+        or plan["nested"] is not None
     ):
         raise UnsupportedDSL(
             "explain supports relevance-ranked match/bool queries"
@@ -1874,6 +1954,17 @@ def search_body(
             sn["clauses"], size + from_, slop=sn["slop"],
             in_order=sn["in_order"], after=after,
         )[from_:]
+    elif plan["nested"] is not None:
+        from .query import nested_filter_ids
+
+        ids = (
+            nested_filter_ids(
+                spark, out_dir, plan["nested"]["path"],
+                plan["nested"]["clauses"],
+            )
+            .orderBy("doc_id").limit(size + from_).collect()
+        )
+        rows = [(int(r.doc_id), plan["boost"]) for r in ids][from_:]
     elif plan["terms_set"] is not None:
         from .query import terms_set_topk
 
@@ -2224,7 +2315,7 @@ def search_body_daily(
         rows = ds.more_like_this(
             plan["mlt"]["like"], size + from_, time_range=time_range, **knobs
         )[from_:]
-    elif plan["span_near"] is not None or plan["terms_set"] is not None or any(
+    elif plan["span_near"] is not None or plan["terms_set"] is not None or plan["nested"] is not None or any(
         plan[kk] is not None
         for kk in ("dis_max", "boosting", "fscore", "phrase_prefix")
     ):
@@ -2428,6 +2519,12 @@ def _exact_total(
         ts = plan["terms_set"]
         return terms_set_match(
             spark, out_dir, ts["terms"], ts["msm_field"]
+        ).count()
+    if plan.get("nested") is not None:
+        from .query import nested_filter_ids
+
+        return nested_filter_ids(
+            spark, out_dir, plan["nested"]["path"], plan["nested"]["clauses"]
         ).count()
     if plan["mm"] is not None:
         mm_plan = _multi_match_plan(

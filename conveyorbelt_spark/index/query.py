@@ -1830,6 +1830,54 @@ def terms_set_match(
     )
 
 
+def _nested_elem_pred(clauses: list[tuple]):
+    """Compile parsed nested sub-clauses into ONE element-level predicate
+    (a lambda over the struct element) — ES nested semantics: every
+    condition must hold on the SAME array element, which is exactly what
+    a single F.exists(col, elem -> AND(...)) evaluates (a flattened
+    object mapping would incorrectly match across elements)."""
+    def pred(x):
+        conds = []
+        for kind, field, val in clauses:
+            c = x[field]
+            if kind == "term":
+                conds.append(c == F.lit(val))
+            elif kind == "terms":
+                conds.append(c.isin(list(val)))
+            elif kind == "exists":
+                conds.append(c.isNotNull())
+            else:  # range
+                for op, bound in val.items():
+                    lit = F.lit(bound)
+                    conds.append(
+                        c >= lit if op == "gte" else c > lit if op == "gt"
+                        else c <= lit if op == "lte" else c < lit
+                    )
+        out = conds[0]
+        for c in conds[1:]:
+            out = out & c
+        return out
+
+    return pred
+
+
+def nested_filter_ids(
+    spark: SparkSession, out_dir: str, path: str, clauses: list[tuple]
+) -> DataFrame:
+    """ES ``nested`` query in filter context, fully distributed: doc_ids
+    whose stored ``array<struct>`` column ``path`` contains AT LEAST ONE
+    element satisfying every sub-clause (term / terms / range / exists
+    on ``path.field`` subfields). One docstore scan (bucket-partitioned,
+    latest-version resolved) with the predicate pushed into a single
+    F.exists over the array — no explode, no shuffle beyond the scan.
+    Null / absent arrays never match (ES: no nested docs → no match)."""
+    store = _docstore_scan(spark, out_dir)
+    cond = F.coalesce(
+        F.exists(F.col(path), _nested_elem_pred(clauses)), F.lit(False)
+    )
+    return store.where(cond).select("doc_id")
+
+
 def terms_set_topk(
     spark: SparkSession, out_dir: str, terms: list[str], msm_field: str, k: int
 ) -> DataFrame:

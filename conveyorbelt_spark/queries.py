@@ -4633,6 +4633,83 @@ SELECT doc_id, score FROM (
 """
 
 
+def q78_nested_query(spark, sf_dir):
+    """ES ``nested`` query (filter context) over a stored array<struct>
+    column with SAME-ELEMENT semantics: two entangled comment elements
+    per doc (alice: doc_id%5 stars, bob: (doc_id+2)%5 stars; every third
+    doc has none), queried for a comment that is BOTH alice's AND ≥4
+    stars — the flattened cross-element reading would wrongly include
+    docs where alice is low-starred but bob is high. Exact totals. The
+    DuckDB twin rebuilds the same struct list and filters it with
+    list_filter (query.nested_filter_ids is one F.exists over the
+    stored array — no explode, no shuffle)."""
+    import shutil
+    import tempfile
+
+    from .index.build import build_index
+    from .index.dsl import search_body
+
+    a = F.struct(
+        F.lit("alice").alias("author"),
+        F.pmod(F.col("doc_id"), F.lit(5)).cast("long").alias("stars"),
+    )
+    bb = F.struct(
+        F.lit("bob").alias("author"),
+        F.pmod(F.col("doc_id") + 2, F.lit(5)).cast("long").alias("stars"),
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text",
+        F.when(F.pmod(F.col("doc_id"), F.lit(3)) == 0, F.lit(None))
+        .otherwise(F.array(a, bb)).alias("comments"),
+    )
+    out = tempfile.mkdtemp(prefix="cb_q78_idx_")
+    try:
+        build_index(
+            spark, docs, out, url_col=None, n_buckets=8,
+            store_cols=("comments",),
+        )
+        resp = search_body(spark, out, {
+            "query": {"nested": {
+                "path": "comments",
+                "query": {"bool": {"must": [
+                    {"term": {"comments.author": "alice"}},
+                    {"range": {"comments.stars": {"gte": 4}}},
+                ]}},
+            }},
+            "size": 15, "track_total_hits": True,
+        })
+        rows = [("hit", int(h["_id"])) for h in resp["hits"]["hits"]]
+        rows.append(("total", int(resp["hits"]["total"]["value"])))
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, "part string, doc_id long").orderBy(
+        "part", "doc_id"
+    )
+
+
+Q78_SQL = """
+WITH nested AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN NULL ELSE [
+           {'author': 'alice', 'stars': doc_id % 5},
+           {'author': 'bob',   'stars': (doc_id + 2) % 5}
+         ] END AS comments
+  FROM documents
+),
+m AS (
+  SELECT doc_id FROM nested
+  WHERE len(list_filter(comments,
+            c -> c.author = 'alice' AND c.stars >= 4)) > 0
+)
+SELECT part, doc_id FROM (
+  SELECT 'hit' AS part, doc_id
+  FROM (SELECT doc_id FROM m ORDER BY doc_id ASC LIMIT 15)
+  UNION ALL
+  SELECT 'total', (SELECT count(*) FROM m)
+) ORDER BY part, doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -4711,6 +4788,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q75_alias_search": q75_alias_search,
     "q76_intervals": q76_intervals,
     "q77_terms_set": q77_terms_set,
+    "q78_nested_query": q78_nested_query,
 }
 
 ORACLES: dict[str, str] = {
@@ -4791,4 +4869,5 @@ ORACLES: dict[str, str] = {
     "q75_alias_search": Q75_SQL,
     "q76_intervals": Q76_SQL,
     "q77_terms_set": Q77_SQL,
+    "q78_nested_query": Q78_SQL,
 }
