@@ -91,6 +91,12 @@ tree — and significant_terms with its whole-index background),
 "knn" {"field": f, "query_vector": [...], "k": n, "num_candidates": m} —
 ES kNN search over a stored array<float> column, exact cosine, hits
 scored (1 + cos)/2 (see ``_knn_search``; sent alone, no query/aggs),
+"script_fields" {name: {"script": {"source": s, "params": {...}}}} — the
+painless subset (+ - * / % comparisons && ||) with ``doc['f'].value``
+refs over stored docstore columns, per hit → {"fields": {name: [v]}};
+"runtime_mappings" {name: {"type": t, "script": ...}} + "fields"
+[names | {"field": n}] — runtime fields compute on request, stored
+columns return as-is (missing/null fields omitted, the ES shape),
 "suggest" {name: {"text": t, "term": {knobs} | "phrase": {knobs}}} — the
 ES term suggester ("did you mean", see ``query.term_suggest``) and the
 phrase suggester (stupid-backoff bigram LM over the positional index,
@@ -1115,6 +1121,67 @@ def _knn_search(
     return {"hits": {"total": {"value": len(hits), "relation": "eq"}, "hits": hits}}
 
 
+def _parse_hit_fields(body: dict) -> tuple[dict, list]:
+    """Request-level ``script_fields`` / ``fields`` / ``runtime_mappings``
+    → per-hit field plans. script_fields = {name: (ast, params)};
+    fields = [(name, "stored", col) | (name, "runtime", (ast, params))].
+    Scripts are the painless subset with ``doc['f'].value`` refs
+    (``query._parse_script``); a field listed in ``fields`` that is
+    neither a stored column nor a runtime mapping is omitted per hit, the
+    ES behavior for absent fields."""
+    from .query import _parse_script
+
+    def _node(spec) -> tuple:
+        sc = spec.get("script") if isinstance(spec, dict) else None
+        if sc is None:
+            raise UnsupportedDSL("script_fields / runtime fields need a script")
+        src = sc["source"] if isinstance(sc, dict) else str(sc)
+        params = (sc.get("params") or {}) if isinstance(sc, dict) else {}
+        try:
+            return _parse_script(src), dict(params)
+        except ValueError as e:
+            raise UnsupportedDSL(str(e)) from None
+
+    script_fields = {
+        str(name): _node(spec)
+        for name, spec in (body.get("script_fields") or {}).items()
+    }
+    runtime = {
+        str(name): _node(spec)
+        for name, spec in (body.get("runtime_mappings") or {}).items()
+    }
+    fields_req: list[tuple] = []
+    for item in body.get("fields") or []:
+        name = str(item["field"] if isinstance(item, dict) else item)
+        if name in runtime:
+            fields_req.append((name, "runtime", runtime[name]))
+        else:
+            fields_req.append((name, "stored", name))
+    return script_fields, fields_req
+
+
+def _hit_field_values(script_fields: dict, fields_req: list, row: dict) -> dict:
+    """One hit's ``fields`` section (ES shape: name → [value]). Internal
+    docstore bookkeeping columns stay hidden, like _source filtering."""
+    from .query import eval_doc_script
+
+    out: dict[str, list] = {}
+    for name, (node, params) in script_fields.items():
+        v = eval_doc_script(node, params, row)
+        if v is not None:
+            out[name] = [v]
+    for name, kind, payload in fields_req:
+        if kind == "stored":
+            if payload in ("bucket", "run"):
+                continue
+            v = row.get(payload)
+        else:
+            v = eval_doc_script(payload[0], payload[1], row)
+        if v is not None:
+            out[name] = [v]
+    return out
+
+
 def _suggest_section(s: Searcher, spec: dict) -> dict:
     """The request-level "suggest" block: named term-suggester entries
     ({"text": ..., "term": {knobs}}) and phrase-suggester entries
@@ -2092,8 +2159,9 @@ def search_body(
 
     hits = []
     want_source = body.get("_source", False)
+    script_fields, fields_req = _parse_hit_fields(body)
     meta = {}
-    if want_source or body.get("highlight"):
+    if want_source or body.get("highlight") or script_fields or fields_req:
         from .build import lookup_docs
 
         meta = lookup_docs(out_dir, [d for d, _ in rows])
@@ -2108,6 +2176,10 @@ def search_body(
             hit["sort"] = [float(sc), int(d)]
         if collapse is not None and d in collapse_vals:
             hit["fields"] = {cfield: [collapse_vals[d]]}
+        if (script_fields or fields_req) and d in meta:
+            fvals = _hit_field_values(script_fields, fields_req, meta[d])
+            if fvals:
+                hit.setdefault("fields", {}).update(fvals)
         if want_source and d in meta:
             src = {k: v for k, v in meta[d].items() if k not in ("bucket", "run")}
             hit["_source"] = src

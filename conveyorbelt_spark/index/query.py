@@ -2715,13 +2715,17 @@ _PIPELINE_KINDS = (
 
 
 def _parse_script(script: str):
-    """ES painless SUBSET for bucket_script / bucket_selector: ``params.x``
-    references, numeric literals, ``+ - * / %``, comparisons, parentheses,
-    unary minus, and ``&&`` / ``||``. Returns a validated python AST the
-    two evaluators (Spark Column / per-row) walk — anything outside the
-    subset raises, never silently misparses. Division by zero yields null
-    on both paths (Spark SQL semantics; painless would raise or Infinity —
-    we pick the SQL answer and document it)."""
+    """ES painless SUBSET for bucket_script / bucket_selector /
+    script_fields / runtime fields: ``params.x`` and ``doc['f'].value``
+    references, numeric/string literals, ``+ - * / %``, comparisons,
+    parentheses, unary minus, and ``&&`` / ``||``. Returns a validated
+    python AST the two evaluators (Spark Column / per-row) walk —
+    anything outside the subset raises, never silently misparses.
+    Division by zero yields null on both paths (Spark SQL semantics;
+    painless would raise or Infinity — we pick the SQL answer and
+    document it). Doc refs resolve through the same params mapping under
+    the key ``doc['f']`` — bucket-pipeline callers never populate those,
+    so a doc ref in a bucket_script still raises."""
     import ast
 
     src = script.replace("&&", " and ").replace("||", " or ")
@@ -2731,6 +2735,16 @@ def _parse_script(script: str):
         raise ValueError(f"unsupported script {script!r}: {e}") from None
     ok_binop = (ast.Add, ast.Sub, ast.Mult, ast.Div, ast.Mod)
     ok_cmp = (ast.Gt, ast.GtE, ast.Lt, ast.LtE, ast.Eq, ast.NotEq)
+
+    def _is_doc_ref(n) -> bool:
+        # doc['field'] — the script_fields / runtime-field accessor
+        return (
+            isinstance(n, ast.Subscript)
+            and isinstance(n.value, ast.Name) and n.value.id == "doc"
+            and isinstance(n.slice, ast.Constant)
+            and isinstance(n.slice.value, str)
+        )
+
     for node in ast.walk(tree):
         if isinstance(node, (ast.Expression, ast.Load)):
             continue
@@ -2745,14 +2759,20 @@ def _parse_script(script: str):
         if isinstance(node, ast.UnaryOp) and isinstance(node.op, ast.USub):
             continue
         if isinstance(node, ast.Constant) and isinstance(
-            node.value, (int, float)
+            node.value, (int, float, str)
         ):
             continue
         if isinstance(node, ast.Attribute) and isinstance(
             node.value, ast.Name
         ) and node.value.id == "params":
             continue
-        if isinstance(node, ast.Name) and node.id == "params":
+        if isinstance(node, ast.Attribute) and node.attr == "value" and _is_doc_ref(
+            node.value
+        ):
+            continue
+        if _is_doc_ref(node):
+            continue
+        if isinstance(node, ast.Name) and node.id in ("params", "doc"):
             continue
         if isinstance(node, (ast.Gt, ast.GtE, ast.Lt, ast.LtE, ast.Eq,
                              ast.NotEq, ast.Add, ast.Sub, ast.Mult,
@@ -2770,6 +2790,11 @@ def _script_col(node, params):
     import ast
 
     if isinstance(node, ast.Attribute):
+        key = _doc_ref_key(node)
+        if key is not None:
+            if key not in params:
+                raise ValueError(f"script references unknown field {key}")
+            return params[key]
         if node.attr not in params:
             raise ValueError(f"script references unknown param {node.attr!r}")
         return params[node.attr]
@@ -2817,11 +2842,30 @@ def _script_col(node, params):
     raise ValueError(f"unsupported script node {type(node).__name__}")
 
 
+def _doc_ref_key(node) -> str | None:
+    """``doc['f'].value`` Attribute node → its params key ``doc['f']``
+    (None when the node is a plain ``params.x`` reference)."""
+    import ast
+
+    if (
+        node.attr == "value"
+        and isinstance(node.value, ast.Subscript)
+        and isinstance(node.value.value, ast.Name)
+        and node.value.value.id == "doc"
+        and isinstance(node.value.slice, ast.Constant)
+    ):
+        return f"doc[{node.value.slice.value!r}]"
+    return None
+
+
 def _script_val(node, params):
     """Per-row twin of ``_script_col`` (``params`` maps name → value)."""
     import ast
 
     if isinstance(node, ast.Attribute):
+        key = _doc_ref_key(node)
+        if key is not None:
+            return params[key]
         return params[node.attr]
     if isinstance(node, ast.Constant):
         return node.value
@@ -2859,6 +2903,28 @@ def _script_val(node, params):
         vals = (_script_val(v, params) for v in node.values)
         return all(vals) if isinstance(node.op, ast.And) else any(vals)
     raise ValueError(f"unsupported script node {type(node).__name__}")
+
+
+def eval_doc_script(node, params: dict, row: dict):
+    """script_fields / runtime-field evaluation over ONE hit's stored
+    row: ``doc['f'].value`` refs resolve to the row's columns. A missing
+    or null operand, or a zero divisor, yields None and the caller omits
+    the field (documented simplification — painless raises on a missing
+    field unless the script guards with .size())."""
+    import ast
+
+    vals = dict(params)
+    for n in ast.walk(node):
+        if isinstance(n, ast.Attribute):
+            key = _doc_ref_key(n)
+            if key is not None:
+                vals[key] = row.get(n.value.slice.value)
+    if any(v is None for v in vals.values()):
+        return None
+    try:
+        return _script_val(node, vals)
+    except ZeroDivisionError:
+        return None
 
 
 def _script_eval_row(node, row: dict, colmap: dict):

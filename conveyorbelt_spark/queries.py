@@ -4710,6 +4710,92 @@ SELECT part, doc_id FROM (
 """
 
 
+def q79_script_fields(spark, sf_dir):
+    """script_fields + runtime_mappings + fields through the DSL: a BM25
+    match page whose hits each carry (a) a script_field computed from a
+    stored column with params (doc['n_chars'].value / params.div), (b) a
+    runtime field (doc['n_chars'].value * 2 % 7) requested via fields,
+    and (c) a stored column returned as-is. Painless-subset AST
+    (query._parse_script) with doc refs; the DuckDB twin recomputes the
+    BM25 ranking and the same expressions."""
+    import shutil
+    import tempfile
+
+    from .index.build import build_index
+    from .index.dsl import search_body
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="cb_q79_idx_")
+    try:
+        build_index(
+            spark, docs.select("doc_id", "text", "n_chars", "lang"), out,
+            url_col=None, n_buckets=8, store_cols=("n_chars", "lang"),
+        )
+        resp = search_body(spark, out, {
+            "query": {"match": {"text": " ".join(BM25_QUERY_TERMS)}},
+            "size": 15,
+            "script_fields": {
+                "cp": {"script": {
+                    "source": "doc['n_chars'].value / params.div",
+                    "params": {"div": 100},
+                }},
+            },
+            "runtime_mappings": {
+                "n2": {"type": "long", "script": {
+                    "source": "doc['n_chars'].value * 2 % 7",
+                }},
+            },
+            "fields": ["n2", "lang"],
+        })
+        rows = [
+            (
+                int(h["_id"]), round(float(h["_score"]), 4),
+                round(float(h["fields"]["cp"][0]), 4),
+                int(h["fields"]["n2"][0]), str(h["fields"]["lang"][0]),
+            )
+            for h in resp["hits"]["hits"]
+        ]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "doc_id long, score double, cp double, n2 long, lang string"
+    ).orderBy("doc_id")
+
+
+Q79_SQL = f"""
+WITH toks AS ({_TOKENS_SQL}),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks WHERE term != '' GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+q AS (SELECT unnest({BM25_QUERY_TERMS!r}) AS term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf WHERE term IN (SELECT term FROM q) GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl)))) AS raw
+  FROM tf
+  JOIN df ON tf.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+page AS (
+  SELECT doc_id, raw FROM scored ORDER BY raw DESC, doc_id ASC LIMIT 15
+)
+SELECT p.doc_id, round(p.raw, 4) AS score,
+       round(d.n_chars / 100, 4) AS cp,
+       (d.n_chars * 2) % 7 AS n2, d.lang
+FROM page p JOIN documents d USING (doc_id)
+ORDER BY p.doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -4789,6 +4875,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q76_intervals": q76_intervals,
     "q77_terms_set": q77_terms_set,
     "q78_nested_query": q78_nested_query,
+    "q79_script_fields": q79_script_fields,
 }
 
 ORACLES: dict[str, str] = {
@@ -4870,4 +4957,5 @@ ORACLES: dict[str, str] = {
     "q76_intervals": Q76_SQL,
     "q77_terms_set": Q77_SQL,
     "q78_nested_query": Q78_SQL,
+    "q79_script_fields": Q79_SQL,
 }
