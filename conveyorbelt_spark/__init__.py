@@ -47,6 +47,8 @@ def __getattr__(name: str):
         "build_daily_index": ("conveyorbelt_spark.index.daily", "build_daily_index"),
         "read_corpus": ("conveyorbelt_spark.sources.tables", "read_corpus"),
         "search_body": ("conveyorbelt_spark.index.dsl", "search_body"),
+        "open_pit": ("conveyorbelt_spark.index.pit", "open_pit"),
+        "close_pit": ("conveyorbelt_spark.index.pit", "close_pit"),
         "search_body_daily": ("conveyorbelt_spark.index.dsl", "search_body_daily"),
         "encode_jpeg": ("conveyorbelt_spark.sources.jpegcodec", "encode_jpeg"),
         "decode_jpeg": ("conveyorbelt_spark.sources.jpegcodec", "decode_jpeg"),

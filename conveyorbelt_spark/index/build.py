@@ -794,12 +794,16 @@ def compact_docstore(spark: SparkSession, out_dir: str, *,
     return removed
 
 
-def lookup_docs(out_dir: str, doc_ids: list[int]) -> dict[int, dict]:
+def lookup_docs(
+    out_dir: str, doc_ids: list[int], runs: list[str] | None = None
+) -> dict[int, dict]:
     """Driver-side pyarrow resolve of doc ids → stored columns, pruned to
     the ids' bucket partitions (zero Spark jobs, serving-path companion to
     Searcher.search_rows). Multi-version docs (updated: one row per
     docstore run) resolve to the NEWEST run's row — same rule as the
-    distributed ``_docstore_scan``."""
+    distributed ``_docstore_scan``. ``runs`` restricts visibility to the
+    named docstore runs (a point-in-time snapshot — see ``index.pit``):
+    versions written after the snapshot resolve to the OLD row."""
     import pyarrow.dataset as ds
 
     store = os.path.join(out_dir, "docstore")
@@ -808,6 +812,7 @@ def lookup_docs(out_dir: str, doc_ids: list[int]) -> dict[int, dict]:
     stats = load_stats(out_dir)
     bits = int(np.log2(stats["n_buckets"]))
     rank = docstore_run_rank(out_dir)
+    run_set = None if runs is None else {str(r) for r in runs}
     by_bucket: dict[int, list[int]] = {}
     for did in doc_ids:
         by_bucket.setdefault(did >> (63 - bits), []).append(did)
@@ -816,8 +821,11 @@ def lookup_docs(out_dir: str, doc_ids: list[int]) -> dict[int, dict]:
         bdir = os.path.join(store, f"bucket={bkt}")
         if not os.path.isdir(bdir):
             continue
+        flt = ds.field("doc_id").isin(ids)
+        if run_set is not None:
+            flt = flt & ds.field("run").isin(sorted(run_set))
         tbl = ds.dataset(bdir, format="parquet", partitioning="hive").to_table(
-            filter=ds.field("doc_id").isin(ids)
+            filter=flt
         )
         for row in tbl.to_pylist():
             prev = out.get(row["doc_id"])

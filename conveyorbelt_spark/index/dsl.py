@@ -1875,15 +1875,50 @@ def scroll_body(
 
 
 def search_body(
-    spark: SparkSession, out_dir: str, body: dict, *,
+    spark: SparkSession, out_dir: str | None, body: dict, *,
     searcher: Searcher | None = None,
 ) -> dict:
     """Execute an ES-shaped request body; returns an ES-shaped response.
     Pass a long-lived ``searcher`` to serve repeated bodies from its warm
     block / decoded-postings / term caches (it mtime-invalidates itself on
-    index mutation); omitted, each call builds a cold handle."""
+    index mutation); omitted, each call builds a cold handle.
+
+    ``{"pit": {"id": ...}}`` (from ``pit.open_pit``) executes against
+    that frozen snapshot — ``out_dir`` may then be None, the ES
+    index-less PIT search. PIT bodies support the serving kernel paths
+    (match / bool / match_phrase / span_near / intervals), score-order
+    search_after, from/size, _source / highlight / script_fields —
+    everything that must stay consistent for deep pagination; shapes that
+    re-read live index state (field sort, aggs, exact totals, expansion,
+    mlt, compound, suggest, knn) reject under a PIT."""
     body = dict(body or {})
-    s = searcher if searcher is not None and searcher.out_dir == out_dir else Searcher(spark, out_dir)
+    pit_runs: list[str] | None = None
+    if body.get("pit") is not None:
+        from .pit import resolve_pit
+
+        snap = resolve_pit(body["pit"]["id"])
+        if out_dir is not None and out_dir != snap["out_dir"]:
+            raise UnsupportedDSL(
+                "a PIT search must not name a different index (ES sends "
+                "PIT requests without an index)"
+            )
+        out_dir = snap["out_dir"]
+        pit_runs = snap["docstore_runs"]
+        blocked = [
+            k for k in ("aggs", "suggest", "knn", "collapse",
+                        "rescore", "track_total_hits", "explain")
+            if body.get(k)
+        ]
+        if blocked:
+            raise UnsupportedDSL(
+                f"{blocked[0]} re-reads live index state and is "
+                f"unsupported under a PIT snapshot"
+            )
+        s = Searcher(spark, out_dir, frozen_stats=snap["stats"])
+    else:
+        if out_dir is None:
+            raise UnsupportedDSL("search_body needs an index dir or a pit")
+        s = searcher if searcher is not None and searcher.out_dir == out_dir else Searcher(spark, out_dir)
     if body.get("knn") is not None:
         return _knn_search(spark, out_dir, body)
     if body.get("suggest") and body.get("query") is None and not body.get("aggs"):
@@ -1915,6 +1950,17 @@ def search_body(
         plan["dis_max"] is not None or plan["boosting"] is not None
         or plan["fscore"] is not None or plan["phrase_prefix"] is not None
     )
+    if body.get("pit") is not None and (
+        compound or plan["expand"] is not None or plan["mlt"] is not None
+        or plan["terms_set"] is not None or plan["nested"] is not None
+        or plan["ids"] is not None or plan["match_all"]
+        or sort_spec  # field sort re-reads live state; _score sort is fine
+    ):
+        raise UnsupportedDSL(
+            "PIT bodies support the serving kernel shapes only (match / "
+            "bool / match_phrase / span_near / intervals, _score sort) — "
+            "this query re-reads live index state"
+        )
     if compound and (sort_spec or body.get("search_after")):
         raise UnsupportedDSL(
             "dis_max / boosting / function_score / match_phrase_prefix "
@@ -2164,7 +2210,7 @@ def search_body(
     if want_source or body.get("highlight") or script_fields or fields_req:
         from .build import lookup_docs
 
-        meta = lookup_docs(out_dir, [d for d, _ in rows])
+        meta = lookup_docs(out_dir, [d for d, _ in rows], runs=pit_runs)
     hl_cols = list((body.get("highlight") or {}).get("fields") or {})
     hl_query = " ".join(x for x in (plan["query"], plan["must"]) if x)
     for i, (d, sc) in enumerate(rows):

@@ -4944,7 +4944,7 @@ class Searcher:
     def __init__(
         self, spark: SparkSession, out_dir: str, mode: str = "auto",
         max_candidates: int | None = None, cache_terms: int = 4096,
-        cache_bytes: int = 64 << 20,
+        cache_bytes: int = 64 << 20, frozen_stats: dict | None = None,
     ):
         self.spark = spark
         self.out_dir = out_dir
@@ -4952,7 +4952,12 @@ class Searcher:
         self.max_candidates = max_candidates
         self.cache_terms = cache_terms
         self.cache_bytes = cache_bytes
-        self.stats = load_stats(out_dir)
+        # frozen_stats = a point-in-time snapshot (see index.pit): the
+        # handle pins this visibility state (committed runs, tombstone
+        # set, BM25 stats) and NEVER invalidates on stats.json mtime —
+        # mutations committed after the snapshot stay invisible
+        self._frozen = frozen_stats is not None
+        self.stats = frozen_stats if self._frozen else load_stats(out_dir)
         self._stats_mtime = os.path.getmtime(os.path.join(out_dir, "stats.json"))
         self._term_cache: dict[str, dict | None] = {}
         self._tomb = _tombs(out_dir, self.stats)
@@ -4982,6 +4987,8 @@ class Searcher:
         self._bg_cache: dict[str, tuple[pd.Series, int]] = {}
 
     def _maybe_invalidate(self) -> None:
+        if self._frozen:
+            return
         try:
             m = os.path.getmtime(os.path.join(self.out_dir, "stats.json"))
         except OSError:
