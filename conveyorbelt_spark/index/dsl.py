@@ -1850,7 +1850,12 @@ def scroll_body(
     Page N+1 costs the same as page 1 — the after-predicate applies
     before top-k, never offset re-ranking. Snapshot consistency comes
     from ONE shared Searcher (stats/tombstone snapshot pinned at open),
-    like an ES PIT keeping segment readers alive."""
+    like an ES PIT keeping segment readers alive.
+
+    ES SLICED SCROLL: put {"slice": {"id": i, "max": m}} in the body and
+    drain m scroll_body generators (one per id) in parallel — the slices
+    are disjoint doc_id % m classes that tile the full result set, the
+    ES parallel-reindex/export idiom."""
     body = dict(body or {})
     if body.get("from"):
         raise UnsupportedDSL("scroll cannot combine with from (ES contract)")
@@ -2026,6 +2031,38 @@ def search_body(
         raise UnsupportedDSL(
             "explain supports relevance-ranked match/bool queries"
         )
+    slice_mod: tuple[int, int] | None = None
+    if body.get("slice") is not None:
+        # ES sliced scroll: {"slice": {"id": i, "max": m}} partitions the
+        # result set into m disjoint slices by hash(_id) % m (our doc_ids
+        # ARE the hash, so the rule is doc_id % m == i); m scrolls drained
+        # in parallel tile one unsliced export exactly. Applied inside the
+        # kernel at candidate formation — each slice's top-k/after-paging
+        # is computed over its own docs only.
+        sl = body["slice"]
+        try:
+            sid, smax = int(sl["id"]), int(sl["max"])
+        except (KeyError, TypeError, ValueError):
+            raise UnsupportedDSL('slice needs {"id": int, "max": int}') from None
+        if smax < 2 or not 0 <= sid < smax:
+            raise UnsupportedDSL(
+                "slice needs 0 <= id < max and max >= 2 (ES contract)"
+            )
+        if (
+            sort_spec or collapse is not None or rescore is not None
+            or compound or plan["phrase"] is not None or plan["mm"] is not None
+            or plan["expand"] is not None or plan["mlt"] is not None
+            or plan["ids"] is not None or plan["match_all"]
+            or plan["span_near"] is not None or plan["terms_set"] is not None
+            or plan["nested"] is not None or body.get("aggs")
+            or body.get("track_total_hits") or body.get("explain")
+        ):
+            raise UnsupportedDSL(
+                "slice supports relevance-ranked match/bool queries (the "
+                "sliced-scroll parallel-export shape; totals/aggs are "
+                "per-slice undefined)"
+            )
+        slice_mod = (sid, smax)
     rows: list[tuple[int, float]]
     plain_scored = False
     sorted_rows_cols: list[tuple] | None = None
@@ -2200,6 +2237,7 @@ def search_body(
             min_should=plan["min_should"], offset=from_,
             filters=filters, ranges=ranges,
             or_groups=or_groups, not_atoms=not_atoms, after=after,
+            slice_mod=slice_mod,
         )
         plain_scored = True
 

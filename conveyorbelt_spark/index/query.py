@@ -395,6 +395,7 @@ def _score_kernel(
     min_should: int = 0,
     filter_groups: tuple[tuple[str, ...], ...] = (),
     after: tuple[float, int] | None = None,
+    slice_mod: tuple[int, int] | None = None,
 ):
     """Per-bucket kernel: boolean candidate set + block-max WAND pruning +
     exact rescoring. ES bool-query semantics: ``term_idf`` keys are the
@@ -430,7 +431,15 @@ def _score_kernel(
     page N+1. WAND pruning is disabled on after-pages — θ bounds the
     CURRENT top-k, and an after-page's true results score below it, so
     pruning would drop them; the after-filter applies post-scoring,
-    pre-top-k."""
+    pre-top-k.
+
+    ``slice_mod`` = (slice_id, max_slices) restricts candidates to the
+    docs with ``doc_id % max_slices == slice_id`` — the ES sliced-scroll
+    partition rule (hash(_id) % max; our ids ARE the hash). Slices are
+    disjoint and tile the full result set, so N sliced scrolls drained in
+    parallel are an exact partition of one unsliced export. Applied at
+    candidate formation, before scoring — WAND θ then bounds the slice's
+    own top-k, so pruning stays exact per slice."""
     terms_sorted = sorted(term_idf)
     must_terms = tuple(sorted(must_terms))
     not_terms = tuple(sorted(not_terms))
@@ -497,6 +506,7 @@ def _score_kernel(
                     pdf, term_idf, terms_sorted, k, k1, b, avgdl, must_terms, not_terms,
                     doc_range=doc_range, should_terms=should_terms, min_should=min_should,
                     filter_groups=filter_groups, avgdl_by_term=abt, after=after,
+                    slice_mod=slice_mod,
                 )
             per_term[term] = tp
         if not any(t in per_term for t in terms_sorted):
@@ -512,6 +522,10 @@ def _score_kernel(
             if not len(all_docs):
                 return empty
         cand = all_docs
+        if slice_mod is not None:
+            cand = cand[cand % slice_mod[1] == slice_mod[0]]
+            if not len(cand):
+                return empty
         for mt in must_terms:
             tp = per_term.get(mt)
             if tp is None:
@@ -614,7 +628,7 @@ def _score_kernel(
 def _exhaustive(
     pdf, term_idf, terms_sorted, k, k1, b, avgdl, must_terms=(), not_terms=(),
     doc_range=None, should_terms=(), min_should=0, filter_groups=(),
-    avgdl_by_term=None, after=None,
+    avgdl_by_term=None, after=None, slice_mod=None,
 ) -> pd.DataFrame:
     """Fallback exhaustive scorer (handles duplicate doc_ids from deltas),
     with the same boolean candidate semantics as the pruned kernel."""
@@ -644,6 +658,8 @@ def _exhaustive(
     if doc_range is not None:
         all_docs = all_docs[(all_docs >= doc_range[0]) & (all_docs < doc_range[1])]
     cand = all_docs
+    if slice_mod is not None:
+        cand = cand[cand % slice_mod[1] == slice_mod[0]]
     for mt in must_terms:
         if mt not in per_term:
             return empty
@@ -751,6 +767,7 @@ def _score_local(
     filter_groups: tuple[tuple[str, ...], ...] = (),
     tp_cache: dict | None = None,
     after: tuple[float, int] | None = None,
+    slice_mod: tuple[int, int] | None = None,
 ) -> list[tuple[int, float]]:
     """Run the SAME per-bucket scoring kernel in-driver and merge: buckets
     are disjoint docID ranges, so concat of per-bucket top-k + one global
@@ -761,7 +778,7 @@ def _score_local(
     kern = _score_kernel(
         term_idf, k, prune=prune, must_terms=must_terms, not_terms=not_terms,
         should_terms=should_terms, min_should=min_should, filter_groups=filter_groups,
-        after=after,
+        after=after, slice_mod=slice_mod,
     )
     kern.k1, kern.b, kern.avgdl = stats["k1"], stats["b"], stats["avgdl"]
     kern.max_candidates = max_candidates
@@ -964,6 +981,7 @@ def bm25_topk(
     or_groups: list | None = None,
     not_atoms: list | None = None,
     after: tuple[float, int] | None = None,
+    slice_mod: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Top-k (doc_id, score) for ``query``, ranked by (score desc, doc_id
     asc). ``prune=False`` disables block-max WAND (identical results —
@@ -1011,7 +1029,7 @@ def bm25_topk(
         term_idf, (1 << 62) if k is None else k, prune=prune and k is not None,
         must_terms=must_terms, not_terms=not_terms,
         should_terms=should_present, min_should=min_should, filter_groups=fgroups,
-        after=after,
+        after=after, slice_mod=slice_mod,
     )
     kern.k1 = stats["k1"]
     kern.b = stats["b"]
@@ -5144,6 +5162,7 @@ class Searcher:
         filters: dict | None = None, ranges: dict | None = None,
         or_groups: list | None = None, not_atoms: list | None = None,
         after: tuple[float, int] | None = None,
+        slice_mod: tuple[int, int] | None = None,
     ) -> list[tuple[int, float]]:
         """Serving-path search: [(doc_id, score)] straight from the driver
         kernel — no DataFrame round trip at all (the py4j createDataFrame +
@@ -5153,9 +5172,12 @@ class Searcher:
         kernel ranks the top offset+k then slices — same deep-pagination
         cost profile as ES), while ``after`` = (score, doc_id) pages by
         SCORE-ORDER search_after: page N+1 costs one exhaustive-scoring
-        pass regardless of depth (no offset+k re-rank). Requires a locally
-        readable index in mode auto/local; in mode spark it collects the
-        distributed result."""
+        pass regardless of depth (no offset+k re-rank). ``slice_mod`` =
+        (slice_id, max_slices) restricts results to docs with doc_id %
+        max_slices == slice_id — the ES sliced-scroll partition (see
+        ``_score_kernel``); combine with ``after`` for parallel deep
+        export. Requires a locally readable index in mode auto/local; in
+        mode spark it collects the distributed result."""
         if k <= 0:
             # ES "size": 0 — the canonical aggs-only request shape; the
             # WAND prune phase would otherwise np.partition at kth=len
@@ -5165,6 +5187,7 @@ class Searcher:
                 query, k + offset, prune, must=must, must_not=must_not,
                 min_should=min_should, filters=filters, ranges=ranges,
                 or_groups=or_groups, not_atoms=not_atoms, after=after,
+                slice_mod=slice_mod,
             )
             return rows[offset : offset + k]
         self._maybe_invalidate()
@@ -5188,7 +5211,7 @@ class Searcher:
                     max_candidates=self.max_candidates,
                     should_terms=should_present, min_should=min_should,
                     filter_groups=fgroups, tp_cache=self._tp_cache,
-                    after=after,
+                    after=after, slice_mod=slice_mod,
                 )
             if self.mode == "local":
                 raise FileNotFoundError(f"{self.out_dir}/segments is not locally readable")
@@ -5198,7 +5221,7 @@ class Searcher:
                 self.spark, self.out_dir, query, k, prune, must_not=must_not, must=must,
                 max_candidates=self.max_candidates, min_should=min_should,
                 filters=filters, ranges=ranges, or_groups=or_groups,
-                not_atoms=not_atoms, after=after,
+                not_atoms=not_atoms, after=after, slice_mod=slice_mod,
             ).collect()
         ]
 

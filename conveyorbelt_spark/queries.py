@@ -4796,6 +4796,74 @@ ORDER BY p.doc_id
 """
 
 
+def q80_sliced_scroll(spark, sf_dir):
+    """ES sliced scroll: the same match query drained as 4 parallel
+    scrolls ({"slice": {"id": i, "max": 4}}, the ES parallel-reindex
+    idiom) must tile the full BM25-scored matching set exactly — slices
+    are disjoint doc_id % 4 classes, each internally an exact (score
+    desc, doc_id asc) ranking paged by score-order search_after. The
+    DuckDB twin recomputes the full scored set and partitions it with
+    doc_id % 4 (reference contract: arbitrary ES request bodies against
+    managed indexes, ElasticsearchClient.cs:31-135)."""
+    import shutil
+    import tempfile
+
+    from .index.build import build_index
+    from .index.dsl import scroll_body
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="cb_q80_idx_")
+    rows = []
+    try:
+        build_index(
+            spark, docs.select("doc_id", "text"), out, url_col=None,
+            n_buckets=8,
+        )
+        for i in range(4):
+            body = {
+                "query": {"match": {"text": " ".join(BM25_QUERY_TERMS)}},
+                "size": 7, "slice": {"id": i, "max": 4},
+            }
+            for page in scroll_body(spark, out, body):
+                rows.extend(
+                    (i, int(h["_id"]), round(float(h["_score"]), 4))
+                    for h in page["hits"]["hits"]
+                )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "slice long, doc_id long, score double"
+    ).orderBy("slice", "doc_id")
+
+
+Q80_SQL = f"""
+WITH toks AS ({_TOKENS_SQL}),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks WHERE term != '' GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+q AS (SELECT unnest({BM25_QUERY_TERMS!r}) AS term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf WHERE term IN (SELECT term FROM q) GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl)))) AS raw
+  FROM tf
+  JOIN df ON tf.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id % 4 AS slice, doc_id, round(raw, 4) AS score
+FROM scored ORDER BY slice, doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -4876,6 +4944,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q77_terms_set": q77_terms_set,
     "q78_nested_query": q78_nested_query,
     "q79_script_fields": q79_script_fields,
+    "q80_sliced_scroll": q80_sliced_scroll,
 }
 
 ORACLES: dict[str, str] = {
@@ -4958,4 +5027,5 @@ ORACLES: dict[str, str] = {
     "q77_terms_set": Q77_SQL,
     "q78_nested_query": Q78_SQL,
     "q79_script_fields": Q79_SQL,
+    "q80_sliced_scroll": Q80_SQL,
 }
