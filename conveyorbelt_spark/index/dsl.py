@@ -36,6 +36,9 @@ query context:
   more_like_this   {"more_like_this": {"like": <doc_id|text>, ...knobs}}
   match_all        {"match_all": {}} (only with filters/sort — something
                    must bound the result)
+  match_none       {"match_none": {}} — the empty set (zero hits, exact
+                   total 0, no index probe; _count/delete_by_query/
+                   update_by_query report 0 matched)
   bool             {"bool": {"must": [...], "should": [...],
                     "must_not": [...], "filter": [...],
                     "minimum_should_match": n}} — bools NEST: a bool
@@ -48,6 +51,11 @@ query context:
                     lang:en", "default_operator": "or"}} — the Lucene
                    subset: terms, +required, -excluded, field:value
                    filters, or one quoted "phrase"
+  simple_query_string  {"simple_query_string": {"query": "spark +join
+                   | window -merge"}} — the simple syntax: whitespace
+                   terms via default_operator, infix + (and) / | (or
+                   group), -negation, whole-query "phrase"~N or prefix*;
+                   dangling operators lenient-dropped (ES contract)
   term/terms/range/exists — allowed TOP-LEVEL too (filter-context query,
                    constant score 1.0, doc_id order)
   constant_score   {"constant_score": {"filter": {...}, "boost": b}} —
@@ -601,7 +609,7 @@ def parse_query(query: dict, analyzer=None) -> dict:
     plan: dict[str, Any] = {
         "query": "", "must": None, "must_not": None, "min_should": 0,
         "filters": {}, "ranges": {}, "phrase": None, "phrase_slop": 0, "mm": None,
-        "expand": None, "mlt": None, "match_all": False,
+        "expand": None, "mlt": None, "match_all": False, "match_none": False,
         "or_groups": [], "not_atoms": [], "extra_not_text": [],
         "boost": 1.0, "ids": None,
         "dis_max": None, "boosting": None, "fscore": None,
@@ -621,6 +629,10 @@ def parse_query(query: dict, analyzer=None) -> dict:
             plan["mm"] = {"query": nm.text, "fields": [nm.field], "type": "best_fields"}
     elif kind == "match_all":
         plan["match_all"] = True
+    elif kind == "match_none":
+        # ES match_none: matches no documents, ever (the query-DSL unit of
+        # "empty set" — tools emit it when a filter list reduces to false)
+        plan["match_none"] = True
     elif kind == "match_phrase":
         _field, spec = _one(body)
         plan["phrase"] = spec["query"] if isinstance(spec, dict) else str(spec)
@@ -732,6 +744,8 @@ def parse_query(query: dict, analyzer=None) -> dict:
         plan["ids"] = [int(v) for v in body["values"]]
     elif kind == "query_string":
         _parse_query_string(body, plan, analyzer)
+    elif kind == "simple_query_string":
+        _parse_simple_query_string(body, plan)
     elif kind == "bool":
         try:
             ctx = _parse_bool_core(body, plan, analyzer, top=True)
@@ -815,6 +829,150 @@ def _parse_query_string(body, plan: dict, analyzer) -> None:
     plan["query"] = " ".join(shoulds)
     if not plan["query"] and not plan["must"]:
         plan["match_all"] = True
+
+
+def _parse_simple_query_string(body, plan: dict) -> None:
+    """ES ``simple_query_string`` SUBSET over the main field: whitespace
+    terms joined by ``default_operator`` (or → should, and → must), infix
+    ``|`` (the chained atoms become an OR group: should with
+    minimum_should_match 1 when anything is required), infix ``+`` (the
+    chained atoms become must — works with or without surrounding
+    spaces), prefix ``-term`` (must_not), and a quoted ``"phrase"`` /
+    ``"phrase"~N`` when it is the ENTIRE query, or a trailing-``*``
+    ``prefix*`` when it is the entire query. ES-lenient on dangling
+    operators (a trailing ``+``/``|``/bare ``-`` is dropped, never an
+    error — the simple-syntax contract). Shapes the flat kernel cannot
+    express exactly — mixing ``+`` and ``|`` chains (needs precedence),
+    a negated ``|`` member (OR-of-NOT), mid-query phrases or prefixes —
+    raise UnsupportedDSL: no silent misparse."""
+    import re
+
+    if isinstance(body, dict):
+        q = str(body["query"])
+        default_op = str(body.get("default_operator", "or")).lower()
+        fields = body.get("fields")
+        flags = body.get("flags")
+    else:
+        q, default_op, fields, flags = str(body), "or", None, None
+    if flags is not None and str(flags).upper() != "ALL":
+        raise UnsupportedDSL(
+            "simple_query_string flags subsets are unsupported (ALL only)"
+        )
+    if "(" in q or ")" in q:
+        raise UnsupportedDSL(
+            "simple_query_string parentheses (precedence groups) are "
+            "unsupported"
+        )
+    parts = re.findall(r'-?"[^"]*"(?:~\d+)?|[+|]|[^\s+|]+', q)
+    # atoms: (text, negated, joined-to-previous-by) with lenient dangling
+    # connectives dropped
+    atoms: list[list] = []
+    pending: str | None = None
+    for p in parts:
+        if p in "+|":
+            pending = p if atoms else None  # leading connective: lenient
+            continue
+        neg = False
+        if p[:1] == "-" and not p.startswith('-"'):
+            neg, p = True, p[1:]
+        elif p.startswith('-"'):
+            neg, p = True, p[1:]
+        if not p:
+            pending = None  # bare '-': lenient
+            continue
+        atoms.append([p, neg, pending])
+        pending = None
+    if not atoms:
+        plan["match_all"] = True
+        return
+    kinds = {a[2] for a in atoms if a[2]}
+    if len(kinds) > 1:
+        raise UnsupportedDSL(
+            "simple_query_string mixing + and | needs precedence groups "
+            "and is unsupported"
+        )
+    # adjacency: an infix connective binds BOTH its neighbours
+    for i, a in enumerate(atoms):
+        nxt = atoms[i + 1][2] if i + 1 < len(atoms) else None
+        a.append(a[2] or nxt)  # a[3] = effective connective
+    phrase_like = [a for a in atoms if a[0].startswith('"')]
+    prefix_like = [a for a in atoms if a[0].endswith("*")]
+    if phrase_like:
+        if len(atoms) != 1 or atoms[0][1] or atoms[0][3]:
+            raise UnsupportedDSL(
+                'a simple_query_string "phrase" must be the entire query'
+            )
+        m = re.fullmatch(r'"([^"]*)"(?:~(\d+))?', atoms[0][0])
+        plan["phrase"] = m.group(1)
+        plan["phrase_slop"] = int(m.group(2) or 0)
+        _sqs_fields_guard(fields, plan)
+        return
+    if prefix_like:
+        if len(atoms) != 1 or atoms[0][1] or atoms[0][3]:
+            raise UnsupportedDSL(
+                "a simple_query_string prefix* must be the entire query"
+            )
+        plan["expand"] = ("prefix", atoms[0][0][:-1], {})
+        _sqs_fields_guard(fields, plan)
+        return
+    shoulds, musts, must_nots = [], [], []
+    for text, neg, _conn, eff in atoms:
+        if "~" in text or "*" in text or "?" in text:
+            raise UnsupportedDSL(
+                "simple_query_string term fuzziness (~) and non-trailing "
+                "wildcards are unsupported"
+            )
+        if neg:
+            if eff == "|":
+                raise UnsupportedDSL(
+                    "a negated | member (OR-of-NOT) is unsupported in "
+                    "simple_query_string"
+                )
+            must_nots.append(text)
+        elif eff == "|":
+            shoulds.append(text)
+        elif eff == "+" or default_op == "and":
+            musts.append(text)
+        else:
+            shoulds.append(text)
+    plan["query"] = " ".join(shoulds)
+    plan["must"] = " ".join(musts) or None
+    plan["must_not"] = " ".join(must_nots) or None
+    # an explicit |-group alongside required terms is itself required
+    # (Lucene: a AND (b OR c)); a pure should bag keeps ES's default
+    plan["min_should"] = (
+        1 if shoulds and (musts or default_op == "and") else 0
+    )
+    if not plan["query"] and not plan["must"]:
+        plan["match_all"] = True
+    _sqs_fields_guard(fields, plan)
+
+
+def _sqs_fields_guard(fields, plan: dict) -> None:
+    """simple_query_string ``fields``: absent / main-field aliases pass
+    through; ONE non-main field reduces a pure should-bag to single-field
+    multi_match (the ES per-field BM25 norm path); anything wider is
+    unsupported."""
+    if not fields:
+        return
+    names = [str(f).partition("^")[0] for f in fields]
+    if all(n in ("", "*", "text", "_text") for n in names):
+        return
+    if (
+        len(names) == 1 and plan["query"] and not plan["must"]
+        and not plan["must_not"] and not plan["min_should"]
+        and plan["phrase"] is None and plan["expand"] is None
+    ):
+        plan["mm"] = {
+            "query": plan["query"], "fields": [fields[0]],
+            "type": "best_fields",
+        }
+        plan["query"] = ""
+        return
+    raise UnsupportedDSL(
+        "simple_query_string fields supports the main field, or one "
+        "non-main field with a plain term bag"
+    )
 
 
 def _score_sort(sort_spec) -> bool:
@@ -1184,20 +1342,39 @@ def _hit_field_values(script_fields: dict, fields_req: list, row: dict) -> dict:
 
 def _suggest_section(s: Searcher, spec: dict) -> dict:
     """The request-level "suggest" block: named term-suggester entries
-    ({"text": ..., "term": {knobs}}) and phrase-suggester entries
+    ({"text": ..., "term": {knobs}}), phrase-suggester entries
     ({"text": ..., "phrase": {knobs}} — stupid-backoff bigram LM over the
-    positional index, see ``Searcher.phrase_suggest``) → ES-shaped
-    response section. The completion suggester has its own API
-    (``Searcher.suggest``)."""
+    positional index, see ``Searcher.phrase_suggest``), and
+    completion-suggester entries ({"prefix": ..., "completion": {knobs}}
+    — top-df dictionary completions via the sorted term_index, ES's
+    suggest-as-you-type shape) → ES-shaped response section."""
     from .query import term_suggest
 
     out_dir = s.out_dir
     out = {}
     for name, body in spec.items():
-        if not isinstance(body, dict) or not ({"term", "phrase"} & set(body)):
+        if not isinstance(body, dict) or not (
+            {"term", "phrase", "completion"} & set(body)
+        ):
             raise UnsupportedDSL(
-                f"suggest {name!r}: term and phrase suggesters are supported"
+                f"suggest {name!r}: term, phrase, and completion "
+                "suggesters are supported"
             )
+        if "completion" in body:
+            c = body["completion"]
+            prefix = str(body.get("prefix", body.get("text", "")))
+            opts = s.suggest(prefix, int(c.get("size", 5)))
+            out[name] = [{
+                "text": prefix,
+                "offset": 0,
+                "length": len(prefix),
+                "options": [
+                    # ES completion options carry _score (we surface df —
+                    # the popularity signal the dictionary has)
+                    {"text": t, "_score": float(df)} for t, df in opts
+                ],
+            }]
+            continue
         if "phrase" in body:
             t = body["phrase"]
             out[name] = s.phrase_suggest(
@@ -1265,6 +1442,8 @@ def count_body(
         else Searcher(spark, out_dir)
     q = (body or {}).get("query")
     plan = parse_query(q, analyzer=s.stats.get("analyzer"))
+    if plan["match_none"]:
+        return {"count": 0}
     filters = plan["filters"] or None
     ranges = plan["ranges"] or None
     or_groups = plan["or_groups"] or None
@@ -1322,6 +1501,8 @@ def delete_by_query_body(
             f"delete_by_query supports match/bool/filter-context bodies "
             f"(got {blocked[0]})"
         )
+    if plan["match_none"]:
+        return {"deleted": 0}
     if (
         plan["match_all"] and not plan["query"] and not plan["must"]
         and not plan["filters"] and not plan["ranges"]
@@ -1533,6 +1714,8 @@ def update_by_query_body(
             f"update_by_query supports match/bool/filter-context bodies "
             f"(got {blocked[0]})"
         )
+    if plan["match_none"]:
+        return {"updated": 0}
     script = (body or {}).get("script")
     stmts: list = []
     params: dict = {}
@@ -1934,6 +2117,9 @@ def search_body(
             "suggest": _suggest_section(s, body["suggest"]),
         }
     plan = parse_query(body.get("query"), analyzer=s.stats.get("analyzer"))
+    if plan["match_none"]:
+        # the empty set by definition — no index probe at all
+        return {"hits": {"total": {"value": 0, "relation": "eq"}, "hits": []}}
     size = int(body.get("size", 10))
     from_ = int(body.get("from", 0))
     filters = plan["filters"] or None
@@ -2390,6 +2576,8 @@ def search_body_daily(
     sel_days = select_days(root, time_range)
     az = ds._merged_stats(sel_days).get("analyzer") if sel_days else None
     plan = parse_query(body.get("query"), analyzer=az)
+    if plan["match_none"]:
+        return {"hits": {"total": {"value": 0, "relation": "eq"}, "hits": []}}
     size = int(body.get("size", 10))
     from_ = int(body.get("from", 0))
     filters = plan["filters"] or None

@@ -531,8 +531,12 @@ def _score_kernel(
             if tp is None:
                 return empty  # a required term absent in this bucket
             cand = cand[_in_sorted(cand, tp.sorted_docs)]
-        if min_should > 1 and len(cand):
-            # ES minimum_should_match: keep docs matching ≥ m SHOULD terms
+        if (min_should > 1 or (min_should == 1 and must_terms)) and len(cand):
+            # ES minimum_should_match: keep docs matching ≥ m SHOULD terms.
+            # m == 1 needs enforcing only alongside must terms — without
+            # them every candidate already matches ≥1 scoring (should)
+            # term; with them a doc matching musts alone must drop (ES
+            # makes should REQUIRED once minimum_should_match is explicit)
             cnt = np.zeros(len(cand), dtype=np.int32)
             for st in should_terms:
                 tp = per_term.get(st)
@@ -664,7 +668,7 @@ def _exhaustive(
         if mt not in per_term:
             return empty
         cand = cand[_in_sorted(cand, sorted_docs[mt])]
-    if min_should > 1 and len(cand):
+    if (min_should > 1 or (min_should == 1 and must_terms)) and len(cand):
         cnt = np.zeros(len(cand), dtype=np.int32)
         for st in should_terms:
             if st in per_term:
@@ -2452,6 +2456,39 @@ def aggs_over_join(
                 .select("key", "n")
             )
             continue
+        if kind == "adjacency_matrix":
+            if sub is not None:
+                raise ValueError(
+                    f"agg {name!r}: adjacency_matrix sub-aggs are unsupported"
+                )
+            exprs, stack = _adjacency_agg_parts(
+                body["filters"], str(body.get("separator", "&"))
+            )
+            # ES omits empty buckets; adjacency buckets order by key asc
+            out[name] = (
+                joined.agg(*exprs).selectExpr(stack)
+                .where(F.col("n") > 0).orderBy("key").select("key", "n")
+            )
+            continue
+        if kind == "auto_date_histogram":
+            if sub is not None:
+                raise ValueError(
+                    f"agg {name!r}: auto_date_histogram sub-aggs are "
+                    "unsupported"
+                )
+            col_ = body["field"]
+            row = joined.agg(
+                F.min(col_).alias("lo"), F.max(col_).alias("hi")
+            ).collect()[0]
+            unit = _auto_dh_unit(row["lo"], row["hi"], int(body.get("buckets", 10)))
+            out[name] = (
+                joined.where(F.col(col_).isNotNull())
+                .groupBy(F.date_trunc(unit, F.col(col_)).alias("key"))
+                .agg(F.count("*").alias("n"))
+                .withColumn("interval", F.lit(unit))
+                .orderBy("key")
+            )
+            continue
         if kind == "composite":
             if sub is not None:
                 raise ValueError(
@@ -3202,6 +3239,54 @@ def _filters_agg_parts(specs: dict):
     return exprs, f"stack({len(specs)}, {names}) as (key, _rk, n)"
 
 
+def _adjacency_agg_parts(specs: dict, sep: str):
+    """ES ``adjacency_matrix``: one conditional-sum pass producing a
+    bucket per named filter plus one per unordered filter PAIR (key
+    "a&b", intersection count) — the co-occurrence matrix Kibana's graph
+    visualizations consume. Like ``_filters_agg_parts`` this is one agg
+    row stacked to (key, n); pairs are cheap expressions, not joins, so
+    n filters cost n·(n+1)/2 counters in a single scan."""
+    names = list(specs)
+    conds = {nm: _filter_cond(c) for nm, c in specs.items()}
+    keys: list[str] = []
+    exprs = []
+    for i, a in enumerate(names):
+        for key, cond in [(a, conds[a])] + [
+            (f"{a}{sep}{b}", conds[a] & conds[b]) for b in names[i + 1:]
+        ]:
+            exprs.append(
+                F.coalesce(
+                    F.sum(F.when(cond, 1).otherwise(0)), F.lit(0)
+                ).alias(f"_f{len(keys)}")
+            )
+            keys.append(key)
+    stacked = ", ".join(
+        f"""'{k.replace("'", "''")}', _f{i}""" for i, k in enumerate(keys)
+    )
+    return exprs, f"stack({len(keys)}, {stacked}) as (key, n)"
+
+
+_AUTO_DH_LADDER = (
+    ("minute", 60), ("hour", 3600), ("day", 86400), ("week", 604800),
+    ("month", 2592000), ("year", 31536000),
+)
+
+
+def _auto_dh_unit(lo, hi, buckets: int) -> str:
+    """ES ``auto_date_histogram`` interval choice, reduced to the
+    date_trunc ladder: the smallest calendar unit whose estimated bucket
+    count fits the ``buckets`` target (ES picks from a finer
+    multiple-ladder; truncation units keep both engines' bucket keys
+    reproducible in plain SQL). Deterministic in (min, max, buckets)."""
+    if lo is None or hi is None:
+        return "day"
+    span = max((hi - lo).total_seconds(), 0.0)
+    for unit, secs in _AUTO_DH_LADDER:
+        if span / secs + 1 <= buckets:
+            return unit
+    return "year"
+
+
 def _filter_agg_df(
     joined: DataFrame, name: str, clause: dict, sub: dict | None
 ) -> DataFrame:
@@ -3721,6 +3806,52 @@ def _aggs_pandas(
             out[name] = [
                 {"key": str(nm), "n": int(_pd_filter_mask(pdf, c).sum())}
                 for nm, c in body["filters"].items()
+            ]
+            continue
+        if kind == "adjacency_matrix":
+            if sub is not None:
+                raise ValueError(
+                    f"agg {name!r}: adjacency_matrix sub-aggs are unsupported"
+                )
+            sep = str(body.get("separator", "&"))
+            names_ = list(body["filters"])
+            masks = {
+                nm: _pd_filter_mask(pdf, c) for nm, c in body["filters"].items()
+            }
+            rows = []
+            for i, a in enumerate(names_):
+                for key, mask in [(a, masks[a])] + [
+                    (f"{a}{sep}{b}", masks[a] & masks[b])
+                    for b in names_[i + 1:]
+                ]:
+                    n = int(mask.sum())
+                    if n:
+                        rows.append((key, n))
+            out[name] = [{"key": k_, "n": n} for k_, n in sorted(rows)]
+            continue
+        if kind == "auto_date_histogram":
+            if sub is not None:
+                raise ValueError(
+                    f"agg {name!r}: auto_date_histogram sub-aggs are "
+                    "unsupported"
+                )
+            col = body["field"]
+            vals = pd.to_datetime(
+                pdf[col] if col in getattr(pdf, "columns", [])
+                else pd.Series(dtype="datetime64[ns]")
+            ).dropna()
+            unit = _auto_dh_unit(
+                vals.min() if len(vals) else None,
+                vals.max() if len(vals) else None,
+                int(body.get("buckets", 10)),
+            )
+            key = _pd_bucket_key(
+                pdf, "date_histogram", {"field": col, "interval": unit}
+            )
+            c = key.value_counts().sort_index()
+            out[name] = [
+                {"key": _key_out(k_), "n": int(n), "interval": unit}
+                for k_, n in c.items()
             ]
             continue
         if kind == "weighted_avg":

@@ -4864,6 +4864,92 @@ FROM scored ORDER BY slice, doc_id
 """
 
 
+def q81_simple_query_string(spark, sf_dir):
+    """ES simple_query_string through the DSL: "spark join | window
+    -stream" with default_operator and → spark required, (join OR
+    window) required (the explicit |-group under a required context gets
+    minimum_should_match 1 — Lucene a AND (b OR c)), stream excluded;
+    BM25 scores over the scoring terms present, exact total. The DuckDB
+    twin evaluates the same boolean predicate over per-doc term flags
+    and recomputes BM25. Also pins the minimum_should_match=1-with-must
+    kernel rule (ES: explicit msm makes should REQUIRED)."""
+    import shutil
+    import tempfile
+
+    from .index.build import build_index
+    from .index.dsl import search_body
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="cb_q81_idx_")
+    try:
+        build_index(
+            spark, docs.select("doc_id", "text"), out, url_col=None,
+            n_buckets=8,
+        )
+        resp = search_body(spark, out, {
+            "query": {"simple_query_string": {
+                "query": "spark join | window -stream",
+                "default_operator": "and",
+            }},
+            "size": 15, "track_total_hits": True,
+        })
+        rows = [
+            ("hit", int(h["_id"]), round(float(h["_score"]), 4))
+            for h in resp["hits"]["hits"]
+        ]
+        rows.append(("total", int(resp["hits"]["total"]["value"]), None))
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "part string, doc_id long, score double"
+    ).orderBy("part", "doc_id")
+
+
+Q81_SQL = f"""
+WITH toks AS ({_TOKENS_SQL}),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks WHERE term != '' GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+flags AS (
+  SELECT doc_id,
+         max(CASE WHEN term = 'spark'  THEN 1 ELSE 0 END) AS has_spark,
+         max(CASE WHEN term = 'join'   THEN 1 ELSE 0 END) AS has_join,
+         max(CASE WHEN term = 'window' THEN 1 ELSE 0 END) AS has_window,
+         max(CASE WHEN term = 'stream' THEN 1 ELSE 0 END) AS has_stream
+  FROM tf GROUP BY doc_id
+),
+m AS (
+  SELECT doc_id FROM flags
+  WHERE has_spark = 1 AND (has_join = 1 OR has_window = 1) AND has_stream = 0
+),
+q AS (SELECT unnest(['spark', 'join', 'window']) AS term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf WHERE term IN (SELECT term FROM q) GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl)))) AS raw
+  FROM tf
+  JOIN df ON tf.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  WHERE tf.doc_id IN (SELECT doc_id FROM m)
+  GROUP BY tf.doc_id
+)
+SELECT part, doc_id, score FROM (
+  SELECT 'hit' AS part, doc_id, round(raw, 4) AS score
+  FROM (SELECT doc_id, raw FROM scored ORDER BY raw DESC, doc_id ASC LIMIT 15)
+  UNION ALL
+  SELECT 'total', (SELECT count(*) FROM m), NULL::DOUBLE
+) ORDER BY part, doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -4945,6 +5031,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q78_nested_query": q78_nested_query,
     "q79_script_fields": q79_script_fields,
     "q80_sliced_scroll": q80_sliced_scroll,
+    "q81_simple_query_string": q81_simple_query_string,
 }
 
 ORACLES: dict[str, str] = {
@@ -5028,4 +5115,5 @@ ORACLES: dict[str, str] = {
     "q78_nested_query": Q78_SQL,
     "q79_script_fields": Q79_SQL,
     "q80_sliced_scroll": Q80_SQL,
+    "q81_simple_query_string": Q81_SQL,
 }

@@ -87,10 +87,34 @@ def test_dsl_suggest_section(spark, tsidx):
     assert combo["suggest"]["fix"][0]["options"]
     assert resp["suggest"]["fix"] == s.term_suggest("windoww")
     with pytest.raises(UnsupportedDSL, match="suggester"):
-        search_body(
-            spark, tsidx,
-            {"suggest": {"p": {"text": "x", "completion": {"field": "text"}}}},
-        )
+        search_body(spark, tsidx, {"suggest": {"p": {"text": "x", "zzz": {}}}})
+
+
+def test_dsl_completion_suggester(spark, tsidx):
+    """{"prefix": ..., "completion": {...}}: top-df dictionary
+    completions, ES entry shape, df surfaced as _score."""
+    from conveyorbelt_spark.index.dsl import search_body
+
+    s = Searcher(spark, tsidx)
+    resp = search_body(spark, tsidx, {"suggest": {
+        "c": {"prefix": "wi", "completion": {"field": "text", "size": 2}}
+    }}, searcher=s)
+    ent = resp["suggest"]["c"][0]
+    assert (ent["text"], ent["offset"], ent["length"]) == ("wi", 0, 2)
+    # df(window)=10 > df(windows)=2 > df(widow)=1; size caps at 2
+    assert [(o["text"], o["_score"]) for o in ent["options"]] == [
+        ("window", 10.0), ("windows", 2.0)
+    ]
+    assert resp["hits"]["hits"] == []
+
+
+def test_match_none(spark, tsidx):
+    """match_none: zero hits, exact total 0, and zero-matched write APIs."""
+    from conveyorbelt_spark.index.dsl import count_body, search_body
+
+    resp = search_body(spark, tsidx, {"query": {"match_none": {}}})
+    assert resp["hits"] == {"total": {"value": 0, "relation": "eq"}, "hits": []}
+    assert count_body(spark, tsidx, {"query": {"match_none": {}}}) == {"count": 0}
 
 
 @pytest.fixture(scope="module")
