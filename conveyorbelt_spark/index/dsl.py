@@ -2514,6 +2514,7 @@ def search_body(
             "avg", "sum", "min", "max", "value_count", "range",
             "filter", "filters", "missing", "top_hits", "composite",
             "significant_terms", "multi_terms", "rare_terms", "date_range",
+            "adjacency_matrix", "auto_date_histogram",
             "global", "avg_bucket", "sum_bucket", "min_bucket",
             "max_bucket", "stats_bucket", "derivative", "cumulative_sum",
             "extended_stats", "weighted_avg", "percentile_ranks",

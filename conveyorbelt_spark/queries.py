@@ -4950,6 +4950,98 @@ SELECT part, doc_id, score FROM (
 """
 
 
+def q82_adjacency_auto_dh(spark, sf_dir):
+    """adjacency_matrix (a bucket per named filter + per unordered pair —
+    the Kibana graph/co-occurrence shape; one conditional-sum pass, no
+    joins) and auto_date_histogram (interval derived from the data's
+    span: 40 distinct days at buckets=10 → week) over the full matching
+    set of a BM25 query through the real index. ts is synthesized
+    deterministically (2024-01-01 + doc_id%40 days). DuckDB twin: the
+    same boolean-pair counts and a date_trunc('week') GROUP BY."""
+    import shutil
+    import tempfile
+
+    from .index.build import build_index, write_docstore
+    from .index.query import search_aggs
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "ts",
+        F.date_add(
+            F.to_date(F.lit("2024-01-01")),
+            F.pmod(F.col("doc_id"), F.lit(40)).cast("int"),
+        ).cast("timestamp"),
+    )
+    out = tempfile.mkdtemp(prefix="cb_q82_idx_")
+    try:
+        build_index(spark, docs.select("doc_id", "text"), out, url_col=None,
+                    n_buckets=8)
+        write_docstore(
+            spark, docs, out, url_col=None, extra_cols=("lang", "n_chars", "ts")
+        )
+        res = search_aggs(
+            spark, out,
+            {
+                "adj": {"adjacency_matrix": {"filters": {
+                    "en": {"term": {"lang": "en"}},
+                    "de": {"term": {"lang": "de"}},
+                    "small": {"range": {"n_chars": {"lt": 306}}},
+                }}},
+                "auto": {"auto_date_histogram": {"field": "ts", "buckets": 10}},
+            },
+            " ".join(BM25_QUERY_TERMS),
+        )
+        rows = [
+            ("adj", str(r.key), int(r.n)) for r in res["adj"].collect()
+        ] + [
+            ("auto:" + r.interval, str(r.key), int(r.n))
+            for r in res["auto"].collect()
+        ]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "agg string, key string, n long"
+    ).orderBy("agg", "key")
+
+
+Q82_SQL = f"""
+WITH toks AS ({_TOKENS_SQL}),
+m AS (
+  SELECT DISTINCT doc_id FROM toks
+  WHERE term IN (SELECT unnest({BM25_QUERY_TERMS!r}))
+),
+hits AS (
+  SELECT d.doc_id, d.lang, d.n_chars,
+         TIMESTAMP '2024-01-01' + (d.doc_id % 40) * INTERVAL 1 DAY AS ts
+  FROM documents d JOIN m USING (doc_id)
+),
+adj AS (
+  SELECT key, n FROM (
+    SELECT 'en' AS key, sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n FROM hits
+    UNION ALL
+    SELECT 'de', sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) FROM hits
+    UNION ALL
+    SELECT 'small', sum(CASE WHEN n_chars < 306 THEN 1 ELSE 0 END) FROM hits
+    UNION ALL
+    SELECT 'en&de', sum(CASE WHEN lang = 'en' AND lang = 'de' THEN 1 ELSE 0 END) FROM hits
+    UNION ALL
+    SELECT 'en&small', sum(CASE WHEN lang = 'en' AND n_chars < 306 THEN 1 ELSE 0 END) FROM hits
+    UNION ALL
+    SELECT 'de&small', sum(CASE WHEN lang = 'de' AND n_chars < 306 THEN 1 ELSE 0 END) FROM hits
+  ) WHERE n > 0
+),
+auto AS (
+  SELECT strftime(CAST(date_trunc('week', ts) AS TIMESTAMP),
+                  '%Y-%m-%d %H:%M:%S') AS key, count(*) AS n
+  FROM hits GROUP BY 1
+)
+SELECT agg, key, n FROM (
+  SELECT 'adj' AS agg, key, n FROM adj
+  UNION ALL
+  SELECT 'auto:week', key, n FROM auto
+) ORDER BY agg, key
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -5032,6 +5124,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q79_script_fields": q79_script_fields,
     "q80_sliced_scroll": q80_sliced_scroll,
     "q81_simple_query_string": q81_simple_query_string,
+    "q82_adjacency_auto_dh": q82_adjacency_auto_dh,
 }
 
 ORACLES: dict[str, str] = {
@@ -5116,4 +5209,5 @@ ORACLES: dict[str, str] = {
     "q79_script_fields": Q79_SQL,
     "q80_sliced_scroll": Q80_SQL,
     "q81_simple_query_string": Q81_SQL,
+    "q82_adjacency_auto_dh": Q82_SQL,
 }

@@ -1028,3 +1028,65 @@ def test_bucket_pipeline_aggs(spark, aroot):
             "x": {"bucket_script": {"buckets_path": {"c": "h>_count"},
                                     "script": "__import__('os')"}},
         }, "spark join")
+
+
+def test_adjacency_matrix_agg(spark, aroot):
+    """adjacency_matrix: a bucket per named filter plus one per unordered
+    pair (key "a&b", intersection count), empty buckets omitted, key-asc
+    order; serving twin matches the one-pass Spark stack row-for-row."""
+    from conveyorbelt_spark.index.query import Searcher, search_aggs
+
+    out, rows, matching = aroot
+    spec = {"adj": {"adjacency_matrix": {"filters": {
+        "en": {"term": {"lang": "en"}},
+        "de": {"term": {"lang": "de"}},
+        "small": {"range": {"n_chars": {"lt": 250}}},
+    }}}}
+    got = {
+        name: [r.asDict() for r in df.collect()]
+        for name, df in search_aggs(spark, out, spec, "spark join").items()
+    }
+    hits = [r for r in rows if r[0] in matching]
+    en = {r[0] for r in hits if r[2] == "en"}
+    de = {r[0] for r in hits if r[2] == "de"}
+    small = {r[0] for r in hits if r[3] < 250}
+    want = [
+        ("de", len(de)), ("de&small", len(de & small)), ("en", len(en)),
+        ("en&small", len(en & small)), ("small", len(small)),
+    ]
+    # en&de is structurally empty (one lang per doc) — omitted, ES-style
+    assert [(r["key"], r["n"]) for r in got["adj"]] == [
+        (k, n) for k, n in want if n
+    ]
+    s = Searcher(spark, out)
+    assert s.aggs_rows(spec, "spark join") == got
+
+
+def test_auto_date_histogram_agg(spark, aroot):
+    """auto_date_histogram picks the smallest date_trunc unit fitting the
+    buckets target (deterministic in min/max/buckets); serving twin
+    matches including the chosen interval."""
+    from conveyorbelt_spark.index.query import Searcher, search_aggs
+
+    out, rows, matching = aroot
+    # ts spans 4 days: buckets=10 → day (4+1 ≤ 10 fails for hour: span
+    # ~3.9d ≈ 94h → 95 > 10); buckets=3 → week/month collapse
+    spec = {"auto": {"auto_date_histogram": {"field": "ts", "buckets": 10}}}
+    got = {
+        name: [r.asDict() for r in df.collect()]
+        for name, df in search_aggs(spark, out, spec, "spark join").items()
+    }
+    assert all(r["interval"] == "day" for r in got["auto"])
+    import datetime as dt
+    hits = [r for r in rows if r[0] in matching]
+    want: dict[dt.datetime, int] = {}
+    for r in hits:
+        d = r[4].replace(hour=0, minute=0, second=0)
+        want[d] = want.get(d, 0) + 1
+    assert {(r["key"], r["n"]) for r in got["auto"]} == set(want.items())
+    s = Searcher(spark, out)
+    assert s.aggs_rows(spec, "spark join") == got
+    tight = {"auto": {"auto_date_histogram": {"field": "ts", "buckets": 2}}}
+    got2 = s.aggs_rows(tight, "spark join", max_hits=5)  # distributed path
+    assert got2 == s.aggs_rows(tight, "spark join")      # parity again
+    assert all(r["interval"] == "week" for r in got2["auto"])
