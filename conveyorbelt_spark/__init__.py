@@ -49,6 +49,8 @@ def __getattr__(name: str):
         "search_body": ("conveyorbelt_spark.index.dsl", "search_body"),
         "open_pit": ("conveyorbelt_spark.index.pit", "open_pit"),
         "close_pit": ("conveyorbelt_spark.index.pit", "close_pit"),
+        "percolate": ("conveyorbelt_spark.operators.percolate", "percolate"),
+        "percolate_doc": ("conveyorbelt_spark.operators.percolate", "percolate_doc"),
         "search_body_daily": ("conveyorbelt_spark.index.dsl", "search_body_daily"),
         "encode_jpeg": ("conveyorbelt_spark.sources.jpegcodec", "encode_jpeg"),
         "decode_jpeg": ("conveyorbelt_spark.sources.jpegcodec", "decode_jpeg"),

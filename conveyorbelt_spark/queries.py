@@ -5042,6 +5042,69 @@ SELECT agg, key, n FROM (
 """
 
 
+def q83_percolate(spark, sf_dir):
+    """ES percolator over the documents table: 5 registered rule queries
+    (match or/and, phrase adjacency, bool with filter + must_not, pure
+    column range) × every document → (query_id, doc_id) matches. Plan:
+    exploded-token ⋈ broadcast(term → query) candidate routing (ES's
+    term-extraction pre-filter, corpus-at-a-time, no corpus shuffle) then
+    exact vectorized verify on candidates only. DuckDB twin: per-rule
+    boolean predicates over per-doc term flags and normalized-text
+    adjacency."""
+    from .operators.percolate import percolate
+
+    docs = _t(spark, sf_dir, "documents")
+    rules = [
+        ("r_or", {"match": {"text": "spark window"}}),
+        ("r_and", {"match": {"text": {"query": "spark window",
+                                      "operator": "and"}}}),
+        ("r_phrase", {"match_phrase": {"text": "spark join"}}),
+        ("r_bool", {"bool": {
+            "must": [{"match": {"text": "window"}}],
+            "must_not": [{"match": {"text": "stream"}}],
+            "filter": [{"term": {"lang": "en"}}],
+        }}),
+        ("r_range", {"range": {"n_chars": {"gte": 200, "lt": 320}}}),
+    ]
+    return (
+        percolate(spark, docs, rules)
+        .orderBy("query_id", "doc_id")
+        .select("query_id", "doc_id")
+    )
+
+
+Q83_SQL = f"""
+WITH toks AS ({_TOKENS_SQL}),
+flags AS (
+  SELECT doc_id,
+         max(CASE WHEN term = 'spark'  THEN 1 ELSE 0 END) AS has_spark,
+         max(CASE WHEN term = 'window' THEN 1 ELSE 0 END) AS has_window,
+         max(CASE WHEN term = 'stream' THEN 1 ELSE 0 END) AS has_stream
+  FROM (SELECT doc_id, term FROM toks WHERE term != '') GROUP BY doc_id
+),
+d AS (
+  SELECT doc_id, lang, n_chars,
+         ' ' || trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) || ' ' AS norm
+  FROM documents
+),
+j AS (SELECT d.*, f.has_spark, f.has_window, f.has_stream
+      FROM d LEFT JOIN flags f USING (doc_id))
+SELECT query_id, doc_id FROM (
+  SELECT 'r_or' AS query_id, doc_id FROM j
+  WHERE has_spark = 1 OR has_window = 1
+  UNION ALL
+  SELECT 'r_and', doc_id FROM j WHERE has_spark = 1 AND has_window = 1
+  UNION ALL
+  SELECT 'r_phrase', doc_id FROM j WHERE norm LIKE '% spark join %'
+  UNION ALL
+  SELECT 'r_bool', doc_id FROM j
+  WHERE has_window = 1 AND coalesce(has_stream, 0) = 0 AND lang = 'en'
+  UNION ALL
+  SELECT 'r_range', doc_id FROM j WHERE n_chars >= 200 AND n_chars < 320
+) ORDER BY query_id, doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -5125,6 +5188,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q80_sliced_scroll": q80_sliced_scroll,
     "q81_simple_query_string": q81_simple_query_string,
     "q82_adjacency_auto_dh": q82_adjacency_auto_dh,
+    "q83_percolate": q83_percolate,
 }
 
 ORACLES: dict[str, str] = {
@@ -5210,4 +5274,5 @@ ORACLES: dict[str, str] = {
     "q80_sliced_scroll": Q80_SQL,
     "q81_simple_query_string": Q81_SQL,
     "q82_adjacency_auto_dh": Q82_SQL,
+    "q83_percolate": Q83_SQL,
 }
