@@ -15,9 +15,18 @@ query context:
   multi_match      {"multi_match": {"query": q, "fields": ["title^2","text"],
                     "type": "best_fields"|"most_fields"}}
   prefix/wildcard/fuzzy  {"prefix": {"text": "te"}} …          → expansion bag
-  span_near        {"span_near": {"clauses": [{"span_term": {...}}, ...],
-                    "slop": n, "in_order": bool}} — positional window
-                   match (see ``query._span_kernel``)
+  span_near        {"span_near": {"clauses": [{"span_term": {...}} |
+                    {"span_or": {"clauses": [...]}}, ...], "slop": n,
+                    "in_order": bool}} — positional window match; a
+                   span_or clause matches any member position (see
+                   ``query._span_kernel``)
+  span_or          {"span_or": {"clauses": [{"span_term": ...}, ...]}} —
+                   any member anywhere (idf = dominant member)
+  span_first       {"span_first": {"match": span_term|span_or,
+                    "end": n}} — spans ending at position ≤ n
+  span_not         {"span_not": {"include": ..., "exclude": ...,
+                    "pre": n, "post": n}} — include positions not within
+                   [p−pre, p+post] of any exclude position
   intervals        {"intervals": {"text": {"match": {"query": "a b c",
                     "max_gaps": g, "ordered": bool}}}} — also all_of over
                    single-term matches; reduces exactly to the span
@@ -673,25 +682,40 @@ def parse_query(query: dict, analyzer=None) -> dict:
         val = spec["value"] if isinstance(spec, dict) else spec
         plan["expand"] = (kind, str(val), spec if isinstance(spec, dict) else {})
     elif kind == "span_near":
-        vals = []
-        for c in body.get("clauses") or []:
-            ck, cb = _one(c)
-            if ck != "span_term":
-                raise UnsupportedDSL(
-                    "span_near supports span_term clauses only"
-                )
-            _f, spec = _one(cb)
-            vals.append(
-                spec["value"] if isinstance(spec, dict) else str(spec)
-            )
+        vals = [_span_clause(c) for c in body.get("clauses") or []]
         if len(vals) < 2:
             raise UnsupportedDSL(
-                "span_near needs at least two span_term clauses"
+                "span_near needs at least two span clauses"
             )
         plan["span_near"] = {
             "clauses": vals,
             "slop": int(body.get("slop", 0)),
             "in_order": bool(body.get("in_order", True)),
+        }
+    elif kind == "span_or":
+        # a lone span_or: any member anywhere — one OR clause, spanFreq =
+        # total member positions, idf = dominant member
+        plan["span_near"] = {
+            "clauses": [_span_or_members(body)],
+            "slop": 0, "in_order": True,
+        }
+    elif kind == "span_first":
+        if "match" not in body or "end" not in body:
+            raise UnsupportedDSL("span_first needs match and end")
+        plan["span_near"] = {
+            "clauses": [_span_clause(body["match"])],
+            "slop": 0, "in_order": True,
+            "first_end": int(body["end"]),
+        }
+    elif kind == "span_not":
+        if "include" not in body or "exclude" not in body:
+            raise UnsupportedDSL("span_not needs include and exclude")
+        plan["span_near"] = {
+            "clauses": [_span_clause(body["include"])],
+            "slop": 0, "in_order": True,
+            "exclude": _as_list(_span_clause(body["exclude"])),
+            "pre": int(body.get("pre", body.get("dist", 0))),
+            "post": int(body.get("post", body.get("dist", 0))),
         }
     elif kind == "intervals":
         _field, rule = _one(body)
@@ -973,6 +997,40 @@ def _sqs_fields_guard(fields, plan: dict) -> None:
         "simple_query_string fields supports the main field, or one "
         "non-main field with a plain term bag"
     )
+
+
+def _span_term_value(cb) -> str:
+    _f, spec = _one(cb)
+    return spec["value"] if isinstance(spec, dict) else str(spec)
+
+
+def _span_or_members(body) -> list[str]:
+    members = []
+    for c in body.get("clauses") or []:
+        ck, cb = _one(c)
+        if ck != "span_term":
+            raise UnsupportedDSL("span_or supports span_term clauses only")
+        members.append(_span_term_value(cb))
+    if not members:
+        raise UnsupportedDSL("span_or needs at least one span_term clause")
+    return members
+
+
+def _span_clause(c: dict):
+    """One span clause → a span_term text or a span_or member list (the
+    engine-level clause currency of ``query._span_plan``)."""
+    ck, cb = _one(c)
+    if ck == "span_term":
+        return _span_term_value(cb)
+    if ck == "span_or":
+        return _span_or_members(cb)
+    raise UnsupportedDSL(
+        f"span clauses support span_term / span_or, got {ck!r}"
+    )
+
+
+def _as_list(v) -> list[str]:
+    return v if isinstance(v, list) else [v]
 
 
 def _score_sort(sort_spec) -> bool:
@@ -2289,6 +2347,8 @@ def search_body(
         rows = s.span_near_rows(
             sn["clauses"], size + from_, slop=sn["slop"],
             in_order=sn["in_order"], after=after,
+            first_end=sn.get("first_end"), exclude=sn.get("exclude"),
+            pre=sn.get("pre", 0), post=sn.get("post", 0),
         )[from_:]
     elif plan["nested"] is not None:
         from .query import nested_filter_ids
@@ -2857,6 +2917,8 @@ def _exact_total(
         return span_near_doc_ids(
             spark, out_dir, sn["clauses"], slop=sn["slop"],
             in_order=sn["in_order"],
+            first_end=sn.get("first_end"), exclude=sn.get("exclude"),
+            pre=sn.get("pre", 0), post=sn.get("post", 0),
         ).count()
     if plan.get("terms_set") is not None:
         from .query import terms_set_match

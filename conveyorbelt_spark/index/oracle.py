@@ -165,3 +165,76 @@ class BM25Oracle:
                 scored.append((d, idf_sum * w))
         scored.sort(key=lambda kv: (-kv[1], kv[0]))
         return scored[:k]
+
+    def span_search(
+        self, clauses: list, k: int = 10, *,
+        slop: int = 0, in_order: bool = True,
+        first_end: int | None = None,
+        exclude: list | None = None, pre: int = 0, post: int = 0,
+    ) -> list[tuple[int, float]]:
+        """Generalized span ground truth mirroring ``_span_kernel``'s
+        extensions: clauses may be OR-groups (position set = union of
+        members, clause idf = max member), ``first_end`` keeps spans
+        ending at ≤ that position (width-1: p+1 ≤ end), ``exclude`` drops
+        anchors within [p−pre, p+post] of any exclude-term position."""
+        groups = [
+            (c,) if isinstance(c, str) else tuple(c) for c in clauses
+        ]
+        kept = [
+            tuple(t for t in g if t in self.postings) for g in groups
+        ]
+        if any(not g for g in kept):
+            return []
+        idf_sum = sum(max(self.idf(t) for t in g) for g in kept)
+        W = len(kept) - 1 + slop
+        cand = set().union(*[set(self.postings[t]) for t in kept[0]])
+        for g in kept[1:]:
+            cand &= set().union(*[set(self.postings[t]) for t in g])
+        ex_terms = [t for t in (exclude or []) if t in self.postings]
+        scored = []
+        for d in cand:
+            pos = [
+                sorted({
+                    p for t in g
+                    if d in self.positions[t]
+                    for p in self.positions[t][d]
+                })
+                for g in kept
+            ]
+            anchors: list[int] = []
+            if in_order:
+                for p in pos[0]:
+                    cur, ok = p, True
+                    for ps in pos[1:]:
+                        nxt = [q for q in ps if q > cur]
+                        if not nxt:
+                            ok = False
+                            break
+                        cur = nxt[0]
+                    if ok and cur - p <= W:
+                        anchors.append(p)
+            else:
+                for p in sorted({q for ps in pos for q in ps}):
+                    if all(any(p <= q <= p + W for q in ps) for ps in pos):
+                        anchors.append(p)
+            if first_end is not None:
+                anchors = [p for p in anchors if p + 1 <= first_end]
+            if ex_terms:
+                eps = sorted({
+                    q for t in ex_terms
+                    if d in self.positions[t]
+                    for q in self.positions[t][d]
+                })
+                anchors = [
+                    p for p in anchors
+                    if not any(p - pre <= q <= p + post for q in eps)
+                ]
+            pf = len(anchors)
+            if pf:
+                dl = self.dl[d]
+                w = (pf * (self.k1 + 1.0)) / (
+                    pf + self.k1 * (1.0 - self.b + self.b * (dl / self.avgdl))
+                )
+                scored.append((d, idf_sum * w))
+        scored.sort(key=lambda kv: (-kv[1], kv[0]))
+        return scored[:k]

@@ -1431,8 +1431,10 @@ def phrase_doc_ids(
 
 
 def _span_kernel(
-    span_terms: list[str], slop: int, in_order: bool, idf_sum: float,
+    span_terms: list, slop: int, in_order: bool, idf_sum: float,
     k: int | None, after: tuple[float, int] | None = None,
+    first_end: int | None = None,
+    exclude: tuple[tuple[str, ...], int, int] | None = None,
 ):
     """Per-bucket span_near scorer over the positional postings (Lucene
     SpanNearQuery, documented simplification for SINGLE-TERM clauses —
@@ -1452,9 +1454,28 @@ def _span_kernel(
     (Lucene weights each span by 1/(1+width) instead; we count anchors
     once and pin that in tests). Fully vectorized: doc-major
     (candidate-index << 33) + position keys, one searchsorted per clause
-    per round — no per-anchor python."""
-    distinct_terms = sorted(set(span_terms))
-    W = len(span_terms) - 1 + slop
+    per round — no per-anchor python.
+
+    SPAN ALGEBRA EXTENSIONS (each clause may be an OR-GROUP of terms —
+    Lucene SpanOrQuery: the clause's position set is the union of its
+    members'; candidates need ≥1 member of EVERY clause):
+
+    - ``first_end`` (Lucene SpanFirstQuery, single-clause): keep only
+      matches whose span END ≤ first_end; width-1 spans end at pos+1, so
+      anchors with position < first_end survive.
+    - ``exclude = (terms, pre, post)`` (Lucene SpanNotQuery,
+      single-clause): drop anchors within [p−pre, p+post] of any exclude
+      term position (pre=post=0 = overlap-only, the ES default). Exclude
+      terms never force candidacy."""
+    clauses: list[tuple[str, ...]] = [
+        (c,) if isinstance(c, str) else tuple(sorted(set(c)))
+        for c in span_terms
+    ]
+    if (first_end is not None or exclude is not None) and len(clauses) != 1:
+        raise ValueError("span_first/span_not take a single clause")
+    distinct_terms = sorted({t for c in clauses for t in c})
+    ex_terms: tuple[str, ...] = tuple(exclude[0]) if exclude else ()
+    W = len(clauses) - 1 + slop
 
     def span_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -1471,52 +1492,79 @@ def _span_kernel(
                 keep[first_idx] = True
                 tp._dedup_mask = keep
             per_term[term] = tp
-        if any(t not in per_term for t in distinct_terms):
-            return empty
-        cand = per_term[distinct_terms[0]].sorted_docs
-        for t in distinct_terms[1:]:
-            cand = cand[_in_sorted(cand, per_term[t].sorted_docs)]
+        present_clauses: list[tuple[str, ...]] = []
+        for cl in clauses:
+            members = tuple(t for t in cl if t in per_term)
+            if not members:
+                return empty  # no member indexed in this bucket
+            present_clauses.append(members)
+        cand = None
+        for cl in present_clauses:
+            docs_u = (
+                per_term[cl[0]].sorted_docs if len(cl) == 1
+                else np.unique(np.concatenate(
+                    [per_term[t].sorted_docs for t in cl]
+                ))
+            )
+            cand = docs_u if cand is None else cand[_in_sorted(cand, docs_u)]
         cand = np.unique(cand)
         if not len(cand):
             return empty
-        keys: dict[str, np.ndarray] = {}
-        dl_by_cand: np.ndarray | None = None
-        for t in distinct_terms:
+        dl_by_cand = np.zeros(len(cand), dtype=np.float64)
+
+        def _term_keys(t: str) -> np.ndarray:
             tp = per_term[t]
             sel = _in_sorted(tp.docs, cand)
             if tp._dedup_mask is not None:
                 sel &= tp._dedup_mask
             docs_t, pos_t, l_t = tp.positions_for(sel)
-            if dl_by_cand is None:
-                first = np.ones(len(docs_t), dtype=bool)
-                first[1:] = docs_t[1:] != docs_t[:-1]
-                dl_by_cand = np.zeros(len(cand), dtype=np.float64)
-                dl_by_cand[np.searchsorted(cand, docs_t[first])] = l_t[first]
-            keys[t] = np.unique(
-                (np.searchsorted(cand, docs_t).astype(np.int64)
-                 << _POS_KEY_SHIFT) + pos_t
+            first = np.ones(len(docs_t), dtype=bool)
+            first[1:] = docs_t[1:] != docs_t[:-1]
+            dl_by_cand[np.searchsorted(cand, docs_t[first])] = l_t[first]
+            return (
+                np.searchsorted(cand, docs_t).astype(np.int64)
+                << _POS_KEY_SHIFT
+            ) + pos_t
+
+        clause_keys = [
+            np.unique(
+                _term_keys(cl[0]) if len(cl) == 1
+                else np.concatenate([_term_keys(t) for t in cl])
             )
+            for cl in present_clauses
+        ]
         if in_order:
-            anchors = keys[span_terms[0]]
+            anchors = clause_keys[0]
             cur = anchors
             alive = np.ones(len(anchors), dtype=bool)
-            for t in span_terms[1:]:
-                kt = keys[t]
+            for kt in clause_keys[1:]:
                 nxt = np.searchsorted(kt, cur, side="right")
                 ok = nxt < len(kt)
                 alive &= ok
                 cur = np.where(ok, kt[np.minimum(nxt, len(kt) - 1)], cur)
             hits_keys = anchors[alive & (cur - anchors <= W)]
         else:
-            allk = np.unique(np.concatenate([keys[t] for t in span_terms]))
+            allk = np.unique(np.concatenate(clause_keys))
             goodm = np.ones(len(allk), dtype=bool)
-            for t in span_terms:
-                kt = keys[t]
+            for kt in clause_keys:
                 lo = np.searchsorted(kt, allk)
                 inb = lo < len(kt)
                 v = kt[np.minimum(lo, len(kt) - 1)]
                 goodm &= inb & (v <= allk + W)
             hits_keys = allk[goodm]
+        if first_end is not None and len(hits_keys):
+            pos_mask = (np.int64(1) << _POS_KEY_SHIFT) - 1
+            hits_keys = hits_keys[(hits_keys & pos_mask) + 1 <= first_end]
+        if exclude is not None and len(hits_keys):
+            ex_present = [t for t in ex_terms if t in per_term]
+            if ex_present:
+                exk = np.unique(
+                    np.concatenate([_term_keys(t) for t in ex_present])
+                )
+                pre, post = int(exclude[1]), int(exclude[2])
+                lo = np.searchsorted(exk, hits_keys - pre, side="left")
+                hi = np.searchsorted(exk, hits_keys + post, side="right")
+                hits_keys = hits_keys[lo == hi]
         if not len(hits_keys):
             return empty
         hit_idx, pf = np.unique(hits_keys >> _POS_KEY_SHIFT, return_counts=True)
@@ -1539,63 +1587,96 @@ def _span_kernel(
     return span_bucket
 
 
-def _span_plan(spark, out_dir, stats, clause_texts, lookup=None):
-    """span_near clause values → (terms, idf_sum, tbs). Each clause must
-    analyze to exactly ONE token (span_term is a single-position span);
-    duplicate clause terms are unsupported (their spans could overlap,
-    which single-pass anchor counting cannot dedup)."""
+def _span_plan(spark, out_dir, stats, clause_texts, lookup=None,
+               exclude_texts=None):
+    """span clause values → (clauses, exclude_terms, idf_sum, tbs).
+    ``clause_texts`` items are a single span_term text or a LIST of texts
+    (a span_or group — the clause's position set is the union); each text
+    must analyze to exactly ONE token (span_term is a single-position
+    span); duplicate terms across clauses are unsupported (their spans
+    could overlap, which single-pass anchor counting cannot dedup).
+    ``exclude_texts`` (span_not) resolve like a group but contribute no
+    idf and never force candidacy; unindexed exclude terms drop out.
+    Clause idf = max over indexed members (the dominant synonym — pinned
+    in tests and oracle twins); a clause with NO indexed member matches
+    nothing → None."""
     if not stats.get("positions"):
         raise ValueError("span queries need an index built with positions=True")
     from ..textutils import analyze_with_slots
 
-    terms = []
-    for c in clause_texts:
+    def _one_token(c) -> str:
         toks = analyze_with_slots(str(c), stats.get("analyzer"))
         if len(toks) != 1:
             raise ValueError(
                 f"span_term {c!r} must analyze to exactly one token, "
                 f"got {[t for t, _ in toks]}"
             )
-        terms.append(toks[0][0])
-    if len(set(terms)) != len(terms):
-        raise ValueError("span_near with duplicate clause terms is unsupported")
-    if len(terms) < 2:
-        raise ValueError("span_near needs at least two clauses")
+        return toks[0][0]
+
+    clauses: list[tuple[str, ...]] = []
+    for c in clause_texts:
+        members = [c] if isinstance(c, str) else list(c)
+        if not members:
+            raise ValueError("span_or needs at least one clause")
+        clauses.append(tuple(sorted({_one_token(m) for m in members})))
+    flat = [t for cl in clauses for t in cl]
+    if len(set(flat)) != len(flat):
+        raise ValueError("span queries with duplicate clause terms are unsupported")
+    ex_terms = sorted({_one_token(x) for x in (exclude_texts or [])})
     lookup = lookup or (
         lambda ts: _lookup_terms(
             spark, out_dir, ts, stats["n_term_buckets"], committed=_committed(stats)
         )
     )
-    entries = {e["term"]: e for e in lookup(sorted(set(terms)))}
-    if any(t not in entries for t in terms):
-        return None  # a clause term indexed nowhere → no spans anywhere
-    idf_sum = sum(idf(stats["n_docs"], int(entries[t]["df"])) for t in terms)
-    tbs = sorted({int(entries[t]["tb"]) for t in terms})
-    return terms, idf_sum, tbs
+    entries = {
+        e["term"]: e for e in lookup(sorted(set(flat) | set(ex_terms)))
+    }
+    kept: list[tuple[str, ...]] = []
+    idf_sum = 0.0
+    for cl in clauses:
+        present = tuple(t for t in cl if t in entries)
+        if not present:
+            return None  # a whole clause indexed nowhere → no spans
+        kept.append(present)
+        idf_sum += max(
+            idf(stats["n_docs"], int(entries[t]["df"])) for t in present
+        )
+    ex_present = tuple(t for t in ex_terms if t in entries)
+    scan = [t for cl in kept for t in cl] + list(ex_present)
+    tbs = sorted({int(entries[t]["tb"]) for t in scan})
+    return kept, ex_present, idf_sum, tbs
 
 
 def span_near_topk(
-    spark: SparkSession, out_dir: str, clauses: list[str], k: int = 10,
+    spark: SparkSession, out_dir: str, clauses: list, k: int = 10,
     *, slop: int = 0, in_order: bool = True,
     after: tuple[float, int] | None = None,
+    first_end: int | None = None,
+    exclude: list | None = None, pre: int = 0, post: int = 0,
 ) -> DataFrame:
-    """Distributed span_near search over the positional index: top-k docs
-    with an in-window (ordered or unordered) occurrence of every clause
-    term, scored idf_sum × tfNorm(spanFreq, dl), ranked (score desc,
-    doc_id asc). Semantics in ``_span_kernel``."""
+    """Distributed span search over the positional index: top-k docs with
+    an in-window (ordered or unordered) occurrence of every clause (a
+    span_term text or a span_or LIST of texts), scored idf_sum ×
+    tfNorm(spanFreq, dl), ranked (score desc, doc_id asc). ``first_end``
+    (span_first) and ``exclude``/``pre``/``post`` (span_not) take a
+    single clause. Semantics in ``_span_kernel``."""
     stats = load_stats(out_dir)
     empty = spark.createDataFrame([], "doc_id long, score double")
-    plan = _span_plan(spark, out_dir, stats, clauses)
+    plan = _span_plan(spark, out_dir, stats, clauses, exclude_texts=exclude)
     if plan is None:
         return empty
-    terms, idf_sum, tbs = plan
+    kept, ex_present, idf_sum, tbs = plan
+    scan_terms = sorted({t for cl in kept for t in cl} | set(ex_present))
     tomb = _tombs(out_dir, stats)
     seg = (
         _seg_scan(spark, out_dir, stats)
-        .where(F.col("tb").isin(tbs) & F.col("term").isin(sorted(set(terms))))
+        .where(F.col("tb").isin(tbs) & F.col("term").isin(scan_terms))
         .select(*_BLOCK_COLS, "poss", *(["run"] if tomb else []))
     )
-    kern = _span_kernel(terms, slop, in_order, idf_sum, k, after=after)
+    kern = _span_kernel(
+        kept, slop, in_order, idf_sum, k, after=after, first_end=first_end,
+        exclude=(ex_present, pre, post) if exclude is not None else None,
+    )
     kern.k1, kern.b, kern.avgdl = stats["k1"], stats["b"], stats["avgdl"]
     func = kern if not tomb else _with_tombstones(kern, tomb)
     local = seg.groupBy("bucket").applyInPandas(
@@ -1605,25 +1686,31 @@ def span_near_topk(
 
 
 def span_near_doc_ids(
-    spark: SparkSession, out_dir: str, clauses: list[str], *,
+    spark: SparkSession, out_dir: str, clauses: list, *,
     slop: int = 0, in_order: bool = True,
+    first_end: int | None = None,
+    exclude: list | None = None, pre: int = 0, post: int = 0,
 ) -> DataFrame:
     """EVERY doc with a qualifying span (top-k off) — exact
-    ``track_total_hits`` for span_near requests, same pruned positional
+    ``track_total_hits`` for span requests, same pruned positional
     scan and kernel as ``span_near_topk``."""
     stats = load_stats(out_dir)
     empty = spark.createDataFrame([], "doc_id long")
-    plan = _span_plan(spark, out_dir, stats, clauses)
+    plan = _span_plan(spark, out_dir, stats, clauses, exclude_texts=exclude)
     if plan is None:
         return empty
-    terms, idf_sum, tbs = plan
+    kept, ex_present, idf_sum, tbs = plan
+    scan_terms = sorted({t for cl in kept for t in cl} | set(ex_present))
     tomb = _tombs(out_dir, stats)
     seg = (
         _seg_scan(spark, out_dir, stats)
-        .where(F.col("tb").isin(tbs) & F.col("term").isin(sorted(set(terms))))
+        .where(F.col("tb").isin(tbs) & F.col("term").isin(scan_terms))
         .select(*_BLOCK_COLS, "poss", *(["run"] if tomb else []))
     )
-    kern = _span_kernel(terms, slop, in_order, idf_sum, None)
+    kern = _span_kernel(
+        kept, slop, in_order, idf_sum, None, first_end=first_end,
+        exclude=(ex_present, pre, post) if exclude is not None else None,
+    )
     kern.k1, kern.b, kern.avgdl = stats["k1"], stats["b"], stats["avgdl"]
     func = kern if not tomb else _with_tombstones(kern, tomb)
     return (
@@ -5487,22 +5574,27 @@ class Searcher:
         return total
 
     def span_near_rows(
-        self, clauses: list[str], k: int = 10, *,
+        self, clauses: list, k: int = 10, *,
         slop: int = 0, in_order: bool = True,
         after: tuple[float, int] | None = None,
+        first_end: int | None = None,
+        exclude: list | None = None, pre: int = 0, post: int = 0,
     ) -> list[tuple[int, float]]:
-        """Serving-path span_near: the same per-bucket span kernel as
+        """Serving-path span search: the same per-bucket span kernel as
         ``span_near_topk``, run on the driver with pruned pyarrow block
-        reads — zero Spark jobs (semantics in ``_span_kernel``)."""
+        reads — zero Spark jobs (semantics in ``_span_kernel``; clauses
+        may be span_or lists; first_end/exclude = span_first/span_not)."""
         self._maybe_invalidate()
         plan = _span_plan(
-            self.spark, self.out_dir, self.stats, clauses, lookup=self._entries
+            self.spark, self.out_dir, self.stats, clauses,
+            lookup=self._entries, exclude_texts=exclude,
         )
         if plan is None:
             return []
-        terms, idf_sum, tbs = plan
+        kept, ex_present, idf_sum, tbs = plan
+        scan_terms = sorted({t for cl in kept for t in cl} | set(ex_present))
         blocks = self._local_blocks(
-            tbs, sorted(set(terms)), columns=_BLOCK_COLS + ["poss"]
+            tbs, scan_terms, columns=_BLOCK_COLS + ["poss"]
         )
         if blocks is None:
             return [
@@ -5510,9 +5602,14 @@ class Searcher:
                 for r in span_near_topk(
                     self.spark, self.out_dir, clauses, k,
                     slop=slop, in_order=in_order, after=after,
+                    first_end=first_end, exclude=exclude, pre=pre, post=post,
                 ).collect()
             ]
-        kern = _span_kernel(terms, slop, in_order, idf_sum, k, after=after)
+        kern = _span_kernel(
+            kept, slop, in_order, idf_sum, k, after=after,
+            first_end=first_end,
+            exclude=(ex_present, pre, post) if exclude is not None else None,
+        )
         kern.k1, kern.b, kern.avgdl = (
             self.stats["k1"], self.stats["b"], self.stats["avgdl"]
         )

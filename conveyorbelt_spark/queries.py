@@ -5105,6 +5105,122 @@ SELECT query_id, doc_id FROM (
 """
 
 
+def q84_span_algebra(spark, sf_dir):
+    """Span algebra through the DSL over a positional index: span_or
+    (union of member positions, idf = dominant member), span_first
+    (spans ending at ≤ end; width-1 → pos < end), span_not (include
+    positions not within [p−pre, p+post] of any exclude position) —
+    Lucene SpanOr/SpanFirst/SpanNot semantics (the reference's ES
+    indexes accept these bodies verbatim, ElasticsearchClient.cs:31-135).
+    DuckDB twin: positional predicates over (doc, term, pos) with the
+    same spanFreq→BM25 scoring."""
+    import shutil
+    import tempfile
+
+    from .index.build import build_index
+    from .index.dsl import search_body
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="cb_q84_idx_")
+    rows = []
+    try:
+        build_index(spark, docs.select("doc_id", "text"), out, url_col=None,
+                    n_buckets=8, positions=True)
+        bodies = {
+            "or": {"span_or": {"clauses": [
+                {"span_term": {"text": "spark"}},
+                {"span_term": {"text": "window"}},
+            ]}},
+            "first": {"span_first": {
+                "match": {"span_term": {"text": "join"}}, "end": 5,
+            }},
+            "not": {"span_not": {
+                "include": {"span_term": {"text": "window"}},
+                "exclude": {"span_term": {"text": "spark"}},
+                "pre": 1, "post": 1,
+            }},
+        }
+        for part, q in bodies.items():
+            resp = search_body(spark, out, {"query": q, "size": 15})
+            rows.extend(
+                (part, int(h["_id"]), round(float(h["_score"]), 4))
+                for h in resp["hits"]["hits"]
+            )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "part string, doc_id long, score double"
+    ).orderBy("part", "doc_id")
+
+
+Q84_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t != '') AS arr
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) - 1 AS pos FROM base
+),
+dl AS (SELECT doc_id, len(arr) AS dl FROM base),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n,
+         (SELECT sum(len(arr)) FROM base)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+dfs AS (
+  SELECT count(DISTINCT CASE WHEN term = 'spark'  THEN doc_id END) AS df_s,
+         count(DISTINCT CASE WHEN term = 'join'   THEN doc_id END) AS df_j,
+         count(DISTINCT CASE WHEN term = 'window' THEN doc_id END) AS df_w
+  FROM toks
+),
+orp AS (
+  SELECT doc_id, count(DISTINCT pos) AS pf FROM toks
+  WHERE term IN ('spark', 'window') GROUP BY doc_id
+),
+ors AS (
+  SELECT orp.doc_id,
+         greatest(ln(1.0 + (s.n - d.df_s + 0.5) / (d.df_s + 0.5)),
+                  ln(1.0 + (s.n - d.df_w + 0.5) / (d.df_w + 0.5)))
+         * (orp.pf * 2.2) / (orp.pf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / s.avgdl))) AS raw
+  FROM orp JOIN dl USING (doc_id) CROSS JOIN stats s CROSS JOIN dfs d
+),
+fst AS (
+  SELECT doc_id, count(*) AS pf FROM toks
+  WHERE term = 'join' AND pos + 1 <= 5 GROUP BY doc_id
+),
+fsts AS (
+  SELECT fst.doc_id,
+         ln(1.0 + (s.n - d.df_j + 0.5) / (d.df_j + 0.5))
+         * (fst.pf * 2.2) / (fst.pf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / s.avgdl))) AS raw
+  FROM fst JOIN dl USING (doc_id) CROSS JOIN stats s CROSS JOIN dfs d
+),
+nt AS (
+  SELECT a.doc_id, count(*) AS pf FROM toks a
+  WHERE a.term = 'window' AND NOT EXISTS (
+    SELECT 1 FROM toks b
+    WHERE b.doc_id = a.doc_id AND b.term = 'spark'
+      AND b.pos >= a.pos - 1 AND b.pos <= a.pos + 1)
+  GROUP BY a.doc_id
+),
+nts AS (
+  SELECT nt.doc_id,
+         ln(1.0 + (s.n - d.df_w + 0.5) / (d.df_w + 0.5))
+         * (nt.pf * 2.2) / (nt.pf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / s.avgdl))) AS raw
+  FROM nt JOIN dl USING (doc_id) CROSS JOIN stats s CROSS JOIN dfs d
+)
+SELECT part, doc_id, score FROM (
+  SELECT 'or' AS part, doc_id, round(raw, 4) AS score
+  FROM (SELECT * FROM ors ORDER BY raw DESC, doc_id ASC LIMIT 15)
+  UNION ALL
+  SELECT 'first', doc_id, round(raw, 4)
+  FROM (SELECT * FROM fsts ORDER BY raw DESC, doc_id ASC LIMIT 15)
+  UNION ALL
+  SELECT 'not', doc_id, round(raw, 4)
+  FROM (SELECT * FROM nts ORDER BY raw DESC, doc_id ASC LIMIT 15)
+) ORDER BY part, doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -5189,6 +5305,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q81_simple_query_string": q81_simple_query_string,
     "q82_adjacency_auto_dh": q82_adjacency_auto_dh,
     "q83_percolate": q83_percolate,
+    "q84_span_algebra": q84_span_algebra,
 }
 
 ORACLES: dict[str, str] = {
@@ -5275,4 +5392,5 @@ ORACLES: dict[str, str] = {
     "q81_simple_query_string": Q81_SQL,
     "q82_adjacency_auto_dh": Q82_SQL,
     "q83_percolate": Q83_SQL,
+    "q84_span_algebra": Q84_SQL,
 }

@@ -139,13 +139,13 @@ def test_span_dsl_surface(spark, sidx):
     })
     assert one["hits"]["hits"] == match["hits"]["hits"]
 
-    with pytest.raises(UnsupportedDSL, match="two span_term"):
+    with pytest.raises(UnsupportedDSL, match="two span clauses"):
         search_body(spark, out, {
             "query": {"span_near": {
                 "clauses": [{"span_term": {"text": "term00000"}}],
             }},
         })
-    with pytest.raises(UnsupportedDSL, match="span_term clauses only"):
+    with pytest.raises(UnsupportedDSL, match="span_term / span_or"):
         search_body(spark, out, {
             "query": {"span_near": {
                 "clauses": [{"match": {"text": "x"}},
@@ -241,3 +241,93 @@ def test_intervals_dsl(spark, sidx):
                 "max_gaps": 1,
             }}}},
         })
+
+
+# --------------------------------------------------------------------------
+# Span algebra: span_or clauses, span_first, span_not
+# --------------------------------------------------------------------------
+
+def test_span_or_clause_in_near(spark, sidx):
+    """A span_or clause matches any member position (Lucene SpanOrQuery
+    union); serving path, distributed path, and oracle agree bit-exact."""
+    out, oracle = sidx
+    clauses = [["term00000", "term00003"], "term00001"]
+    want = oracle.span_search(clauses, 25, slop=2, in_order=True)
+    s = Searcher(spark, out)
+    assert s.span_near_rows(clauses, 25, slop=2, in_order=True) == want
+    got = [
+        (r.doc_id, r.score)
+        for r in span_near_topk(spark, out, clauses, 25, slop=2).collect()
+    ]
+    assert got == want
+    body = {"query": {"span_near": {"clauses": [
+        {"span_or": {"clauses": [{"span_term": {"text": "term00000"}},
+                                 {"span_term": {"text": "term00003"}}]}},
+        {"span_term": {"text": "term00001"}},
+    ], "slop": 2, "in_order": True}}, "size": 25}
+    resp = search_body(spark, out, body)
+    assert [(h["_id"], h["_score"]) for h in resp["hits"]["hits"]] == want
+
+
+def test_span_or_top_level(spark, sidx):
+    out, oracle = sidx
+    want = oracle.span_search([["term00007", "term00011"]], 15)
+    resp = search_body(spark, out, {"query": {"span_or": {"clauses": [
+        {"span_term": {"text": "term00007"}},
+        {"span_term": {"text": "term00011"}},
+    ]}}, "size": 15})
+    assert [(h["_id"], h["_score"]) for h in resp["hits"]["hits"]] == want
+
+
+def test_span_first(spark, sidx):
+    """span_first end=3: only positions 0..2 count (width-1 spans end at
+    p+1); exact totals agree with the oracle's matching set."""
+    out, oracle = sidx
+    want = oracle.span_search(["term00001"], 30, first_end=3)
+    resp = search_body(spark, out, {"query": {"span_first": {
+        "match": {"span_term": {"text": "term00001"}}, "end": 3,
+    }}, "size": 30, "track_total_hits": True})
+    assert [(h["_id"], h["_score"]) for h in resp["hits"]["hits"]] == want
+    full = oracle.span_search(["term00001"], 10_000, first_end=3)
+    assert resp["hits"]["total"] == {"value": len(full), "relation": "eq"}
+    # end beyond any dl = plain span_term ranking
+    all_resp = search_body(spark, out, {"query": {"span_first": {
+        "match": {"span_term": {"text": "term00001"}}, "end": 10_000,
+    }}, "size": 30})
+    assert [(h["_id"], h["_score"]) for h in all_resp["hits"]["hits"]] == \
+        oracle.span_search(["term00001"], 30)
+
+
+def test_span_not(spark, sidx):
+    """span_not drops include positions adjacent to exclude positions
+    within [p-pre, p+post]; overlap-only by default is a no-op for
+    distinct terms (distinct terms never share a position)."""
+    out, oracle = sidx
+    want = oracle.span_search(
+        ["term00001"], 25, exclude=["term00000"], pre=1, post=1
+    )
+    resp = search_body(spark, out, {"query": {"span_not": {
+        "include": {"span_term": {"text": "term00001"}},
+        "exclude": {"span_term": {"text": "term00000"}},
+        "pre": 1, "post": 1,
+    }}, "size": 25})
+    assert [(h["_id"], h["_score"]) for h in resp["hits"]["hits"]] == want
+    # pre=post=0 (ES default): distinct single-term spans never overlap
+    noop = search_body(spark, out, {"query": {"span_not": {
+        "include": {"span_term": {"text": "term00001"}},
+        "exclude": {"span_term": {"text": "term00000"}},
+    }}, "size": 25})
+    assert [(h["_id"], h["_score"]) for h in noop["hits"]["hits"]] == \
+        oracle.span_search(["term00001"], 25)
+
+
+def test_span_guards(spark, sidx):
+    out, _ = sidx
+    with pytest.raises(UnsupportedDSL, match="span_term / span_or"):
+        search_body(spark, out, {"query": {"span_near": {"clauses": [
+            {"span_first": {"match": {"span_term": {"text": "a"}}, "end": 1}},
+            {"span_term": {"text": "b"}},
+        ]}}})
+    with pytest.raises(UnsupportedDSL, match="needs match and end"):
+        search_body(spark, out, {"query": {"span_first": {
+            "match": {"span_term": {"text": "a"}}}}})
