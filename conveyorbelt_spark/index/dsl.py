@@ -999,6 +999,83 @@ def _sqs_fields_guard(fields, plan: dict) -> None:
     )
 
 
+def _source_patterns(want_source):
+    """ES ``_source`` filtering spec → (includes, excludes) glob-pattern
+    lists (None = no filtering on that side). Accepts True/False, a
+    field string, a field list, or {"includes": [...], "excludes":
+    [...]}; patterns support fnmatch wildcards (ES's ``obj.*`` shape)."""
+    if isinstance(want_source, dict):
+        inc = want_source.get("includes")
+        exc = want_source.get("excludes")
+        inc = [inc] if isinstance(inc, str) else inc
+        exc = [exc] if isinstance(exc, str) else exc
+        return inc or None, exc or None
+    if isinstance(want_source, str):
+        return [want_source], None
+    if isinstance(want_source, list):
+        return [str(f) for f in want_source], None
+    return None, None
+
+
+def _source_apply(src: dict, inc, exc) -> dict:
+    from fnmatch import fnmatch
+
+    out = src
+    if inc is not None:
+        out = {k: v for k, v in out.items() if any(fnmatch(k, p) for p in inc)}
+    if exc is not None:
+        out = {k: v for k, v in out.items() if not any(fnmatch(k, p) for p in exc)}
+    return out
+
+
+def render_search_template(source, params: dict | None) -> dict:
+    """ES ``_search/template`` rendering, mustache SUBSET: ``{{var}}``
+    substitution — a quoted ``"{{var}}"`` occupying a whole JSON string
+    becomes the param's TYPED JSON value (numbers stay numbers, lists
+    stay lists — the ES {{#toJson}} case for scalars/arrays), any other
+    ``{{var}}`` splices the param's string form. Missing params render
+    empty (mustache semantics). Sections/partials/lambdas raise."""
+    import json as _json
+    import re as _re
+
+    s = source if isinstance(source, str) else _json.dumps(source)
+    if _re.search(r"\{\{[#/^>&]", s):
+        raise UnsupportedDSL(
+            "search template sections/partials are unsupported "
+            "({{var}} substitution only)"
+        )
+    params = params or {}
+
+    def _typed(m):
+        name = m.group(1)
+        return _json.dumps(params[name]) if name in params else m.group(0)
+
+    s = _re.sub(r'"\{\{(\w+)\}\}"', _typed, s)
+
+    def _inline(m):
+        v = params.get(m.group(1))
+        return "" if v is None else str(v)
+
+    s = _re.sub(r"\{\{(\w+)\}\}", _inline, s)
+    try:
+        return _json.loads(s)
+    except ValueError as e:
+        raise UnsupportedDSL(f"template rendered to invalid JSON: {e}") from None
+
+
+def search_template_body(
+    spark: SparkSession, out_dir: str, request: dict, *,
+    searcher: Searcher | None = None,
+) -> dict:
+    """ES ``_search/template``: {"source": <template>, "params": {...}}
+    rendered then executed exactly like ``search_body``."""
+    src = request.get("source", request.get("template"))
+    if src is None:
+        raise UnsupportedDSL("search template needs source (or template)")
+    body = render_search_template(src, request.get("params"))
+    return search_body(spark, out_dir, body, searcher=searcher)
+
+
 def _span_term_value(cb) -> str:
     _f, spec = _one(cb)
     return spec["value"] if isinstance(spec, dict) else str(spec)
@@ -2487,8 +2564,22 @@ def search_body(
         )
         plain_scored = True
 
+    if body.get("min_score") is not None:
+        # ES min_score: drop hits scoring below the floor. Scores are
+        # ranked desc, so filtering the page prefix equals filtering
+        # before pagination; field-sorted hits carry no score and exact
+        # totals count the unfloored matching set — both reject.
+        if sort_spec or body.get("track_total_hits"):
+            raise UnsupportedDSL(
+                "min_score needs scored hits and gte totals (no field "
+                "sort, no track_total_hits)"
+            )
+        floor = float(body["min_score"])
+        rows = [(d, sc) for d, sc in rows if sc >= floor]
+
     hits = []
     want_source = body.get("_source", False)
+    src_inc, src_exc = _source_patterns(want_source)
     script_fields, fields_req = _parse_hit_fields(body)
     meta = {}
     if want_source or body.get("highlight") or script_fields or fields_req:
@@ -2512,7 +2603,7 @@ def search_body(
                 hit.setdefault("fields", {}).update(fvals)
         if want_source and d in meta:
             src = {k: v for k, v in meta[d].items() if k not in ("bucket", "run")}
-            hit["_source"] = src
+            hit["_source"] = _source_apply(src, src_inc, src_exc)
         if hl_cols and d in meta and hl_query:
             frags = {}
             for col in hl_cols:

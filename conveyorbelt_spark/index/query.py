@@ -4647,6 +4647,48 @@ def _dictionary_scan(out_dir: str, lo: str | None, hi: str | None) -> pd.DataFra
     return pdf
 
 
+def field_caps(out_dir: str) -> dict:
+    """ES ``_field_caps``: per-field capabilities derived from the index
+    itself — the docstore's parquet schema supplies stored/aggregatable
+    fields with their types (arrow → ES type names), and a bounded
+    term_index probe per column (``field:`` keyword-prefix range — O(1)
+    sidecar reads, never a dictionary scan) marks which are searchable
+    (keyword- or field-qualified-indexed). The main text field is always
+    searchable text. Response is the ES shape:
+    ``{"fields": {name: {type: {"type", "searchable", "aggregatable"}}}}``."""
+    import pyarrow.dataset as _ds
+
+    from .build import KEYWORD_SEP
+
+    caps: dict[str, dict] = {
+        "text": {"text": {
+            "type": "text", "searchable": True, "aggregatable": False,
+        }},
+    }
+    _ARROW_ES = (
+        ("timestamp", "date"), ("date", "date"), ("bool", "boolean"),
+        ("int", "long"), ("float", "double"), ("double", "double"),
+        ("string", "keyword"), ("large_string", "keyword"),
+        ("binary", "binary"), ("list", "nested"), ("struct", "object"),
+    )
+    store = os.path.join(out_dir, "docstore")
+    if os.path.isdir(store):
+        schema = _ds.dataset(store, format="parquet", partitioning="hive").schema
+        for name, typ in zip(schema.names, schema.types):
+            if name in ("doc_id", "bucket", "run", "text"):
+                continue
+            ts = str(typ)
+            es_type = next(
+                (es for pref, es in _ARROW_ES if ts.startswith(pref)), "keyword"
+            )
+            lo = f"{name}{KEYWORD_SEP}"
+            searchable = bool(len(_term_range(out_dir, lo, _range_hi(lo)).head(1)))
+            caps[name] = {es_type: {
+                "type": es_type, "searchable": searchable, "aggregatable": True,
+            }}
+    return {"fields": caps}
+
+
 def _term_range(out_dir: str, lo: str | None, hi: str | None) -> pd.DataFrame:
     pdf = _term_index_scan(out_dir, lo, hi)
     if pdf is None:

@@ -5221,6 +5221,85 @@ SELECT part, doc_id, score FROM (
 """
 
 
+def q85_template_min_score(spark, sf_dir):
+    """_search/template + min_score + _source filtering in one request:
+    a mustache-subset template ({{q}}/{{lang}} inline, "{{size}}"/
+    "{{floor}}" typed whole-string) renders to a bool body (match must +
+    keyword filter-context term), hits floored at min_score, _source
+    filtered to includes. DuckDB twin recomputes the BM25 ranking under
+    the same filter and floor."""
+    import shutil
+    import tempfile
+
+    from .index.build import build_index, write_docstore
+    from .index.dsl import search_template_body
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="cb_q85_idx_")
+    try:
+        build_index(
+            spark, docs.select("doc_id", "text", "lang"), out, url_col=None,
+            n_buckets=8, keyword_cols=("lang",),
+        )
+        write_docstore(spark, docs, out, url_col=None, extra_cols=("lang",))
+        resp = search_template_body(spark, out, {
+            "source": {
+                "query": {"bool": {
+                    "must": [{"match": {"text": "{{q}}"}}],
+                    "filter": [{"term": {"lang": "{{lang}}"}}],
+                }},
+                "size": "{{size}}",
+                "min_score": "{{floor}}",
+                "_source": {"includes": ["lang"]},
+            },
+            "params": {"q": "spark join", "lang": "en", "size": 15,
+                       "floor": 0.4},
+        })
+        rows = [
+            (int(h["_id"]), round(float(h["_score"]), 4),
+             str(h["_source"]["lang"]), len(h["_source"]))
+            for h in resp["hits"]["hits"]
+        ]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "doc_id long, score double, lang string, n_src long"
+    ).orderBy("doc_id")
+
+
+Q85_SQL = f"""
+WITH toks AS ({_TOKENS_SQL}),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks WHERE term != '' GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+q AS (SELECT unnest(['spark', 'join']) AS term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf WHERE term IN (SELECT term FROM q) GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl)))) AS raw
+  FROM tf
+  JOIN df ON tf.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  WHERE tf.doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+  GROUP BY tf.doc_id
+  HAVING count(DISTINCT tf.term) = 2  -- engine must-semantics: ALL terms
+)
+SELECT s.doc_id, round(s.raw, 4) AS score, d.lang, 1 AS n_src
+FROM (SELECT * FROM scored WHERE raw >= 0.4
+      ORDER BY raw DESC, doc_id ASC LIMIT 15) s
+JOIN documents d USING (doc_id)
+ORDER BY s.doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -5306,6 +5385,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q82_adjacency_auto_dh": q82_adjacency_auto_dh,
     "q83_percolate": q83_percolate,
     "q84_span_algebra": q84_span_algebra,
+    "q85_template_min_score": q85_template_min_score,
 }
 
 ORACLES: dict[str, str] = {
@@ -5393,4 +5473,5 @@ ORACLES: dict[str, str] = {
     "q82_adjacency_auto_dh": Q82_SQL,
     "q83_percolate": Q83_SQL,
     "q84_span_algebra": Q84_SQL,
+    "q85_template_min_score": Q85_SQL,
 }
