@@ -84,6 +84,14 @@ query context:
                     {"field": f, "factor": c, "modifier": "log1p"|…,
                      "missing": v}, "boost_mode": "multiply"|"sum"|
                     "replace"}} — docstore-resolved field boost
+  rank_feature     {"rank_feature": {"field": f, "saturation"|"log"|
+                    "sigmoid"|"linear": {...}, "boost": b}} — standalone
+                   (docstore-ranked top-k, exact totals) or inside
+                   bool.should as a pure additive boost over the bool's
+                   matching set (the ES recommended shape)
+  distance_feature {"distance_feature": {"field": f, "origin": o,
+                    "pivot": p, "boost": b}} — boost×p/(p+|v−o|) over a
+                   stored numeric or date column; same two positions
 
 filter context (inside bool.filter / bool.must, or top-level):
   term    {"term":  {"lang": "en"}}        — keyword-field posting filter
@@ -464,6 +472,16 @@ def _parse_bool_core(body: dict, plan: dict, analyzer, top: bool = False) -> _Bo
                 ) from None
         elif k2 in ("term", "terms", "range", "exists"):
             pass  # keyword shoulds — grouped below
+        elif k2 in ("rank_feature", "distance_feature"):
+            # feature queries in should position: pure additive score
+            # boost over the bool's matching set (ES: they contribute
+            # score, never constrain; our simplification — they also do
+            # not count toward minimum_should_match)
+            plan["rf_boosts"].append(
+                _parse_rank_feature(b2) if k2 == "rank_feature"
+                else _parse_distance_feature(b2)
+            )
+            continue
         elif k2 == "bool":
             raise UnsupportedDSL(
                 "bool nested inside should alongside other clauses is "
@@ -497,6 +515,15 @@ def _parse_bool_core(body: dict, plan: dict, analyzer, top: bool = False) -> _Bo
                 "minimum_should_match > 1 over term/terms should clauses is unsupported"
             )
     elif own_shoulds:
+        if plan["rf_boosts"] and msm >= 1:
+            # in ES a doc could satisfy the required-should group via the
+            # feature clause alone; we treat features as pure boosts, so
+            # that shape would silently shrink the matching set — reject
+            raise UnsupportedDSL(
+                "rank_feature/distance_feature inside a REQUIRED should "
+                "group is unsupported — move the scoring clause to must "
+                "(features then boost, exactly like ES's common shape)"
+            )
         sub = _BoolCtx()
         sub.shoulds = own_shoulds
         sub.min_should = msm
@@ -623,7 +650,7 @@ def parse_query(query: dict, analyzer=None) -> dict:
         "boost": 1.0, "ids": None,
         "dis_max": None, "boosting": None, "fscore": None,
         "phrase_prefix": None, "span_near": None, "terms_set": None,
-        "nested": None,
+        "nested": None, "rank_feature": None, "rf_boosts": [],
     }
     if query is None:
         plan["match_all"] = True
@@ -671,6 +698,10 @@ def parse_query(query: dict, analyzer=None) -> dict:
         }
     elif kind == "function_score":
         plan["fscore"] = _parse_function_score(body)
+    elif kind == "rank_feature":
+        plan["rank_feature"] = [_parse_rank_feature(body)]
+    elif kind == "distance_feature":
+        plan["rank_feature"] = [_parse_distance_feature(body)]
     elif kind == "multi_match":
         plan["mm"] = {
             "query": body["query"],
@@ -781,7 +812,16 @@ def parse_query(query: dict, analyzer=None) -> dict:
         plan["must_not"] = " ".join(ctx.must_nots) or None
         plan["min_should"] = ctx.min_should
         if not plan["query"] and not plan["must"]:
-            plan["match_all"] = True
+            if plan["rf_boosts"] and not (
+                plan["filters"] or plan["ranges"] or plan["or_groups"]
+                or plan["must_not"] or plan["not_atoms"]
+            ):
+                # should-only feature bool: the features ARE the query
+                # (matching set = docs holding any feature field)
+                plan["rank_feature"] = plan["rf_boosts"]
+                plan["rf_boosts"] = []
+            else:
+                plan["match_all"] = True
     else:
         raise UnsupportedDSL(f"unsupported query clause {kind!r}")
     if plan["extra_not_text"]:
@@ -1343,6 +1383,250 @@ def _fscore_rows(
     return rows
 
 
+def _parse_rank_feature(body: dict) -> dict:
+    """ES ``rank_feature``: score docs by a stored positive-numeric
+    feature column through saturation (default) / log / sigmoid / linear.
+    Documented difference vs ES: ES stores rank_feature values with 9-bit
+    float precision (``RankFeatureFieldMapper``), so its scores are
+    quantized; ours are exact over the stored column."""
+    field = body.get("field")
+    if not field:
+        raise UnsupportedDSL("rank_feature needs a field")
+    fns = [k for k in ("saturation", "log", "sigmoid", "linear") if k in body]
+    if len(fns) > 1:
+        raise UnsupportedDSL(
+            f"rank_feature takes at most one scoring function (got {fns})"
+        )
+    fn = fns[0] if fns else "saturation"
+    params = body.get(fn) or {}
+    spec: dict[str, Any] = {
+        "kind": "rank", "field": str(field), "fn": fn,
+        "boost": float(body.get("boost", 1.0)),
+    }
+    if fn == "saturation":
+        # absent pivot → ES computes it from index stats (we use the
+        # geometric mean of the positive feature values, resolved lazily)
+        spec["pivot"] = float(params["pivot"]) if "pivot" in params else None
+    elif fn == "log":
+        if "scaling_factor" not in params:
+            raise UnsupportedDSL("rank_feature log needs scaling_factor")
+        spec["scaling_factor"] = float(params["scaling_factor"])
+    elif fn == "sigmoid":
+        if "pivot" not in params or "exponent" not in params:
+            raise UnsupportedDSL("rank_feature sigmoid needs pivot and exponent")
+        spec["pivot"] = float(params["pivot"])
+        spec["exponent"] = float(params["exponent"])
+    return spec
+
+
+_DURATION_MS = {
+    "ms": 1.0, "s": 1000.0, "m": 60_000.0, "h": 3_600_000.0,
+    "d": 86_400_000.0, "w": 7 * 86_400_000.0,
+}
+
+
+def _duration_ms(val) -> float:
+    """A distance_feature pivot: a bare number passes through (numeric
+    fields use the field's own units); an ES time-unit string ("7d",
+    "24h", "30m", "10s", "500ms") converts to epoch milliseconds."""
+    if isinstance(val, (int, float)):
+        return float(val)
+    s = str(val).strip()
+    for suffix in sorted(_DURATION_MS, key=len, reverse=True):
+        if s.endswith(suffix):
+            return float(s[: -len(suffix)]) * _DURATION_MS[suffix]
+    return float(s)
+
+
+def _epoch_ms(val) -> tuple[float, bool]:
+    """A distance_feature origin → (value, is_temporal). Numbers pass
+    through; ISO-8601 date/datetime strings become epoch milliseconds."""
+    if isinstance(val, (int, float)):
+        return float(val), False
+    from datetime import datetime, timezone
+
+    dt = datetime.fromisoformat(str(val).replace("Z", "+00:00"))
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return dt.timestamp() * 1000.0, True
+
+
+def _parse_distance_feature(body: dict) -> dict:
+    """ES ``distance_feature``: score = boost × pivot / (pivot +
+    |value − origin|) over a stored numeric or date column (geo_point
+    origins are unsupported — no geo columns in this engine)."""
+    for k in ("field", "origin", "pivot"):
+        if k not in body:
+            raise UnsupportedDSL("distance_feature needs field, origin, pivot")
+    origin, temporal = _epoch_ms(body["origin"])
+    pivot = _duration_ms(body["pivot"])
+    if pivot <= 0:
+        raise UnsupportedDSL("distance_feature pivot must be positive")
+    return {
+        "kind": "distance", "field": str(body["field"]),
+        "origin": origin, "pivot": pivot, "temporal": temporal,
+        "boost": float(body.get("boost", 1.0)),
+    }
+
+
+def _rf_contribution(spec: dict, v) -> float:
+    """Python-scalar feature score for one doc's stored value (the
+    boost-in-bool path; mirrors the JVM column expression bit-for-bit:
+    both sides are float64 all the way)."""
+    if v is None:
+        return 0.0
+    import datetime as _dt
+
+    if isinstance(v, _dt.datetime):
+        tz = v if v.tzinfo else v.replace(tzinfo=_dt.timezone.utc)
+        v = tz.timestamp() * 1000.0
+    elif isinstance(v, _dt.date):
+        v = _dt.datetime(v.year, v.month, v.day, tzinfo=_dt.timezone.utc).timestamp() * 1000.0
+    v = float(v)
+    if spec["kind"] == "distance":
+        return spec["boost"] * spec["pivot"] / (spec["pivot"] + abs(v - spec["origin"]))
+    if v <= 0:
+        return 0.0  # ES: rank_feature fields hold positive values only
+    fn = spec["fn"]
+    if fn == "saturation":
+        return spec["boost"] * v / (v + spec["pivot"])
+    if fn == "log":
+        return spec["boost"] * math.log(spec["scaling_factor"] + v)
+    if fn == "sigmoid":
+        vp = v ** spec["exponent"]
+        return spec["boost"] * vp / (vp + spec["pivot"] ** spec["exponent"])
+    return spec["boost"] * v  # linear
+
+
+def _rf_feature_col(store: DataFrame, spec: dict):
+    """(match-condition, score-contribution) JVM column pair for one
+    rank/distance feature spec over the docstore scan."""
+    from pyspark.sql import functions as F
+
+    field = spec["field"]
+    if field not in store.columns:
+        raise UnsupportedDSL(
+            f"rank_feature/distance_feature field {field!r} is not a "
+            f"stored column"
+        )
+    dtype = dict(store.dtypes)[field]
+    col = F.col(field).cast("double")
+    if dtype.startswith("timestamp") or dtype == "date":
+        col = col * F.lit(1000.0)  # epoch seconds → ms, matching origins
+    if spec["kind"] == "distance":
+        cond = F.col(field).isNotNull()
+        contrib = (
+            F.lit(spec["boost"]) * F.lit(spec["pivot"])
+            / (F.lit(spec["pivot"]) + F.abs(col - F.lit(spec["origin"])))
+        )
+        return cond, contrib
+    cond = F.col(field).isNotNull() & (col > 0)
+    fn = spec["fn"]
+    if fn == "saturation":
+        contrib = F.lit(spec["boost"]) * col / (col + F.lit(spec["pivot"]))
+    elif fn == "log":
+        contrib = F.lit(spec["boost"]) * F.log(F.lit(spec["scaling_factor"]) + col)
+    elif fn == "sigmoid":
+        vp = F.pow(col, F.lit(spec["exponent"]))
+        contrib = F.lit(spec["boost"]) * vp / (
+            vp + F.lit(spec["pivot"] ** spec["exponent"])
+        )
+    else:
+        contrib = F.lit(spec["boost"]) * col
+    return cond, contrib
+
+
+def _resolve_rf_pivots(spark, out_dir: str, specs: list[dict]) -> None:
+    """Fill absent saturation pivots with the geometric mean of the
+    positive feature values (ES computes its default pivot from index
+    feature stats the same way — approximately; ours is the exact mean
+    over the live docstore, one column-pruned agg per field)."""
+    from pyspark.sql import functions as F
+
+    from .query import _docstore_scan
+
+    todo = [s for s in specs
+            if s["kind"] == "rank" and s["fn"] == "saturation" and s["pivot"] is None]
+    if not todo:
+        return
+    store = _docstore_scan(spark, out_dir)
+    for spec in todo:
+        field = spec["field"]
+        if field not in store.columns:
+            raise UnsupportedDSL(
+                f"rank_feature field {field!r} is not a stored column"
+            )
+        col = F.col(field).cast("double")
+        row = store.where(col > 0).agg(F.exp(F.avg(F.log(col)))).first()
+        gm = row[0] if row else None
+        if gm is None:
+            raise UnsupportedDSL(
+                f"rank_feature saturation over {field!r} has no positive "
+                f"values to derive a default pivot from — set pivot"
+            )
+        spec["pivot"] = float(gm)
+
+
+def _rank_feature_scored(spark, out_dir: str, specs: list[dict]) -> DataFrame:
+    """Standalone rank_feature/distance_feature matching set, scored: one
+    column-pruned docstore scan, score = Σ feature functions (JVM
+    expressions end to end), a doc matches if ANY feature field is
+    present (ES should-semantics). Distributed — top-k and counts bound
+    what reaches the driver."""
+    import functools
+
+    from pyspark.sql import functions as F
+
+    from .query import _docstore_scan
+
+    _resolve_rf_pivots(spark, out_dir, specs)
+    store = _docstore_scan(spark, out_dir)
+    pairs = [_rf_feature_col(store, s) for s in specs]
+    match = functools.reduce(lambda a, b: a | b, (c for c, _ in pairs))
+    score = functools.reduce(
+        lambda a, b: a + b,
+        (F.when(c, x).otherwise(F.lit(0.0)) for c, x in pairs),
+    )
+    return store.where(match).select("doc_id", score.alias("score"))
+
+
+def _rank_feature_topk(
+    spark, out_dir: str, specs: list[dict], k: int,
+) -> tuple[list[tuple[int, float]], int]:
+    """(top-k rows desc by score, exact matching-set total) for the
+    standalone feature-query path. Two bounded jobs: a TakeOrdered top-k
+    and a distributed count — nothing corpus-sized hits the driver."""
+    scored = _rank_feature_scored(spark, out_dir, specs)
+    from pyspark.sql import functions as F
+
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k).collect()
+    total = scored.count()
+    return [(int(r[0]), float(r[1])) for r in top], int(total)
+
+
+def _apply_rf_boosts(
+    spark, out_dir: str, base: dict[int, float], specs: list[dict],
+) -> list[tuple[int, float]]:
+    """rank_feature/distance_feature inside ``bool.should`` alongside a
+    scoring/filtering base: ES adds the feature score to matching docs
+    (features never shrink or grow the matching set in should position).
+    Ranking changes post-hoc, so the base must be the FULL matching set
+    (the rescorer/compound pattern); feature values resolve through the
+    bucket-pruned docstore for exactly those docs."""
+    from .build import lookup_docs
+
+    _resolve_rf_pivots(spark, out_dir, specs)
+    if not base:
+        return []
+    meta = lookup_docs(out_dir, list(base))
+    rows = []
+    for d, sc in base.items():
+        m = meta.get(d) or {}
+        rows.append((d, sc + sum(_rf_contribution(s, m.get(s["field"])) for s in specs)))
+    rows.sort(key=lambda t: (-t[1], t[0]))
+    return rows
+
+
 def _phrase_prefix_rows(
     s: Searcher, out_dir: str, spec: dict
 ) -> list[tuple[int, float]]:
@@ -1628,9 +1912,11 @@ def delete_by_query_body(
     blocked = [
         k for k in ("phrase", "span_near", "terms_set", "nested", "mm", "expand",
                     "mlt", "ids", "dis_max", "boosting", "fscore",
-                    "phrase_prefix")
+                    "phrase_prefix", "rank_feature")
         if plan.get(k) is not None
     ]
+    if plan["rf_boosts"]:
+        blocked.append("rank_feature")
     if blocked:
         raise UnsupportedDSL(
             f"delete_by_query supports match/bool/filter-context bodies "
@@ -1841,9 +2127,11 @@ def update_by_query_body(
     blocked = [
         k for k in ("phrase", "span_near", "terms_set", "nested", "mm", "expand",
                     "mlt", "ids", "dis_max", "boosting", "fscore",
-                    "phrase_prefix")
+                    "phrase_prefix", "rank_feature")
         if plan.get(k) is not None
     ]
+    if plan["rf_boosts"]:
+        blocked.append("rank_feature")
     if blocked:
         raise UnsupportedDSL(
             f"update_by_query supports match/bool/filter-context bodies "
@@ -2276,8 +2564,17 @@ def search_body(
         plan["dis_max"] is not None or plan["boosting"] is not None
         or plan["fscore"] is not None or plan["phrase_prefix"] is not None
     )
+    featured = plan["rank_feature"] is not None or bool(plan["rf_boosts"])
+    if featured and (
+        sort_spec or body.get("search_after") or after is not None
+    ):
+        raise UnsupportedDSL(
+            "rank_feature / distance_feature rank by their feature "
+            "functions (no sort or search_after)"
+        )
     if body.get("pit") is not None and (
-        compound or plan["expand"] is not None or plan["mlt"] is not None
+        compound or featured
+        or plan["expand"] is not None or plan["mlt"] is not None
         or plan["terms_set"] is not None or plan["nested"] is not None
         or plan["ids"] is not None or plan["match_all"]
         or sort_spec  # field sort re-reads live state; _score sort is fine
@@ -2319,7 +2616,8 @@ def search_body(
         sort_spec or after is not None or plan["phrase"] is not None
         or plan["mm"] is not None or plan["expand"] is not None
         or plan["mlt"] is not None or plan["ids"] is not None
-        or plan["match_all"] or compound or plan["span_near"] is not None
+        or plan["match_all"] or compound or featured
+        or plan["span_near"] is not None
         or plan["terms_set"] is not None or plan["nested"] is not None
     ):
         raise UnsupportedDSL(
@@ -2333,6 +2631,7 @@ def search_body(
         or plan["phrase"] is not None or plan["mm"] is not None
         or plan["expand"] is not None or plan["mlt"] is not None
         or plan["ids"] is not None or plan["match_all"] or compound
+        or featured
         or plan["span_near"] is not None or plan["terms_set"] is not None
         or plan["nested"] is not None
     ):
@@ -2343,6 +2642,7 @@ def search_body(
         )
     if body.get("explain") and (
         sort_spec or collapse is not None or rescore is not None or compound
+        or featured
         or plan["phrase"] is not None or plan["mm"] is not None
         or plan["expand"] is not None or plan["mlt"] is not None
         or plan["ids"] is not None or plan["match_all"]
@@ -2371,7 +2671,8 @@ def search_body(
             )
         if (
             sort_spec or collapse is not None or rescore is not None
-            or compound or plan["phrase"] is not None or plan["mm"] is not None
+            or compound or featured
+            or plan["phrase"] is not None or plan["mm"] is not None
             or plan["expand"] is not None or plan["mlt"] is not None
             or plan["ids"] is not None or plan["match_all"]
             or plan["span_near"] is not None or plan["terms_set"] is not None
@@ -2386,6 +2687,7 @@ def search_body(
         slice_mod = (sid, smax)
     rows: list[tuple[int, float]]
     plain_scored = False
+    pre_total: int | None = None
     sorted_rows_cols: list[tuple] | None = None
     if sort_spec:
         keys = []
@@ -2507,6 +2809,47 @@ def search_body(
         else:
             full = _phrase_prefix_rows(s, out_dir, plan["phrase_prefix"])
         compound_total = len(full)
+        rows = full[from_ : from_ + size]
+    elif plan["rank_feature"] is not None:
+        if body.get("aggs"):
+            raise UnsupportedDSL(
+                "aggs with a standalone rank_feature/distance_feature are "
+                "unsupported (its matching set is a docstore predicate, "
+                "not an index query — send the agg as a filtered request)"
+            )
+        rows, pre_total = _rank_feature_topk(
+            spark, out_dir, plan["rank_feature"], size + from_
+        )
+        rows = rows[from_:]
+    elif plan["rf_boosts"]:
+        # feature boosts in should: base = the bool's FULL matching set
+        # (ranking changes post-hoc, so top-k cannot pre-truncate), then
+        # one docstore lookup over exactly those docs adds the features
+        if plan["match_all"]:
+            from .query import bool_doc_ids
+
+            if not bounded:
+                raise UnsupportedDSL(
+                    "feature-boosted match_all needs at least a filter "
+                    "(an unbounded full-corpus ranking is a scan)"
+                )
+            base = {
+                int(r.doc_id): 0.0
+                for r in bool_doc_ids(
+                    spark, out_dir, "", must_not=plan["must_not"],
+                    filters=filters, ranges=ranges,
+                    or_groups=or_groups, not_atoms=not_atoms,
+                ).collect()
+            }
+        else:
+            base = dict(s.search_rows(
+                plan["query"], _ALL_HITS, must=plan["must"],
+                must_not=plan["must_not"], min_should=plan["min_should"],
+                filters=filters, ranges=ranges,
+                or_groups=or_groups, not_atoms=not_atoms, prune=False,
+            ))
+        full = _apply_rf_boosts(spark, out_dir, base, plan["rf_boosts"])
+        pre_total = len(full)
         rows = full[from_ : from_ + size]
     elif plan["match_all"]:
         if after is not None:
@@ -2632,6 +2975,8 @@ def search_body(
     if compound:
         # the driver-combined paths enumerate the full matching set anyway
         total = {"value": compound_total, "relation": "eq"}
+    elif pre_total is not None:
+        total = {"value": pre_total, "relation": "eq"}
     elif body.get("track_total_hits"):
         total = {
             "value": _exact_total(
@@ -2811,13 +3156,14 @@ def search_body_daily(
         rows = ds.more_like_this(
             plan["mlt"]["like"], size + from_, time_range=time_range, **knobs
         )[from_:]
-    elif plan["span_near"] is not None or plan["terms_set"] is not None or plan["nested"] is not None or any(
+    elif plan["span_near"] is not None or plan["terms_set"] is not None or plan["nested"] is not None or plan["rf_boosts"] or any(
         plan[kk] is not None
-        for kk in ("dis_max", "boosting", "fscore", "phrase_prefix")
+        for kk in ("dis_max", "boosting", "fscore", "phrase_prefix", "rank_feature")
     ):
         raise UnsupportedDSL(
             "span_near / intervals / terms_set / dis_max / boosting / "
-            "function_score / match_phrase_prefix over daily windows are "
+            "function_score / match_phrase_prefix / rank_feature / "
+            "distance_feature over daily windows are "
             "unsupported (send them to the day indexes directly)"
         )
     elif plan["ids"] is not None:
@@ -2997,6 +3343,11 @@ def _exact_total(
         from .build import lookup_docs
 
         return len(lookup_docs(out_dir, plan["ids"]))
+    if plan.get("rank_feature") is not None:
+        # standalone feature query: matching set = docs holding any
+        # feature field (rf_boosts never change the base set — they fall
+        # through to the bool count below)
+        return int(_rank_feature_scored(spark, out_dir, plan["rank_feature"]).count())
     if plan["phrase"] is not None:
         return phrase_doc_ids(
             spark, out_dir, plan["phrase"], slop=plan["phrase_slop"]

@@ -5300,6 +5300,143 @@ ORDER BY s.doc_id
 """
 
 
+def q86_rank_feature_boost(spark, sf_dir):
+    """ES rank_feature in bool.should (the recommended "relevance +
+    popularity signal" shape): BM25 over a required match, plus
+    boost × ln(scaling_factor + n_chars) added to every hit from the
+    stored feature column. Ranking changes post-hoc, so the engine runs
+    the FULL matching set through one docstore lookup (the
+    rescorer/compound pattern — `index/dsl.py:_apply_rf_boosts`). DuckDB
+    twin recomputes BM25 must-semantics and the same log feature."""
+    import shutil
+    import tempfile
+
+    from .index.build import build_index, write_docstore
+    from .index.dsl import search_body
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="cb_q86_idx_")
+    try:
+        build_index(
+            spark, docs.select("doc_id", "text"), out, url_col=None,
+            n_buckets=8,
+        )
+        write_docstore(spark, docs, out, url_col=None, extra_cols=("n_chars",))
+        resp = search_body(spark, out, {
+            "query": {"bool": {
+                "must": [{"match": {"text": "spark join"}}],
+                "should": [{"rank_feature": {
+                    "field": "n_chars",
+                    "log": {"scaling_factor": 1},
+                    "boost": 0.5,
+                }}],
+            }},
+            "size": 15,
+        })
+        rows = [
+            (int(h["_id"]), round(float(h["_score"]), 4))
+            for h in resp["hits"]["hits"]
+        ]
+        total = int(resp["hits"]["total"]["value"])
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(d, sc, total) for d, sc in rows],
+        "doc_id long, score double, total long",
+    ).orderBy("doc_id")
+
+
+Q86_SQL = f"""
+WITH toks AS ({_TOKENS_SQL}),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks WHERE term != '' GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+q AS (SELECT unnest(['spark', 'join']) AS term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf WHERE term IN (SELECT term FROM q) GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl)))) AS raw
+  FROM tf
+  JOIN df ON tf.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+  HAVING count(DISTINCT tf.term) = 2  -- engine must-semantics: ALL terms
+),
+boosted AS (
+  SELECT s.doc_id, s.raw + 0.5 * ln(1.0 + d.n_chars) AS score
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT b.doc_id, round(b.score, 4) AS score,
+       (SELECT count(*) FROM boosted) AS total
+FROM (SELECT * FROM boosted ORDER BY score DESC, doc_id ASC LIMIT 15) b
+ORDER BY b.doc_id
+"""
+
+
+def q87_distance_feature(spark, sf_dir):
+    """ES distance_feature under a filter-context bool: hits are the
+    keyword-filtered set (lang = 'en'), scored purely by proximity —
+    boost × pivot / (pivot + |n_chars − origin|) — with the exact
+    distributed total. Exercises the docstore-resolved feature scoring
+    and the filters⋈boost composition (`index/dsl.py` rf_boosts path)."""
+    import shutil
+    import tempfile
+
+    from .index.build import build_index, write_docstore
+    from .index.dsl import search_body
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="cb_q87_idx_")
+    try:
+        build_index(
+            spark, docs.select("doc_id", "text", "lang"), out, url_col=None,
+            n_buckets=8, keyword_cols=("lang",),
+        )
+        write_docstore(spark, docs, out, url_col=None, extra_cols=("n_chars",))
+        resp = search_body(spark, out, {
+            "query": {"bool": {
+                "filter": [{"term": {"lang": "en"}}],
+                "should": [{"distance_feature": {
+                    "field": "n_chars", "origin": 2000, "pivot": 500,
+                    "boost": 2.0,
+                }}],
+            }},
+            "size": 12,
+        })
+        rows = [
+            (int(h["_id"]), round(float(h["_score"]), 4))
+            for h in resp["hits"]["hits"]
+        ]
+        total = int(resp["hits"]["total"]["value"])
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(d, sc, total) for d, sc in rows],
+        "doc_id long, score double, total long",
+    ).orderBy("doc_id")
+
+
+Q87_SQL = """
+WITH en AS (SELECT doc_id, n_chars FROM documents WHERE lang = 'en'),
+scored AS (
+  SELECT doc_id, 2.0 * 500.0 / (500.0 + abs(n_chars - 2000.0)) AS score
+  FROM en
+)
+SELECT s.doc_id, round(s.score, 4) AS score,
+       (SELECT count(*) FROM en) AS total
+FROM (SELECT * FROM scored ORDER BY score DESC, doc_id ASC LIMIT 12) s
+ORDER BY s.doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -5386,6 +5523,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q83_percolate": q83_percolate,
     "q84_span_algebra": q84_span_algebra,
     "q85_template_min_score": q85_template_min_score,
+    "q86_rank_feature_boost": q86_rank_feature_boost,
+    "q87_distance_feature": q87_distance_feature,
 }
 
 ORACLES: dict[str, str] = {
@@ -5474,4 +5613,6 @@ ORACLES: dict[str, str] = {
     "q83_percolate": Q83_SQL,
     "q84_span_algebra": Q84_SQL,
     "q85_template_min_score": Q85_SQL,
+    "q86_rank_feature_boost": Q86_SQL,
+    "q87_distance_feature": Q87_SQL,
 }
