@@ -2457,6 +2457,67 @@ def _metric_exprs(cname: str, ckind: str, cbody: dict, prefixed: bool):
     return [_METRIC_FNS[ckind](col).alias(cname if prefixed else "value")]
 
 
+def _terms_order_keys(
+    name: str, body: dict, metrics: list | None, *, prefixed: bool,
+) -> list[tuple[str, bool]]:
+    """ES terms-agg ``order`` → [(column, ascending)] bucket-selection
+    keys, shared by the Spark and pandas twins so their top-``size``
+    choice can never drift. ``order`` may be a dict (one criterion) or a
+    list of dicts; keys are ``_count``, ``_key``, a SAME-LEVEL
+    single-value metric sibling's name (avg/sum/min/max/value_count/
+    cardinality/weighted_avg), or ``<stats-sibling>.<count|min|max|avg|
+    sum>``. Default [count desc]; ES's key-asc tiebreak is always
+    appended. Percentiles order keys are rejected (multi-value)."""
+    order = body.get("order")
+    if order is None:
+        entries: list[tuple[str, str]] = []
+    elif isinstance(order, dict):
+        entries = list(order.items())
+    elif isinstance(order, list):
+        entries = [e for d in order for e in d.items()]
+    else:
+        raise ValueError(f"agg {name!r}: bad terms order {order!r}")
+    colmap = {"_count": "_count", "_key": "_key", "_term": "_key"}
+    for cname, ckind, _cbody in metrics or []:
+        p = f"{cname}_" if prefixed else ""
+        if ckind == "stats":
+            for part in ("count", "min", "max", "avg", "sum"):
+                colmap[f"{cname}.{part}"] = f"{p}{part}"
+        elif ckind == "percentiles":
+            continue
+        else:
+            colmap[cname] = cname if prefixed else "value"
+    crits: list[tuple[str, bool]] = []
+    for k, d in entries:
+        dl = str(d).lower()
+        if dl not in ("asc", "desc"):
+            raise ValueError(f"agg {name!r}: order direction {d!r}")
+        if k not in colmap:
+            raise ValueError(
+                f"agg {name!r}: order key {k!r} must be _key, _count, or a "
+                f"single-value metric sibling declared at this level"
+            )
+        crits.append((colmap[k], dl == "asc"))
+    if not crits:
+        crits = [("_count", False)]
+    if crits[-1][0] != "_key":
+        crits.append(("_key", True))
+    return crits
+
+
+def _pd_sort_buckets(items: list, crits: list[tuple[str, bool]], cell) -> None:
+    """Stable multi-criteria in-place sort matching Spark's null ordering
+    (asc → nulls first, desc → nulls last): one pass per criterion in
+    reverse significance. ``cell(item, col)`` resolves a criterion column
+    to its value."""
+    for col, asc in reversed(crits):
+        def k(item, _c=col):
+            v = cell(item, _c)
+            return (v is not None, v if v is not None else 0)
+
+        items.sort(key=k, reverse=not asc)
+
+
 def aggs_over_join(
     joined: DataFrame, aggs: dict, background: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
@@ -2613,13 +2674,17 @@ def aggs_over_join(
             )
             continue
         if kind == "terms":
+            crits = _terms_order_keys(name, body, None, prefixed=True)
+            flatcol = {"_count": "n", "_key": "key"}
             df = (
                 # ES terms aggs ignore docs missing the field (the serving
                 # twin's dropna; the "missing" agg counts them instead)
                 joined.where(F.col(col).isNotNull())
                 .groupBy(F.col(col).alias("key"))
                 .agg(F.count("*").alias("n"))
-                .orderBy(F.desc("n"), F.asc("key"))
+                .orderBy(*[
+                    (F.asc if a else F.desc)(flatcol[c]) for c, a in crits
+                ])
             )
             # ES defaults terms-agg size to 10; an absent size must NOT
             # return the unbounded distinct set (a high-cardinality keyword
@@ -3680,23 +3745,26 @@ def _sub_bucket_df(
             F.count("*").alias(cnt), *mexprs
         )
         if kind == "terms":
+            crits = _terms_order_keys(name, body, metrics, prefixed=not legacy)
+            obys = [
+                (F.asc if a else F.desc)(
+                    cnt if c == "_count" else (keycol if c == "_key" else c)
+                )
+                for c, a in crits
+            ]
             size = int(body.get("size", 10))
             if size:
                 if lvl == 1:
-                    parents = (
-                        parents.orderBy(F.desc(cnt), F.asc(keycol)).limit(size)
-                    )
+                    parents = parents.orderBy(*obys).limit(size)
                 else:
-                    w = Window.partitionBy(*group_cols).orderBy(
-                        F.desc(cnt), F.asc(keycol)
-                    )
+                    w = Window.partitionBy(*group_cols).orderBy(*obys)
                     parents = (
                         parents.withColumn("_rk", F.row_number().over(w))
                         .where(F.col("_rk") <= size).drop("_rk")
                     )
             else:
                 bounded = False
-            order_cols += [F.desc(cnt), F.asc(keycol)]
+            order_cols += obys
         else:
             bounded = False
             order_cols += [F.asc(keycol)]
@@ -3968,9 +4036,10 @@ def _aggs_pandas(
             # native key types (numpy scalars unwrapped): tie order (n desc,
             # key asc) must match the Spark path's — string-sorting a
             # numeric key would rank "100" before "99"
-            rows = sorted(
-                ((_key_out(k_), int(n)) for k_, n in c.items()),
-                key=lambda kv: (-kv[1], kv[0]),
+            rows = [(_key_out(k_), int(n)) for k_, n in c.items()]
+            _pd_sort_buckets(
+                rows, _terms_order_keys(name, body, None, prefixed=True),
+                lambda kv, cc: kv[1] if cc == "_count" else kv[0],
             )
             size = int(body.get("size", 10))  # ES default; 0 = explicit all
             if size:
@@ -4434,7 +4503,30 @@ def _sub_bucket_pandas(
         pc = pk.value_counts()
         buckets = [(k_, int(n)) for k_, n in pc.items()]
         if kind == "terms":
-            buckets.sort(key=lambda kv: (-kv[1], _key_out(kv[0])))
+            crits = _terms_order_keys(name, body, metrics, prefixed=not legacy)
+            metric_keys = {c for c, _ in crits} - {"_count", "_key"}
+            deco: list[tuple] = []
+            for k_raw, n in buckets:
+                cells: dict = {}
+                if metric_keys:
+                    # ordering by a metric sibling: its value must exist
+                    # BEFORE top-size selection (the Spark path computes
+                    # metrics in the same groupBy; recomputed per hit-
+                    # bounded serving bucket here)
+                    bs = sel[(pk == k_raw).fillna(False)]
+                    for cname, ckind, cbody in metrics:
+                        cells.update(
+                            _pd_metric_cells(cname, ckind, cbody, not legacy, bs)
+                        )
+                deco.append((k_raw, n, cells))
+            _pd_sort_buckets(
+                deco, crits,
+                lambda t, cc: (
+                    t[1] if cc == "_count"
+                    else _key_out(t[0]) if cc == "_key" else t[2].get(cc)
+                ),
+            )
+            buckets = [(k_, n) for k_, n, _ in deco]
             size = int(body.get("size", 10))
             if size:
                 buckets = buckets[:size]

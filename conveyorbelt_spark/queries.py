@@ -5437,6 +5437,65 @@ ORDER BY s.doc_id
 """
 
 
+def q88_terms_order_metric(spark, sf_dir):
+    """ES terms aggregation ordered by a metric sub-aggregation (the
+    Kibana "top categories by average" table): buckets selected by
+    avg(n_chars) DESC — not doc_count — with the metric computed in the
+    SAME groupBy that ranks the buckets (`index/query.py:_sub_bucket_df`,
+    `_terms_order_keys`). Served through the DSL request body; DuckDB twin
+    recomputes the matching set, the per-bucket metric, and the order."""
+    import shutil
+    import tempfile
+
+    from .index.build import build_index, write_docstore
+    from .index.dsl import search_body
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="cb_q88_idx_")
+    try:
+        build_index(spark, docs.select("doc_id", "text"), out, url_col=None, n_buckets=8)
+        write_docstore(
+            spark, docs, out, url_col=None, extra_cols=("source", "n_chars")
+        )
+        resp = search_body(spark, out, {
+            "query": {"match": {"text": "spark"}},
+            "size": 0,
+            "aggs": {"top_src": {
+                "terms": {
+                    "field": "source", "size": 4,
+                    "order": {"avg_len": "desc"},
+                },
+                "aggs": {"avg_len": {"avg": {"field": "n_chars"}}},
+            }},
+        })
+        rows = [
+            (str(b["key"]), int(b["doc_count"]), round(float(b["value"]), 4))
+            for b in resp["aggregations"]["top_src"]
+        ]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "src string, doc_count long, avg_len double"
+    ).orderBy("src")
+
+
+Q88_SQL = f"""
+WITH toks AS ({_TOKENS_SQL}),
+hits AS (
+  SELECT doc_id FROM toks WHERE term = 'spark' GROUP BY doc_id
+),
+buckets AS (
+  SELECT d.source AS src, count(*) AS doc_count,
+         avg(d.n_chars) AS avg_len
+  FROM documents d JOIN hits USING (doc_id)
+  GROUP BY d.source
+)
+SELECT src, doc_count, round(avg_len, 4) AS avg_len
+FROM (SELECT * FROM buckets ORDER BY avg_len DESC, src ASC LIMIT 4) b
+ORDER BY src
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -5525,6 +5584,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q85_template_min_score": q85_template_min_score,
     "q86_rank_feature_boost": q86_rank_feature_boost,
     "q87_distance_feature": q87_distance_feature,
+    "q88_terms_order_metric": q88_terms_order_metric,
 }
 
 ORACLES: dict[str, str] = {
@@ -5615,4 +5675,5 @@ ORACLES: dict[str, str] = {
     "q85_template_min_score": Q85_SQL,
     "q86_rank_feature_boost": Q86_SQL,
     "q87_distance_feature": Q87_SQL,
+    "q88_terms_order_metric": Q88_SQL,
 }

@@ -1090,3 +1090,65 @@ def test_auto_date_histogram_agg(spark, aroot):
     got2 = s.aggs_rows(tight, "spark join", max_hits=5)  # distributed path
     assert got2 == s.aggs_rows(tight, "spark join")      # parity again
     assert all(r["interval"] == "week" for r in got2["auto"])
+
+
+def test_terms_order_variants(spark, aroot):
+    """ES terms-agg ``order``: _key desc, _count asc (list form with a
+    secondary criterion), and order by a metric sub-aggregation — each
+    pinned against the pandas truth AND the zero-job serving twin."""
+    from conveyorbelt_spark.index.query import Searcher
+
+    out, rows, matching = aroot
+    sel = [(lang, nc) for i, _, lang, nc, _ in rows if i in matching]
+    aggs = {
+        "key_desc": {"terms": {"field": "lang", "order": {"_key": "desc"}}},
+        "cnt_asc": {"terms": {
+            "field": "lang", "order": [{"_count": "asc"}, {"_key": "desc"}],
+        }},
+        "by_avg": {
+            "terms": {"field": "lang", "size": 2, "order": {"mean_nc": "asc"}},
+            "aggs": {"mean_nc": {"avg": {"field": "n_chars"}}},
+        },
+        "by_stats_max": {
+            "terms": {"field": "lang", "order": {"st.max": "desc"}},
+            "aggs": {"st": {"stats": {"field": "n_chars"}}},
+        },
+    }
+    res = search_aggs(spark, out, aggs, "spark join")
+    got = {k: [r.asDict() for r in v.collect()] for k, v in res.items()}
+
+    counts: dict[str, int] = {}
+    sums: dict[str, int] = {}
+    mx: dict[str, int] = {}
+    for lang, nc in sel:
+        counts[lang] = counts.get(lang, 0) + 1
+        sums[lang] = sums.get(lang, 0) + nc
+        mx[lang] = max(mx.get(lang, -1), nc)
+    assert [r["key"] for r in got["key_desc"]] == sorted(counts, reverse=True)
+    assert [r["key"] for r in got["cnt_asc"]] == [
+        k for k in sorted(counts, key=lambda k: (counts[k], [-ord(c) for c in k]))
+    ]
+    want_avg_order = sorted(counts, key=lambda k: sums[k] / counts[k])[:2]
+    assert [r["key"] for r in got["by_avg"]] == want_avg_order
+    for r in got["by_avg"]:
+        assert r["value"] == pytest.approx(sums[r["key"]] / counts[r["key"]])
+    assert [r["key"] for r in got["by_stats_max"]] == sorted(
+        counts, key=lambda k: -mx[k]
+    )
+
+    # serving twin returns the identical rows in the identical order
+    serve = Searcher(spark, out).aggs_rows(aggs, "spark join")
+    for k in aggs:
+        assert serve[k] == got[k], k
+
+
+def test_terms_order_rejections(spark, aroot):
+    out, _, _ = aroot
+    with pytest.raises(ValueError, match="order key"):
+        search_aggs(spark, out, {
+            "bad": {"terms": {"field": "lang", "order": {"nope": "desc"}}},
+        }, "spark")
+    with pytest.raises(ValueError, match="order direction"):
+        search_aggs(spark, out, {
+            "bad": {"terms": {"field": "lang", "order": {"_key": "sideways"}}},
+        }, "spark")
