@@ -113,6 +113,9 @@ tree — and significant_terms with its whole-index background),
 "track_total_hits" (bool — True runs the uncapped distributed count),
 "explain" (bool — per-hit Lucene-style BM25 decomposition, see
 ``Searcher.explain``; scored match/bool paths only),
+"retriever" {"rrf": {"retrievers": [{"standard": {"query": q}}, {"knn":
+{...}}], "rank_constant": 60, "rank_window_size": w}} — hybrid reciprocal
+rank fusion (see ``_rrf_search``; a lone {"standard": ...} passes through).
 "knn" {"field": f, "query_vector": [...], "k": n, "num_candidates": m} —
 ES kNN search over a stored array<float> column, exact cosine, hits
 scored (1 + cos)/2 (see ``_knn_search``; sent alone, no query/aggs),
@@ -1698,6 +1701,86 @@ def _knn_search(
     return {"hits": {"total": {"value": len(hits), "relation": "eq"}, "hits": hits}}
 
 
+def _rrf_search(spark: SparkSession, out_dir: str, body: dict, s: Searcher) -> dict:
+    """ES ``retriever: {rrf: ...}`` — reciprocal rank fusion over two or
+    more sub-retrievers (the hybrid lexical+vector search shape ES 8.x
+    ships): each sub-retriever independently ranks its top
+    ``rank_window_size`` hits, then every doc scores
+    Σ 1/(rank_constant + rank_i) over the lists it appears in (rank is
+    1-based, ES's formula) and the fused ranking pages by from/size.
+    Sub-retrievers: ``standard`` (any supported request-body query — runs
+    through ``search_body`` itself, so bool/phrase/filter shapes all
+    compose) and ``knn`` (exact cosine over a stored vector column —
+    ``_knn_search``). Each sub-retriever's cost is its own top-window
+    query; the fusion itself is O(window × retrievers) driver arithmetic."""
+    for clash in ("query", "knn", "aggs", "sort", "collapse", "rescore",
+                  "suggest", "search_after", "pit", "min_score", "explain",
+                  "track_total_hits"):
+        if body.get(clash):
+            raise UnsupportedDSL(
+                f"retriever does not compose with {clash!r} (fused ranks "
+                f"have no single query context)"
+            )
+    kind, spec = _one(body["retriever"])
+    if kind == "standard":
+        # a lone standard retriever IS its query
+        return search_body(
+            spark, out_dir,
+            {"query": spec.get("query"), "size": int(body.get("size", 10)),
+             "from": int(body.get("from", 0)),
+             "_source": body.get("_source", False)},
+            searcher=s,
+        )
+    if kind != "rrf":
+        raise UnsupportedDSL(f"retriever {kind!r} (supported: rrf, standard)")
+    subs = spec.get("retrievers") or []
+    if len(subs) < 2:
+        raise UnsupportedDSL("rrf needs at least two retrievers")
+    rank_const = int(spec.get("rank_constant", 60))
+    window = int(spec.get("rank_window_size", 10))
+    if rank_const < 1 or window < 1:
+        raise UnsupportedDSL("rrf rank_constant and rank_window_size must be >= 1")
+    ranked: list[list[int]] = []
+    for sub in subs:
+        skind, sbody = _one(sub)
+        if skind == "standard":
+            resp = search_body(
+                spark, out_dir, {"query": sbody.get("query"), "size": window},
+                searcher=s,
+            )
+            ranked.append([int(h["_id"]) for h in resp["hits"]["hits"]])
+        elif skind == "knn":
+            resp = _knn_search(spark, out_dir, {"knn": {**sbody, "k": window}})
+            ranked.append([int(h["_id"]) for h in resp["hits"]["hits"]])
+        else:
+            raise UnsupportedDSL(
+                f"rrf sub-retriever {skind!r} (supported: standard, knn)"
+            )
+    fused: dict[int, float] = {}
+    for lst in ranked:
+        for r, d in enumerate(lst, start=1):
+            fused[d] = fused.get(d, 0.0) + 1.0 / (rank_const + r)
+    rows = sorted(fused.items(), key=lambda t: (-t[1], t[0]))
+    size = int(body.get("size", 10))
+    from_ = int(body.get("from", 0))
+    hits = [
+        {"_id": int(d), "_score": float(sc)} for d, sc in rows[from_ : from_ + size]
+    ]
+    if body.get("_source"):
+        from .build import lookup_docs
+
+        meta = lookup_docs(out_dir, [h["_id"] for h in hits])
+        for h in hits:
+            if h["_id"] in meta:
+                h["_source"] = {
+                    kk: v for kk, v in meta[h["_id"]].items()
+                    if kk not in ("bucket", "run")
+                }
+    return {
+        "hits": {"total": {"value": len(rows), "relation": "eq"}, "hits": hits}
+    }
+
+
 def _parse_hit_fields(body: dict) -> tuple[dict, list]:
     """Request-level ``script_fields`` / ``fields`` / ``runtime_mappings``
     → per-hit field plans. script_fields = {name: (ast, params)};
@@ -2530,6 +2613,8 @@ def search_body(
         if out_dir is None:
             raise UnsupportedDSL("search_body needs an index dir or a pit")
         s = searcher if searcher is not None and searcher.out_dir == out_dir else Searcher(spark, out_dir)
+    if body.get("retriever") is not None:
+        return _rrf_search(spark, out_dir, body, s)
     if body.get("knn") is not None:
         return _knn_search(spark, out_dir, body)
     if body.get("suggest") and body.get("query") is None and not body.get("aggs"):

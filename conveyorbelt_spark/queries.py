@@ -5496,6 +5496,106 @@ ORDER BY src
 """
 
 
+def q89_rrf_hybrid(spark, sf_dir):
+    """ES retriever/rrf hybrid search: reciprocal rank fusion of a
+    lexical BM25 retriever (match "spark join") and an exact-cosine kNN
+    retriever over a stored embedding column, rank_constant 60, window
+    20 (`index/dsl.py:_rrf_search`). Every doc's fused score is
+    Σ 1/(60 + rank_i) over the lists it appears in. DuckDB twin
+    recomputes both rankings and the fusion."""
+    import shutil
+    import tempfile
+
+    from .index.build import build_index, write_docstore
+    from .index.dsl import search_body
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    joined = docs.join(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+    )
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    out = tempfile.mkdtemp(prefix="cb_q89_idx_")
+    try:
+        build_index(spark, docs.select("doc_id", "text"), out, url_col=None, n_buckets=8)
+        write_docstore(
+            spark, joined, out, url_col=None, extra_cols=("embedding",)
+        )
+        resp = search_body(spark, out, {
+            "retriever": {"rrf": {
+                "retrievers": [
+                    {"standard": {"query": {"match": {"text": "spark join"}}}},
+                    {"knn": {"field": "embedding", "query_vector": qv}},
+                ],
+                "rank_constant": 60,
+                "rank_window_size": 20,
+            }},
+            "size": 10,
+        })
+        rows = [
+            (int(h["_id"]), round(float(h["_score"]), 6))
+            for h in resp["hits"]["hits"]
+        ]
+        total = int(resp["hits"]["total"]["value"])
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(d, sc, total) for d, sc in rows],
+        "doc_id long, rrf double, total long",
+    ).orderBy("doc_id")
+
+
+Q89_SQL = f"""
+WITH toks AS ({_TOKENS_SQL}),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks WHERE term != '' GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+q AS (SELECT unnest(['spark', 'join']) AS term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf WHERE term IN (SELECT term FROM q) GROUP BY term),
+bm AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl)))) AS raw
+  FROM tf
+  JOIN df ON tf.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+bm_rank AS (
+  SELECT doc_id, row_number() OVER (ORDER BY raw DESC, doc_id ASC) AS r
+  FROM bm QUALIFY r <= 20
+),
+qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+cs AS (
+  SELECT vec_id AS doc_id,
+         list_dot_product(embedding::DOUBLE[], qv.v)
+         / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+            * sqrt(list_dot_product(qv.v, qv.v))) AS cos
+  FROM embeddings, qv
+),
+cs_rank AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS r
+  FROM cs QUALIFY r <= 20
+),
+fused AS (
+  SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+         coalesce(1.0 / (60 + b.r), 0) + coalesce(1.0 / (60 + c.r), 0) AS rrf
+  FROM bm_rank b FULL OUTER JOIN cs_rank c USING (doc_id)
+)
+SELECT f.doc_id, round(f.rrf, 6) AS rrf,
+       (SELECT count(*) FROM fused) AS total
+FROM (SELECT * FROM fused ORDER BY rrf DESC, doc_id ASC LIMIT 10) f
+ORDER BY f.doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -5585,6 +5685,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q86_rank_feature_boost": q86_rank_feature_boost,
     "q87_distance_feature": q87_distance_feature,
     "q88_terms_order_metric": q88_terms_order_metric,
+    "q89_rrf_hybrid": q89_rrf_hybrid,
 }
 
 ORACLES: dict[str, str] = {
@@ -5676,4 +5777,5 @@ ORACLES: dict[str, str] = {
     "q86_rank_feature_boost": Q86_SQL,
     "q87_distance_feature": Q87_SQL,
     "q88_terms_order_metric": Q88_SQL,
+    "q89_rrf_hybrid": Q89_SQL,
 }

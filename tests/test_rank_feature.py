@@ -232,3 +232,66 @@ def test_rejections(spark, rfroot):
         delete_by_query_body(spark, out, {
             "query": {"rank_feature": {"field": "pop", "linear": {}}},
         }, op_id="rf-del")
+
+
+def test_rrf_retriever(spark, rfroot):
+    """RRF fusion: score = Σ 1/(k + rank); ranking verified against the
+    two sub-retrievers' own result lists; standard-only retriever passes
+    through; composition guards reject."""
+    from conveyorbelt_spark.index.dsl import search_body
+
+    out, _ = rfroot
+    a = search_body(spark, out, {"query": {"match": {"text": "spark join"}}, "size": 15})
+    b = search_body(spark, out, {"query": {"match": {"text": "window shuffle"}}, "size": 15})
+    la = [h["_id"] for h in a["hits"]["hits"]]
+    lb = [h["_id"] for h in b["hits"]["hits"]]
+    resp = search_body(spark, out, {
+        "retriever": {"rrf": {
+            "retrievers": [
+                {"standard": {"query": {"match": {"text": "spark join"}}}},
+                {"standard": {"query": {"match": {"text": "window shuffle"}}}},
+            ],
+            "rank_constant": 10, "rank_window_size": 15,
+        }},
+        "size": 8,
+    })
+    fused: dict[int, float] = {}
+    for lst in (la, lb):
+        for r, d in enumerate(lst, start=1):
+            fused[d] = fused.get(d, 0.0) + 1.0 / (10 + r)
+    want = sorted(fused.items(), key=lambda t: (-t[1], t[0]))
+    got = [(h["_id"], h["_score"]) for h in resp["hits"]["hits"]]
+    assert got == [(d, pytest.approx(s)) for d, s in want[:8]]
+    assert resp["hits"]["total"] == {"value": len(fused), "relation": "eq"}
+    # paging slices the same fused ranking
+    page = search_body(spark, out, {
+        "retriever": {"rrf": {
+            "retrievers": [
+                {"standard": {"query": {"match": {"text": "spark join"}}}},
+                {"standard": {"query": {"match": {"text": "window shuffle"}}}},
+            ],
+            "rank_constant": 10, "rank_window_size": 15,
+        }},
+        "from": 4, "size": 3,
+    })
+    assert [h["_id"] for h in page["hits"]["hits"]] == [d for d, _ in want[4:7]]
+    # a lone standard retriever IS its query
+    lone = search_body(spark, out, {
+        "retriever": {"standard": {"query": {"match": {"text": "spark join"}}}},
+        "size": 15,
+    })
+    assert [h["_id"] for h in lone["hits"]["hits"]] == la
+    with pytest.raises(UnsupportedDSL, match="does not compose"):
+        search_body(spark, out, {
+            "retriever": {"rrf": {"retrievers": [
+                {"standard": {"query": {"match": {"text": "spark"}}}},
+                {"standard": {"query": {"match": {"text": "join"}}}},
+            ]}},
+            "aggs": {"l": {"terms": {"field": "lang"}}},
+        })
+    with pytest.raises(UnsupportedDSL, match="at least two"):
+        search_body(spark, out, {
+            "retriever": {"rrf": {"retrievers": [
+                {"standard": {"query": {"match": {"text": "spark"}}}},
+            ]}},
+        })
