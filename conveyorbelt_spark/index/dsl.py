@@ -173,6 +173,25 @@ def _one(d: dict) -> tuple[str, Any]:
 MAIN_FIELDS = ("text", "_text", "")
 
 
+def _fuzz_n(fuzziness, term: str) -> int:
+    """ES fuzziness → edit distance: an int/"1"/"2" passes through,
+    "AUTO" (optionally "AUTO:low,high", ES defaults 3,6) derives from the
+    term length — 0 below low, 1 below high, else 2."""
+    if isinstance(fuzziness, str) and fuzziness.upper().startswith("AUTO"):
+        lo, hi = 3, 6
+        if ":" in fuzziness:
+            try:
+                lo_s, hi_s = fuzziness.split(":", 1)[1].split(",")
+                lo, hi = int(lo_s), int(hi_s)
+            except ValueError:
+                raise UnsupportedDSL(
+                    f"bad fuzziness {fuzziness!r} (AUTO:low,high)"
+                ) from None
+        n = len(term)
+        return 0 if n < lo else (1 if n < hi else 2)
+    return int(fuzziness)
+
+
 def _match_spec(body: dict) -> tuple[str, str, str]:
     """(field, text, operator) from a match clause body."""
     field, spec = _one(body)
@@ -654,12 +673,35 @@ def parse_query(query: dict, analyzer=None) -> dict:
         "dis_max": None, "boosting": None, "fscore": None,
         "phrase_prefix": None, "span_near": None, "terms_set": None,
         "nested": None, "rank_feature": None, "rf_boosts": [],
+        "pinned": None,
     }
     if query is None:
         plan["match_all"] = True
         return plan
     kind, body = _one(query)
     if kind == "match":
+        _mf, _mv = _one(body)
+        if isinstance(_mv, dict) and _mv.get("fuzziness") not in (None, 0, "0"):
+            # ES match + fuzziness: each analyzed token expands to its
+            # edit-distance neighbours. Single-token queries (the typo'd
+            # search box, the overwhelmingly common shape) map exactly to
+            # the fuzzy query; the multi-token union-of-expansions score
+            # algebra is not emulated — reject, never silently drop the
+            # fuzziness (one token per fuzzy request, same as q42's shape)
+            field, text, _ = _match_spec(body)
+            if field not in MAIN_FIELDS:
+                raise UnsupportedDSL(
+                    "match with fuzziness is supported on the main text "
+                    "field only"
+                )
+            toks = [t for t in text.lower().split() if t]
+            if len(toks) != 1:
+                raise UnsupportedDSL(
+                    "match with fuzziness supports a single-token query "
+                    "(send multi-token fuzzy clauses as separate requests)"
+                )
+            plan["expand"] = ("fuzzy", toks[0], {"fuzziness": _mv["fuzziness"]})
+            return plan
         try:
             plan["query"] = _match_text(body)
         except _NonMainMatch as nm:
@@ -705,6 +747,27 @@ def parse_query(query: dict, analyzer=None) -> dict:
         plan["rank_feature"] = [_parse_rank_feature(body)]
     elif kind == "distance_feature":
         plan["rank_feature"] = [_parse_distance_feature(body)]
+    elif kind == "pinned":
+        # ES pinned query: the listed ids surface first IN THE GIVEN
+        # ORDER (synthetic descending scores — ES uses decreasing
+        # near-Float.MAX values; we document 1e9 − position), then the
+        # organic query's hits with pinned ids deduplicated out
+        ids = [int(v) for v in (body.get("ids") or [])]
+        if not ids or body.get("organic") is None:
+            raise UnsupportedDSL("pinned needs ids and an organic query")
+        if body.get("docs") is not None:
+            raise UnsupportedDSL("pinned docs are unsupported (use ids)")
+        plan["pinned"] = {"ids": ids, "organic": body["organic"]}
+    elif kind == "wrapper":
+        # ES wrapper query: a base64-encoded JSON query, decoded and
+        # parsed exactly like the inline equivalent
+        import base64
+
+        try:
+            decoded = json.loads(base64.b64decode(str(body["query"])))
+        except (KeyError, ValueError, TypeError) as e:
+            raise UnsupportedDSL(f"wrapper query does not decode: {e}") from None
+        return parse_query(decoded, analyzer)
     elif kind == "multi_match":
         plan["mm"] = {
             "query": body["query"],
@@ -1995,7 +2058,7 @@ def delete_by_query_body(
     blocked = [
         k for k in ("phrase", "span_near", "terms_set", "nested", "mm", "expand",
                     "mlt", "ids", "dis_max", "boosting", "fscore",
-                    "phrase_prefix", "rank_feature")
+                    "phrase_prefix", "rank_feature", "pinned")
         if plan.get(k) is not None
     ]
     if plan["rf_boosts"]:
@@ -2210,7 +2273,7 @@ def update_by_query_body(
     blocked = [
         k for k in ("phrase", "span_near", "terms_set", "nested", "mm", "expand",
                     "mlt", "ids", "dis_max", "boosting", "fscore",
-                    "phrase_prefix", "rank_feature")
+                    "phrase_prefix", "rank_feature", "pinned")
         if plan.get(k) is not None
     ]
     if plan["rf_boosts"]:
@@ -2657,8 +2720,14 @@ def search_body(
             "rank_feature / distance_feature rank by their feature "
             "functions (no sort or search_after)"
         )
+    if plan["pinned"] is not None and (
+        sort_spec or body.get("search_after") or after is not None
+    ):
+        raise UnsupportedDSL(
+            "pinned ranks pinned-ids-then-organic (no sort or search_after)"
+        )
     if body.get("pit") is not None and (
-        compound or featured
+        compound or featured or plan["pinned"] is not None
         or plan["expand"] is not None or plan["mlt"] is not None
         or plan["terms_set"] is not None or plan["nested"] is not None
         or plan["ids"] is not None or plan["match_all"]
@@ -2702,6 +2771,7 @@ def search_body(
         or plan["mm"] is not None or plan["expand"] is not None
         or plan["mlt"] is not None or plan["ids"] is not None
         or plan["match_all"] or compound or featured
+        or plan["pinned"] is not None
         or plan["span_near"] is not None
         or plan["terms_set"] is not None or plan["nested"] is not None
     ):
@@ -2716,7 +2786,7 @@ def search_body(
         or plan["phrase"] is not None or plan["mm"] is not None
         or plan["expand"] is not None or plan["mlt"] is not None
         or plan["ids"] is not None or plan["match_all"] or compound
-        or featured
+        or featured or plan["pinned"] is not None
         or plan["span_near"] is not None or plan["terms_set"] is not None
         or plan["nested"] is not None
     ):
@@ -2727,7 +2797,7 @@ def search_body(
         )
     if body.get("explain") and (
         sort_spec or collapse is not None or rescore is not None or compound
-        or featured
+        or featured or plan["pinned"] is not None
         or plan["phrase"] is not None or plan["mm"] is not None
         or plan["expand"] is not None or plan["mlt"] is not None
         or plan["ids"] is not None or plan["match_all"]
@@ -2756,7 +2826,7 @@ def search_body(
             )
         if (
             sort_spec or collapse is not None or rescore is not None
-            or compound or featured
+            or compound or featured or plan["pinned"] is not None
             or plan["phrase"] is not None or plan["mm"] is not None
             or plan["expand"] is not None or plan["mlt"] is not None
             or plan["ids"] is not None or plan["match_all"]
@@ -2858,7 +2928,7 @@ def search_body(
             rows = s.regexp_rows(val, size + from_)[from_:]
         else:
             rows = s.fuzzy_rows(
-                val, size + from_, fuzziness=int(spec.get("fuzziness", 1)),
+                val, size + from_, fuzziness=_fuzz_n(spec.get("fuzziness", 1), val),
             )[from_:]
     elif plan["mlt"] is not None:
         if after is not None:
@@ -2906,6 +2976,35 @@ def search_body(
             spark, out_dir, plan["rank_feature"], size + from_
         )
         rows = rows[from_:]
+    elif plan["pinned"] is not None:
+        if (
+            body.get("aggs") or body.get("track_total_hits") or sort_spec
+            or body.get("search_after") or after is not None
+        ):
+            raise UnsupportedDSL(
+                "pinned supports plain paged retrieval (no sort, "
+                "search_after, aggs, or exact totals — its matching set "
+                "is the organic ∪ pinned union)"
+            )
+        from .build import lookup_docs
+
+        pids = plan["pinned"]["ids"]
+        present = lookup_docs(out_dir, pids)
+        pinned_rows = [
+            (d, 1.0e9 - j) for j, d in enumerate(pids) if d in present
+        ]
+        organic = search_body(
+            spark, out_dir,
+            {"query": plan["pinned"]["organic"],
+             "size": size + from_ + len(pinned_rows)},
+            searcher=s,
+        )
+        pin_set = {d for d, _ in pinned_rows}
+        rows = pinned_rows + [
+            (int(h["_id"]), float(h["_score"]))
+            for h in organic["hits"]["hits"] if int(h["_id"]) not in pin_set
+        ]
+        rows = rows[from_ : from_ + size]
     elif plan["rf_boosts"]:
         # feature boosts in should: base = the bool's FULL matching set
         # (ranking changes post-hoc, so top-k cannot pre-truncate), then
@@ -3225,7 +3324,7 @@ def search_body_daily(
         kind, val, spec = plan["expand"]
         rows = ds.expansion_rows(
             kind, val, size + from_,
-            fuzziness=int(spec.get("fuzziness", 1)) if isinstance(spec, dict) else 1,
+            fuzziness=_fuzz_n(spec.get("fuzziness", 1), val) if isinstance(spec, dict) else 1,
             time_range=time_range,
         )[from_:]
     elif plan["mlt"] is not None:
@@ -3243,7 +3342,7 @@ def search_body_daily(
         )[from_:]
     elif plan["span_near"] is not None or plan["terms_set"] is not None or plan["nested"] is not None or plan["rf_boosts"] or any(
         plan[kk] is not None
-        for kk in ("dis_max", "boosting", "fscore", "phrase_prefix", "rank_feature")
+        for kk in ("dis_max", "boosting", "fscore", "phrase_prefix", "rank_feature", "pinned")
     ):
         raise UnsupportedDSL(
             "span_near / intervals / terms_set / dis_max / boosting / "
@@ -3330,7 +3429,7 @@ def search_body_daily(
             kind, val, spec = plan["expand"]
             terms = ds.expand_terms(
                 kind, val,
-                fuzziness=int(spec.get("fuzziness", 1)) if isinstance(spec, dict) else 1,
+                fuzziness=_fuzz_n(spec.get("fuzziness", 1), val) if isinstance(spec, dict) else 1,
                 time_range=time_range,
             )
             n = 0 if not terms else _union_count(
@@ -3477,7 +3576,7 @@ def _exact_total(
         elif kind == "regexp":
             terms = expand_regexp(out_dir, val)
         else:
-            terms = expand_fuzzy(out_dir, val, int(spec.get("fuzziness", 1)))
+            terms = expand_fuzzy(out_dir, val, _fuzz_n(spec.get("fuzziness", 1), val))
         if not terms:
             return 0
         return posting_docs_terms(spark, out_dir, terms).count()

@@ -5596,6 +5596,79 @@ ORDER BY f.doc_id
 """
 
 
+def q90_pinned_query(spark, sf_dir):
+    """ES pinned query: curated ids surface first in the given order
+    (synthetic descending scores, 1e9 − position), then the organic BM25
+    ranking with the pinned ids deduplicated out
+    (`index/dsl.py` parse_query "pinned"). DuckDB twin unions the pinned
+    rows with the organic scoring minus those ids."""
+    import shutil
+    import tempfile
+
+    from .index.build import build_index, write_docstore
+    from .index.dsl import search_body
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="cb_q90_idx_")
+    try:
+        build_index(spark, docs.select("doc_id", "text"), out, url_col=None, n_buckets=8)
+        write_docstore(spark, docs, out, url_col=None)
+        resp = search_body(spark, out, {
+            "query": {"pinned": {
+                "ids": [42, 7],
+                "organic": {"match": {"text": "spark join"}},
+            }},
+            "size": 10,
+        })
+        rows = [
+            (int(h["_id"]), round(float(h["_score"]), 4))
+            for h in resp["hits"]["hits"]
+        ]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "doc_id long, score double"
+    ).orderBy("doc_id")
+
+
+Q90_SQL = f"""
+WITH toks AS ({_TOKENS_SQL}),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks WHERE term != '' GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+q AS (SELECT unnest(['spark', 'join']) AS term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf WHERE term IN (SELECT term FROM q) GROUP BY term),
+bm AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl)))) AS raw
+  FROM tf
+  JOIN df ON tf.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+pinned AS (
+  SELECT doc_id, 1e9 - (CASE doc_id WHEN 42 THEN 0 ELSE 1 END) AS raw
+  FROM documents WHERE doc_id IN (42, 7)
+),
+fused AS (
+  SELECT * FROM pinned
+  UNION ALL
+  SELECT doc_id, raw FROM bm WHERE doc_id NOT IN (42, 7)
+)
+SELECT doc_id, round(raw, 4) AS score
+FROM (SELECT * FROM fused ORDER BY raw DESC, doc_id ASC LIMIT 10) f
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -5686,6 +5759,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q87_distance_feature": q87_distance_feature,
     "q88_terms_order_metric": q88_terms_order_metric,
     "q89_rrf_hybrid": q89_rrf_hybrid,
+    "q90_pinned_query": q90_pinned_query,
 }
 
 ORACLES: dict[str, str] = {
@@ -5778,4 +5852,5 @@ ORACLES: dict[str, str] = {
     "q87_distance_feature": Q87_SQL,
     "q88_terms_order_metric": Q88_SQL,
     "q89_rrf_hybrid": Q89_SQL,
+    "q90_pinned_query": Q90_SQL,
 }
