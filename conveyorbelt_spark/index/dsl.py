@@ -475,6 +475,12 @@ def _parse_bool_core(body: dict, plan: dict, analyzer, top: bool = False) -> _Bo
     for clause in should_clauses:
         k2, b2 = _one(clause)
         if k2 == "match":
+            if _match_spec(b2)[2] == "and":
+                raise UnsupportedDSL(
+                    "match with operator=and inside should is unsupported "
+                    "(the kernel has no OR-of-AND slot; wrap it in a "
+                    "nested bool.must instead)"
+                )
             try:
                 own_shoulds.append(_match_text(b2))
             except _NonMainMatch as nm:
@@ -703,10 +709,22 @@ def parse_query(query: dict, analyzer=None) -> dict:
             plan["expand"] = ("fuzzy", toks[0], {"fuzziness": _mv["fuzziness"]})
             return plan
         try:
-            plan["query"] = _match_text(body)
+            text = _match_text(body)
+            if _match_spec(body)[2] == "and":
+                # ES operator=and: every analyzed token required — the
+                # kernel's must slot (scoring identical: BM25 over all
+                # matched terms, the matching set intersected)
+                plan["must"] = text
+            else:
+                plan["query"] = text
         except _NonMainMatch as nm:
             # ES semantics: match on a non-main field ≡ single-field
             # multi_match over that field
+            if _match_spec(body)[2] == "and":
+                raise UnsupportedDSL(
+                    "match with operator=and on a non-main field is "
+                    "unsupported (multi_match has no AND slot)"
+                ) from None
             plan["mm"] = {"query": nm.text, "fields": [nm.field], "type": "best_fields"}
     elif kind == "match_all":
         plan["match_all"] = True

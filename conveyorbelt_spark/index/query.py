@@ -2292,6 +2292,170 @@ _DH_TRUNC = {
     "week": "week", "month": "month", "year": "year",
 }
 
+_DH_FIXED_S = {"ms": 0.001, "s": 1.0, "m": 60.0, "h": 3600.0, "d": 86400.0}
+
+
+def _dh_spec(body: dict) -> tuple[str, object]:
+    """date_histogram interval resolution across the three ES spellings
+    (legacy ``interval``, ``calendar_interval``, ``fixed_interval``) →
+    ``("trunc", unit)`` for calendar units or ``("fixed", step_seconds)``
+    for N-unit fixed steps ("30s", "10m", "2h", "7d" — epoch-aligned
+    floor, exactly ES's fixed_interval rounding)."""
+    import re as _re
+
+    raw = (
+        body.get("calendar_interval") or body.get("fixed_interval")
+        or body.get("interval", "day")
+    )
+    if raw in _DH_TRUNC:
+        return ("trunc", _DH_TRUNC[raw])
+    m = _re.match(r"^(\d+)(ms|s|m|h|d)$", str(raw))
+    if not m:
+        raise ValueError(f"unsupported date_histogram interval {raw!r}")
+    n, unit = int(m.group(1)), m.group(2)
+    if n < 1:
+        raise ValueError(f"unsupported date_histogram interval {raw!r}")
+    if n == 1 and unit in ("m", "h", "d"):
+        # 1m/1h/1d ≡ the calendar unit (identical epoch alignment)
+        return ("trunc", {"m": "minute", "h": "hour", "d": "day"}[unit])
+    return ("fixed", n * _DH_FIXED_S[unit])
+
+
+def _dh_floor_py(t, spec: tuple) -> "dt.datetime":
+    """Driver-side bucket floor for ONE datetime — used to align
+    extended_bounds to the same buckets the data lands in."""
+    import datetime as dt
+
+    kind, p = spec
+    if kind == "fixed":
+        epoch = t.replace(tzinfo=dt.timezone.utc).timestamp() if t.tzinfo is None else t.timestamp()
+        import math as _math
+
+        return dt.datetime.utcfromtimestamp(_math.floor(epoch / p) * p)
+    if p == "minute":
+        return t.replace(second=0, microsecond=0)
+    if p == "hour":
+        return t.replace(minute=0, second=0, microsecond=0)
+    if p == "day":
+        return t.replace(hour=0, minute=0, second=0, microsecond=0)
+    if p == "week":
+        d0 = t.replace(hour=0, minute=0, second=0, microsecond=0)
+        return d0 - dt.timedelta(days=d0.weekday())
+    if p == "month":
+        return t.replace(day=1, hour=0, minute=0, second=0, microsecond=0)
+    return t.replace(month=1, day=1, hour=0, minute=0, second=0, microsecond=0)
+
+
+_DH_MAX_EMPTY_BUCKETS = 100_000
+
+
+def _dh_bucket_range(lo, hi, spec: tuple) -> list:
+    """Every bucket key from floor(lo) to floor(hi) inclusive — the
+    densified axis for ``min_doc_count: 0`` (shared by the Spark and
+    pandas twins so gap-filling can never drift). Bounded: a range that
+    would yield > 100k empty buckets raises (a chart never wants it)."""
+    import datetime as dt
+
+    kind, p = spec
+    lo, hi = _dh_floor_py(lo, spec), _dh_floor_py(hi, spec)
+    out = []
+    cur = lo
+    while cur <= hi:
+        out.append(cur)
+        if len(out) > _DH_MAX_EMPTY_BUCKETS:
+            raise ValueError(
+                "min_doc_count=0 would densify more than 100k buckets — "
+                "narrow the range or widen the interval"
+            )
+        if kind == "fixed":
+            cur = cur + dt.timedelta(seconds=p)
+        elif p == "minute":
+            cur = cur + dt.timedelta(minutes=1)
+        elif p == "hour":
+            cur = cur + dt.timedelta(hours=1)
+        elif p == "day":
+            cur = cur + dt.timedelta(days=1)
+        elif p == "week":
+            cur = cur + dt.timedelta(days=7)
+        elif p == "month":
+            y, mth = divmod(cur.month, 12)
+            cur = cur.replace(year=cur.year + y, month=mth + 1)
+        else:
+            cur = cur.replace(year=cur.year + 1)
+    return out
+
+
+def _dh_parse_bound(v) -> "dt.datetime":
+    """extended_bounds value → datetime: epoch millis or an ISO string."""
+    import datetime as dt
+
+    if isinstance(v, (int, float)):
+        return dt.datetime.utcfromtimestamp(float(v) / 1000.0)
+    return dt.datetime.fromisoformat(str(v).replace("Z", "+00:00")).replace(tzinfo=None)
+
+
+def _densify_dh_df(spark, base: "DataFrame", body: dict) -> "DataFrame":
+    """date_histogram ``min_doc_count: 0``: left-join the aggregated
+    buckets onto the full bucket axis (data range ∪ extended_bounds,
+    driver-generated — the axis is chart-sized and capped at 100k; the
+    COUNTS stay distributed). ES's gap-filled Kibana histogram."""
+    spec = _dh_spec(body)
+    mm = base.agg(F.min("key"), F.max("key")).first()
+    lo, hi = mm[0], mm[1]
+    eb = body.get("extended_bounds") or {}
+    if eb.get("min") is not None:
+        b = _dh_parse_bound(eb["min"])
+        lo = b if lo is None else min(lo, b)
+    if eb.get("max") is not None:
+        b = _dh_parse_bound(eb["max"])
+        hi = b if hi is None else max(hi, b)
+    if lo is None or hi is None:
+        return base.orderBy("key")
+    axis = _dh_bucket_range(lo, hi, spec)
+    span = spark.createDataFrame([(t,) for t in axis], "key timestamp")
+    return (
+        span.join(base, "key", "left")
+        .select("key", F.coalesce("n", F.lit(0)).alias("n"))
+        .orderBy("key")
+    )
+
+
+def _densify_hist_df(spark, base: "DataFrame", body: dict) -> "DataFrame":
+    """histogram ``min_doc_count: 0`` — the numeric twin of
+    ``_densify_dh_df``."""
+    step = float(body["interval"])
+    mm = base.agg(F.min("key"), F.max("key")).first()
+    lo, hi = mm[0], mm[1]
+    eb = body.get("extended_bounds") or {}
+    if eb.get("min") is not None:
+        lo = float(eb["min"]) if lo is None else min(lo, float(eb["min"]))
+    if eb.get("max") is not None:
+        hi = float(eb["max"]) if hi is None else max(hi, float(eb["max"]))
+    if lo is None or hi is None:
+        return base.orderBy("key")
+    axis = _hist_bucket_range(float(lo), float(hi), step)
+    span = spark.createDataFrame([(float(v),) for v in axis], "key double")
+    return (
+        span.join(base, "key", "left")
+        .select("key", F.coalesce("n", F.lit(0)).alias("n"))
+        .orderBy("key")
+    )
+
+
+def _hist_bucket_range(lo: float, hi: float, step: float) -> list[float]:
+    """Numeric-histogram densified axis (min_doc_count: 0)."""
+    import math as _math
+
+    lo = _math.floor(lo / step) * step
+    hi = _math.floor(hi / step) * step
+    n = int(round((hi - lo) / step)) + 1
+    if n > _DH_MAX_EMPTY_BUCKETS:
+        raise ValueError(
+            "min_doc_count=0 would densify more than 100k buckets — "
+            "narrow the range or widen the interval"
+        )
+    return [lo + i * step for i in range(n)]
+
 
 def search_aggs(
     spark: SparkSession,
@@ -2351,9 +2515,17 @@ def _bucket_expr(kind: str, body: dict):
     and sub-bucket paths so their key semantics can never drift)."""
     col = body["field"]
     if kind == "terms":
+        if body.get("missing") is not None:
+            # ES missing: docs lacking the field bucket under this value
+            return F.coalesce(F.col(col), F.lit(body["missing"]))
         return F.col(col)
     if kind == "date_histogram":
-        return F.date_trunc(_DH_TRUNC[body.get("interval", "day")], F.col(col))
+        dh_kind, p = _dh_spec(body)
+        if dh_kind == "trunc":
+            return F.date_trunc(p, F.col(col))
+        return F.timestamp_seconds(
+            F.floor(F.col(col).cast("double") / float(p)) * float(p)
+        )
     if kind == "histogram":
         step = float(body["interval"])
         return F.floor(F.col(col) / step) * step
@@ -2384,6 +2556,11 @@ def _parse_agg_chain(name: str, pkind: str, pbody: dict, sub: dict):
     while True:
         if kind not in _TREE_BUCKETS:
             raise ValueError(f"agg {name!r}: {kind!r} cannot hold sub-aggs")
+        if int(body.get("min_doc_count", 1)) == 0:
+            raise ValueError(
+                f"agg {name!r}: min_doc_count=0 (gap filling) is supported "
+                f"on flat date_histogram/histogram aggs only"
+            )
         metrics: list[tuple[str, str, dict]] = []
         bucket_child = None
         terminal = None
@@ -2676,11 +2853,15 @@ def aggs_over_join(
         if kind == "terms":
             crits = _terms_order_keys(name, body, None, prefixed=True)
             flatcol = {"_count": "n", "_key": "key"}
-            df = (
+            sel_t = joined
+            if body.get("missing") is None:
                 # ES terms aggs ignore docs missing the field (the serving
-                # twin's dropna; the "missing" agg counts them instead)
-                joined.where(F.col(col).isNotNull())
-                .groupBy(F.col(col).alias("key"))
+                # twin's dropna; the "missing" agg counts them instead —
+                # unless a "missing" substitute value is configured)
+                sel_t = sel_t.where(F.col(col).isNotNull())
+            df = (
+                sel_t
+                .groupBy(_bucket_expr(kind, body).alias("key"))
                 .agg(F.count("*").alias("n"))
                 .orderBy(*[
                     (F.asc if a else F.desc)(flatcol[c]) for c, a in crits
@@ -2693,18 +2874,22 @@ def aggs_over_join(
             size = int(body.get("size", 10))
             out[name] = df.limit(size) if size else df
         elif kind == "date_histogram":
-            unit = _DH_TRUNC[body.get("interval", "day")]
-            out[name] = (
-                joined.groupBy(F.date_trunc(unit, F.col(col)).alias("key"))
+            base = (
+                joined.groupBy(_bucket_expr(kind, body).alias("key"))
                 .agg(F.count("*").alias("n"))
-                .orderBy("key")
             )
+            if int(body.get("min_doc_count", 1)) == 0:
+                out[name] = _densify_dh_df(joined.sparkSession, base, body)
+            else:
+                out[name] = base.orderBy("key")
         elif kind == "histogram":
             step = float(body["interval"])
             key = (F.floor(F.col(col) / step) * step).alias("key")
-            out[name] = (
-                joined.groupBy(key).agg(F.count("*").alias("n")).orderBy("key")
-            )
+            base = joined.groupBy(key).agg(F.count("*").alias("n"))
+            if int(body.get("min_doc_count", 1)) == 0:
+                out[name] = _densify_hist_df(joined.sparkSession, base, body)
+            else:
+                out[name] = base.orderBy("key")
         elif kind == "stats":
             out[name] = joined.agg(
                 F.count(col).alias("count"),
@@ -3737,10 +3922,11 @@ def _sub_bucket_df(
             mexprs += _metric_exprs(cname, ckind, cbody, prefixed=not legacy)
         mnames = _metric_names(metrics, prefixed=not legacy)
         # ES: docs missing the bucket field skip this level's buckets
-        keyed = (
-            sel.where(F.col(body["field"]).isNotNull())
-            .withColumn(keycol, _bucket_expr(kind, body))
-        )
+        # (unless a terms "missing" substitute value is configured)
+        keyed = sel
+        if not (kind == "terms" and body.get("missing") is not None):
+            keyed = keyed.where(F.col(body["field"]).isNotNull())
+        keyed = keyed.withColumn(keycol, _bucket_expr(kind, body))
         parents = keyed.groupBy(*carry, keycol).agg(
             F.count("*").alias(cnt), *mexprs
         )
@@ -3840,10 +4026,23 @@ def _pd_bucket_key(pdf: pd.DataFrame, kind: str, body: dict) -> pd.Series:
     col = body["field"]
     vals = pdf[col] if col in getattr(pdf, "columns", []) else pd.Series(dtype=object)
     if kind == "terms":
+        if body.get("missing") is not None:
+            return vals.fillna(body["missing"]) if len(vals) else vals
         return vals
     if kind == "date_histogram":
-        unit = body.get("interval", "day")
+        dh_kind, unit = _dh_spec(body)
         ts = pd.to_datetime(vals)
+        if dh_kind == "fixed":
+            # epoch-aligned floor, exactly the Spark expression's math
+            # (NaT-safe: floor only the present values, NaT propagates)
+            out_ts = pd.Series(pd.NaT, index=ts.index, dtype="datetime64[ns]")
+            nn = ts.notna()
+            if nn.any():
+                secs = ts[nn].astype("int64") / 1e9
+                out_ts[nn] = pd.to_datetime(
+                    (np.floor(secs / unit) * unit * 1e9).round().astype("int64")
+                )
+            return out_ts
         if unit in ("minute", "hour", "day"):
             return ts.dt.floor({"minute": "min", "hour": "h", "day": "D"}[unit])
         if unit == "week":
@@ -4032,6 +4231,8 @@ def _aggs_pandas(
             out[name] = [{"n": len(pdf) - int(vals.notna().sum())}]
             continue
         if kind == "terms":
+            if body.get("missing") is not None and len(vals):
+                vals = vals.fillna(body["missing"])
             c = vals.dropna().value_counts()
             # native key types (numpy scalars unwrapped): tie order (n desc,
             # key asc) must match the Spark path's — string-sorting a
@@ -4048,7 +4249,36 @@ def _aggs_pandas(
         elif kind in ("date_histogram", "histogram"):
             key = _pd_bucket_key(pdf, kind, body)
             c = key.value_counts().sort_index()
-            out[name] = [{"key": _key_out(k_), "n": int(n)} for k_, n in c.items()]
+            rows_kn = [(_key_out(k_), int(n)) for k_, n in c.items()]
+            if int(body.get("min_doc_count", 1)) == 0:
+                eb = body.get("extended_bounds") or {}
+                got = dict(rows_kn)
+                if kind == "date_histogram":
+                    lo = min(got) if got else None
+                    hi = max(got) if got else None
+                    if eb.get("min") is not None:
+                        b = _dh_parse_bound(eb["min"])
+                        lo = b if lo is None else min(lo, b)
+                    if eb.get("max") is not None:
+                        b = _dh_parse_bound(eb["max"])
+                        hi = b if hi is None else max(hi, b)
+                    axis = (
+                        _dh_bucket_range(lo, hi, _dh_spec(body))
+                        if lo is not None and hi is not None else []
+                    )
+                else:
+                    lo = min(got) if got else None
+                    hi = max(got) if got else None
+                    if eb.get("min") is not None:
+                        lo = float(eb["min"]) if lo is None else min(lo, float(eb["min"]))
+                    if eb.get("max") is not None:
+                        hi = float(eb["max"]) if hi is None else max(hi, float(eb["max"]))
+                    axis = (
+                        _hist_bucket_range(float(lo), float(hi), float(body["interval"]))
+                        if lo is not None and hi is not None else []
+                    )
+                rows_kn = [(k_, got.get(k_, 0)) for k_ in axis] or rows_kn
+            out[name] = [{"key": k_, "n": n} for k_, n in rows_kn]
         elif kind == "stats":
             v = pd.to_numeric(vals.dropna())
             out[name] = [{

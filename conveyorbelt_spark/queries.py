@@ -5669,6 +5669,76 @@ ORDER BY doc_id
 """
 
 
+def q91_gapfilled_histogram(spark, sf_dir):
+    """ES date_histogram with ``fixed_interval`` + ``min_doc_count: 0`` +
+    ``extended_bounds`` — the gap-filled Kibana time chart: 6-hour
+    epoch-aligned buckets over the matching set, empty buckets emitted as
+    zero across the extended axis (`index/query.py:_densify_dh_df`; the
+    bucket axis is driver-generated and capped, the counts stay
+    distributed). warc_ts synthesized from doc_id like q37."""
+    import shutil
+    import tempfile
+
+    from .index.build import build_index, write_docstore
+    from .index.query import search_aggs
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "warc_ts",
+        F.expr(
+            "timestampadd(HOUR, cast(pmod(doc_id, 8) as int) * 9, "
+            "timestamp '2016-09-16 12:00:00')"
+        ),
+    )
+    out = tempfile.mkdtemp(prefix="cb_q91_idx_")
+    try:
+        build_index(spark, docs.select("doc_id", "text"), out, url_col=None, n_buckets=8)
+        write_docstore(spark, docs, out, url_col=None, extra_cols=("warc_ts",))
+        res = search_aggs(
+            spark, out,
+            {"by_6h": {"date_histogram": {
+                "field": "warc_ts", "fixed_interval": "6h",
+                "min_doc_count": 0,
+                "extended_bounds": {"min": "2016-09-15T00:00:00",
+                                    "max": "2016-09-21T00:00:00"},
+            }}},
+            "spark join", must_not="window",
+        )["by_6h"]
+        rows = [
+            (r.key.strftime("%Y-%m-%d %H:%M:%S"), int(r.n))
+            for r in res.collect()
+        ]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(rows, "bucket string, n long").orderBy("bucket")
+
+
+Q91_SQL = f"""
+WITH toks AS ({_TOKENS_SQL}),
+hits AS (
+  SELECT doc_id FROM toks GROUP BY doc_id
+  HAVING max(CASE WHEN term IN ('spark', 'join') THEN 1 ELSE 0 END) = 1
+     AND max(CASE WHEN term = 'window' THEN 1 ELSE 0 END) = 0
+),
+counts AS (
+  SELECT to_timestamp(floor(epoch(TIMESTAMP '2016-09-16 12:00:00'
+                            + (d.doc_id % 8) * 9 * INTERVAL 1 HOUR) / 21600)
+                      * 21600)::TIMESTAMP AS bucket,
+         count(*) AS n
+  FROM documents d JOIN hits USING (doc_id)
+  GROUP BY 1
+),
+axis AS (
+  SELECT unnest(generate_series(TIMESTAMP '2016-09-15 00:00:00',
+                                TIMESTAMP '2016-09-21 00:00:00',
+                                INTERVAL 6 HOUR)) AS bucket
+)
+SELECT strftime(a.bucket, '%Y-%m-%d %H:%M:%S') AS bucket,
+       coalesce(c.n, 0) AS n
+FROM axis a LEFT JOIN counts c USING (bucket)
+ORDER BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -5760,6 +5830,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q88_terms_order_metric": q88_terms_order_metric,
     "q89_rrf_hybrid": q89_rrf_hybrid,
     "q90_pinned_query": q90_pinned_query,
+    "q91_gapfilled_histogram": q91_gapfilled_histogram,
 }
 
 ORACLES: dict[str, str] = {
@@ -5853,4 +5924,5 @@ ORACLES: dict[str, str] = {
     "q88_terms_order_metric": Q88_SQL,
     "q89_rrf_hybrid": Q89_SQL,
     "q90_pinned_query": Q90_SQL,
+    "q91_gapfilled_histogram": Q91_SQL,
 }

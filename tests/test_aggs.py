@@ -1152,3 +1152,59 @@ def test_terms_order_rejections(spark, aroot):
         search_aggs(spark, out, {
             "bad": {"terms": {"field": "lang", "order": {"_key": "sideways"}}},
         }, "spark")
+
+
+def test_fixed_interval_and_gap_fill(spark, aroot):
+    """fixed_interval epoch-aligned bucketing, min_doc_count:0 gap
+    filling across extended_bounds, and terms `missing` — Spark path and
+    zero-job serving twin row-identical."""
+    from conveyorbelt_spark.index.query import Searcher
+
+    out, rows, matching = aroot
+    aggs = {
+        "six": {"date_histogram": {"field": "ts", "fixed_interval": "6h"}},
+        "gap": {"date_histogram": {
+            "field": "ts", "fixed_interval": "12h", "min_doc_count": 0,
+            "extended_bounds": {"min": "2016-09-14T00:00:00",
+                                "max": "2016-09-21T00:00:00"},
+        }},
+        "hgap": {"histogram": {
+            "field": "n_chars", "interval": 100, "min_doc_count": 0,
+            "extended_bounds": {"min": -100, "max": 700},
+        }},
+    }
+    res = search_aggs(spark, out, aggs, "spark join")
+    got = {k: [r.asDict() for r in v.collect()] for k, v in res.items()}
+    serve = Searcher(spark, out).aggs_rows(aggs, "spark join")
+    for k in aggs:
+        assert serve[k] == got[k], k
+    # gap axis spans the extended bounds at 12h steps, zeros included
+    gap = got["gap"]
+    assert gap[0]["key"].isoformat() == "2016-09-14T00:00:00"
+    assert gap[-1]["key"].isoformat() == "2016-09-21T00:00:00"
+    assert len(gap) == 15
+    assert any(r["n"] == 0 for r in gap)
+    assert sum(r["n"] for r in gap) == len(matching)
+    hg = got["hgap"]
+    assert hg[0]["key"] == -100.0 and hg[-1]["key"] == 700.0
+    assert sum(r["n"] for r in hg) == len(matching)
+
+
+def test_terms_missing_value(spark, tmp_path):
+    from conveyorbelt_spark.index.build import build_index, write_docstore
+    from conveyorbelt_spark.index.query import Searcher
+
+    out = str(tmp_path / "missidx")
+    rows = [
+        (i, "spark join", None if i % 4 == 0 else ("a" if i % 2 else "b"))
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, cat string")
+    build_index(spark, docs.select("doc_id", "text"), out, url_col=None, n_buckets=2)
+    write_docstore(spark, docs, out, url_col=None, extra_cols=("cat",))
+    aggs = {"c": {"terms": {"field": "cat", "missing": "none"}}}
+    got = [
+        r.asDict() for r in search_aggs(spark, out, aggs, "spark")["c"].collect()
+    ]
+    assert {r["key"]: r["n"] for r in got} == {"a": 20, "b": 10, "none": 10}
+    assert Searcher(spark, out).aggs_rows(aggs, "spark")["c"] == got
