@@ -2005,6 +2005,25 @@ def msearch(
     return out
 
 
+def validate_query_body(
+    spark: SparkSession, out_dir: str, body: dict | None = None,
+) -> dict:
+    """ES ``_validate/query``: parse the request's query against this
+    index's analyzer without running it — {"valid": true} or
+    {"valid": false, "error": <reason>} (with ``explain: true``-style
+    detail always included, the useful part). Anything this engine would
+    reject at search time (UnsupportedDSL or malformed bodies) reports
+    invalid with the reason an ES user needs to fix the request."""
+    s = Searcher(spark, out_dir)
+    try:
+        parse_query((body or {}).get("query"), analyzer=s.stats.get("analyzer"))
+    except UnsupportedDSL as e:
+        return {"valid": False, "error": str(e)}
+    except (KeyError, TypeError, ValueError) as e:
+        return {"valid": False, "error": f"malformed query: {e!r}"}
+    return {"valid": True}
+
+
 def count_body(
     spark: SparkSession, out_dir: str, body: dict | None = None, *,
     searcher: Searcher | None = None,
@@ -3150,12 +3169,26 @@ def search_body(
             src = {k: v for k, v in meta[d].items() if k not in ("bucket", "run")}
             hit["_source"] = _source_apply(src, src_inc, src_exc)
         if hl_cols and d in meta and hl_query:
-            frags = {}
+            hl = body.get("highlight") or {}
+            frag_lists: dict[str, list[str]] = {}
             for col in hl_cols:
                 text = meta[d].get(col)
-                if text:
-                    frags[col] = _highlight_fragment(text, hl_query)
-            hit["highlight"] = {k: [v] for k, v in frags.items() if v}
+                if not text:
+                    continue
+                fspec = hl["fields"][col] or {}
+                opt = lambda k, dflt: fspec.get(k, hl.get(k, dflt))  # noqa: E731
+                fl = _highlight_fragments(
+                    str(text), hl_query,
+                    fragment_size=int(opt("fragment_size", 160)),
+                    number_of_fragments=int(opt("number_of_fragments", 1)),
+                    pre_tag=(opt("pre_tags", ["<em>"]) or ["<em>"])[0],
+                    post_tag=(opt("post_tags", ["</em>"]) or ["</em>"])[0],
+                    no_match_size=int(opt("no_match_size", 0)),
+                )
+                if fl:
+                    frag_lists[col] = fl
+            if frag_lists:
+                hit["highlight"] = frag_lists
         hits.append(hit)
 
     if body.get("explain"):
@@ -3212,7 +3245,7 @@ def search_body(
             "avg", "sum", "min", "max", "value_count", "range",
             "filter", "filters", "missing", "top_hits", "composite",
             "significant_terms", "multi_terms", "rare_terms", "date_range",
-            "adjacency_matrix", "auto_date_histogram",
+            "adjacency_matrix", "auto_date_histogram", "top_metrics",
             "global", "avg_bucket", "sum_bucket", "min_bucket",
             "max_bucket", "stats_bucket", "derivative", "cumulative_sum",
             "extended_stats", "weighted_avg", "percentile_ranks",
@@ -3622,23 +3655,51 @@ def _exact_total(
 
 
 def _highlight_fragment(text: str, query: str, width: int = 160) -> str | None:
-    """Plain-highlighter fragment: first query-term occurrence centered,
-    every query-term occurrence tagged (token-boundary, case-insensitive)."""
+    """Plain-highlighter single fragment (the legacy default shape)."""
+    frags = _highlight_fragments(text, query, fragment_size=width)
+    return frags[0] if frags else None
+
+
+def _highlight_fragments(
+    text: str, query: str, *, fragment_size: int = 160,
+    number_of_fragments: int = 1, pre_tag: str = "<em>",
+    post_tag: str = "</em>", no_match_size: int = 0,
+) -> list[str]:
+    """Plain-highlighter fragments with the ES options that matter:
+    ``fragment_size`` (window width, match centered),
+    ``number_of_fragments`` (greedy non-overlapping windows over
+    successive matches; 0 = ES's "no fragmenting" — the WHOLE field
+    tagged as one fragment), ``pre_tags``/``post_tags`` (first tag pair),
+    and ``no_match_size`` (leading text when nothing matches). Tagging is
+    token-boundary and case-insensitive, every in-window occurrence."""
     import re
 
     from ..textutils import tokenize
 
     terms = sorted(set(tokenize(query)))
     if not terms:
-        return None
+        return []
     rx = re.compile(
         r"(?<![a-z0-9])(" + "|".join(re.escape(t) for t in terms) + r")(?![a-z0-9])",
         re.IGNORECASE,
     )
-    m = rx.search(text)
-    if not m:
-        return None
-    lo = max(0, m.start() - width // 2)
-    hi = min(len(text), lo + width)
-    frag = text[lo:hi]
-    return rx.sub(lambda mm: f"<em>{mm.group(0)}</em>", frag)
+    tag = lambda mm: f"{pre_tag}{mm.group(0)}{post_tag}"  # noqa: E731
+    if number_of_fragments == 0:
+        whole = rx.sub(tag, text)
+        return [whole] if rx.search(text) else (
+            [text[:no_match_size]] if no_match_size else []
+        )
+    frags: list[str] = []
+    used_end = -1
+    for m in rx.finditer(text):
+        if m.start() < used_end:
+            continue
+        lo = max(0, m.start() - fragment_size // 2)
+        hi = min(len(text), lo + fragment_size)
+        frags.append(rx.sub(tag, text[lo:hi]))
+        used_end = hi
+        if len(frags) >= number_of_fragments:
+            break
+    if not frags and no_match_size:
+        return [text[:no_match_size]]
+    return frags

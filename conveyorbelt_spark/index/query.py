@@ -2682,6 +2682,46 @@ def _terms_order_keys(
     return crits
 
 
+def _terms_incl_excl_col(key, body: dict):
+    """ES terms-agg ``include``/``exclude`` → a Column predicate over the
+    bucket key (list = exact membership, string = anchored regex — Java
+    regex via rlike; the pandas twin uses re.fullmatch, same anchoring).
+    Returns None when neither option is set."""
+    conds = []
+    inc, exc = body.get("include"), body.get("exclude")
+    for spec, negate in ((inc, False), (exc, True)):
+        if spec is None:
+            continue
+        if isinstance(spec, (list, tuple)):
+            c = key.isin(list(spec))
+        else:
+            c = key.cast("string").rlike(f"^(?:{spec})$")
+        conds.append(~c if negate else c)
+    if not conds:
+        return None
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
+def _terms_incl_excl_ok(k, body: dict) -> bool:
+    """pandas twin of ``_terms_incl_excl_col`` for one bucket key."""
+    import re as _re
+
+    inc, exc = body.get("include"), body.get("exclude")
+    for spec, negate in ((inc, False), (exc, True)):
+        if spec is None:
+            continue
+        if isinstance(spec, (list, tuple)):
+            hit = k in list(spec)
+        else:
+            hit = _re.fullmatch(str(spec), str(k)) is not None
+        if hit == negate:
+            return False
+    return True
+
+
 def _pd_sort_buckets(items: list, crits: list[tuple[str, bool]], cell) -> None:
     """Stable multi-criteria in-place sort matching Spark's null ordering
     (asc → nulls first, desc → nulls last): one pass per criterion in
@@ -2838,6 +2878,33 @@ def aggs_over_join(
                 (F.sum(F.col(vf) * F.col(wf)) / F.sum(wf)).alias("value")
             )
             continue
+        if kind == "top_metrics":
+            if sub is not None:
+                raise ValueError(
+                    f"agg {name!r}: top_metrics sub-aggs are unsupported"
+                )
+            srt = body["sort"]
+            if isinstance(srt, dict):
+                ((sf, sdir),) = srt.items()
+                if isinstance(sdir, dict):
+                    sdir = sdir.get("order", "asc")
+            else:
+                sf, sdir = str(srt), "asc"
+            mflds = [m["field"] for m in body.get("metrics") or []]
+            if not mflds:
+                raise ValueError(f"agg {name!r}: top_metrics needs metrics")
+            tsize = int(body.get("size", 1))
+            oby = [
+                F.desc(sf) if str(sdir) == "desc" else F.asc(sf),
+                F.asc("doc_id"),  # deterministic tiebreak (ES: shard order)
+            ]
+            out[name] = (
+                joined.where(F.col(sf).isNotNull())
+                .orderBy(*oby)
+                .select(F.col(sf).alias("sort"), *mflds)
+                .limit(tsize)
+            )
+            continue
         if sub is not None:
             out[name] = _sub_bucket_df(joined, name, kind, body, sub)
             continue
@@ -2859,6 +2926,9 @@ def aggs_over_join(
                 # twin's dropna; the "missing" agg counts them instead —
                 # unless a "missing" substitute value is configured)
                 sel_t = sel_t.where(F.col(col).isNotNull())
+            ie = _terms_incl_excl_col(_bucket_expr(kind, body), body)
+            if ie is not None:
+                sel_t = sel_t.where(ie)
             df = (
                 sel_t
                 .groupBy(_bucket_expr(kind, body).alias("key"))
@@ -3927,6 +3997,10 @@ def _sub_bucket_df(
         if not (kind == "terms" and body.get("missing") is not None):
             keyed = keyed.where(F.col(body["field"]).isNotNull())
         keyed = keyed.withColumn(keycol, _bucket_expr(kind, body))
+        if kind == "terms":
+            ie = _terms_incl_excl_col(F.col(keycol), body)
+            if ie is not None:
+                keyed = keyed.where(ie)
         parents = keyed.groupBy(*carry, keycol).agg(
             F.count("*").alias(cnt), *mexprs
         )
@@ -4222,6 +4296,36 @@ def _aggs_pandas(
             else:
                 out[name] = [{"value": None}]
             continue
+        if kind == "top_metrics":
+            if sub is not None:
+                raise ValueError(
+                    f"agg {name!r}: top_metrics sub-aggs are unsupported"
+                )
+            srt = body["sort"]
+            if isinstance(srt, dict):
+                ((sf, sdir),) = srt.items()
+                if isinstance(sdir, dict):
+                    sdir = sdir.get("order", "asc")
+            else:
+                sf, sdir = str(srt), "asc"
+            mflds = [m["field"] for m in body.get("metrics") or []]
+            if not mflds:
+                raise ValueError(f"agg {name!r}: top_metrics needs metrics")
+            tsize = int(body.get("size", 1))
+            cols_ = getattr(pdf, "columns", [])
+            if sf not in cols_ or not len(pdf):
+                out[name] = []
+                continue
+            nn = pdf[pdf[sf].notna()]
+            top = nn.sort_values(
+                by=[sf, "doc_id"], ascending=[str(sdir) != "desc", True]
+            ).head(tsize)
+            out[name] = [
+                {"sort": _key_out(r[sf]),
+                 **{m: _key_out(r[m]) for m in mflds}}
+                for _, r in top.iterrows()
+            ]
+            continue
         if sub is not None:
             out[name] = _sub_bucket_pandas(pdf, name, kind, body, sub)
             continue
@@ -4237,7 +4341,10 @@ def _aggs_pandas(
             # native key types (numpy scalars unwrapped): tie order (n desc,
             # key asc) must match the Spark path's — string-sorting a
             # numeric key would rank "100" before "99"
-            rows = [(_key_out(k_), int(n)) for k_, n in c.items()]
+            rows = [
+                (_key_out(k_), int(n)) for k_, n in c.items()
+                if _terms_incl_excl_ok(_key_out(k_), body)
+            ]
             _pd_sort_buckets(
                 rows, _terms_order_keys(name, body, None, prefixed=True),
                 lambda kv, cc: kv[1] if cc == "_count" else kv[0],
@@ -4733,6 +4840,10 @@ def _sub_bucket_pandas(
         pc = pk.value_counts()
         buckets = [(k_, int(n)) for k_, n in pc.items()]
         if kind == "terms":
+            buckets = [
+                (k_, n) for k_, n in buckets
+                if _terms_incl_excl_ok(_key_out(k_), body)
+            ]
             crits = _terms_order_keys(name, body, metrics, prefixed=not legacy)
             metric_keys = {c for c, _ in crits} - {"_count", "_key"}
             deco: list[tuple] = []

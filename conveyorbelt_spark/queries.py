@@ -5739,6 +5739,79 @@ ORDER BY 1
 """
 
 
+def q92_filtered_facets(spark, sf_dir):
+    """ES terms aggregation with ``include`` (anchored regex) +
+    ``exclude`` (exact list) + ``order: {_key: desc}`` — the filtered
+    facet sidebar (`index/query.py:_terms_incl_excl_col`). Also carries a
+    ``top_metrics`` sibling (the top-1 doc's lang by n_chars desc, doc_id
+    tiebreak). DuckDB twin applies the same regex, anti-list, ordering,
+    and window-top row."""
+    import shutil
+    import tempfile
+
+    from .index.build import build_index, write_docstore
+    from .index.query import search_aggs
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="cb_q92_idx_")
+    try:
+        build_index(spark, docs.select("doc_id", "text"), out, url_col=None, n_buckets=8)
+        write_docstore(
+            spark, docs, out, url_col=None,
+            extra_cols=("source", "lang", "n_chars"),
+        )
+        res = search_aggs(
+            spark, out,
+            {
+                "srcs": {"terms": {
+                    "field": "source", "include": "src1.*",
+                    "exclude": ["src12", "src14"],
+                    "order": {"_key": "desc"}, "size": 0,
+                }},
+                "top": {"top_metrics": {
+                    "metrics": [{"field": "lang"}, {"field": "doc_id"}],
+                    "sort": {"n_chars": "desc"}, "size": 1,
+                }},
+            },
+            "spark join",
+        )
+        srcs = [(str(r.key), int(r.n)) for r in res["srcs"].collect()]
+        top = res["top"].collect()[0]
+        rows = [
+            (k, n, str(top["lang"]), int(top["doc_id"])) for k, n in srcs
+        ]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "src string, n long, top_lang string, top_doc long"
+    )
+
+
+Q92_SQL = f"""
+WITH toks AS ({_TOKENS_SQL}),
+hits AS (
+  SELECT doc_id FROM toks GROUP BY doc_id
+  HAVING max(CASE WHEN term IN ('spark', 'join') THEN 1 ELSE 0 END) = 1
+),
+matched AS (SELECT d.* FROM documents d JOIN hits USING (doc_id)),
+srcs AS (
+  SELECT source AS src, count(*) AS n
+  FROM matched
+  WHERE regexp_full_match(source, 'src1.*')
+    AND source NOT IN ('src12', 'src14')
+  GROUP BY source
+),
+top1 AS (
+  SELECT lang AS top_lang, doc_id AS top_doc
+  FROM matched
+  ORDER BY n_chars DESC, doc_id ASC LIMIT 1
+)
+SELECT s.src, s.n, t.top_lang, t.top_doc
+FROM srcs s CROSS JOIN top1 t
+ORDER BY s.src DESC
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -5831,6 +5904,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q89_rrf_hybrid": q89_rrf_hybrid,
     "q90_pinned_query": q90_pinned_query,
     "q91_gapfilled_histogram": q91_gapfilled_histogram,
+    "q92_filtered_facets": q92_filtered_facets,
 }
 
 ORACLES: dict[str, str] = {
@@ -5925,4 +5999,5 @@ ORACLES: dict[str, str] = {
     "q89_rrf_hybrid": Q89_SQL,
     "q90_pinned_query": Q90_SQL,
     "q91_gapfilled_histogram": Q91_SQL,
+    "q92_filtered_facets": Q92_SQL,
 }

@@ -1208,3 +1208,40 @@ def test_terms_missing_value(spark, tmp_path):
     ]
     assert {r["key"]: r["n"] for r in got} == {"a": 20, "b": 10, "none": 10}
     assert Searcher(spark, out).aggs_rows(aggs, "spark")["c"] == got
+
+
+def test_terms_include_exclude_and_top_metrics(spark, aroot):
+    from conveyorbelt_spark.index.query import Searcher
+
+    out, rows, matching = aroot
+    aggs = {
+        "inc": {"terms": {"field": "lang", "include": ["en", "fr"]}},
+        "rex": {"terms": {"field": "lang", "include": "e.|fr", "exclude": "en"}},
+        "tm": {"top_metrics": {
+            "metrics": [{"field": "lang"}, {"field": "doc_id"}],
+            "sort": {"n_chars": "desc"}, "size": 2,
+        }},
+    }
+    res = search_aggs(spark, out, aggs, "spark join")
+    got = {k: [r.asDict() for r in v.collect()] for k, v in res.items()}
+    assert {r["key"] for r in got["inc"]} == {"en", "fr"}
+    assert {r["key"] for r in got["rex"]} == {"fr"}
+    sel = sorted(
+        ((nc, i, lang) for i, _, lang, nc, _ in rows if i in matching),
+        key=lambda t: (-t[0], t[1]),
+    )[:2]
+    assert [(r["sort"], r["doc_id"], r["lang"]) for r in got["tm"]] == [
+        (nc, i, lang) for nc, i, lang in sel
+    ]
+    serve = Searcher(spark, out).aggs_rows(aggs, "spark join")
+    for k in aggs:
+        assert serve[k] == got[k], k
+
+
+def test_validate_query_api(spark, aroot):
+    from conveyorbelt_spark.index.dsl import validate_query_body
+
+    out, _, _ = aroot
+    assert validate_query_body(spark, out, {"query": {"match": {"text": "x"}}}) == {"valid": True}
+    bad = validate_query_body(spark, out, {"query": {"frobnicate": {}}})
+    assert bad["valid"] is False and "frobnicate" in bad["error"]

@@ -96,3 +96,25 @@ def test_fuzzy_auto_and_match_fuzziness(spark, pfroot):
         search_body(spark, out, {
             "query": {"match": {"text": {"query": "two words", "fuzziness": 1}}},
         })
+
+
+def test_highlight_options(spark, pfroot):
+    out, _ = pfroot
+    resp = search_body(spark, out, {
+        "query": {"match": {"text": "spark"}}, "size": 1,
+        "highlight": {
+            "fields": {"text": {"number_of_fragments": 3, "fragment_size": 24}},
+            "pre_tags": ["<b>"], "post_tags": ["</b>"],
+        },
+    })
+    frags = resp["hits"]["hits"][0]["highlight"]["text"]
+    assert 1 <= len(frags) <= 3
+    assert all("<b>spark</b>" in f for f in frags)
+    assert all(len(f) <= 24 + f.count("<b>") * 7 for f in frags)
+    # number_of_fragments 0 = the whole field, tagged
+    whole = search_body(spark, out, {
+        "query": {"match": {"text": "spark"}}, "size": 1,
+        "highlight": {"fields": {"text": {"number_of_fragments": 0}}},
+    })
+    wf = whole["hits"]["hits"][0]["highlight"]["text"]
+    assert len(wf) == 1 and "<em>spark</em>" in wf[0]
