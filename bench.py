@@ -257,6 +257,35 @@ def _es_surface_bench(spark, sf_dir: str) -> dict:
                             "aggs": {"st": {"stats": {"field": "n_chars"}}}},
                 }},
             }, "spark join"),
+            "rank_feature_boost": lambda: search_body(spark, flat_dir, {
+                "query": {"bool": {
+                    "must": [{"match": {"text": "spark join"}}],
+                    "should": [{"rank_feature": {
+                        "field": "n_chars", "log": {"scaling_factor": 1},
+                        "boost": 0.5,
+                    }}],
+                }}, "size": 20,
+            }, searcher=s),
+            "rrf_fusion": lambda: search_body(spark, flat_dir, {
+                "retriever": {"rrf": {"retrievers": [
+                    {"standard": {"query": {"match": {"text": "spark join"}}}},
+                    {"standard": {"query": {"match": {"text": "window shuffle"}}}},
+                ], "rank_window_size": 20}}, "size": 20,
+            }, searcher=s),
+            "pinned": lambda: search_body(spark, flat_dir, {
+                "query": {"pinned": {"ids": [5, 11],
+                                     "organic": {"match": {"text": "spark join"}}}},
+                "size": 20,
+            }, searcher=s),
+            "terms_order_metric": lambda: s.aggs_rows({
+                "byl": {"terms": {"field": "lang", "size": 3,
+                                  "order": {"avgc": "desc"}},
+                        "aggs": {"avgc": {"avg": {"field": "n_chars"}}}},
+            }, "spark join"),
+            "gapfill_histogram": lambda: s.aggs_rows({
+                "h": {"histogram": {"field": "n_chars", "interval": 100,
+                                    "min_doc_count": 0}},
+            }, "spark join"),
             "daily_window_search": lambda: ds.search_rows(
                 "spark join window", 20, time_range=win
             ),

@@ -249,9 +249,16 @@ def _filter_atoms(clause: dict, analyzer) -> list[tuple]:
     if kind == "term":
         field, val = _one(body)
         val = val["value"] if isinstance(val, dict) else val
+        if field in MAIN_FIELDS:
+            # ES term/terms on a text field probe the analyzed inverted
+            # index with the RAW value (not analyzed — ES's own gotcha:
+            # an uppercase value misses a lowercasing analyzer's tokens)
+            return [("tok", str(val))]
         return [("eq", field, str(val))]
     if kind == "terms":
         field, vals = _one(body)
+        if field in MAIN_FIELDS:
+            return [("tok", str(v)) for v in vals]
         return [("in", field, [str(v) for v in vals])]
     if kind == "range":
         return [_range_atom(body)]
@@ -1189,15 +1196,100 @@ def render_search_template(source, params: dict | None) -> dict:
 
 def search_template_body(
     spark: SparkSession, out_dir: str, request: dict, *,
-    searcher: Searcher | None = None,
+    searcher: Searcher | None = None, scripts_dir: str | None = None,
 ) -> dict:
     """ES ``_search/template``: {"source": <template>, "params": {...}}
-    rendered then executed exactly like ``search_body``."""
+    rendered then executed exactly like ``search_body``. A stored
+    template runs by {"id": <name>} against the ``scripts_dir`` registry
+    (``put_script`` — ES's ``PUT _scripts/<id>``)."""
     src = request.get("source", request.get("template"))
+    if src is None and request.get("id") is not None:
+        if scripts_dir is None:
+            raise UnsupportedDSL(
+                "a stored template ({'id': ...}) needs scripts_dir (the "
+                "put_script registry)"
+            )
+        src = get_script(scripts_dir, str(request["id"]))["script"]["source"]
     if src is None:
-        raise UnsupportedDSL("search template needs source (or template)")
+        raise UnsupportedDSL("search template needs source (or template/id)")
     body = render_search_template(src, request.get("params"))
     return search_body(spark, out_dir, body, searcher=searcher)
+
+
+def _script_path(scripts_dir: str, script_id: str) -> str:
+    safe = "".join(c if c.isalnum() or c in "-_." else "_" for c in script_id)
+    return os.path.join(scripts_dir, f"{safe}.json")
+
+
+def put_script(scripts_dir: str, script_id: str, script: dict) -> dict:
+    """ES ``PUT _scripts/<id>``: store a mustache search template (the
+    {"script": {"lang": "mustache", "source": <template>}} request shape,
+    or the bare source). One JSON file per id — the registry is a plain
+    directory so it ships with the index tree."""
+    src = script.get("script", script) if isinstance(script, dict) else script
+    if isinstance(src, dict):
+        if str(src.get("lang", "mustache")) != "mustache":
+            raise UnsupportedDSL("stored scripts support lang=mustache only")
+        src = src.get("source")
+    if src is None:
+        raise UnsupportedDSL("put_script needs script.source")
+    os.makedirs(scripts_dir, exist_ok=True)
+    with open(_script_path(scripts_dir, script_id), "w") as f:
+        json.dump({"lang": "mustache", "source": src}, f)
+    return {"acknowledged": True}
+
+
+def get_script(scripts_dir: str, script_id: str) -> dict:
+    """ES ``GET _scripts/<id>``."""
+    p = _script_path(scripts_dir, script_id)
+    if not os.path.exists(p):
+        raise KeyError(f"stored script {script_id!r} not found")
+    with open(p) as f:
+        stored = json.load(f)
+    return {"_id": script_id, "found": True, "script": stored}
+
+
+def delete_script(scripts_dir: str, script_id: str) -> dict:
+    """ES ``DELETE _scripts/<id>``."""
+    p = _script_path(scripts_dir, script_id)
+    if os.path.exists(p):
+        os.remove(p)
+        return {"acknowledged": True}
+    raise KeyError(f"stored script {script_id!r} not found")
+
+
+def _resolve_terms_lookups(q, default_dir: str):
+    """ES terms lookup — ``{"terms": {field: {"index": <dir>, "id": n,
+    "path": <stored column>}}}`` — resolves the term list from another
+    document's stored column (one driver-side bucket-pruned pyarrow
+    lookup, zero Spark jobs) and replaces it inline, so every terms site
+    (filter context, bools, counts, deletes) sees a plain list. ``index``
+    is an index directory; absent = this index. A missing doc or column
+    resolves to [] — matches nothing, exactly ES."""
+    if isinstance(q, list):
+        return [_resolve_terms_lookups(x, default_dir) for x in q]
+    if not isinstance(q, dict):
+        return q
+    out = {}
+    for k, v in q.items():
+        if (
+            k == "terms" and isinstance(v, dict) and len(v) == 1
+        ):
+            f, spec = next(iter(v.items()))
+            if isinstance(spec, dict) and "id" in spec and "path" in spec:
+                from .build import lookup_docs
+
+                idx = str(spec.get("index") or default_dir)
+                doc = lookup_docs(idx, [int(spec["id"])]).get(int(spec["id"])) or {}
+                vals = doc.get(str(spec["path"]))
+                if vals is None:
+                    vals = []
+                elif not isinstance(vals, (list, tuple)):
+                    vals = [vals]
+                out[k] = {f: [str(x) for x in vals]}
+                continue
+        out[k] = _resolve_terms_lookups(v, default_dir)
+    return out
 
 
 def _span_term_value(cb) -> str:
@@ -1765,6 +1857,21 @@ def _knn_search(
     store = _docstore_scan(spark, out_dir)
     if field not in store.columns:
         raise UnsupportedDSL(f"knn field {field!r} is not a stored column")
+    if spec.get("filter") is not None:
+        # ES kNN pre-filter: the filter restricts the candidate set BEFORE
+        # the vector search (never post-filters the top-k short). Resolved
+        # distributed — filter-context clauses → matching ids → one
+        # bucket-local semi-join against the vector scan.
+        from .query import bool_doc_ids
+
+        fplan = parse_query({"bool": {"filter": _as_list(spec["filter"])}})
+        ids = bool_doc_ids(
+            spark, out_dir, "", must_not=fplan["must_not"],
+            filters=fplan["filters"] or None, ranges=fplan["ranges"] or None,
+            or_groups=fplan["or_groups"] or None,
+            not_atoms=fplan["not_atoms"] or None,
+        )
+        store = store.join(ids, "doc_id", "left_semi")
     top = cosine_topk(store, qv, k, id_col="doc_id", vec_col=field).collect()
     hits = [
         {"_id": int(r[0]), "_score": (1.0 + float(r[1])) / 2.0} for r in top
@@ -2005,6 +2112,61 @@ def msearch(
     return out
 
 
+def msearch_template(
+    spark: SparkSession, out_dir: str, requests: list[dict], *,
+    searcher: Searcher | None = None, scripts_dir: str | None = None,
+) -> list[dict]:
+    """ES ``_msearch/template``: a batch of template requests (inline
+    source or stored id), per-slot error isolation like ``msearch``."""
+    s = searcher if searcher is not None and searcher.out_dir == out_dir \
+        else Searcher(spark, out_dir)
+    out: list[dict] = []
+    for req in requests:
+        try:
+            out.append(search_template_body(
+                spark, out_dir, req, searcher=s, scripts_dir=scripts_dir,
+            ))
+        except (UnsupportedDSL, ValueError, KeyError) as e:
+            out.append(
+                {"error": {"type": type(e).__name__, "reason": str(e)}}
+            )
+    return out
+
+
+def render_template_body(
+    request: dict, *, scripts_dir: str | None = None,
+) -> dict:
+    """ES ``_render/template``: show what a template request would send —
+    {"template_output": <rendered body>} — without executing it."""
+    src = request.get("source", request.get("template"))
+    if src is None and request.get("id") is not None:
+        if scripts_dir is None:
+            raise UnsupportedDSL(
+                "a stored template ({'id': ...}) needs scripts_dir"
+            )
+        src = get_script(scripts_dir, str(request["id"]))["script"]["source"]
+    if src is None:
+        raise UnsupportedDSL("render template needs source (or template/id)")
+    return {"template_output": render_search_template(src, request.get("params"))}
+
+
+def mtermvectors(
+    spark: SparkSession, out_dir: str, ids: list[int], *,
+    term_statistics: bool = False, searcher: Searcher | None = None,
+) -> dict:
+    """ES ``_mtermvectors``: bulk realtime term vectors — one warm
+    Searcher, per-doc ``found: false`` slots for missing/deleted docs
+    (the ES contract: docs align 1:1 with the request ids)."""
+    s = searcher if searcher is not None and searcher.out_dir == out_dir \
+        else Searcher(spark, out_dir)
+    return {
+        "docs": [
+            s.termvectors(int(d), term_statistics=term_statistics)
+            for d in ids
+        ]
+    }
+
+
 def validate_query_body(
     spark: SparkSession, out_dir: str, body: dict | None = None,
 ) -> dict:
@@ -2043,6 +2205,8 @@ def count_body(
     s = searcher if searcher is not None and searcher.out_dir == out_dir \
         else Searcher(spark, out_dir)
     q = (body or {}).get("query")
+    if q is not None:
+        q = _resolve_terms_lookups(q, out_dir)
     plan = parse_query(q, analyzer=s.stats.get("analyzer"))
     if plan["match_none"]:
         return {"count": 0}
@@ -2091,7 +2255,10 @@ def delete_by_query_body(
     from .query import bool_doc_ids
 
     s = Searcher(spark, out_dir)
-    plan = parse_query((body or {}).get("query"), s.stats.get("analyzer"))
+    plan = parse_query(
+        _resolve_terms_lookups((body or {}).get("query"), out_dir),
+        s.stats.get("analyzer"),
+    )
     blocked = [
         k for k in ("phrase", "span_near", "terms_set", "nested", "mm", "expand",
                     "mlt", "ids", "dis_max", "boosting", "fscore",
@@ -2306,7 +2473,10 @@ def update_by_query_body(
     from .query import Searcher, _docstore_scan, bool_doc_ids
 
     s = Searcher(spark, out_dir)
-    plan = parse_query((body or {}).get("query"), s.stats.get("analyzer"))
+    plan = parse_query(
+        _resolve_terms_lookups((body or {}).get("query"), out_dir),
+        s.stats.get("analyzer"),
+    )
     blocked = [
         k for k in ("phrase", "span_near", "terms_set", "nested", "mm", "expand",
                     "mlt", "ids", "dis_max", "boosting", "fscore",
@@ -2724,6 +2894,8 @@ def search_body(
             "hits": {"total": {"value": 0, "relation": "eq"}, "hits": []},
             "suggest": _suggest_section(s, body["suggest"]),
         }
+    if body.get("query") is not None:
+        body["query"] = _resolve_terms_lookups(body["query"], out_dir)
     plan = parse_query(body.get("query"), analyzer=s.stats.get("analyzer"))
     if plan["match_none"]:
         # the empty set by definition — no index probe at all

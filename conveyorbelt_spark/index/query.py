@@ -5572,6 +5572,36 @@ def index_info(spark: SparkSession, out_dir: str) -> dict:
     }
 
 
+def cat_indices(index_dirs: list[str]) -> list[dict]:
+    """ES ``_cat/indices`` analogue over index directories: one ops row
+    per index — ledger doc count, deleted (tombstoned) docs, committed
+    runs, on-disk bytes. Metadata only (stats.json + tombstone ledgers +
+    a directory walk), zero Spark jobs — the monitoring-loop call."""
+    from .build import load_stats
+    from .delete import n_tombstoned
+
+    rows = []
+    for d in sorted(index_dirs):
+        stats = load_stats(d)
+        nbytes = 0
+        for root, _dirs, files in os.walk(d):
+            for fn in files:
+                try:
+                    nbytes += os.path.getsize(os.path.join(root, fn))
+                except OSError:
+                    pass
+        rows.append({
+            "index": os.path.basename(os.path.normpath(d)),
+            "path": d,
+            "docs_count": int(stats["n_docs"]),
+            "docs_deleted": int(n_tombstoned(d, stats)),
+            "n_runs": len(stats.get("committed_runs") or []),
+            "store_bytes": int(nbytes),
+            "positions": bool(stats.get("positions")),
+        })
+    return rows
+
+
 def bm25_topk_sql(spark: SparkSession, out_dir: str, query: str, k: int = 10) -> DataFrame:
     """Oracle-mode scoring via exploded postings + joins (J2/J3 analogue)."""
     from ..textutils import analyze

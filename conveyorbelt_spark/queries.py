@@ -5812,6 +5812,122 @@ ORDER BY s.src DESC
 """
 
 
+def q93_terms_lookup(spark, sf_dir):
+    """ES terms lookup: the filter's term list lives in ANOTHER document
+    (a profile doc with a stored array column), resolved by one
+    driver-side bucket-pruned docstore lookup and replaced inline
+    (`index/dsl.py:_resolve_terms_lookups`) — the "match my interests"
+    shape. Result: the filtered export (doc_id order, constant score).
+    DuckDB twin filters on the same (known) term list."""
+    import shutil
+    import tempfile
+
+    from .index.build import build_index, write_docstore
+    from .index.dsl import search_body
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="cb_q93_idx_")
+    prof = tempfile.mkdtemp(prefix="cb_q93_prof_")
+    try:
+        build_index(spark, docs.select("doc_id", "text"), out, url_col=None, n_buckets=8)
+        write_docstore(spark, docs, out, url_col=None)
+        pdocs = spark.createDataFrame(
+            [(1, "profile", ["spark", "shuffle"])],
+            "doc_id long, text string, likes array<string>",
+        )
+        build_index(spark, pdocs.select("doc_id", "text"), prof, url_col=None, n_buckets=2)
+        write_docstore(spark, pdocs, prof, url_col=None, extra_cols=("likes",))
+        resp = search_body(spark, out, {
+            "query": {"bool": {"filter": [{"terms": {
+                "text": {"index": prof, "id": 1, "path": "likes"},
+            }}]}},
+            "sort": [{"doc_id": "asc"}],
+            "size": 30,
+            "track_total_hits": True,
+        })
+        rows = [int(h["_id"]) for h in resp["hits"]["hits"]]
+        total = int(resp["hits"]["total"]["value"])
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(prof, ignore_errors=True)
+    return spark.createDataFrame(
+        [(d, total) for d in rows], "doc_id long, total long"
+    ).orderBy("doc_id")
+
+
+Q93_SQL = f"""
+WITH toks AS ({_TOKENS_SQL}),
+hits AS (
+  SELECT DISTINCT doc_id FROM toks WHERE term IN ('spark', 'shuffle')
+)
+SELECT h.doc_id, (SELECT count(*) FROM hits) AS total
+FROM (SELECT doc_id FROM hits ORDER BY doc_id ASC LIMIT 30) h
+ORDER BY h.doc_id
+"""
+
+
+def q94_filtered_knn(spark, sf_dir):
+    """ES kNN search with a pre-filter: the keyword filter restricts the
+    candidate set BEFORE the vector scan (one distributed semi-join into
+    the cosine top-k — never a post-filtered short page;
+    `index/dsl.py:_knn_search`). Scored ES-style (1+cos)/2. DuckDB twin
+    filters the same subset and recomputes the cosine ranking."""
+    import shutil
+    import tempfile
+
+    from .index.build import build_index, write_docstore
+    from .index.dsl import search_body
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    joined = docs.join(
+        emb.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id"
+    )
+    qv = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    out = tempfile.mkdtemp(prefix="cb_q94_idx_")
+    try:
+        build_index(
+            spark, docs.select("doc_id", "text", "lang"), out, url_col=None,
+            n_buckets=8, keyword_cols=("lang",),
+        )
+        write_docstore(
+            spark, joined, out, url_col=None, extra_cols=("lang", "embedding")
+        )
+        resp = search_body(spark, out, {"knn": {
+            "field": "embedding", "query_vector": qv, "k": 12,
+            "filter": [{"term": {"lang": "en"}}],
+        }})
+        rows = [
+            (int(h["_id"]), round(float(h["_score"]), 6))
+            for h in resp["hits"]["hits"]
+        ]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "doc_id long, score double"
+    ).orderBy("doc_id")
+
+
+Q94_SQL = """
+WITH qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+en AS (
+  SELECT e.vec_id AS doc_id, e.embedding
+  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+  WHERE d.lang = 'en'
+),
+cs AS (
+  SELECT doc_id,
+         (1.0 + list_dot_product(embedding::DOUBLE[], qv.v)
+          / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+             * sqrt(list_dot_product(qv.v, qv.v)))) / 2.0 AS score
+  FROM en, qv
+)
+SELECT doc_id, round(score, 6) AS score
+FROM (SELECT * FROM cs ORDER BY score DESC, doc_id ASC LIMIT 12) c
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -5905,6 +6021,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q90_pinned_query": q90_pinned_query,
     "q91_gapfilled_histogram": q91_gapfilled_histogram,
     "q92_filtered_facets": q92_filtered_facets,
+    "q93_terms_lookup": q93_terms_lookup,
+    "q94_filtered_knn": q94_filtered_knn,
 }
 
 ORACLES: dict[str, str] = {
@@ -6000,4 +6118,6 @@ ORACLES: dict[str, str] = {
     "q90_pinned_query": Q90_SQL,
     "q91_gapfilled_histogram": Q91_SQL,
     "q92_filtered_facets": Q92_SQL,
+    "q93_terms_lookup": Q93_SQL,
+    "q94_filtered_knn": Q94_SQL,
 }

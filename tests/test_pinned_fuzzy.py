@@ -118,3 +118,133 @@ def test_highlight_options(spark, pfroot):
     })
     wf = whole["hits"]["hits"][0]["highlight"]["text"]
     assert len(wf) == 1 and "<em>spark</em>" in wf[0]
+
+
+def test_terms_lookup_and_stored_template(spark, pfroot, tmp_path):
+    from conveyorbelt_spark.index.dsl import (
+        count_body, delete_script, get_script, put_script,
+        search_template_body,
+    )
+
+    out, rows = pfroot
+    # terms lookup: doc 0's stored "text" column is a string → one term;
+    # use a profile-style index holding a LIST column
+    from conveyorbelt_spark.index.build import build_index, write_docstore
+
+    prof = str(tmp_path / "profiles")
+    pdocs = spark.createDataFrame(
+        [(1, "profile", ["spark", "join"])],
+        "doc_id long, text string, likes array<string>",
+    )
+    build_index(spark, pdocs.select("doc_id", "text"), prof, url_col=None, n_buckets=2)
+    write_docstore(spark, pdocs, prof, url_col=None, extra_cols=("likes",))
+    looked = search_body(spark, out, {
+        "query": {"bool": {"filter": [{"terms": {
+            "text": {"index": prof, "id": 1, "path": "likes"},
+        }}]}},
+        "size": 5,
+    })
+    # equivalent inline list gives the identical hits
+    inline = search_body(spark, out, {
+        "query": {"bool": {"filter": [{"terms": {"text": ["spark", "join"]}}]}},
+        "size": 5,
+    })
+    assert _ids(looked) == _ids(inline) and _ids(inline)
+    # counts resolve lookups too; a missing doc matches nothing
+    n = count_body(spark, out, {"query": {"terms": {
+        "text": {"index": prof, "id": 999, "path": "likes"},
+    }}})
+    assert n == {"count": 0}
+
+    # stored template registry round-trip
+    scripts = str(tmp_path / "scripts")
+    put_script(scripts, "my-search", {"script": {
+        "lang": "mustache",
+        "source": {"query": {"match": {"text": "{{q}}"}}, "size": "{{size}}"},
+    }})
+    assert get_script(scripts, "my-search")["found"] is True
+    via_tpl = search_template_body(
+        spark, out, {"id": "my-search", "params": {"q": "spark", "size": 4}},
+        scripts_dir=scripts,
+    )
+    direct = search_body(spark, out, {"query": {"match": {"text": "spark"}}, "size": 4})
+    assert _ids(via_tpl) == _ids(direct)
+    delete_script(scripts, "my-search")
+    with pytest.raises(KeyError):
+        get_script(scripts, "my-search")
+
+
+def test_knn_filter_mtv_render_cat(spark, pfroot, tmp_path):
+    """kNN pre-filter (candidate set restricted BEFORE the vector scan),
+    _mtermvectors slots, _render/template, _msearch/template, and the
+    _cat/indices ops rows."""
+    import numpy as np
+
+    from conveyorbelt_spark.index.build import build_index, write_docstore
+    from conveyorbelt_spark.index.dsl import (
+        mtermvectors, msearch_template, put_script, render_template_body,
+        search_body,
+    )
+    from conveyorbelt_spark.index.query import cat_indices
+
+    out, _ = pfroot
+    # vector index with a keyword filter column
+    vidx = str(tmp_path / "vecidx")
+    rng = np.random.RandomState(7)
+    vecs = rng.rand(40, 8).astype("float32")
+    rows = [
+        (i, "doc text", ["red", "blue"][i % 2], [float(x) for x in vecs[i]])
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, color string, emb array<float>"
+    )
+    build_index(
+        spark, docs.select("doc_id", "text", "color"), vidx, url_col=None,
+        n_buckets=2, keyword_cols=("color",),
+    )
+    write_docstore(spark, docs, vidx, url_col=None, extra_cols=("color", "emb"))
+    qv = [float(x) for x in vecs[0]]
+    filt = search_body(spark, vidx, {"knn": {
+        "field": "emb", "query_vector": qv, "k": 5,
+        "filter": [{"term": {"color": "red"}}],
+    }})
+    ids = [h["_id"] for h in filt["hits"]["hits"]]
+    assert ids and all(i % 2 == 0 for i in ids)  # red = even ids only
+    # parity: brute-force cosine over the red subset
+    import numpy.linalg as la
+
+    red = [(i, vecs[i]) for i in range(0, 40, 2)]
+    q = np.array(qv)
+    cos = sorted(
+        ((i, float(v @ q / (la.norm(v) * la.norm(q)))) for i, v in red),
+        key=lambda t: (-t[1], t[0]),
+    )[:5]
+    assert ids == [i for i, _ in cos]
+
+    # _mtermvectors over the text index (doc 7 exists, 99999 doesn't)
+    mtv = mtermvectors(spark, out, [7, 99999])
+    assert mtv["docs"][0]["found"] is True and mtv["docs"][1]["found"] is False
+
+    # _render/template + _msearch/template
+    scripts = str(tmp_path / "scripts2")
+    put_script(scripts, "t1", {"script": {"source": {
+        "query": {"match": {"text": "{{q}}"}}, "size": "{{n}}",
+    }}})
+    rendered = render_template_body(
+        {"id": "t1", "params": {"q": "spark", "n": 3}}, scripts_dir=scripts,
+    )
+    assert rendered["template_output"] == {
+        "query": {"match": {"text": "spark"}}, "size": 3,
+    }
+    ms = msearch_template(spark, out, [
+        {"id": "t1", "params": {"q": "spark", "n": 3}},
+        {"id": "missing", "params": {}},
+    ], scripts_dir=scripts)
+    assert len(ms[0]["hits"]["hits"]) == 3 and "error" in ms[1]
+
+    # _cat/indices ops rows
+    cat = cat_indices([out, vidx])
+    assert [r["docs_count"] for r in cat] == sorted([101, 40]) or \
+        {r["docs_count"] for r in cat} == {101, 40}
+    assert all(r["store_bytes"] > 0 and r["n_runs"] >= 1 for r in cat)
