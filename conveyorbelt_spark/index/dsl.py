@@ -294,6 +294,9 @@ def _parse_filter_clause(clause: dict, plan: dict, analyzer) -> None:
             plan["or_groups"].append(atoms)  # ES default operator: OR
     elif kind == "match_all":
         pass
+    elif kind in ("prefix", "wildcard", "fuzzy", "regexp"):
+        # multi-term filter: expand over the term_index, one OR group
+        plan["or_groups"].append(_expand_filter_atoms(kind, body))
     elif kind == "bool":
         _parse_filter_bool(body, plan, analyzer)
     elif kind == "constant_score":
@@ -301,6 +304,48 @@ def _parse_filter_clause(clause: dict, plan: dict, analyzer) -> None:
         _parse_filter_clause(body["filter"], plan, analyzer)
     else:
         raise UnsupportedDSL(f"unsupported filter clause {kind!r}")
+
+
+_NO_MATCH_VALUE = "cb-no-match"  # a value no keyword column holds
+
+
+def _expand_filter_atoms(kind: str, body: dict) -> list[tuple]:
+    """A prefix/wildcard/fuzzy/regexp clause in FILTER context → its
+    expansion as posting atoms (constant score, ES's filter rewrite):
+    main-field patterns expand to text-term atoms, keyword fields to a
+    value-membership atom. An empty expansion matches NOTHING (the atom
+    carries an impossible value — never 'filter dropped')."""
+    d = _PARSE_DIR.get()
+    if d is None:
+        raise UnsupportedDSL(
+            f"{kind} in filter context needs the index (no out_dir in "
+            "this parse context)"
+        )
+    field, spec = _one(body)
+    val = str(spec["value"] if isinstance(spec, dict) else spec)
+    sd = spec if isinstance(spec, dict) else {}
+    if field in MAIN_FIELDS:
+        from .query import (
+            expand_fuzzy,
+            expand_prefix,
+            expand_regexp,
+            expand_wildcard,
+        )
+
+        if kind == "prefix":
+            terms = expand_prefix(d, val)
+        elif kind == "wildcard":
+            terms = expand_wildcard(d, val)
+        elif kind == "regexp":
+            terms = expand_regexp(d, val)
+        else:
+            terms = expand_fuzzy(d, val, fuzziness=_fuzz_n(sd.get("fuzziness", 1), val))
+        from .build import KEYWORD_SEP
+
+        terms = [t for t in terms if KEYWORD_SEP not in t]
+        return [("tok", t) for t in terms] or [("tok", _NO_MATCH_VALUE)]
+    vals = _expand_keyword_values(d, kind, field, val, sd)
+    return [("in", field, vals or [_NO_MATCH_VALUE])]
 
 
 def _parse_filter_not(clause: dict, plan: dict, ctx: "_BoolCtx", analyzer) -> None:
@@ -322,6 +367,16 @@ def _parse_filter_not(clause: dict, plan: dict, ctx: "_BoolCtx", analyzer) -> No
             plan["not_atoms"].extend(atoms)
     elif kind in ("term", "terms", "range", "exists"):
         plan["not_atoms"].extend(_filter_atoms(clause, analyzer))
+    elif kind in ("prefix", "wildcard", "fuzzy", "regexp"):
+        # exclusion by expansion: docs carrying ANY matching term/value
+        # are excluded; an empty expansion excludes nothing
+        atoms = _expand_filter_atoms(kind, body)
+        if atoms and atoms[0][0] == "in":
+            _f, field, vals = atoms[0]
+            atoms = [("eq", field, v) for v in vals if v != _NO_MATCH_VALUE]
+        plan["not_atoms"].extend(
+            a for a in atoms if a[1] != _NO_MATCH_VALUE
+        )
     elif kind == "bool":
         _parse_not_bool(body, plan, ctx, analyzer)
     else:
@@ -673,10 +728,65 @@ def _parse_nested(body: dict) -> dict:
     return {"path": path, "clauses": parsed}
 
 
-def parse_query(query: dict, analyzer=None) -> dict:
+def _expand_keyword_values(
+    out_dir: str, kind: str, field: str, val: str, spec: dict,
+) -> list[str]:
+    """prefix/wildcard/fuzzy/regexp on a KEYWORD field: expand the
+    matching stored values over the range-pruned sorted term_index
+    (keyword terms are ``field:value`` entries beside the text terms).
+    Values resolve through the engine's lowercase expansion convention —
+    uppercase stored values miss, the same class of gotcha as ES's
+    term-query-on-analyzed-field."""
+    import re as _re
+
+    from .build import KEYWORD_SEP
+    from .query import (
+        expand_fuzzy,
+        expand_prefix,
+        expand_regexp,
+        expand_wildcard,
+    )
+
+    pref = f"{field}{KEYWORD_SEP}"
+    if kind == "prefix":
+        terms = expand_prefix(out_dir, pref + val, max_expansions=10_000)
+    elif kind == "wildcard":
+        terms = expand_wildcard(out_dir, pref + val, max_expansions=10_000)
+    elif kind == "regexp":
+        terms = expand_regexp(
+            out_dir, _re.escape(pref) + val, max_expansions=10_000
+        )
+    else:
+        terms = expand_fuzzy(
+            out_dir, pref + val,
+            fuzziness=_fuzz_n(spec.get("fuzziness", 1), val),
+            prefix_length=max(1, int(spec.get("prefix_length", 1))),
+        )
+    return sorted(t.split(KEYWORD_SEP, 1)[1] for t in terms if t.startswith(pref))
+
+
+import contextvars as _contextvars
+
+_PARSE_DIR: "_contextvars.ContextVar[str | None]" = _contextvars.ContextVar(
+    "cb_parse_dir", default=None
+)
+
+
+def parse_query(query: dict, analyzer=None, out_dir: str | None = None) -> dict:
     """The query-context half of a request body → engine arguments.
     ``analyzer`` is the index's analyzer config (stats.json), used to
-    tokenize filter-context match clauses exactly like the index did."""
+    tokenize filter-context match clauses exactly like the index did.
+    ``out_dir`` enables the clause shapes that must probe the index at
+    parse time (keyword-field prefix/wildcard/fuzzy/regexp expansion) —
+    carried to the nested filter-context parsers via a contextvar."""
+    token = _PARSE_DIR.set(out_dir)
+    try:
+        return _parse_query_impl(query, analyzer, out_dir)
+    finally:
+        _PARSE_DIR.reset(token)
+
+
+def _parse_query_impl(query: dict, analyzer=None, out_dir: str | None = None) -> dict:
     plan: dict[str, Any] = {
         "query": "", "must": None, "must_not": None, "min_should": 0,
         "filters": {}, "ranges": {}, "phrase": None, "phrase_slop": 0, "mm": None,
@@ -792,7 +902,7 @@ def parse_query(query: dict, analyzer=None) -> dict:
             decoded = json.loads(base64.b64decode(str(body["query"])))
         except (KeyError, ValueError, TypeError) as e:
             raise UnsupportedDSL(f"wrapper query does not decode: {e}") from None
-        return parse_query(decoded, analyzer)
+        return parse_query(decoded, analyzer, out_dir=out_dir)
     elif kind == "multi_match":
         plan["mm"] = {
             "query": body["query"],
@@ -802,7 +912,26 @@ def parse_query(query: dict, analyzer=None) -> dict:
     elif kind in ("prefix", "wildcard", "fuzzy", "regexp"):
         field, spec = _one(body)
         val = spec["value"] if isinstance(spec, dict) else spec
-        plan["expand"] = (kind, str(val), spec if isinstance(spec, dict) else {})
+        if field in MAIN_FIELDS:
+            plan["expand"] = (kind, str(val), spec if isinstance(spec, dict) else {})
+        else:
+            # multi-term query on a KEYWORD field: expand the matching
+            # stored values over the range-pruned term_index and filter —
+            # constant score, ES's constant_score rewrite for these
+            if out_dir is None:
+                raise UnsupportedDSL(
+                    f"{kind} on keyword field {field!r} needs the index "
+                    "(no out_dir in this context)"
+                )
+            vals = _expand_keyword_values(
+                out_dir, kind, field, str(val),
+                spec if isinstance(spec, dict) else {},
+            )
+            if not vals:
+                plan["match_none"] = True
+            else:
+                plan["or_groups"].append([("in", field, vals)])
+                plan["match_all"] = True
     elif kind == "span_near":
         vals = [_span_clause(c) for c in body.get("clauses") or []]
         if len(vals) < 2:
@@ -1864,7 +1993,9 @@ def _knn_search(
         # bucket-local semi-join against the vector scan.
         from .query import bool_doc_ids
 
-        fplan = parse_query({"bool": {"filter": _as_list(spec["filter"])}})
+        fplan = parse_query(
+            {"bool": {"filter": _as_list(spec["filter"])}}, out_dir=out_dir
+        )
         ids = bool_doc_ids(
             spark, out_dir, "", must_not=fplan["must_not"],
             filters=fplan["filters"] or None, ranges=fplan["ranges"] or None,
@@ -2178,7 +2309,10 @@ def validate_query_body(
     invalid with the reason an ES user needs to fix the request."""
     s = Searcher(spark, out_dir)
     try:
-        parse_query((body or {}).get("query"), analyzer=s.stats.get("analyzer"))
+        parse_query(
+            (body or {}).get("query"), analyzer=s.stats.get("analyzer"),
+            out_dir=out_dir,
+        )
     except UnsupportedDSL as e:
         return {"valid": False, "error": str(e)}
     except (KeyError, TypeError, ValueError) as e:
@@ -2207,7 +2341,7 @@ def count_body(
     q = (body or {}).get("query")
     if q is not None:
         q = _resolve_terms_lookups(q, out_dir)
-    plan = parse_query(q, analyzer=s.stats.get("analyzer"))
+    plan = parse_query(q, analyzer=s.stats.get("analyzer"), out_dir=out_dir)
     if plan["match_none"]:
         return {"count": 0}
     filters = plan["filters"] or None
@@ -2257,7 +2391,7 @@ def delete_by_query_body(
     s = Searcher(spark, out_dir)
     plan = parse_query(
         _resolve_terms_lookups((body or {}).get("query"), out_dir),
-        s.stats.get("analyzer"),
+        s.stats.get("analyzer"), out_dir=out_dir,
     )
     blocked = [
         k for k in ("phrase", "span_near", "terms_set", "nested", "mm", "expand",
@@ -2475,7 +2609,7 @@ def update_by_query_body(
     s = Searcher(spark, out_dir)
     plan = parse_query(
         _resolve_terms_lookups((body or {}).get("query"), out_dir),
-        s.stats.get("analyzer"),
+        s.stats.get("analyzer"), out_dir=out_dir,
     )
     blocked = [
         k for k in ("phrase", "span_near", "terms_set", "nested", "mm", "expand",
@@ -2896,7 +3030,9 @@ def search_body(
         }
     if body.get("query") is not None:
         body["query"] = _resolve_terms_lookups(body["query"], out_dir)
-    plan = parse_query(body.get("query"), analyzer=s.stats.get("analyzer"))
+    plan = parse_query(
+        body.get("query"), analyzer=s.stats.get("analyzer"), out_dir=out_dir,
+    )
     if plan["match_none"]:
         # the empty set by definition — no index probe at all
         return {"hits": {"total": {"value": 0, "relation": "eq"}, "hits": []}}

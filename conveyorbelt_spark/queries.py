@@ -5928,6 +5928,79 @@ ORDER BY doc_id
 """
 
 
+def q95_keyword_wildcard(spark, sf_dir):
+    """Scored BM25 query + a KEYWORD-field wildcard filter in one bool
+    (the Kibana "field: src1*" pill): the wildcard expands the stored
+    values over the range-pruned term_index and becomes a posting filter
+    group (`index/dsl.py:_expand_keyword_values`) — constant-score filter
+    context, never a docstore regex scan. DuckDB twin: LIKE + BM25."""
+    import shutil
+    import tempfile
+
+    from .index.build import build_index, write_docstore
+    from .index.dsl import search_body
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="cb_q95_idx_")
+    try:
+        build_index(
+            spark, docs.select("doc_id", "text", "source"), out, url_col=None,
+            n_buckets=8, keyword_cols=("source",),
+        )
+        write_docstore(spark, docs, out, url_col=None, extra_cols=("source",))
+        resp = search_body(spark, out, {
+            "query": {"bool": {
+                "must": [{"match": {"text": "spark join"}}],
+                "filter": [{"wildcard": {"source": "src1*"}}],
+            }},
+            "size": 15,
+            "track_total_hits": True,
+        })
+        rows = [
+            (int(h["_id"]), round(float(h["_score"]), 4))
+            for h in resp["hits"]["hits"]
+        ]
+        total = int(resp["hits"]["total"]["value"])
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(d, sc, total) for d, sc in rows],
+        "doc_id long, score double, total long",
+    ).orderBy("doc_id")
+
+
+Q95_SQL = f"""
+WITH toks AS ({_TOKENS_SQL}),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks WHERE term != '' GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+q AS (SELECT unnest(['spark', 'join']) AS term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf WHERE term IN (SELECT term FROM q) GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl)))) AS raw
+  FROM tf
+  JOIN df ON tf.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  WHERE tf.doc_id IN (SELECT doc_id FROM documents WHERE source LIKE 'src1%')
+  GROUP BY tf.doc_id
+  HAVING count(DISTINCT tf.term) = 2  -- engine must-semantics: ALL terms
+)
+SELECT s.doc_id, round(s.raw, 4) AS score,
+       (SELECT count(*) FROM scored) AS total
+FROM (SELECT * FROM scored ORDER BY raw DESC, doc_id ASC LIMIT 15) s
+ORDER BY s.doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -6023,6 +6096,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q92_filtered_facets": q92_filtered_facets,
     "q93_terms_lookup": q93_terms_lookup,
     "q94_filtered_knn": q94_filtered_knn,
+    "q95_keyword_wildcard": q95_keyword_wildcard,
 }
 
 ORACLES: dict[str, str] = {
@@ -6120,4 +6194,5 @@ ORACLES: dict[str, str] = {
     "q92_filtered_facets": Q92_SQL,
     "q93_terms_lookup": Q93_SQL,
     "q94_filtered_knn": Q94_SQL,
+    "q95_keyword_wildcard": Q95_SQL,
 }

@@ -248,3 +248,84 @@ def test_knn_filter_mtv_render_cat(spark, pfroot, tmp_path):
     assert [r["docs_count"] for r in cat] == sorted([101, 40]) or \
         {r["docs_count"] for r in cat} == {101, 40}
     assert all(r["store_bytes"] > 0 and r["n_runs"] >= 1 for r in cat)
+
+
+def test_keyword_field_expansion(spark, tmp_path):
+    """prefix/wildcard on a KEYWORD field expand the stored values over
+    the term_index and filter (constant score) — previously these silently
+    expanded against the main-text dictionary."""
+    from conveyorbelt_spark.index.build import build_index, write_docstore
+    from conveyorbelt_spark.index.dsl import count_body, search_body
+
+    out = str(tmp_path / "kwidx")
+    rows = [
+        (i, "spark join", ["alpha", "alps", "beta", "gamma"][i % 4])
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, cat string")
+    build_index(
+        spark, docs, out, url_col=None, n_buckets=2, keyword_cols=("cat",),
+    )
+    write_docstore(spark, docs, out, url_col=None, extra_cols=("cat",))
+    pre = search_body(spark, out, {
+        "query": {"prefix": {"cat": {"value": "alp"}}},
+        "sort": [{"doc_id": "asc"}], "size": 40, "track_total_hits": True,
+    })
+    ids = [h["_id"] for h in pre["hits"]["hits"]]
+    assert ids == [i for i in range(40) if i % 4 in (0, 1)]
+    assert pre["hits"]["total"]["value"] == 20
+    wc = count_body(spark, out, {"query": {"wildcard": {"cat": "*ta"}}})
+    assert wc == {"count": 10}  # beta only
+    none = search_body(spark, out, {"query": {"prefix": {"cat": "zz"}}})
+    assert none["hits"]["hits"] == [] and none["hits"]["total"]["value"] == 0
+    # main-field expansion unchanged
+    mf = search_body(spark, out, {"query": {"prefix": {"text": "spa"}}, "size": 3})
+    assert len(mf["hits"]["hits"]) == 3
+
+
+def test_filter_context_expansions(spark, tmp_path):
+    """wildcard/prefix/fuzzy in FILTER and MUST_NOT context: constant
+    score, expansion over the term_index; empty expansions match nothing
+    (filter) / exclude nothing (must_not)."""
+    from conveyorbelt_spark.index.build import build_index, write_docstore
+    from conveyorbelt_spark.index.dsl import search_body
+
+    out = str(tmp_path / "fxidx")
+    rows = [
+        (i, ("spark join" if i % 2 else "window merge"),
+         ["alpha", "beta"][i % 2])
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, cat string")
+    build_index(spark, docs, out, url_col=None, n_buckets=2, keyword_cols=("cat",))
+    write_docstore(spark, docs, out, url_col=None, extra_cols=("cat",))
+    # main-field wildcard filter: docs containing a token matching wind*
+    r = search_body(spark, out, {
+        "query": {"bool": {"filter": [{"wildcard": {"text": "wind*"}}]}},
+        "sort": [{"doc_id": "asc"}], "size": 30,
+    })
+    assert [h["_id"] for h in r["hits"]["hits"]] == [i for i in range(30) if i % 2 == 0]
+    # keyword prefix filter composes with a scored must
+    r2 = search_body(spark, out, {
+        "query": {"bool": {
+            "must": [{"match": {"text": "spark"}}],
+            "filter": [{"prefix": {"cat": "al"}}],
+        }},
+        "size": 30,
+    })
+    assert [h["_id"] for h in r2["hits"]["hits"]] == []  # spark docs are beta
+    # must_not wildcard excludes the matching expansion
+    r3 = search_body(spark, out, {
+        "query": {"bool": {
+            "must": [{"match": {"text": "spark join"}}],
+            "must_not": [{"wildcard": {"cat": "bet*"}}],
+        }},
+        "size": 30,
+    })
+    assert r3["hits"]["hits"] == []
+    # empty filter expansion matches nothing
+    r4 = search_body(spark, out, {
+        "query": {"bool": {"filter": [{"prefix": {"cat": "zz"}}]}},
+        "sort": [{"doc_id": "asc"}], "size": 5,
+    })
+    assert r4["hits"]["hits"] == []
