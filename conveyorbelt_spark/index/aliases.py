@@ -149,6 +149,21 @@ def search_body_multi(spark: SparkSession, out_dirs: list[str], body: dict) -> d
     size = int(body.get("size", 10))
     from_ = int(body.get("from", 0))
     sort_spec = body.get("sort")
+    # ES indices_boost: per-index score multipliers, matched by the index
+    # dir or its basename ("*" = every index)
+    boosts: dict[str, float] = {}
+    for entry in body.pop("indices_boost", None) or []:
+        for name, factor in entry.items():
+            boosts[str(name)] = float(factor)
+    if boosts and sort_spec:
+        raise UnsupportedDSL("indices_boost applies to scored merges only")
+
+    def _boost(d: str) -> float:
+        import os as _os
+
+        base = _os.path.basename(_os.path.normpath(d))
+        return boosts.get(d, boosts.get(base, boosts.get("*", 1.0)))
+
     sub = dict(body)
     sub["size"] = size + from_
     sub.pop("from", None)
@@ -161,8 +176,11 @@ def search_body_multi(spark: SparkSession, out_dirs: list[str], body: dict) -> d
         total += int(t["value"])
         if t.get("relation") != "eq":
             relation = "gte"
+        b = _boost(d)
         for h in resp["hits"]["hits"]:
             h["_index"] = d
+            if b != 1.0 and h.get("_score") is not None:
+                h["_score"] = float(h["_score"]) * b
             hits.append(h)
     if sort_spec and not _score_sort(sort_spec):
         dirs_flags = []

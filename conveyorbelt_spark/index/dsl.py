@@ -796,7 +796,7 @@ def _parse_query_impl(query: dict, analyzer=None, out_dir: str | None = None) ->
         "dis_max": None, "boosting": None, "fscore": None,
         "phrase_prefix": None, "span_near": None, "terms_set": None,
         "nested": None, "rank_feature": None, "rf_boosts": [],
-        "pinned": None,
+        "pinned": None, "script_score": None,
     }
     if query is None:
         plan["match_all"] = True
@@ -878,6 +878,27 @@ def _parse_query_impl(query: dict, analyzer=None, out_dir: str | None = None) ->
         }
     elif kind == "function_score":
         plan["fscore"] = _parse_function_score(body)
+    elif kind == "script_score":
+        import re as _re
+
+        from .query import _parse_script
+
+        if body.get("query") is None or body.get("script") is None:
+            raise UnsupportedDSL("script_score needs query and script")
+        sc = body["script"]
+        src = sc["source"] if isinstance(sc, dict) else str(sc)
+        params = (sc.get("params") or {}) if isinstance(sc, dict) else {}
+        # _score rides the params mapping (the painless-subset grammar
+        # knows params/doc names only)
+        src = _re.sub(r"(?<![\w.])_score\b", "params._score", src)
+        try:
+            node = _parse_script(src)
+        except ValueError as e:
+            raise UnsupportedDSL(str(e)) from None
+        plan["script_score"] = {
+            "query": body["query"], "node": node, "params": dict(params),
+            "min_score": body.get("min_score"),
+        }
     elif kind == "rank_feature":
         plan["rank_feature"] = [_parse_rank_feature(body)]
     elif kind == "distance_feature":
@@ -1067,6 +1088,15 @@ def _parse_query_string(body, plan: dict, analyzer) -> None:
     if isinstance(body, dict):
         q = str(body["query"])
         default_op = str(body.get("default_operator", "or")).lower()
+        if body.get("fields"):
+            # never silently search the wrong field: only the main text
+            # field (optionally starred/boost-suffixed) is accepted here
+            names = [str(f).partition("^")[0] for f in body["fields"]]
+            if not all(n in ("", "*") or n in MAIN_FIELDS for n in names):
+                raise UnsupportedDSL(
+                    "query_string fields beyond the main text field are "
+                    "unsupported (use multi_match or field:value terms)"
+                )
     else:
         q, default_op = str(body), "or"
     for bad, why in (
@@ -1932,6 +1962,44 @@ def _apply_rf_boosts(
     return rows
 
 
+def _script_score_rows(
+    s: Searcher, out_dir: str, spec: dict,
+) -> list[tuple[int, float]]:
+    """ES script_score: every matching doc re-scored by the painless-
+    subset script (``doc['f'].value`` docstore refs, ``params.*``, and
+    ``_score`` = the query's BM25 score). Ranking changes post-hoc, so
+    the base is the FULL matching set (the compound pattern) + one
+    bucket-pruned docstore lookup. Negative scores raise, like ES; the
+    body-level ``min_score`` drops docs below the floor."""
+    from .build import lookup_docs
+    from .query import eval_doc_script
+
+    base = _clause_scores(s, spec["query"])
+    if not base:
+        return []
+    meta = lookup_docs(out_dir, list(base))
+    rows = []
+    floor = spec.get("min_score")
+    for d, sc in base.items():
+        params = {**spec["params"], "_score": float(sc)}
+        v = eval_doc_script(spec["node"], params, dict(meta.get(d) or {}))
+        if v is None:
+            raise ValueError(
+                f"script_score: doc {d} is missing a script operand "
+                f"(ES errors here too — guard with a 'missing'-style param)"
+            )
+        v = float(v)
+        if v < 0:
+            raise ValueError(
+                "script_score must not produce negative scores (ES contract)"
+            )
+        if floor is not None and v < float(floor):
+            continue
+        rows.append((d, v))
+    rows.sort(key=lambda t: (-t[1], t[0]))
+    return rows
+
+
 def _phrase_prefix_rows(
     s: Searcher, out_dir: str, spec: dict
 ) -> list[tuple[int, float]]:
@@ -2295,6 +2363,44 @@ def mtermvectors(
             s.termvectors(int(d), term_statistics=term_statistics)
             for d in ids
         ]
+    }
+
+
+def explain_doc_body(
+    spark: SparkSession, out_dir: str, doc_id: int, body: dict, *,
+    searcher: Searcher | None = None,
+) -> dict:
+    """ES ``GET /<index>/_explain/<id>``: why (and how) ONE document
+    scores against a query body — the per-hit BM25 decomposition
+    (``Searcher.explain``), or matched:false with the reason. Scored
+    match/bool shapes (the explain kernel's contract)."""
+    s = searcher if searcher is not None and searcher.out_dir == out_dir \
+        else Searcher(spark, out_dir)
+    plan = parse_query(
+        (body or {}).get("query"), analyzer=s.stats.get("analyzer"),
+        out_dir=out_dir,
+    )
+    blocked = [
+        k for k in ("phrase", "span_near", "terms_set", "nested", "mm",
+                    "expand", "mlt", "ids", "dis_max", "boosting", "fscore",
+                    "phrase_prefix", "rank_feature", "script_score", "pinned")
+        if plan.get(k) is not None
+    ]
+    if blocked or plan["rf_boosts"] or plan["match_all"] or plan["match_none"]:
+        raise UnsupportedDSL(
+            "_explain supports relevance-ranked match/bool queries"
+        )
+    exp = s.explain(
+        plan["query"], int(doc_id), must=plan["must"],
+        must_not=plan["must_not"], min_should=plan["min_should"],
+        filters=plan["filters"] or None, ranges=plan["ranges"] or None,
+        or_groups=plan["or_groups"] or None,
+        not_atoms=plan["not_atoms"] or None,
+    )
+    return {
+        "_id": int(doc_id),
+        "matched": bool(exp.get("matched", exp.get("value") is not None)),
+        "explanation": exp,
     }
 
 
@@ -3056,6 +3162,7 @@ def search_body(
     compound = (
         plan["dis_max"] is not None or plan["boosting"] is not None
         or plan["fscore"] is not None or plan["phrase_prefix"] is not None
+        or plan["script_score"] is not None
     )
     featured = plan["rank_feature"] is not None or bool(plan["rf_boosts"])
     if featured and (
@@ -3306,6 +3413,8 @@ def search_body(
             full = _boosting_rows(s, plan["boosting"])
         elif plan["fscore"] is not None:
             full = _fscore_rows(s, out_dir, plan["fscore"])
+        elif plan["script_score"] is not None:
+            full = _script_score_rows(s, out_dir, plan["script_score"])
         else:
             full = _phrase_prefix_rows(s, out_dir, plan["phrase_prefix"])
         compound_total = len(full)

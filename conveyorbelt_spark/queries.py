@@ -6001,6 +6001,80 @@ ORDER BY s.doc_id
 """
 
 
+def q96_script_score(spark, sf_dir):
+    """ES script_score: every matching doc re-scored by a painless-subset
+    script over ``_score`` and a stored docstore field
+    (`index/dsl.py:_script_score_rows` — full-matching-set base + one
+    bucket-pruned docstore lookup, the compound exactness pattern).
+    DuckDB twin recomputes BM25 (OR semantics) and the same expression."""
+    import shutil
+    import tempfile
+
+    from .index.build import build_index, write_docstore
+    from .index.dsl import search_body
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="cb_q96_idx_")
+    try:
+        build_index(spark, docs.select("doc_id", "text"), out, url_col=None, n_buckets=8)
+        write_docstore(spark, docs, out, url_col=None, extra_cols=("n_chars",))
+        resp = search_body(spark, out, {
+            "query": {"script_score": {
+                "query": {"match": {"text": "spark join"}},
+                "script": {
+                    "source": "_score * params.w + doc['n_chars'].value / 10000",
+                    "params": {"w": 2.0},
+                },
+            }},
+            "size": 12,
+        })
+        rows = [
+            (int(h["_id"]), round(float(h["_score"]), 4))
+            for h in resp["hits"]["hits"]
+        ]
+        total = int(resp["hits"]["total"]["value"])
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(d, sc, total) for d, sc in rows],
+        "doc_id long, score double, total long",
+    ).orderBy("doc_id")
+
+
+Q96_SQL = f"""
+WITH toks AS ({_TOKENS_SQL}),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks WHERE term != '' GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+q AS (SELECT unnest(['spark', 'join']) AS term),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf WHERE term IN (SELECT term FROM q) GROUP BY term),
+bm AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl)))) AS raw
+  FROM tf
+  JOIN df ON tf.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+scripted AS (
+  SELECT b.doc_id, b.raw * 2.0 + d.n_chars / 10000.0 AS score
+  FROM bm b JOIN documents d USING (doc_id)
+)
+SELECT s.doc_id, round(s.score, 4) AS score,
+       (SELECT count(*) FROM scripted) AS total
+FROM (SELECT * FROM scripted ORDER BY score DESC, doc_id ASC LIMIT 12) s
+ORDER BY s.doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -6097,6 +6171,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q93_terms_lookup": q93_terms_lookup,
     "q94_filtered_knn": q94_filtered_knn,
     "q95_keyword_wildcard": q95_keyword_wildcard,
+    "q96_script_score": q96_script_score,
 }
 
 ORACLES: dict[str, str] = {
@@ -6195,4 +6270,5 @@ ORACLES: dict[str, str] = {
     "q93_terms_lookup": Q93_SQL,
     "q94_filtered_knn": Q94_SQL,
     "q95_keyword_wildcard": Q95_SQL,
+    "q96_script_score": Q96_SQL,
 }

@@ -295,3 +295,68 @@ def test_rrf_retriever(spark, rfroot):
                 {"standard": {"query": {"match": {"text": "spark"}}}},
             ]}},
         })
+
+
+def test_script_score(spark, rfroot):
+    """script_score: every matching doc re-scored by the painless-subset
+    script over _score + docstore fields; negative scores raise; body
+    min_score floors."""
+    import pytest as _pt
+
+    out, rows = rfroot
+    s = Searcher(spark, out)
+    base = dict(s.search_rows("spark join", BIG, prune=False))
+    body = {"query": {"script_score": {
+        "query": {"match": {"text": "spark join"}},
+        "script": {
+            "source": "_score * params.w + doc['pop'].value / 1000",
+            "params": {"w": 2.0},
+        },
+    }}, "size": 6}
+    resp = search_body(spark, out, body)
+    pop = {i: p for i, _, p, _, _ in rows}
+    want = sorted(
+        ((d, sc * 2.0 + pop[d] / 1000) for d, sc in base.items()),
+        key=lambda t: (-t[1], t[0]),
+    )[:6]
+    got = [(h["_id"], h["_score"]) for h in resp["hits"]["hits"]]
+    assert got == [(d, _pt.approx(v, rel=1e-9)) for d, v in want]
+    assert resp["hits"]["total"] == {"value": len(base), "relation": "eq"}
+    with _pt.raises(ValueError, match="negative"):
+        search_body(spark, out, {"query": {"script_score": {
+            "query": {"match": {"text": "spark"}},
+            "script": {"source": "_score - 1000"},
+        }}})
+
+
+def test_explain_doc_and_indices_boost(spark, rfroot, tmp_path):
+    from conveyorbelt_spark.index.aliases import search_body_multi
+    from conveyorbelt_spark.index.build import build_index, write_docstore
+    from conveyorbelt_spark.index.dsl import explain_doc_body
+
+    out, rows = rfroot
+    s = Searcher(spark, out)
+    top = s.search_rows("spark join", 1)
+    d0, sc0 = top[0]
+    exp = explain_doc_body(spark, out, d0, {"query": {"match": {"text": "spark join"}}})
+    assert exp["matched"] is True
+    assert exp["explanation"]["value"] == pytest.approx(sc0)
+    miss = explain_doc_body(spark, out, 10**9, {"query": {"match": {"text": "spark join"}}})
+    assert miss["matched"] is False
+
+    # indices_boost: two copies of the same corpus, one boosted 3x —
+    # its hits outrank the other's, scores scaled
+    other = str(tmp_path / "idx2")
+    docs = spark.createDataFrame(
+        [(i + 5000, t) for i, t, *_ in rows], "doc_id long, text string"
+    )
+    build_index(spark, docs, other, url_col=None, n_buckets=2)
+    write_docstore(spark, docs, other, url_col=None)
+    resp = search_body_multi(spark, [out, other], {
+        "query": {"match": {"text": "spark join"}},
+        "size": 6,
+        "indices_boost": [{other: 3.0}],
+    })
+    hits = resp["hits"]["hits"]
+    assert all(h["_index"] == other for h in hits)
+    assert all(h["_id"] >= 5000 for h in hits)
