@@ -854,6 +854,36 @@ def _parse_query_impl(query: dict, analyzer=None, out_dir: str | None = None) ->
         plan["phrase"] = spec["query"] if isinstance(spec, dict) else str(spec)
         if isinstance(spec, dict) and spec.get("slop"):
             plan["phrase_slop"] = int(spec["slop"])
+    elif kind == "match_bool_prefix":
+        # ES search-as-you-type: every analyzed token a should term, the
+        # LAST token a prefix — expanded over the range-pruned term_index
+        # at parse time into the same should bag (each expansion scores as
+        # its own term, a doc matches on any — ES's term+prefix bool)
+        _f, spec = _one(body)
+        if _f not in MAIN_FIELDS:
+            raise UnsupportedDSL(
+                "match_bool_prefix is supported on the main text field only"
+            )
+        text = spec["query"] if isinstance(spec, dict) else str(spec)
+        toks = [t for t in str(text).lower().split() if t]
+        if not toks:
+            plan["match_none"] = True
+            return plan
+        if out_dir is None:
+            raise UnsupportedDSL(
+                "match_bool_prefix needs the index (no out_dir in this "
+                "context)"
+            )
+        from .build import KEYWORD_SEP
+        from .query import expand_prefix
+
+        max_exp = int(spec.get("max_expansions", 50)) if isinstance(spec, dict) else 50
+        exp = [
+            t for t in expand_prefix(out_dir, toks[-1], max_expansions=max_exp)
+            if KEYWORD_SEP not in t
+        ]
+        bag = toks[:-1] + sorted(set(exp) | {toks[-1]})
+        plan["query"] = " ".join(bag)
     elif kind == "match_phrase_prefix":
         _field, spec = _one(body)
         plan["phrase_prefix"] = {

@@ -2303,6 +2303,11 @@ def _dh_spec(body: dict) -> tuple[str, object]:
     floor, exactly ES's fixed_interval rounding)."""
     import re as _re
 
+    if body.get("offset"):
+        raise ValueError(
+            "date_histogram offset is unsupported (numeric histogram "
+            "offset is; shift the field instead)"
+        )
     raw = (
         body.get("calendar_interval") or body.get("fixed_interval")
         or body.get("interval", "day")
@@ -2433,7 +2438,9 @@ def _densify_hist_df(spark, base: "DataFrame", body: dict) -> "DataFrame":
         hi = float(eb["max"]) if hi is None else max(hi, float(eb["max"]))
     if lo is None or hi is None:
         return base.orderBy("key")
-    axis = _hist_bucket_range(float(lo), float(hi), step)
+    axis = _hist_bucket_range(
+        float(lo), float(hi), step, float(body.get("offset", 0) or 0)
+    )
     span = spark.createDataFrame([(float(v),) for v in axis], "key double")
     return (
         span.join(base, "key", "left")
@@ -2442,12 +2449,14 @@ def _densify_hist_df(spark, base: "DataFrame", body: dict) -> "DataFrame":
     )
 
 
-def _hist_bucket_range(lo: float, hi: float, step: float) -> list[float]:
+def _hist_bucket_range(
+    lo: float, hi: float, step: float, offset: float = 0.0,
+) -> list[float]:
     """Numeric-histogram densified axis (min_doc_count: 0)."""
     import math as _math
 
-    lo = _math.floor(lo / step) * step
-    hi = _math.floor(hi / step) * step
+    lo = _math.floor((lo - offset) / step) * step + offset
+    hi = _math.floor((hi - offset) / step) * step + offset
     n = int(round((hi - lo) / step)) + 1
     if n > _DH_MAX_EMPTY_BUCKETS:
         raise ValueError(
@@ -2528,7 +2537,8 @@ def _bucket_expr(kind: str, body: dict):
         )
     if kind == "histogram":
         step = float(body["interval"])
-        return F.floor(F.col(col) / step) * step
+        off = float(body.get("offset", 0) or 0)
+        return F.floor((F.col(col) - off) / step) * step + off
     raise ValueError(f"agg kind {kind!r} is not a bucketing agg (cannot hold sub-aggs)")
 
 
@@ -2953,8 +2963,7 @@ def aggs_over_join(
             else:
                 out[name] = base.orderBy("key")
         elif kind == "histogram":
-            step = float(body["interval"])
-            key = (F.floor(F.col(col) / step) * step).alias("key")
+            key = _bucket_expr(kind, body).alias("key")
             base = joined.groupBy(key).agg(F.count("*").alias("n"))
             if int(body.get("min_doc_count", 1)) == 0:
                 out[name] = _densify_hist_df(joined.sparkSession, base, body)
@@ -4127,7 +4136,8 @@ def _pd_bucket_key(pdf: pd.DataFrame, kind: str, body: dict) -> pd.Series:
         raise ValueError(f"unsupported date_histogram interval {unit!r}")
     if kind == "histogram":
         step = float(body["interval"])
-        return np.floor(pd.to_numeric(vals) / step) * step
+        off = float(body.get("offset", 0) or 0)
+        return np.floor((pd.to_numeric(vals) - off) / step) * step + off
     raise ValueError(f"agg kind {kind!r} is not a bucketing agg (cannot hold sub-aggs)")
 
 
@@ -4381,7 +4391,10 @@ def _aggs_pandas(
                     if eb.get("max") is not None:
                         hi = float(eb["max"]) if hi is None else max(hi, float(eb["max"]))
                     axis = (
-                        _hist_bucket_range(float(lo), float(hi), float(body["interval"]))
+                        _hist_bucket_range(
+                            float(lo), float(hi), float(body["interval"]),
+                            float(body.get("offset", 0) or 0),
+                        )
                         if lo is not None and hi is not None else []
                     )
                 rows_kn = [(k_, got.get(k_, 0)) for k_ in axis] or rows_kn

@@ -6075,6 +6075,76 @@ ORDER BY s.doc_id
 """
 
 
+def q97_match_bool_prefix(spark, sf_dir):
+    """ES match_bool_prefix (search-as-you-type): analyzed tokens as
+    should terms, the LAST token expanded as a prefix over the
+    range-pruned term_index into the same should bag — each expansion
+    scores as its own term (`index/dsl.py` "match_bool_prefix"). DuckDB
+    twin derives the same expansion from the vocabulary (LIKE 's%') and
+    recomputes the OR-semantics BM25."""
+    import shutil
+    import tempfile
+
+    from .index.build import build_index, write_docstore
+    from .index.dsl import search_body
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="cb_q97_idx_")
+    try:
+        build_index(spark, docs.select("doc_id", "text"), out, url_col=None, n_buckets=8)
+        write_docstore(spark, docs, out, url_col=None)
+        resp = search_body(spark, out, {
+            "query": {"match_bool_prefix": {"text": "join s"}},
+            "size": 12,
+            "track_total_hits": True,
+        })
+        rows = [
+            (int(h["_id"]), round(float(h["_score"]), 4))
+            for h in resp["hits"]["hits"]
+        ]
+        total = int(resp["hits"]["total"]["value"])
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        [(d, sc, total) for d, sc in rows],
+        "doc_id long, score double, total long",
+    ).orderBy("doc_id")
+
+
+Q97_SQL = f"""
+WITH toks AS ({_TOKENS_SQL}),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks WHERE term != '' GROUP BY doc_id, term
+),
+dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+),
+q AS (
+  SELECT 'join' AS term
+  UNION
+  SELECT DISTINCT term FROM tf WHERE term LIKE 's%'
+),
+df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf WHERE term IN (SELECT term FROM q) GROUP BY term),
+scored AS (
+  SELECT tf.doc_id,
+         sum(ln(1.0 + (stats.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl.dl / stats.avgdl)))) AS raw
+  FROM tf
+  JOIN df ON tf.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT s.doc_id, round(s.raw, 4) AS score,
+       (SELECT count(*) FROM scored) AS total
+FROM (SELECT * FROM scored ORDER BY raw DESC, doc_id ASC LIMIT 12) s
+ORDER BY s.doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -6172,6 +6242,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q94_filtered_knn": q94_filtered_knn,
     "q95_keyword_wildcard": q95_keyword_wildcard,
     "q96_script_score": q96_script_score,
+    "q97_match_bool_prefix": q97_match_bool_prefix,
 }
 
 ORACLES: dict[str, str] = {
@@ -6271,4 +6342,5 @@ ORACLES: dict[str, str] = {
     "q94_filtered_knn": Q94_SQL,
     "q95_keyword_wildcard": Q95_SQL,
     "q96_script_score": Q96_SQL,
+    "q97_match_bool_prefix": Q97_SQL,
 }

@@ -1245,3 +1245,24 @@ def test_validate_query_api(spark, aroot):
     assert validate_query_body(spark, out, {"query": {"match": {"text": "x"}}}) == {"valid": True}
     bad = validate_query_body(spark, out, {"query": {"frobnicate": {}}})
     assert bad["valid"] is False and "frobnicate" in bad["error"]
+
+
+def test_histogram_offset(spark, aroot):
+    from conveyorbelt_spark.index.query import Searcher
+
+    out, rows, matching = aroot
+    aggs = {"h": {"histogram": {
+        "field": "n_chars", "interval": 100, "offset": 37,
+        "min_doc_count": 0,
+    }}}
+    got = [
+        r.asDict() for r in search_aggs(spark, out, aggs, "spark join")["h"].collect()
+    ]
+    assert Searcher(spark, out).aggs_rows(aggs, "spark join")["h"] == got
+    # bucket keys are step-aligned to the offset
+    assert all((r["key"] - 37) % 100 == 0 for r in got)
+    assert sum(r["n"] for r in got) == len(matching)
+    with pytest.raises(ValueError, match="offset"):
+        search_aggs(spark, out, {"d": {"date_histogram": {
+            "field": "ts", "interval": "day", "offset": "1h",
+        }}}, "spark")

@@ -329,3 +329,23 @@ def test_filter_context_expansions(spark, tmp_path):
         "sort": [{"doc_id": "asc"}], "size": 5,
     })
     assert r4["hits"]["hits"] == []
+
+
+def test_match_bool_prefix(spark, pfroot):
+    from conveyorbelt_spark.index.query import Searcher
+
+    out, _ = pfroot
+    r = search_body(spark, out, {
+        "query": {"match_bool_prefix": {"text": "join sp"}}, "size": 6,
+    })
+    # expansion bag: join + every sp* vocabulary term (spark, sparkk) —
+    # rank-identical to the explicit OR bag
+    s = Searcher(spark, out)
+    truth = s.search_rows("join spark sparkk", 6)
+    assert [(h["_id"], h["_score"]) for h in r["hits"]["hits"]] == [
+        (d, pytest.approx(v)) for d, v in truth
+    ]
+    with pytest.raises(UnsupportedDSL, match="main text field"):
+        search_body(spark, out, {
+            "query": {"match_bool_prefix": {"other": "x y"}},
+        })
