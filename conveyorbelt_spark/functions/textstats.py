@@ -148,3 +148,35 @@ def winnow_fingerprints(
     # complete windows, or the single all-shingles window of a short doc
     keep = (F.col("_n") == window_w) | ((F.col("_mx") < window_w) & (F.col("_n") == F.col("_mx")))
     return winnowed.where(keep).select(id_col, "fp").distinct()
+
+
+def quality_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    min_alnum_ratio: float = 0.6,
+    min_stopword_ratio: float = 0.01,
+    min_quality: float = 0.5,
+) -> DataFrame:
+    """Training-corpus quality GATE (the C4/Gopher-style rule chain):
+    (id, keep, reason) where reason is the FIRST failing rule in a pinned
+    order — too_short / too_long / low_alnum / no_stopwords / low_quality
+    / "" (kept). Built entirely from ``quality_score``'s JVM features;
+    one column-pruned pass, no shuffle — the predicate a 100 TB filter
+    stage pushes straight down onto the scan."""
+    feats = quality_score(df, id_col, text_col)
+    reason = (
+        F.when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
+        .when(F.col("n_tokens") > max_tokens, F.lit("too_long"))
+        .when(F.col("alnum_ratio") < min_alnum_ratio, F.lit("low_alnum"))
+        .when(F.col("stopword_ratio") < min_stopword_ratio, F.lit("no_stopwords"))
+        .when(F.col("quality") < min_quality, F.lit("low_quality"))
+        .otherwise(F.lit(""))
+    )
+    return feats.select(
+        id_col,
+        reason.alias("reason"),
+    ).withColumn("keep", F.col("reason") == "")

@@ -441,3 +441,97 @@ def embedding_near_dups(
         .where(F.col("cos_sim") >= threshold)
         .select("doc_a", "doc_b", F.round("cos_sim", 6).alias("cos_sim"))
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-duplicate pairs → cluster labels: (doc_id, component), the
+    component being the MINIMUM doc_id reachable through the pair graph
+    (the canonical-representative convention every dedup pipeline wants —
+    keep component == doc_id, drop the rest).
+
+    Distributed min-label propagation: labels start as each node's own
+    id; each round every node takes the min of its own and its
+    neighbours' labels (one hash join + one hash agg per round), until a
+    round changes nothing. Rounds needed = graph diameter — near-dup
+    clusters are small and dense (a handful of rounds); a pathological
+    10^6-long chain would need max_iter escalation, which raises rather
+    than silently mislabeling. Each round localCheckpoints to cut the
+    iterative lineage (the known Spark iterative-join pitfall); the edge
+    list is reused across rounds. At 100 TB scale this is the standard
+    alternating-join CC (Kiveris et al. — one shuffle per round, no
+    driver materialization; counts per round are the only actions)."""
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(labels, edges.dst == labels.node)
+            .select(edges.src.alias("node"), "component")
+        )
+        new_labels = (
+            labels.select("node", "component").union(neigh)
+            .groupBy("node").agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select(F.col("node").alias("doc_id"), "component")
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        f"(graph diameter exceeds max_iter — raise it)"
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    *,
+    default_rate: float = 0.0,
+    modulus: int = 10_000,
+) -> DataFrame:
+    """Deterministic stratified sampling for training-mix construction:
+    keep a row iff ``(id × 2654435761) mod modulus < rate × modulus`` for
+    its stratum's rate — a pure JVM filter (Knuth multiplicative hash on
+    the id), no shuffle, no RNG state, reproducible row-for-row across
+    engines and runs (the property training pipelines need for exact
+    re-builds and A/B holdouts). Strata absent from ``rates`` keep
+    ``default_rate``. Scale: predicate-only — pushes to the scan."""
+    KNUTH = 2654435761
+    # fold the id below 2^30 first so id × KNUTH stays inside int64 under
+    # ANSI arithmetic (xxhash-derived ids are ~2^62)
+    folded = F.pmod(F.col(id_col).cast("long"), F.lit(1_000_000_007))
+    bucket = F.pmod(folded * F.lit(KNUTH), F.lit(modulus))
+    cond = F.lit(False)
+    for stratum, rate in rates.items():
+        cond = cond | (
+            (F.col(stratum_col) == stratum) & (bucket < int(rate * modulus))
+        )
+    if default_rate > 0:
+        known = list(rates)
+        cond = cond | (
+            ~F.col(stratum_col).isin(known)
+            & (bucket < int(default_rate * modulus))
+        )
+    return df.where(cond)

@@ -6145,6 +6145,149 @@ ORDER BY s.doc_id
 """
 
 
+def q98_dedup_components(spark, sf_dir):
+    """Near-dup CLUSTERING: docs sharing a winnowing fingerprint become
+    edges; distributed min-label propagation
+    (`operators/dedup.py:connected_components` — one hash join + hash agg
+    per round, localCheckpointed lineage) labels every clustered doc with
+    its component = min reachable doc_id (the canonical-representative
+    rule a dedup pipeline keeps). DuckDB twin: the SAME fingerprint pairs
+    (q30's proven winnowing twin) + a recursive reachability CTE."""
+    from .functions.textstats import winnow_fingerprints
+    from .operators.dedup import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(docs)
+    a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return connected_components(pairs).orderBy("doc_id")
+
+
+Q98_SQL = f"""
+WITH fps AS ({Q30_SQL.replace("ORDER BY doc_id, fp", "")}),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+),
+edges AS (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION
+  SELECT b AS src, a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach AS (
+  WITH RECURSIVE r(src, dst) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src
+  )
+  SELECT * FROM r
+)
+SELECT src AS doc_id, min(dst) AS component
+FROM reach GROUP BY src ORDER BY doc_id
+"""
+
+
+def q99_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling for training-mix construction
+    (`operators/dedup.py:stratified_sample`): per-stratum keep rates via a
+    Knuth multiplicative hash on the doc id — a pure JVM predicate (no
+    shuffle, no RNG state), bit-reproducible across engines and runs.
+    DuckDB twin applies the identical arithmetic."""
+    from .operators.dedup import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = stratified_sample(
+        docs, {"src0": 1.0, "src1": 0.5, "src2": 0.25}, stratum_col="source",
+        default_rate=0.1,
+    )
+    return (
+        kept.groupBy("source")
+        .agg(F.count("*").alias("kept"), F.sum("doc_id").alias("id_sum"))
+        .orderBy("source")
+    )
+
+
+Q99_SQL = """
+WITH hashed AS (
+  SELECT *, ((doc_id % 1000000007) * 2654435761) % 10000 AS bucket
+  FROM documents
+),
+kept AS (
+  SELECT * FROM hashed
+  WHERE (source = 'src0' AND bucket < 10000)
+     OR (source = 'src1' AND bucket < 5000)
+     OR (source = 'src2' AND bucket < 2500)
+     OR (source NOT IN ('src0', 'src1', 'src2') AND bucket < 1000)
+)
+SELECT source, count(*) AS kept, sum(doc_id) AS id_sum
+FROM kept GROUP BY source ORDER BY source
+"""
+
+
+def q100_quality_filter(spark, sf_dir):
+    """Training-corpus quality GATE (C4/Gopher-style rule chain over the
+    JVM quality features — `functions/textstats.py:quality_filter`):
+    every doc labeled keep/drop with the FIRST failing rule as the
+    reason, then the per-reason census a pipeline dashboard shows.
+    DuckDB twin recomputes the identical features and rule order."""
+    from .functions.textstats import quality_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    verdicts = quality_filter(
+        docs, min_tokens=30, min_alnum_ratio=0.7,
+        min_stopword_ratio=0.02, min_quality=0.55,
+    )
+    return (
+        verdicts.groupBy("reason")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+        .orderBy("reason")
+    )
+
+
+Q100_SQL = """
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), t -> t != '') AS arr
+  FROM documents
+),
+feats AS (
+  SELECT doc_id,
+         len(arr) AS n_tokens,
+         length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+           / greatest(length(text), 1) AS alnum_ratio,
+         len(list_filter(arr, t -> list_contains(['the','and','of','to','is','that','with'], t)))
+           / greatest(len(arr), 1) AS stopword_ratio
+  FROM base
+),
+verdicts AS (
+  SELECT doc_id,
+         CASE
+           WHEN n_tokens < 30 THEN 'too_short'
+           WHEN n_tokens > 100000 THEN 'too_long'
+           WHEN alnum_ratio < 0.7 THEN 'low_alnum'
+           WHEN stopword_ratio < 0.02 THEN 'no_stopwords'
+           WHEN least(n_tokens / 100.0, 1.0) * 0.4
+                + least(stopword_ratio * 4.0, 1.0) * 0.3
+                + alnum_ratio * 0.3 < 0.55 THEN 'low_quality'
+           ELSE ''
+         END AS reason
+  FROM feats
+)
+SELECT reason, count(*) AS docs, sum(doc_id) AS id_sum
+FROM verdicts GROUP BY reason ORDER BY reason
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -6243,6 +6386,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q95_keyword_wildcard": q95_keyword_wildcard,
     "q96_script_score": q96_script_score,
     "q97_match_bool_prefix": q97_match_bool_prefix,
+    "q98_dedup_components": q98_dedup_components,
+    "q99_stratified_sample": q99_stratified_sample,
+    "q100_quality_filter": q100_quality_filter,
 }
 
 ORACLES: dict[str, str] = {
@@ -6343,4 +6489,7 @@ ORACLES: dict[str, str] = {
     "q95_keyword_wildcard": Q95_SQL,
     "q96_script_score": Q96_SQL,
     "q97_match_bool_prefix": Q97_SQL,
+    "q98_dedup_components": Q98_SQL,
+    "q99_stratified_sample": Q99_SQL,
+    "q100_quality_filter": Q100_SQL,
 }

@@ -198,3 +198,69 @@ def test_quality_and_tokens_and_fp(spark, docs):
     assert t[5].ws_tokens == 0
     fp = {r.doc_id: r.fp for r in fingerprint(docs).collect()}
     assert fp[1] == fp[4] != fp[2]
+
+
+def test_connected_components_chain_and_convergence(spark):
+    """Min-label propagation handles chains (diameter > 1 round) and
+    disjoint clusters; non-convergence raises instead of mislabeling."""
+    from conveyorbelt_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (12, 11), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["doc_id"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+    import pytest as _pt
+
+    with _pt.raises(RuntimeError, match="converge"):
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(10)], "doc_a long, doc_b long"
+        )
+        connected_components(chain, max_iter=2)
+
+
+def test_stratified_sample_deterministic(spark):
+    from conveyorbelt_spark.operators.dedup import stratified_sample
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = stratified_sample(
+        df, {"a": 1.0, "b": 0.5}, stratum_col="source", default_rate=0.0
+    )
+    got = kept.groupBy("source").count().collect()
+    counts = {r["source"]: r["count"] for r in got}
+    assert counts["a"] == 1000            # rate 1.0 keeps everything
+    assert 400 <= counts.get("b", 0) <= 600  # ~half
+    assert "c" not in counts              # default 0 drops the stratum
+    # bit-reproducible: the same call returns the same rows
+    ids1 = sorted(r["doc_id"] for r in kept.collect())
+    ids2 = sorted(
+        r["doc_id"] for r in stratified_sample(
+            df, {"a": 1.0, "b": 0.5}, stratum_col="source", default_rate=0.0
+        ).collect()
+    )
+    assert ids1 == ids2
+
+
+def test_quality_filter_reasons(spark):
+    from conveyorbelt_spark.functions.textstats import quality_filter
+
+    rows = [
+        (1, "the and of to is that with " * 20),          # kept
+        (2, "tiny"),                                       # too_short
+        (3, "the @@@@@@@@@@@@@@@@@@@@ " * 15),             # low_alnum
+        (4, "zebra quark flux node grid " * 20),           # no stopwords
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["keep"], r["reason"])
+        for r in quality_filter(df, min_tokens=10).collect()
+    }
+    assert got[1] == (True, "")
+    assert got[2] == (False, "too_short")
+    assert got[3] == (False, "low_alnum")
+    assert got[4] == (False, "no_stopwords")
