@@ -3248,6 +3248,7 @@ def search_body(
         )
     collapse = body.get("collapse")
     collapse_vals: dict[int, Any] = {}
+    collapse_inner: dict[int, dict] = {}
     if collapse is not None and (
         sort_spec or after is not None or plan["phrase"] is not None
         or plan["mm"] is not None or plan["expand"] is not None
@@ -3543,19 +3544,56 @@ def search_body(
         )
         rows = [(r.doc_id, plan["boost"]) for r in ids][from_:]
     elif collapse is not None:
-        from .query import collapse_topk
+        from .query import collapse_groups, collapse_topk
 
         cfield = (
             collapse["field"] if isinstance(collapse, dict) else str(collapse)
         )
-        crows = collapse_topk(
-            spark, out_dir, plan["query"] or "", cfield, size + from_,
-            must=plan["must"], must_not=plan["must_not"],
-            min_should=plan["min_should"], filters=filters, ranges=ranges,
-            or_groups=or_groups, not_atoms=not_atoms,
-        ).collect()
-        collapse_vals = {int(r[0]): r[2] for r in crows}
-        rows = [(int(r[0]), float(r[1])) for r in crows][from_:]
+        ih = collapse.get("inner_hits") if isinstance(collapse, dict) else None
+        if ih is not None:
+            # ES collapse inner_hits: each group head also carries its
+            # group's top-N members (one window rank + a broadcast
+            # group-selection join — see query.collapse_groups)
+            ih_name = str(ih.get("name", "inner"))
+            ih_size = int(ih.get("size", 3))
+            grows = collapse_groups(
+                spark, out_dir, plan["query"] or "", cfield, size + from_,
+                max(ih_size, 1),
+                must=plan["must"], must_not=plan["must_not"],
+                min_should=plan["min_should"], filters=filters, ranges=ranges,
+                or_groups=or_groups, not_atoms=not_atoms,
+            ).collect()
+            members: dict = {}
+            heads = []
+            for r in grows:
+                d, sc, val, rk = int(r[0]), float(r[1]), r[2], int(r[3])
+                members.setdefault(val, []).append((d, sc))
+                if rk == 1:
+                    heads.append((d, sc, val))
+            heads.sort(key=lambda t: (-t[1], t[0]))
+            collapse_vals = {d: val for d, _sc, val in heads}
+            collapse_inner = {
+                d: {
+                    "name": ih_name,
+                    "hits": [
+                        {"_id": md, "_score": msc}
+                        for md, msc in sorted(
+                            members.get(val, []), key=lambda t: (-t[1], t[0])
+                        )
+                    ],
+                }
+                for d, _sc, val in heads
+            }
+            rows = [(d, sc) for d, sc, _v in heads][from_:]
+        else:
+            crows = collapse_topk(
+                spark, out_dir, plan["query"] or "", cfield, size + from_,
+                must=plan["must"], must_not=plan["must_not"],
+                min_should=plan["min_should"], filters=filters, ranges=ranges,
+                or_groups=or_groups, not_atoms=not_atoms,
+            ).collect()
+            collapse_vals = {int(r[0]): r[2] for r in crows}
+            rows = [(int(r[0]), float(r[1])) for r in crows][from_:]
     elif rescore is not None:
         specs = rescore if isinstance(rescore, list) else [rescore]
         need = max(size + from_, _rescore_window(specs))
@@ -3608,6 +3646,11 @@ def search_body(
             hit["sort"] = [float(sc), int(d)]
         if collapse is not None and d in collapse_vals:
             hit["fields"] = {cfield: [collapse_vals[d]]}
+            if d in collapse_inner:
+                ihd = collapse_inner[d]
+                hit["inner_hits"] = {
+                    ihd["name"]: {"hits": {"hits": ihd["hits"]}}
+                }
         if (script_fields or fields_req) and d in meta:
             fvals = _hit_field_values(script_fields, fields_req, meta[d])
             if fvals:

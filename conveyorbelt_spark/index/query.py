@@ -2217,6 +2217,56 @@ def collapse_topk(
     )
 
 
+def collapse_groups(
+    spark: SparkSession,
+    out_dir: str,
+    query: str,
+    field: str,
+    k: int = 10,
+    inner_size: int = 3,
+    *,
+    must: str | None = None,
+    must_not: str | None = None,
+    min_should: int = 0,
+    filters: dict | None = None,
+    ranges: dict | None = None,
+    or_groups: list | None = None,
+    not_atoms: list | None = None,
+) -> DataFrame:
+    """Field collapsing WITH inner_hits: the top-k groups (ranked by their
+    best doc, exactly ``collapse_topk``) plus each selected group's top
+    ``inner_size`` members. Same full-set scoring + one window rank; the
+    group-selection join broadcasts the k head keys (bounded by the page
+    size), so the extra cost over plain collapsing is one broadcast
+    semi-join — never a second posting scan. Rows: (doc_id, score,
+    <field>, rk) with rk=1 the group head."""
+    from pyspark.sql import Window
+
+    scored = bm25_topk(
+        spark, out_dir, query, None, must=must, must_not=must_not,
+        min_should=min_should, filters=filters, ranges=ranges,
+        or_groups=or_groups, not_atoms=not_atoms,
+    )
+    store = _docstore_scan(spark, out_dir).select("doc_id", field)
+    w = Window.partitionBy(field).orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = (
+        scored.join(store, "doc_id")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= int(inner_size))
+        .localCheckpoint(eager=True)
+    )
+    heads = (
+        ranked.where(F.col("rk") == 1)
+        .orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        .select(F.col(field).alias("_gk"))
+    )
+    return (
+        ranked.join(F.broadcast(heads), ranked[field].eqNullSafe(heads["_gk"]))
+        .drop("_gk")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+    )
+
+
 def search_sorted(
     spark: SparkSession,
     out_dir: str,

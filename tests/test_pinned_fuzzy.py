@@ -349,3 +349,48 @@ def test_match_bool_prefix(spark, pfroot):
         search_body(spark, out, {
             "query": {"match_bool_prefix": {"other": "x y"}},
         })
+
+
+def test_collapse_inner_hits(spark, tmp_path):
+    """collapse.inner_hits: each group head carries its group's top-N
+    members, heads ranked by best score — pinned against the recombined
+    full-ranking truth."""
+    import random as _random
+
+    from conveyorbelt_spark.index.build import build_index, write_docstore
+    from conveyorbelt_spark.index.query import Searcher
+
+    rng = _random.Random(9)
+    W = ["spark", "join", "window", "shuffle"]
+    rows = [
+        (i, " ".join(rng.choices(W, k=8)), ["g0", "g1", "g2", "g3"][i % 4])
+        for i in range(80)
+    ]
+    out = str(tmp_path / "cidx")
+    docs = spark.createDataFrame(rows, "doc_id long, text string, grp string")
+    build_index(spark, docs.select("doc_id", "text"), out, url_col=None, n_buckets=2)
+    write_docstore(spark, docs, out, url_col=None, extra_cols=("grp",))
+    resp = search_body(spark, out, {
+        "query": {"match": {"text": "spark join"}},
+        "collapse": {"field": "grp", "inner_hits": {"name": "top3", "size": 3}},
+        "size": 3,
+    })
+    s = Searcher(spark, out)
+    full = s.search_rows("spark join", 10_000, prune=False)
+    grp = {i: g for i, _, g in rows}
+    by_group: dict = {}
+    for d, sc in sorted(full, key=lambda t: (-t[1], t[0])):
+        by_group.setdefault(grp[d], []).append((d, sc))
+    heads = sorted(
+        ((mem[0][0], mem[0][1], g) for g, mem in by_group.items()),
+        key=lambda t: (-t[1], t[0]),
+    )[:3]
+    hits = resp["hits"]["hits"]
+    assert [h["_id"] for h in hits] == [d for d, _, _ in heads]
+    for h, (_, _, g) in zip(hits, heads):
+        inner = h["inner_hits"]["top3"]["hits"]["hits"]
+        want = by_group[g][:3]
+        assert [(x["_id"], x["_score"]) for x in inner] == [
+            (d, pytest.approx(sc)) for d, sc in want
+        ]
+        assert h["fields"]["grp"] == [g]
