@@ -173,6 +173,40 @@ def _one(d: dict) -> tuple[str, Any]:
 MAIN_FIELDS = ("text", "_text", "")
 
 
+def _reject_clause_boost(b2: dict) -> None:
+    """A per-clause ``boost`` on a match inside bool must/should would be
+    silently dropped by the flat kernel (one score slot) — reject, never
+    mis-rank. Top-level match boost IS supported (a pure scale factor)."""
+    _f, spec = _one(b2)
+    if isinstance(spec, dict) and spec.get("boost") is not None:
+        raise UnsupportedDSL(
+            "per-clause boost inside bool must/should is unsupported "
+            "(the kernel has one score slot; use dis_max or a top-level "
+            "boost)"
+        )
+
+
+def _msm_count(msm, n_clauses: int) -> int:
+    """ES minimum_should_match value → a clause count: an int passes
+    through (negative = n − |v|); a percentage rounds DOWN ("75%" of 4 =
+    3, ES's rule; negative percent = the complement). Combination syntax
+    ("3<90%") is unsupported."""
+    s = str(msm).strip()
+    if s.endswith("%"):
+        pct = float(s[:-1])
+        if pct >= 0:
+            return int(n_clauses * pct / 100.0)
+        return n_clauses - int(n_clauses * (-pct) / 100.0)
+    try:
+        v = int(s)
+    except ValueError:
+        raise UnsupportedDSL(
+            f"minimum_should_match {msm!r} (int or percent only — the "
+            f"conditional '<' combination syntax is unsupported)"
+        ) from None
+    return v if v >= 0 else max(0, n_clauses + v)
+
+
 def _fuzz_n(fuzziness, term: str) -> int:
     """ES fuzziness → edit distance: an int/"1"/"2" passes through,
     "AUTO" (optionally "AUTO:low,high", ES defaults 3,6) derives from the
@@ -511,6 +545,7 @@ def _parse_bool_core(body: dict, plan: dict, analyzer, top: bool = False) -> _Bo
     for clause in body.get("must") or []:
         k2, b2 = _one(clause)
         if k2 == "match":
+            _reject_clause_boost(b2)
             try:
                 ctx.musts.append(_match_text(b2))
             except _NonMainMatch as nm:
@@ -537,6 +572,7 @@ def _parse_bool_core(body: dict, plan: dict, analyzer, top: bool = False) -> _Bo
     for clause in should_clauses:
         k2, b2 = _one(clause)
         if k2 == "match":
+            _reject_clause_boost(b2)
             if _match_spec(b2)[2] == "and":
                 raise UnsupportedDSL(
                     "match with operator=and inside should is unsupported "
@@ -825,6 +861,17 @@ def _parse_query_impl(query: dict, analyzer=None, out_dir: str | None = None) ->
                 )
             plan["expand"] = ("fuzzy", toks[0], {"fuzziness": _mv["fuzziness"]})
             return plan
+        if isinstance(_mv, dict):
+            if _mv.get("analyzer") is not None:
+                raise UnsupportedDSL(
+                    "per-request analyzer overrides are unsupported (the "
+                    "index analyzer is authoritative — reindex to change it)"
+                )
+            if str(_mv.get("zero_terms_query", "none")).lower() == "all":
+                raise UnsupportedDSL(
+                    'zero_terms_query "all" is unsupported (an empty '
+                    "analyzed query matches nothing here, ES's default)"
+                )
         try:
             text = _match_text(body)
             if _match_spec(body)[2] == "and":
@@ -834,6 +881,12 @@ def _parse_query_impl(query: dict, analyzer=None, out_dir: str | None = None) ->
                 plan["must"] = text
             else:
                 plan["query"] = text
+                if isinstance(_mv, dict) and _mv.get("minimum_should_match") is not None:
+                    plan["min_should"] = _msm_count(
+                        _mv["minimum_should_match"], len(text.split())
+                    )
+            if isinstance(_mv, dict) and _mv.get("boost") is not None:
+                plan["boost"] = float(_mv["boost"])
         except _NonMainMatch as nm:
             # ES semantics: match on a non-main field ≡ single-field
             # multi_match over that field
@@ -955,6 +1008,13 @@ def _parse_query_impl(query: dict, analyzer=None, out_dir: str | None = None) ->
             raise UnsupportedDSL(f"wrapper query does not decode: {e}") from None
         return parse_query(decoded, analyzer, out_dir=out_dir)
     elif kind == "multi_match":
+        for bad in ("operator", "minimum_should_match", "analyzer", "fuzziness"):
+            if body.get(bad) is not None:
+                raise UnsupportedDSL(
+                    f"multi_match {bad} is unsupported (best_fields/"
+                    f"most_fields OR semantics only — never silently "
+                    f"dropped)"
+                )
         plan["mm"] = {
             "query": body["query"],
             "fields": list(body["fields"]),
@@ -3612,6 +3672,11 @@ def search_body(
             slice_mod=slice_mod,
         )
         plain_scored = True
+        if plan["boost"] != 1.0:
+            # top-level match boost: a pure scale factor (ranking
+            # unchanged), applied after top-k exactly like Lucene's
+            # BoostQuery wrapping
+            rows = [(d, sc * plan["boost"]) for d, sc in rows]
 
     if body.get("min_score") is not None:
         # ES min_score: drop hits scoring below the floor. Scores are

@@ -394,3 +394,45 @@ def test_collapse_inner_hits(spark, tmp_path):
             (d, pytest.approx(sc)) for d, sc in want
         ]
         assert h["fields"]["grp"] == [g]
+
+
+def test_match_params(spark, pfroot):
+    """match boost scales scores (ranking unchanged), minimum_should_match
+    (int and percent) thins the matching set, and the silently-dangerous
+    shapes (analyzer override, zero_terms_query all, multi_match operator,
+    per-clause bool boost) reject."""
+    out, _ = pfroot
+    plain = search_body(spark, out, {"query": {"match": {"text": "spark join"}}, "size": 5})
+    boosted = search_body(spark, out, {
+        "query": {"match": {"text": {"query": "spark join", "boost": 3.0}}},
+        "size": 5,
+    })
+    assert [h["_id"] for h in boosted["hits"]["hits"]] == [
+        h["_id"] for h in plain["hits"]["hits"]
+    ]
+    for b, p in zip(boosted["hits"]["hits"], plain["hits"]["hits"]):
+        assert b["_score"] == pytest.approx(3.0 * p["_score"])
+    # msm=2 over a 2-term OR query ≡ must semantics
+    msm = search_body(spark, out, {
+        "query": {"match": {"text": {"query": "spark join", "minimum_should_match": 2}}},
+        "size": 50, "track_total_hits": True,
+    })
+    must = search_body(spark, out, {
+        "query": {"match": {"text": {"query": "spark join", "operator": "and"}}},
+        "size": 50, "track_total_hits": True,
+    })
+    assert msm["hits"]["total"] == must["hits"]["total"]
+    # "100%" percent form parses to the same count
+    pct = search_body(spark, out, {
+        "query": {"match": {"text": {"query": "spark join", "minimum_should_match": "100%"}}},
+        "size": 50, "track_total_hits": True,
+    })
+    assert pct["hits"]["total"] == must["hits"]["total"]
+    for bad in (
+        {"match": {"text": {"query": "x", "analyzer": "english"}}},
+        {"match": {"text": {"query": "x", "zero_terms_query": "all"}}},
+        {"multi_match": {"query": "x", "fields": ["text"], "operator": "and"}},
+        {"bool": {"must": [{"match": {"text": {"query": "x", "boost": 2}}}]}},
+    ):
+        with pytest.raises(UnsupportedDSL):
+            search_body(spark, out, {"query": bad})
