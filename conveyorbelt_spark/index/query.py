@@ -2557,7 +2557,82 @@ def search_aggs(
         or_groups=or_groups, not_atoms=not_atoms,
     )
     store = _docstore_scan(spark, out_dir)
-    return aggs_over_join(store.join(hits, "doc_id"), aggs, background=store)
+    joined = store.join(hits, "doc_id")
+    # significant_text needs the index itself (dictionary background) —
+    # split it out of the joined-frame agg set
+    st = {n: s for n, s in aggs.items() if "significant_text" in s}
+    rest = {n: s for n, s in aggs.items() if n not in st}
+    out = aggs_over_join(joined, rest, background=store) if rest else {}
+    for n, s in st.items():
+        out[n] = _significant_text_df(
+            spark, out_dir, joined, n, s["significant_text"]
+        )
+    return out
+
+
+def _significant_text_df(
+    spark: SparkSession, out_dir: str, joined: DataFrame, name: str, body: dict,
+) -> DataFrame:
+    """ES significant_text: the analyzed TEXT terms that characterize the
+    matching set vs the whole index (JLH, like significant_terms) — "what
+    words make these logs different". Foreground = matched docs' stored
+    text re-tokenized (one explode over the hit-bounded join, per-doc
+    distinct); background = the index DICTIONARY's doc frequencies (an
+    aggregated metadata read — the corpus is never re-scanned). Default
+    analyzer chain only: a stopword/stemmer config would make the
+    re-tokenization diverge from the dictionary's terms — reject, never
+    mis-count. Rows: (key, doc_count, bg_count, score)."""
+    from .build import KEYWORD_SEP, load_stats
+
+    stats = load_stats(out_dir)
+    if stats.get("analyzer"):
+        raise ValueError(
+            f"agg {name!r}: significant_text over an analyzer-configured "
+            "index is unsupported (use significant_terms on a keyword "
+            "field, or reindex without the analyzer)"
+        )
+    col = body["field"]
+    if col not in joined.columns:
+        raise ValueError(
+            f"agg {name!r}: significant_text needs the stored text column "
+            f"{col!r} (write_docstore(extra_cols=...))"
+        )
+    size = int(body.get("size", 10))
+    min_dc = int(body.get("min_doc_count", 3))
+    fg = (
+        joined.where(F.col(col).isNotNull())
+        .select(
+            F.explode(
+                F.array_distinct(
+                    F.filter(
+                        F.split(F.lower(F.col(col)), "[^a-z0-9]+"),
+                        lambda t: t != "",
+                    )
+                )
+            ).alias("key")
+        )
+        .groupBy("key").agg(F.count("*").alias("doc_count"))
+    )
+    bg = (
+        spark.read.parquet(os.path.join(out_dir, "dictionary"))
+        .where(~F.col("term").contains(KEYWORD_SEP))
+        .groupBy(F.col("term").alias("key"))
+        .agg(F.sum("df").alias("bg_count"))
+    )
+    fgt = joined.agg(F.count("*").alias("fg_total"))
+    bg_total = float(stats["n_docs"])
+    fgp = F.col("doc_count") / F.col("fg_total")
+    bgp = F.col("bg_count") / F.lit(bg_total)
+    return (
+        fg.join(bg, "key")
+        .crossJoin(F.broadcast(fgt))
+        .where(F.col("doc_count") >= min_dc)
+        .withColumn("score", (fgp - bgp) * (fgp / bgp))
+        .where(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("key"))
+        .select("key", "doc_count", "bg_count", "score")
+        .limit(size)
+    )
 
 
 def _agg_spec(name: str, spec: dict) -> tuple[str, dict, dict | None]:

@@ -6288,6 +6288,68 @@ FROM verdicts GROUP BY reason ORDER BY reason
 """
 
 
+def q101_significant_text(spark, sf_dir):
+    """ES significant_text: the analyzed terms that characterize the
+    matching set vs the whole index — foreground from the hit-bounded
+    docstore re-tokenization, background from the index DICTIONARY's doc
+    frequencies (a metadata read; the corpus is never re-scanned) — JLH
+    scored (`index/query.py:_significant_text_df`). DuckDB twin
+    recomputes both distributions from the raw tokens."""
+    import shutil
+    import tempfile
+
+    from .index.build import build_index, write_docstore
+    from .index.query import search_aggs
+
+    docs = _t(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="cb_q101_idx_")
+    try:
+        build_index(spark, docs.select("doc_id", "text"), out, url_col=None, n_buckets=8)
+        write_docstore(spark, docs, out, url_col=None, extra_cols=("text",))
+        res = search_aggs(
+            spark, out,
+            {"sig": {"significant_text": {"field": "text", "size": 8}}},
+            "spark", must="spark",
+        )["sig"]
+        rows = [
+            (str(r.key), int(r.doc_count), int(r.bg_count), round(float(r.score), 6))
+            for r in res.collect()
+        ]
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "term string, doc_count long, bg_count long, score double"
+    ).orderBy("term")
+
+
+Q101_SQL = f"""
+WITH toks AS ({_TOKENS_SQL}),
+doc_terms AS (SELECT DISTINCT doc_id, term FROM toks WHERE term != ''),
+hits AS (SELECT DISTINCT doc_id FROM doc_terms WHERE term = 'spark'),
+fg AS (
+  SELECT dt.term AS key, count(*) AS doc_count
+  FROM doc_terms dt JOIN hits USING (doc_id)
+  GROUP BY dt.term
+),
+bg AS (SELECT term AS key, count(*) AS bg_count FROM doc_terms GROUP BY term),
+tot AS (
+  SELECT (SELECT count(*) FROM hits)::DOUBLE AS fg_total,
+         (SELECT count(*) FROM documents)::DOUBLE AS bg_total
+),
+scored AS (
+  SELECT f.key, f.doc_count, b.bg_count,
+         (f.doc_count / t.fg_total - b.bg_count / t.bg_total)
+         * ((f.doc_count / t.fg_total) / (b.bg_count / t.bg_total)) AS score
+  FROM fg f JOIN bg b USING (key) CROSS JOIN tot t
+  WHERE f.doc_count >= 3
+)
+SELECT key AS term, doc_count, bg_count, round(score, 6) AS score
+FROM (SELECT * FROM scored WHERE score > 0
+      ORDER BY score DESC, key ASC LIMIT 8) s
+ORDER BY term
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_revenue_by_nation": q02_revenue_by_nation,
@@ -6389,6 +6451,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q98_dedup_components": q98_dedup_components,
     "q99_stratified_sample": q99_stratified_sample,
     "q100_quality_filter": q100_quality_filter,
+    "q101_significant_text": q101_significant_text,
 }
 
 ORACLES: dict[str, str] = {
@@ -6492,4 +6555,5 @@ ORACLES: dict[str, str] = {
     "q98_dedup_components": Q98_SQL,
     "q99_stratified_sample": Q99_SQL,
     "q100_quality_filter": Q100_SQL,
+    "q101_significant_text": Q101_SQL,
 }
