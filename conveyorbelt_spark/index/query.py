@@ -5657,10 +5657,13 @@ def expand_fuzzy(
     max_expansions: int = 50,
 ) -> list[str]:
     """ES fuzzy-query expansion: terms within ``fuzziness`` edits
-    (Levenshtein, ES caps at 2), sharing the first ``prefix_length``
-    chars (ES's prefix_length knob — it both matches user intent and
-    range-prunes the sorted scan). Candidates are length-banded before the
-    DP. Ranked df-desc like the other expansions.
+    (CLASSIC Levenshtein, ES caps at 2 — documented divergence: ES
+    defaults to Damerau, counting a transposition as ONE edit; here
+    "ab"→"ba" costs two, i.e. ES's transpositions=false), sharing the
+    first ``prefix_length`` chars (ES's prefix_length knob — it both
+    matches user intent and range-prunes the sorted scan). Candidates are
+    length-banded before the DP. Ranked df-desc like the other
+    expansions.
 
     ``prefix_length=0`` (no shared-prefix pruning) consults the SymSpell
     k-deletes sidecar when the index carries one
