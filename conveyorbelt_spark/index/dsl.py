@@ -152,6 +152,7 @@ from __future__ import annotations
 
 import json
 import math
+import time as _time
 import os
 from typing import Any
 
@@ -3186,6 +3187,7 @@ def search_body(
     re-read live index state (field sort, aggs, exact totals, expansion,
     mlt, compound, suggest, knn) reject under a PIT."""
     body = dict(body or {})
+    _prof_t0 = _time.time() if body.get("profile") else None
     pit_runs: list[str] | None = None
     if body.get("pit") is not None:
         from .pit import resolve_pit
@@ -3691,6 +3693,7 @@ def search_body(
         floor = float(body["min_score"])
         rows = [(d, sc) for d, sc in rows if sc >= floor]
 
+    _q_done = _time.time()
     hits = []
     want_source = body.get("_source", False)
     src_inc, src_exc = _source_patterns(want_source)
@@ -3777,6 +3780,15 @@ def search_body(
         }
 
     resp: dict[str, Any] = {"hits": {"total": total, "hits": hits}}
+    if _prof_t0 is not None:
+        # ES "profile": true analogue — coarse phase wall times (this
+        # engine's useful grain: one query = parse + kernel + fetch, not
+        # Lucene's per-collector tree)
+        resp["profile"] = {
+            "query_ms": round((_q_done - _prof_t0) * 1000.0, 3),
+            "fetch_ms": round((_time.time() - _q_done) * 1000.0, 3),
+            "took_ms": round((_time.time() - _prof_t0) * 1000.0, 3),
+        }
     if body.get("aggs") and (
         plan["span_near"] is not None or plan["terms_set"] is not None
     ):

@@ -436,3 +436,17 @@ def test_match_params(spark, pfroot):
     ):
         with pytest.raises(UnsupportedDSL):
             search_body(spark, out, {"query": bad})
+
+
+def test_profile_option(spark, pfroot):
+    out, _ = pfroot
+    resp = search_body(spark, out, {
+        "query": {"match": {"text": "spark join"}}, "size": 3,
+        "profile": True, "_source": True,
+    })
+    prof = resp["profile"]
+    assert set(prof) == {"query_ms", "fetch_ms", "took_ms"}
+    assert prof["took_ms"] >= prof["query_ms"] >= 0
+    assert prof["fetch_ms"] >= 0
+    plain = search_body(spark, out, {"query": {"match": {"text": "spark join"}}, "size": 3})
+    assert "profile" not in plain
