@@ -1016,6 +1016,12 @@ def _parse_query_impl(query: dict, analyzer=None, out_dir: str | None = None) ->
                     f"most_fields OR semantics only — never silently "
                     f"dropped)"
                 )
+        if float(body.get("tie_breaker", 0) or 0) != 0.0:
+            raise UnsupportedDSL(
+                "multi_match tie_breaker is unsupported (best_fields is "
+                "the exact tie_breaker=0 dis_max; wrap per-field match "
+                "clauses in dis_max for a non-zero tie_breaker)"
+            )
         plan["mm"] = {
             "query": body["query"],
             "fields": list(body["fields"]),
@@ -1732,9 +1738,18 @@ def _clause_scores(s: Searcher, clause: dict) -> dict[int, float]:
     if kind == "match":
         _f, v = _one(val)
         text = v["query"] if isinstance(v, dict) else str(v)
+        if _f not in MAIN_FIELDS:
+            # side-field match ≡ single-field multi_match (never silently
+            # search the main field instead)
+            return dict(s.multi_match_rows(text, [_f], _ALL_HITS))
         return dict(s.search_rows(text, _ALL_HITS, prune=False))
     if kind == "match_phrase":
         _f, v = _one(val)
+        if _f not in MAIN_FIELDS:
+            raise UnsupportedDSL(
+                "compound match_phrase supports the main text field only "
+                "(side fields carry no positions)"
+            )
         text = v["query"] if isinstance(v, dict) else str(v)
         slop = int(v.get("slop", 0)) if isinstance(v, dict) else 0
         return dict(s.phrase_rows(text, _ALL_HITS, slop=slop))

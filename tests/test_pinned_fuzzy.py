@@ -450,3 +450,31 @@ def test_profile_option(spark, pfroot):
     assert prof["fetch_ms"] >= 0
     plain = search_body(spark, out, {"query": {"match": {"text": "spark join"}}, "size": 3})
     assert "profile" not in plain
+
+
+def test_dis_max_side_field_and_mm_tie_breaker(spark, tmp_path):
+    """dis_max sub-match on a SIDE field searches that field (was silently
+    searching main); multi_match tie_breaker != 0 rejects."""
+    from conveyorbelt_spark.index.build import build_index, write_docstore
+
+    out = str(tmp_path / "dmidx")
+    rows = [
+        (1, "alpha beta", "gamma delta"),
+        (2, "gamma delta", "alpha beta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, title string")
+    build_index(spark, docs, out, url_col=None, n_buckets=2, field_cols=("title",))
+    write_docstore(spark, docs, out, url_col=None)
+    resp = search_body(spark, out, {
+        "query": {"dis_max": {"queries": [
+            {"match": {"title": "alpha"}},
+        ], "tie_breaker": 0.0}},
+        "size": 5,
+    })
+    # "alpha" in TITLE only matches doc 2 — a main-field search would hit doc 1
+    assert [h["_id"] for h in resp["hits"]["hits"]] == [2]
+    with pytest.raises(UnsupportedDSL, match="tie_breaker"):
+        search_body(spark, out, {
+            "query": {"multi_match": {"query": "alpha", "fields": ["text", "title"],
+                                      "tie_breaker": 0.5}},
+        })
