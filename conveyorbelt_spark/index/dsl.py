@@ -1121,6 +1121,13 @@ def _parse_query_impl(query: dict, analyzer=None, out_dir: str | None = None) ->
                 "query": nm.text, "fields": [nm.field], "type": "best_fields",
             }
     elif kind == "more_like_this":
+        flds = [str(f) for f in (body.get("fields") or [])]
+        if flds and any(f not in MAIN_FIELDS for f in flds):
+            raise UnsupportedDSL(
+                "more_like_this fields beyond the main text field are "
+                "unsupported (interestingness terms come from the main "
+                "dictionary — never silently swapped)"
+            )
         plan["mlt"] = dict(body)
     elif kind in ("term", "terms", "range", "exists"):
         # top-level filter-context query (ES scores these constant 1.0)

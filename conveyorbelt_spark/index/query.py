@@ -2332,7 +2332,12 @@ def sorted_over_join(
             pred = beyond if pred is None else (pred | beyond)
         joined = joined.where(pred)
     order = [
-        F.col(f).asc() if d == "asc" else F.col(f).desc() for f, d in keys
+        # ES sorts missing values LAST by default in both directions
+        # ("missing": "_last"); Spark's bare asc() is nulls-FIRST — use
+        # the explicit nulls-last variants so single-index sorts agree
+        # with the multi-index merge comparator (aliases._cmp_sort)
+        F.col(f).asc_nulls_last() if d == "asc" else F.col(f).desc_nulls_last()
+        for f, d in keys
     ]
     return joined.orderBy(*order).limit(k)
 

@@ -478,3 +478,20 @@ def test_dis_max_side_field_and_mm_tie_breaker(spark, tmp_path):
             "query": {"multi_match": {"query": "alpha", "fields": ["text", "title"],
                                       "tie_breaker": 0.5}},
         })
+
+
+def test_sort_missing_values_last(spark, tmp_path):
+    """ES sorts docs missing the sort field LAST in both directions —
+    pinned (Spark's bare asc() would put them first)."""
+    from conveyorbelt_spark.index.build import build_index, write_docstore
+    from conveyorbelt_spark.index.query import search_sorted
+
+    out = str(tmp_path / "nsidx")
+    rows = [(1, "spark", 10), (2, "spark", None), (3, "spark", 5), (4, "spark", None)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, rank long")
+    build_index(spark, docs.select("doc_id", "text"), out, url_col=None, n_buckets=2)
+    write_docstore(spark, docs, out, url_col=None, extra_cols=("rank",))
+    asc = [r[0] for r in search_sorted(spark, out, "spark", [("rank", "asc")], 10).collect()]
+    assert asc == [3, 1, 2, 4]
+    desc = [r[0] for r in search_sorted(spark, out, "spark", [("rank", "desc")], 10).collect()]
+    assert desc == [1, 3, 2, 4]
