@@ -73,6 +73,22 @@ DEFAULT_BLOCK_SIZE = 128
 DEFAULT_TERM_BUCKETS = 64
 
 
+def _adaptive_term_buckets(n_docs: int, cap: int | None = None) -> int:
+    """Scale the term-hash bucket count with corpus size instead of pinning
+    it to one constant (guide §2: partitioning must be derived from input
+    size, not tuned to a fixed cluster).  Target ~2.5k docs of postings per
+    bucket, power of two, floor 8, capped at DEFAULT_TERM_BUCKETS (override
+    the cap for very large corpora via ``CB_TERM_BUCKETS`` or the explicit
+    ``n_term_buckets`` argument).  Query-side pruning reads the chosen value
+    from stats.json, so any value is self-consistent."""
+    if cap is None:
+        cap = int(os.environ.get("CB_TERM_BUCKETS", str(DEFAULT_TERM_BUCKETS)))
+    b = 8
+    while b < cap and n_docs > b * 2500:
+        b *= 2
+    return b
+
+
 def _bucket_col(n_buckets: int):
     """Range bucket = top log2(n_buckets) bits of the non-negative doc_id."""
     bits = int(np.log2(n_buckets))
@@ -120,19 +136,34 @@ def _manifest_for_run(
     doc_stats: DataFrame,
     run_id: str,
     run_val: str,
+    *,
+    sum_dl_from_blocks: bool = False,
 ) -> DataFrame:
     """Per-bucket lineage row set for one run: block metadata aggregates
     (from the run's own blocks — never a whole-index re-read) joined with
     the run's (bucket, n_docs, sum_dl) doc ledger. ``sum_dl``/``n_docs``
-    feed the stats.json derivation (Σ over committed manifest rows)."""
-    blk = delta_blocks.groupBy("bucket").agg(
+    feed the stats.json derivation (Σ over committed manifest rows).
+
+    ``sum_dl_from_blocks=True`` derives sum_dl inside the SAME per-bucket
+    aggregation (Σ sum_tf over main-field blocks — one scan of the delta
+    instead of two); ``doc_stats`` must then carry only (bucket, n_docs)."""
+    aggs = [
         F.countDistinct("term").alias("n_terms"),
         F.count("*").alias("n_blocks"),
         F.sum("n").alias("n_postings"),
         F.sum(
             F.crc32(F.concat_ws("|", "term", "blk", "n", "min_doc", "max_doc"))
         ).alias("checksum"),
-    )
+    ]
+    if sum_dl_from_blocks:
+        aggs.append(
+            F.sum(
+                F.when(
+                    ~F.col("term").contains(KEYWORD_SEP), F.col("sum_tf")
+                ).otherwise(F.lit(0))
+            ).alias("sum_dl")
+        )
+    blk = delta_blocks.groupBy("bucket").agg(*aggs)
     man = blk.join(doc_stats, "bucket", "full_outer")
     zero = {c: 0 for c in ("n_terms", "n_blocks", "n_postings", "checksum", "n_docs", "sum_dl")}
     return (
@@ -163,30 +194,30 @@ def refresh_stats(spark: SparkSession, out_dir: str, defaults: dict | None = Non
     n_docs, total_tokens = 0, 0
     committed_runs: list[str] = []
     if os.path.isdir(man_dir):
-        from pyspark.errors import AnalysisException
+        # the manifest is a tiny driver-local ledger (runs × buckets rows);
+        # one pyarrow read replaces the two Spark jobs (sum agg + distinct
+        # collect) this derivation used to launch per build/batch commit
+        import pyarrow.dataset as _pds
 
-        try:
-            man = spark.read.parquet(man_dir)
-            row = man.agg(
-                F.sum("n_docs").alias("nd"), F.sum("sum_dl").alias("tt")
-            ).collect()[0]
-            n_docs, total_tokens = int(row["nd"] or 0), int(row["tt"] or 0)
+        dset = _pds.dataset(man_dir, format="parquet")
+        if getattr(dset, "files", None):
+            # an existing-but-empty manifest dir (empty first batch wrote no
+            # part files) legitimately means zero stats; read errors on real
+            # files — permissions, corruption, storage hiccup — surface
+            # rather than silently zeroing a live index's corpus stats
+            import pyarrow.compute as _pc
+
+            tbl = dset.to_table(columns=["run", "bucket", "n_docs", "sum_dl"])
+            n_docs = int(_pc.sum(tbl.column("n_docs")).as_py() or 0)
+            total_tokens = int(_pc.sum(tbl.column("sum_dl")).as_py() or 0)
             # the committed-run set IS the read snapshot: query paths scan
             # only these run partitions, so uncommitted/orphaned partitions
             # (mid-write batches, tiered-compaction leftovers) are invisible
             # — exact df/scores across every crash window. Bounded by the
             # compaction cadence (tombstone rows, bucket<0, excluded).
-            committed_runs = sorted(
-                r.run for r in man.where(F.col("bucket") >= 0).select("run").distinct().collect()
-            )
-        except AnalysisException as e:
-            # an existing-but-empty manifest dir (empty first batch wrote no
-            # part files) legitimately means zero stats; anything else —
-            # permissions, corruption, storage hiccup — must surface rather
-            # than silently zero a live index's corpus stats
-            msg = str(e)
-            if "UNABLE_TO_INFER_SCHEMA" not in msg and "PATH_NOT_FOUND" not in msg:
-                raise
+            bk = tbl.column("bucket").to_numpy(zero_copy_only=False)
+            runs = tbl.column("run").to_pylist()
+            committed_runs = sorted({r for r, b in zip(runs, bk) if b >= 0})
     stats = {
         "n_docs": n_docs,
         "total_tokens": total_tokens,
@@ -435,7 +466,7 @@ def build_index(
     text_col: str = "text",
     n_buckets: int = DEFAULT_N_BUCKETS,
     block_size: int = DEFAULT_BLOCK_SIZE,
-    n_term_buckets: int = DEFAULT_TERM_BUCKETS,
+    n_term_buckets: int | None = None,
     k1: float = BM25_K1,
     b: float = BM25_B,
     commit_groups: int = 1,
@@ -536,6 +567,20 @@ def build_index(
             print(f"[build_index] {phase}: {time.time() - t_last:.1f}s", flush=True)
         t_last = time.time()
 
+    # the docstore is independent of every index artifact — run it as a
+    # concurrent driver thread so its scan+write overlaps the build's jobs
+    # (guide §2.6: back-fill executors freed by another job's tail)
+    docstore_fut = None
+    if store_docs or store_cols:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _ds_pool = ThreadPoolExecutor(max_workers=1)
+        docstore_fut = _ds_pool.submit(
+            write_docstore, spark, docs_in, out_dir, run_id, url_col,
+            extra_cols=store_cols, n_buckets=n_buckets,
+        )
+        _ds_pool.shutdown(wait=False)
+
     bucket_expr = _bucket_col(n_buckets)
 
     # ---- pass 1: per-bucket distinct doc counts (JVM-only agg over doc
@@ -548,6 +593,19 @@ def build_index(
         .collect()
     }
     _mark("pass1 bucket doc counts")
+
+    if n_term_buckets is None:
+        # resuming an existing index must keep ITS layout; otherwise derive
+        # the term-hash bucket count from the corpus size pass 1 just gave
+        # us (guide §2: scale-adaptive partitioning, not a fixed constant)
+        prev_stats_path = os.path.join(out_dir, "stats.json")
+        if resume and os.path.exists(prev_stats_path):
+            with open(prev_stats_path) as f:
+                n_term_buckets = json.load(f).get(
+                    "n_term_buckets", DEFAULT_TERM_BUCKETS
+                )
+        else:
+            n_term_buckets = _adaptive_term_buckets(sum(bstats.values()))
 
     # ---- pass 2: postings → blocks, committed bucket-group at a time
     all_buckets = [bkt for bkt in range(n_buckets) if bkt not in done]
@@ -599,20 +657,17 @@ def build_index(
         # METADATA only — no re-read of the binary posting columns
         delta = spark.read.parquet(seg_dir).where(F.col("run") == run_val)
         doc_stats = spark.createDataFrame(
-            [(bkt, bstats.get(bkt, 0), 0) for bkt in group],
-            "bucket int, n_docs long, sum_dl long",
-        ).drop("sum_dl")
+            [(bkt, bstats.get(bkt, 0)) for bkt in group],
+            "bucket int, n_docs long",
+        )
         # sum_dl per bucket = Σ tf over kept MAIN-field postings (= Σ doc
         # lengths, since every text token lands in exactly one posting);
         # namespaced keyword/field postings are excluded — keyword tf is 0
-        # and extra analyzed fields keep their own length stats
-        sum_dl = (
-            delta.where(~F.col("term").contains(KEYWORD_SEP))
-            .groupBy("bucket")
-            .agg(F.sum("sum_tf").alias("sum_dl"))
+        # and extra analyzed fields keep their own length stats.  Derived
+        # inside the manifest aggregation itself (one scan of the delta).
+        man = _manifest_for_run(
+            delta, doc_stats, run_id, run_val, sum_dl_from_blocks=True
         )
-        doc_stats = doc_stats.join(sum_dl, "bucket", "left").na.fill({"sum_dl": 0})
-        man = _manifest_for_run(delta, doc_stats, run_id, run_val)
         man.write.mode("append").parquet(man_dir)
 
     refresh_dictionary(spark, out_dir, n_term_buckets)
@@ -636,9 +691,9 @@ def build_index(
         kw = fuzzy_deletes if isinstance(fuzzy_deletes, dict) else {}
         enable_fuzzy_deletes(spark, out_dir, **kw)
         _mark("fuzzy_deletes")
-    if store_docs or store_cols:
-        write_docstore(spark, docs_in, out_dir, run_id, url_col, extra_cols=store_cols)
-        _mark("docstore")
+    if docstore_fut is not None:
+        docstore_fut.result()  # surface any docstore failure before returning
+        _mark("docstore join")
     return stats
 
 
@@ -650,13 +705,16 @@ def write_docstore(
     url_col: str = "url",
     *,
     extra_cols: tuple[str, ...] = (),
+    n_buckets: int | None = None,
 ) -> None:
     """(doc_id → url [+ extra columns]) sidecar, bucket-partitioned by the
     doc-id top bits so a search result's ids resolve with a partition-pruned
     read (the ES '_source' half: the reference's users get documents back,
     not internal ids). Run-keyed like every other artifact — idempotent
-    overwrite, O(delta) for incremental batches."""
-    stats = load_stats(out_dir)
+    overwrite, O(delta) for incremental batches. ``n_buckets`` skips the
+    stats.json read (lets build_index overlap the docstore write with the
+    index build, before stats.json exists)."""
+    stats = {"n_buckets": n_buckets} if n_buckets else load_stats(out_dir)
     # url_col=None → input already carries doc_id (keep a url column if one
     # exists so search_docs still resolves something human-readable)
     base = with_doc_id(docs, url_col) if url_col else docs
@@ -860,6 +918,7 @@ def refresh_dictionary(spark: SparkSession, out_dir: str, n_term_buckets: int) -
     Incremental batches do NOT call this (O(index) rewrite): they append a
     run=<batch> delta that the query path merges on read."""
     seg = spark.read.parquet(os.path.join(out_dir, "segments"))
+    dict_dir = os.path.join(out_dir, "dictionary")
     dictionary = seg.groupBy("term", "tb").agg(
         F.sum("n").alias("df"),
         F.sum("sum_tf").alias("cf"),
@@ -867,15 +926,25 @@ def refresh_dictionary(spark: SparkSession, out_dir: str, n_term_buckets: int) -
     ).withColumn("run", F.lit("full"))
     dictionary.repartition(n_term_buckets, "tb").sortWithinPartitions("term").write.mode(
         "overwrite"
-    ).partitionBy("tb", "run").parquet(os.path.join(out_dir, "dictionary"))
-    write_term_index(dictionary.drop("run"), out_dir, "full", replace=True)
+    ).partitionBy("tb", "run").parquet(dict_dir)
+    # derive the sidecars from the JUST-WRITTEN dictionary parquet, not from
+    # the aggregation lineage: reusing ``dictionary`` would re-run the whole
+    # segment scan + groupBy once for repartitionByRange's sampling pass,
+    # once for the term_index write and once more for the fuzzy kernel
+    # (guide §1.2: don't compute things twice) — the read-back is a tiny
+    # metadata-only parquet scan instead
+    dict_read = spark.read.parquet(dict_dir).drop("run")
+    write_term_index(
+        dict_read, out_dir, "full", replace=True,
+        n_files=max(1, n_term_buckets // 8),
+    )
     # keep the fuzzy k-deletes sidecar in step if the index opted in
     meta_path = os.path.join(out_dir, FUZZY_DELETES_META)
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             meta = json.load(f)
         write_fuzzy_deletes(
-            dictionary.drop("run"), out_dir, "full",
+            dict_read, out_dir, "full",
             max_edits=meta["max_edits"], n_buckets=meta["n_buckets"], replace=True,
         )
 
@@ -908,14 +977,17 @@ def write_term_index(
     ti_dir = os.path.join(out_dir, "term_index")
     if "cf" not in dictionary.columns:
         dictionary = dictionary.withColumn("cf", F.lit(0).cast("long"))
-    d = (
-        # cf rides along so per-FIELD corpus stats (Σ cf over a field's
-        # term range → field avgdl for multi_match) are a pruned range read
-        dictionary.select("term", "df", "cf")
-        .withColumn("run", F.lit(run_val))
-        .repartitionByRange(n_files or max(2, DEFAULT_TERM_BUCKETS // 8), "term")
-        .sortWithinPartitions("term")
-    )
+    # cf rides along so per-FIELD corpus stats (Σ cf over a field's
+    # term range → field avgdl for multi_match) are a pruned range read
+    d = dictionary.select("term", "df", "cf").withColumn("run", F.lit(run_val))
+    nf = n_files or max(2, DEFAULT_TERM_BUCKETS // 8)
+    if nf <= 2:
+        # small index: one sorted file — coalesce avoids the range-
+        # partitioner's extra sampling job (range layout buys nothing when
+        # every expansion reads the single file anyway)
+        d = d.coalesce(1).sortWithinPartitions("term")
+    else:
+        d = d.repartitionByRange(nf, "term").sortWithinPartitions("term")
     if replace:
         import shutil
 
@@ -1074,15 +1146,23 @@ def write_dictionary_delta(
         .repartition(n_term_buckets, "tb")
         .sortWithinPartitions("term")
     )
-    _dyn_overwrite(d, os.path.join(out_dir, "dictionary"), ("tb", "run"))
+    dict_dir = os.path.join(out_dir, "dictionary")
+    _dyn_overwrite(d, dict_dir, ("tb", "run"))
+    # sidecars read the just-written delta partition back (pruned to this
+    # run) instead of re-running the block aggregation once per sidecar
+    agg_read = (
+        delta_blocks.sparkSession.read.parquet(dict_dir)
+        .where(F.col("run") == run_val)
+        .drop("run")
+    )
     # keep the sorted expansion copy in step (O(delta), few range files)
-    write_term_index(agg, out_dir, run_val, n_files=2)
+    write_term_index(agg_read, out_dir, run_val, n_files=2)
     # and the fuzzy k-deletes sidecar (only if the index opted in at build)
     if os.path.exists(os.path.join(out_dir, FUZZY_DELETES_META)):
         with open(os.path.join(out_dir, FUZZY_DELETES_META)) as f:
             meta = json.load(f)
         write_fuzzy_deletes(
-            agg, out_dir, run_val,
+            agg_read, out_dir, run_val,
             max_edits=meta["max_edits"], n_buckets=meta["n_buckets"],
         )
 

@@ -125,7 +125,19 @@ def build_daily_index(
     from concurrent.futures import ThreadPoolExecutor
 
     d = docs.withColumn("_day", F.date_format(ts_col, DAY_FMT))
-    days = sorted(r[0] for r in d.select("_day").distinct().collect())
+    day_counts = {r[0]: int(r[1]) for r in d.groupBy("_day").count().collect()}
+    days = sorted(day_counts)
+    if "n_term_buckets" not in build_kw and days:
+        # daily sub-indexes must share layout knobs (_merged_stats raises on
+        # a mismatch), so resolve ONE adaptive term-bucket count for the
+        # whole backfill — sized to the largest day — instead of letting
+        # each day's build adapt to its own doc count
+        from .build import _adaptive_term_buckets
+
+        build_kw = {
+            **build_kw,
+            "n_term_buckets": _adaptive_term_buckets(max(day_counts.values())),
+        }
 
     def one(day: str) -> dict:
         sub = d.where(F.col("_day") == day).drop("_day")
@@ -158,6 +170,17 @@ def daily_index_batch(
 
     d = docs.withColumn("_day", F.date_format(ts_col, DAY_FMT))
     days = sorted(r[0] for r in d.select("_day").distinct().collect())
+    if "n_term_buckets" not in index_kw:
+        # a batch that opens a NEW day must match the existing days' layout
+        # (adaptive builds may have chosen a non-default bucket count)
+        for ex in list_days(root):
+            sp = os.path.join(day_dir(root, ex), "stats.json")
+            if os.path.exists(sp):
+                index_kw = {
+                    **index_kw,
+                    "n_term_buckets": load_stats(day_dir(root, ex))["n_term_buckets"],
+                }
+                break
     out: dict[str, bool] = {}
     for day in days:
         sub = d.where(F.col("_day") == day).drop("_day")

@@ -1371,8 +1371,8 @@ def q33_facet_counts(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     out = tempfile.mkdtemp(prefix="cb_q33_idx_")
     try:
-        build_index(spark, docs.select("doc_id", "text"), out, url_col=None, n_buckets=8)
-        write_docstore(spark, docs, out, url_col=None, extra_cols=("source",))
+        build_index(spark, docs, out, url_col=None, n_buckets=8,
+                    store_cols=("source",))
         rows = [
             (r["facet"], int(r["n"]))
             for r in facet_counts_spark(
@@ -1612,8 +1612,8 @@ def q37_date_histogram(spark, sf_dir):
     )
     out = tempfile.mkdtemp(prefix="cb_q37_idx_")
     try:
-        build_index(spark, docs.select("doc_id", "text"), out, url_col=None, n_buckets=8)
-        write_docstore(spark, docs, out, url_col=None, extra_cols=("warc_ts",))
+        build_index(spark, docs, out, url_col=None, n_buckets=8,
+                    store_cols=("warc_ts",))
         res = search_aggs(
             spark, out,
             {"by_day": {"date_histogram": {"field": "warc_ts", "interval": "day"}}},
@@ -2459,10 +2459,8 @@ def q49_filter_aggs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     out = tempfile.mkdtemp(prefix="cb_q49_idx_")
     try:
-        build_index(spark, docs.select("doc_id", "text"), out, url_col=None, n_buckets=8)
-        write_docstore(
-            spark, docs, out, url_col=None, extra_cols=("lang", "source", "n_chars")
-        )
+        build_index(spark, docs, out, url_col=None, n_buckets=8,
+                    store_cols=("lang", "source", "n_chars"))
         res = search_aggs(
             spark, out,
             {
@@ -2536,8 +2534,8 @@ def q50_top_hits(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     out = tempfile.mkdtemp(prefix="cb_q50_idx_")
     try:
-        build_index(spark, docs.select("doc_id", "text"), out, url_col=None, n_buckets=8)
-        write_docstore(spark, docs, out, url_col=None, extra_cols=("lang", "n_chars"))
+        build_index(spark, docs, out, url_col=None, n_buckets=8,
+                    store_cols=("lang", "n_chars"))
         res = search_aggs(
             spark, out,
             {"by_lang": {
@@ -2600,8 +2598,8 @@ def q51_composite_aggs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     out = tempfile.mkdtemp(prefix="cb_q51_idx_")
     try:
-        build_index(spark, docs.select("doc_id", "text"), out, url_col=None, n_buckets=8)
-        write_docstore(spark, docs, out, url_col=None, extra_cols=("lang", "source"))
+        build_index(spark, docs, out, url_col=None, n_buckets=8,
+                    store_cols=("lang", "source"))
 
         def page(after=None):
             body = {
@@ -2664,8 +2662,8 @@ def q52_field_collapse(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     out = tempfile.mkdtemp(prefix="cb_q52_idx_")
     try:
-        build_index(spark, docs.select("doc_id", "text"), out, url_col=None, n_buckets=8)
-        write_docstore(spark, docs, out, url_col=None, extra_cols=("lang",))
+        build_index(spark, docs, out, url_col=None, n_buckets=8,
+                    store_cols=("lang",))
         resp = search_body(spark, out, {
             "query": {"match": {"text": " ".join(BM25_QUERY_TERMS)}},
             "collapse": {"field": "lang"},
@@ -2978,10 +2976,8 @@ def q57_extended_aggs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     out = tempfile.mkdtemp(prefix="cb_q57_idx_")
     try:
-        build_index(spark, docs.select("doc_id", "text"), out, url_col=None, n_buckets=8)
-        write_docstore(
-            spark, docs, out, url_col=None, extra_cols=("lang", "source", "n_chars")
-        )
+        build_index(spark, docs, out, url_col=None, n_buckets=8,
+                    store_cols=("lang", "source", "n_chars"))
         res = search_aggs(
             spark, out,
             {
@@ -3068,10 +3064,8 @@ def q58_nested_agg_tree(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     out = tempfile.mkdtemp(prefix="cb_q58_idx_")
     try:
-        build_index(spark, docs.select("doc_id", "text"), out, url_col=None, n_buckets=8)
-        write_docstore(
-            spark, docs, out, url_col=None, extra_cols=("lang", "n_chars")
-        )
+        build_index(spark, docs, out, url_col=None, n_buckets=8,
+                    store_cols=("lang", "n_chars"))
         res = search_aggs(
             spark, out,
             {
@@ -3152,13 +3146,9 @@ def _cb_body_gate(spark, sf_dir, body, k, *, extra_cols=(), positions=True):
     out = tempfile.mkdtemp(prefix="cb_body_idx_")
     try:
         build_index(
-            spark, docs.select("doc_id", "text"), out, url_col=None,
-            n_buckets=8, positions=positions,
+            spark, docs, out, url_col=None,
+            n_buckets=8, positions=positions, store_cols=tuple(extra_cols),
         )
-        if extra_cols:
-            write_docstore(
-                spark, docs, out, url_col=None, extra_cols=tuple(extra_cols)
-            )
         resp = search_body(spark, out, dict(body, size=k))
         rows = [(int(h["_id"]), round(float(h["_score"]), 4))
                 for h in resp["hits"]["hits"]]
@@ -3578,8 +3568,8 @@ def q66_series_pipelines(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     out = tempfile.mkdtemp(prefix="cb_q66_idx_")
     try:
-        build_index(spark, docs.select("doc_id", "text"), out, url_col=None, n_buckets=8)
-        write_docstore(spark, docs, out, url_col=None, extra_cols=("n_chars",))
+        build_index(spark, docs, out, url_col=None, n_buckets=8,
+                    store_cols=("n_chars",))
         res = search_aggs(
             spark, out,
             {
@@ -3640,8 +3630,8 @@ def q54_significant_terms(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     out = tempfile.mkdtemp(prefix="cb_q54_idx_")
     try:
-        build_index(spark, docs.select("doc_id", "text"), out, url_col=None, n_buckets=8)
-        write_docstore(spark, docs, out, url_col=None, extra_cols=("lang",))
+        build_index(spark, docs, out, url_col=None, n_buckets=8,
+                    store_cols=("lang",))
         res = search_aggs(
             spark, out,
             {"sig": {"significant_terms": {"field": "lang", "min_doc_count": 1}}},
@@ -3704,10 +3694,8 @@ def q67_metric_aggs(spark, sf_dir):
     )
     out = tempfile.mkdtemp(prefix="cb_q67_idx_")
     try:
-        build_index(spark, docs.select("doc_id", "text"), out, url_col=None, n_buckets=8)
-        write_docstore(
-            spark, docs, out, url_col=None, extra_cols=("lang", "n_chars", "w")
-        )
+        build_index(spark, docs, out, url_col=None, n_buckets=8,
+                    store_cols=("lang", "n_chars", "w"))
         res = search_aggs(
             spark, out,
             {
@@ -3816,8 +3804,8 @@ def q68_bucket_pipelines(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     out = tempfile.mkdtemp(prefix="cb_q68_idx_")
     try:
-        build_index(spark, docs.select("doc_id", "text"), out, url_col=None, n_buckets=8)
-        write_docstore(spark, docs, out, url_col=None, extra_cols=("n_chars",))
+        build_index(spark, docs, out, url_col=None, n_buckets=8,
+                    store_cols=("n_chars",))
         q = " ".join(BM25_QUERY_TERMS)
         res = search_aggs(
             spark, out,
@@ -4046,8 +4034,8 @@ def q70_termvectors(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     out = tempfile.mkdtemp(prefix="cb_q70_idx_")
     try:
-        build_index(spark, docs.select("doc_id", "text"), out, url_col=None, n_buckets=8)
-        write_docstore(spark, docs, out, url_col=None, extra_cols=("text",))
+        build_index(spark, docs, out, url_col=None, n_buckets=8,
+                    store_cols=("text",))
         did = int(docs.agg(F.min("doc_id")).collect()[0][0])
         tv = Searcher(spark, out).termvectors(did, term_statistics=True)
         terms = tv["term_vectors"]["text"]["terms"]
@@ -4108,8 +4096,8 @@ def q71_reindex(spark, sf_dir):
     src = tempfile.mkdtemp(prefix="cb_q71_src_")
     dest = tempfile.mkdtemp(prefix="cb_q71_dest_")
     try:
-        build_index(spark, docs, src, url_col=None, n_buckets=8)
-        write_docstore(spark, docs, src, url_col=None, extra_cols=("text",))
+        build_index(spark, docs, src, url_col=None, n_buckets=8,
+                    store_cols=("text",))
         delete_by_query_body(
             spark, src, {"query": {"match": {"text": "window"}}}, op_id="q71"
         )
@@ -4185,8 +4173,8 @@ def q72_update_by_query(spark, sf_dir):
     )
     out = tempfile.mkdtemp(prefix="cb_q72_idx_")
     try:
-        build_index(spark, docs, out, url_col=None, n_buckets=8)
-        write_docstore(spark, docs, out, url_col=None, extra_cols=("text", "views"))
+        build_index(spark, docs, out, url_col=None, n_buckets=8,
+                    store_cols=("text", "views"))
         update_by_query_body(
             spark, out,
             {
@@ -4295,8 +4283,8 @@ def q74_bulk_api(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     out = tempfile.mkdtemp(prefix="cb_q74_idx_")
     try:
-        build_index(spark, docs, out, url_col=None, n_buckets=8)
-        write_docstore(spark, docs, out, url_col=None, extra_cols=("text",))
+        build_index(spark, docs, out, url_col=None, n_buckets=8,
+                    store_cols=("text",))
         ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
         actions = []
         for d in ids:
@@ -4973,11 +4961,8 @@ def q82_adjacency_auto_dh(spark, sf_dir):
     )
     out = tempfile.mkdtemp(prefix="cb_q82_idx_")
     try:
-        build_index(spark, docs.select("doc_id", "text"), out, url_col=None,
-                    n_buckets=8)
-        write_docstore(
-            spark, docs, out, url_col=None, extra_cols=("lang", "n_chars", "ts")
-        )
+        build_index(spark, docs, out, url_col=None, n_buckets=8,
+                    store_cols=("lang", "n_chars", "ts"))
         res = search_aggs(
             spark, out,
             {
@@ -5238,10 +5223,9 @@ def q85_template_min_score(spark, sf_dir):
     out = tempfile.mkdtemp(prefix="cb_q85_idx_")
     try:
         build_index(
-            spark, docs.select("doc_id", "text", "lang"), out, url_col=None,
-            n_buckets=8, keyword_cols=("lang",),
+            spark, docs, out, url_col=None,
+            n_buckets=8, keyword_cols=("lang",), store_cols=("lang",),
         )
-        write_docstore(spark, docs, out, url_col=None, extra_cols=("lang",))
         resp = search_template_body(spark, out, {
             "source": {
                 "query": {"bool": {
@@ -5318,10 +5302,9 @@ def q86_rank_feature_boost(spark, sf_dir):
     out = tempfile.mkdtemp(prefix="cb_q86_idx_")
     try:
         build_index(
-            spark, docs.select("doc_id", "text"), out, url_col=None,
-            n_buckets=8,
+            spark, docs, out, url_col=None,
+            n_buckets=8, store_cols=("n_chars",),
         )
-        write_docstore(spark, docs, out, url_col=None, extra_cols=("n_chars",))
         resp = search_body(spark, out, {
             "query": {"bool": {
                 "must": [{"match": {"text": "spark join"}}],
@@ -5397,10 +5380,9 @@ def q87_distance_feature(spark, sf_dir):
     out = tempfile.mkdtemp(prefix="cb_q87_idx_")
     try:
         build_index(
-            spark, docs.select("doc_id", "text", "lang"), out, url_col=None,
-            n_buckets=8, keyword_cols=("lang",),
+            spark, docs, out, url_col=None,
+            n_buckets=8, keyword_cols=("lang",), store_cols=("n_chars",),
         )
-        write_docstore(spark, docs, out, url_col=None, extra_cols=("n_chars",))
         resp = search_body(spark, out, {
             "query": {"bool": {
                 "filter": [{"term": {"lang": "en"}}],
@@ -5453,10 +5435,8 @@ def q88_terms_order_metric(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     out = tempfile.mkdtemp(prefix="cb_q88_idx_")
     try:
-        build_index(spark, docs.select("doc_id", "text"), out, url_col=None, n_buckets=8)
-        write_docstore(
-            spark, docs, out, url_col=None, extra_cols=("source", "n_chars")
-        )
+        build_index(spark, docs, out, url_col=None, n_buckets=8,
+                    store_cols=("source", "n_chars"))
         resp = search_body(spark, out, {
             "query": {"match": {"text": "spark"}},
             "size": 0,
@@ -5611,8 +5591,8 @@ def q90_pinned_query(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     out = tempfile.mkdtemp(prefix="cb_q90_idx_")
     try:
-        build_index(spark, docs.select("doc_id", "text"), out, url_col=None, n_buckets=8)
-        write_docstore(spark, docs, out, url_col=None)
+        build_index(spark, docs, out, url_col=None, n_buckets=8,
+                    store_docs=True)
         resp = search_body(spark, out, {
             "query": {"pinned": {
                 "ids": [42, 7],
@@ -5691,8 +5671,8 @@ def q91_gapfilled_histogram(spark, sf_dir):
     )
     out = tempfile.mkdtemp(prefix="cb_q91_idx_")
     try:
-        build_index(spark, docs.select("doc_id", "text"), out, url_col=None, n_buckets=8)
-        write_docstore(spark, docs, out, url_col=None, extra_cols=("warc_ts",))
+        build_index(spark, docs, out, url_col=None, n_buckets=8,
+                    store_cols=("warc_ts",))
         res = search_aggs(
             spark, out,
             {"by_6h": {"date_histogram": {
@@ -5755,11 +5735,8 @@ def q92_filtered_facets(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     out = tempfile.mkdtemp(prefix="cb_q92_idx_")
     try:
-        build_index(spark, docs.select("doc_id", "text"), out, url_col=None, n_buckets=8)
-        write_docstore(
-            spark, docs, out, url_col=None,
-            extra_cols=("source", "lang", "n_chars"),
-        )
+        build_index(spark, docs, out, url_col=None, n_buckets=8,
+                    store_cols=("source", "lang", "n_chars"))
         res = search_aggs(
             spark, out,
             {
@@ -5829,14 +5806,14 @@ def q93_terms_lookup(spark, sf_dir):
     out = tempfile.mkdtemp(prefix="cb_q93_idx_")
     prof = tempfile.mkdtemp(prefix="cb_q93_prof_")
     try:
-        build_index(spark, docs.select("doc_id", "text"), out, url_col=None, n_buckets=8)
-        write_docstore(spark, docs, out, url_col=None)
+        build_index(spark, docs, out, url_col=None, n_buckets=8,
+                    store_docs=True)
         pdocs = spark.createDataFrame(
             [(1, "profile", ["spark", "shuffle"])],
             "doc_id long, text string, likes array<string>",
         )
-        build_index(spark, pdocs.select("doc_id", "text"), prof, url_col=None, n_buckets=2)
-        write_docstore(spark, pdocs, prof, url_col=None, extra_cols=("likes",))
+        build_index(spark, pdocs, prof, url_col=None, n_buckets=2,
+                    store_cols=("likes",))
         resp = search_body(spark, out, {
             "query": {"bool": {"filter": [{"terms": {
                 "text": {"index": prof, "id": 1, "path": "likes"},
@@ -5944,10 +5921,9 @@ def q95_keyword_wildcard(spark, sf_dir):
     out = tempfile.mkdtemp(prefix="cb_q95_idx_")
     try:
         build_index(
-            spark, docs.select("doc_id", "text", "source"), out, url_col=None,
-            n_buckets=8, keyword_cols=("source",),
+            spark, docs, out, url_col=None,
+            n_buckets=8, keyword_cols=("source",), store_cols=("source",),
         )
-        write_docstore(spark, docs, out, url_col=None, extra_cols=("source",))
         resp = search_body(spark, out, {
             "query": {"bool": {
                 "must": [{"match": {"text": "spark join"}}],
@@ -6016,8 +5992,8 @@ def q96_script_score(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     out = tempfile.mkdtemp(prefix="cb_q96_idx_")
     try:
-        build_index(spark, docs.select("doc_id", "text"), out, url_col=None, n_buckets=8)
-        write_docstore(spark, docs, out, url_col=None, extra_cols=("n_chars",))
+        build_index(spark, docs, out, url_col=None, n_buckets=8,
+                    store_cols=("n_chars",))
         resp = search_body(spark, out, {
             "query": {"script_score": {
                 "query": {"match": {"text": "spark join"}},
@@ -6091,8 +6067,8 @@ def q97_match_bool_prefix(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     out = tempfile.mkdtemp(prefix="cb_q97_idx_")
     try:
-        build_index(spark, docs.select("doc_id", "text"), out, url_col=None, n_buckets=8)
-        write_docstore(spark, docs, out, url_col=None)
+        build_index(spark, docs, out, url_col=None, n_buckets=8,
+                    store_docs=True)
         resp = search_body(spark, out, {
             "query": {"match_bool_prefix": {"text": "join s"}},
             "size": 12,
@@ -6304,8 +6280,8 @@ def q101_significant_text(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     out = tempfile.mkdtemp(prefix="cb_q101_idx_")
     try:
-        build_index(spark, docs.select("doc_id", "text"), out, url_col=None, n_buckets=8)
-        write_docstore(spark, docs, out, url_col=None, extra_cols=("text",))
+        build_index(spark, docs, out, url_col=None, n_buckets=8,
+                    store_cols=("text",))
         res = search_aggs(
             spark, out,
             {"sig": {"significant_text": {"field": "text", "size": 8}}},
