@@ -73,6 +73,12 @@ DEFAULT_BLOCK_SIZE = 128
 DEFAULT_TERM_BUCKETS = 64
 
 
+# below this corpus size the block-reorg exchange is skipped: the builder
+# stage's AQE-coalesced task count already bounds files-per-tb-dir to a
+# handful (env CB_REORG_MIN_DOCS overrides)
+_REORG_MIN_DOCS = int(os.environ.get("CB_REORG_MIN_DOCS", "100000"))
+
+
 def _adaptive_term_buckets(n_docs: int, cap: int | None = None) -> int:
     """Scale the term-hash bucket count with corpus size instead of pinning
     it to one constant (guide §2: partitioning must be derived from input
@@ -136,34 +142,19 @@ def _manifest_for_run(
     doc_stats: DataFrame,
     run_id: str,
     run_val: str,
-    *,
-    sum_dl_from_blocks: bool = False,
 ) -> DataFrame:
     """Per-bucket lineage row set for one run: block metadata aggregates
     (from the run's own blocks — never a whole-index re-read) joined with
     the run's (bucket, n_docs, sum_dl) doc ledger. ``sum_dl``/``n_docs``
-    feed the stats.json derivation (Σ over committed manifest rows).
-
-    ``sum_dl_from_blocks=True`` derives sum_dl inside the SAME per-bucket
-    aggregation (Σ sum_tf over main-field blocks — one scan of the delta
-    instead of two); ``doc_stats`` must then carry only (bucket, n_docs)."""
-    aggs = [
+    feed the stats.json derivation (Σ over committed manifest rows)."""
+    blk = delta_blocks.groupBy("bucket").agg(
         F.countDistinct("term").alias("n_terms"),
         F.count("*").alias("n_blocks"),
         F.sum("n").alias("n_postings"),
         F.sum(
             F.crc32(F.concat_ws("|", "term", "blk", "n", "min_doc", "max_doc"))
         ).alias("checksum"),
-    ]
-    if sum_dl_from_blocks:
-        aggs.append(
-            F.sum(
-                F.when(
-                    ~F.col("term").contains(KEYWORD_SEP), F.col("sum_tf")
-                ).otherwise(F.lit(0))
-            ).alias("sum_dl")
-        )
-    blk = delta_blocks.groupBy("bucket").agg(*aggs)
+    )
     man = blk.join(doc_stats, "bucket", "full_outer")
     zero = {c: 0 for c in ("n_terms", "n_blocks", "n_postings", "checksum", "n_docs", "sum_dl")}
     return (
@@ -171,6 +162,74 @@ def _manifest_for_run(
         .withColumn("committed_at", F.lit(time.time()).cast("timestamp"))
         .withColumn("run_id", F.lit(run_id))
         .withColumn("run", F.lit(run_val))
+    )
+
+
+MANIFEST_COLS = (
+    "bucket", "n_terms", "n_blocks", "n_postings", "checksum",
+    "sum_dl", "n_docs", "committed_at", "run_id", "run",
+)
+
+
+def _append_manifest(man_dir: str, rows: list[dict]) -> None:
+    """Driver-side manifest append. The ledger is runs × buckets rows —
+    tiny — so the commit is one parquet file written directly with pyarrow
+    instead of a Spark job chain (agg → join → write). Schema is
+    byte-compatible with the Spark writer (int96 timestamps), so Spark and
+    pyarrow readers merge old and new files transparently.
+    ``committed_at`` in each row is epoch seconds (float)."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(man_dir, exist_ok=True)
+    schema = pa.schema(
+        [
+            ("bucket", pa.int32()),
+            ("n_terms", pa.int64()),
+            ("n_blocks", pa.int64()),
+            ("n_postings", pa.int64()),
+            ("checksum", pa.int64()),
+            ("sum_dl", pa.int64()),
+            ("n_docs", pa.int64()),
+            ("committed_at", pa.timestamp("ns")),
+            ("run_id", pa.string()),
+            ("run", pa.string()),
+        ]
+    )
+    arrays = []
+    for field in schema:
+        vals = [r[field.name] for r in rows]
+        if field.name == "committed_at":
+            vals = [int(v * 1e9) for v in vals]
+        arrays.append(pa.array(vals, type=field.type))
+    tbl = pa.Table.from_arrays(arrays, schema=schema)
+    path = os.path.join(man_dir, f"part-{uuid.uuid4().hex}.parquet")
+    pq.write_table(tbl, path, use_deprecated_int96_timestamps=True)
+
+
+def _delta_manifest_rows(delta_blocks: DataFrame) -> list:
+    """One per-bucket metadata aggregation over a delta run's blocks —
+    the collectable half of the manifest commit (≤ n_buckets rows).
+    ``sum_dl`` = Σ sum_tf over main-field blocks (keyword/extra-field
+    postings excluded, same rule as _manifest_for_run)."""
+    return (
+        delta_blocks.groupBy("bucket")
+        .agg(
+            F.countDistinct("term").alias("n_terms"),
+            F.count("*").alias("n_blocks"),
+            F.sum("n").alias("n_postings"),
+            F.sum(
+                F.crc32(F.concat_ws("|", "term", "blk", "n", "min_doc", "max_doc"))
+            ).alias("checksum"),
+            F.sum(
+                F.when(
+                    ~F.col("term").contains(KEYWORD_SEP), F.col("sum_tf")
+                ).otherwise(F.lit(0))
+            ).alias("sum_dl"),
+        )
+        .collect()
     )
 
 
@@ -594,6 +653,7 @@ def build_index(
     }
     _mark("pass1 bucket doc counts")
 
+    total_docs = sum(bstats.values())
     if n_term_buckets is None:
         # resuming an existing index must keep ITS layout; otherwise derive
         # the term-hash bucket count from the corpus size pass 1 just gave
@@ -605,7 +665,7 @@ def build_index(
                     "n_term_buckets", DEFAULT_TERM_BUCKETS
                 )
         else:
-            n_term_buckets = _adaptive_term_buckets(sum(bstats.values()))
+            n_term_buckets = _adaptive_term_buckets(total_docs)
 
     # ---- pass 2: postings → blocks, committed bucket-group at a time
     all_buckets = [bkt for bkt in range(n_buckets) if bkt not in done]
@@ -617,7 +677,8 @@ def build_index(
     builder = _make_block_builder(block_size, with_positions=positions)
     blocks_schema = BLOCKS_POS_SCHEMA if positions else BLOCKS_SCHEMA
     tokenizer = tokenize_to_postings_pos if positions else tokenize_to_postings
-    for group in groups:
+    dict_fut = None
+    for gi, group in enumerate(groups):
         run_val = f"{run_id}-g{min(group)}"
         # pre-filter docs BY DOC-ID RANGE before tokenizing, so c commit
         # groups tokenize each doc once, not c times (bucket = top id bits)
@@ -647,30 +708,67 @@ def build_index(
         # term-hash dir gets one file instead of one per upstream task —
         # shuffle volume = compressed index size, a fraction of the raw
         # tokenize shuffle; buys query-side partition pruning over few files.
-        blocks = blocks.repartition(n_term_buckets, "tb").sortWithinPartitions(
-            "term", "bucket", "blk"
-        )  # term-sorted row groups → parquet min/max stats prune term lookups
+        # Input-size-adaptive (guide §2.4 — remove shuffles outright): below
+        # the reorg threshold AQE has already coalesced the builder stage to
+        # a handful of tasks, so the per-tb file count is tiny without the
+        # extra exchange (the builder's output is still (term,bucket,blk)-
+        # sorted within each task, keeping parquet min/max pruning intact).
+        if total_docs >= _REORG_MIN_DOCS:
+            blocks = blocks.repartition(n_term_buckets, "tb").sortWithinPartitions(
+                "term", "bucket", "blk"
+            )  # term-sorted row groups → parquet min/max stats prune term lookups
         _dyn_overwrite(blocks, seg_dir, ("tb", "run"))
         _mark("pass2 segments")
+        if gi == len(groups) - 1:
+            # every group's segments are on disk — the full-dictionary
+            # refresh (segments scan → dictionary + term_index) is
+            # independent of the manifest commit below, so run it as a
+            # concurrent driver thread (guide §2.6). Crash window is
+            # unchanged in spirit: a dictionary without the last manifest
+            # row is exactly what the resume path already rebuilds.
+            from concurrent.futures import ThreadPoolExecutor
+
+            _dict_pool = ThreadPoolExecutor(max_workers=1)
+            dict_fut = _dict_pool.submit(
+                refresh_dictionary, spark, out_dir, n_term_buckets
+            )
+            _dict_pool.shutdown(wait=False)
         # manifest AFTER segment write (commit ordering); aggregates come
         # from THIS run's partitions only (pruned read), checksum over block
         # METADATA only — no re-read of the binary posting columns
         delta = spark.read.parquet(seg_dir).where(F.col("run") == run_val)
-        doc_stats = spark.createDataFrame(
-            [(bkt, bstats.get(bkt, 0)) for bkt in group],
-            "bucket int, n_docs long",
-        )
         # sum_dl per bucket = Σ tf over kept MAIN-field postings (= Σ doc
         # lengths, since every text token lands in exactly one posting);
         # namespaced keyword/field postings are excluded — keyword tf is 0
-        # and extra analyzed fields keep their own length stats.  Derived
-        # inside the manifest aggregation itself (one scan of the delta).
-        man = _manifest_for_run(
-            delta, doc_stats, run_id, run_val, sum_dl_from_blocks=True
-        )
-        man.write.mode("append").parquet(man_dir)
+        # and extra analyzed fields keep their own length stats.  One
+        # per-bucket metadata aggregation (collect: ≤ n_buckets rows), then
+        # the commit itself is a driver-side parquet append — replaces the
+        # old agg → createDataFrame → full_outer join → write job chain.
+        blk = {int(r["bucket"]): r for r in _delta_manifest_rows(delta)}
+        now = time.time()
+        rows = []
+        for bkt in sorted(set(group) | set(blk)):
+            a = blk.get(bkt)
+            rows.append(
+                {
+                    "bucket": bkt,
+                    "n_terms": int(a["n_terms"]) if a else 0,
+                    "n_blocks": int(a["n_blocks"]) if a else 0,
+                    "n_postings": int(a["n_postings"]) if a else 0,
+                    "checksum": int(a["checksum"]) if a else 0,
+                    "sum_dl": int(a["sum_dl"]) if a else 0,
+                    "n_docs": bstats.get(bkt, 0),
+                    "committed_at": now,
+                    "run_id": run_id,
+                    "run": run_val,
+                }
+            )
+        _append_manifest(man_dir, rows)
 
-    refresh_dictionary(spark, out_dir, n_term_buckets)
+    if dict_fut is not None:
+        dict_fut.result()
+    else:  # no groups ran (fully-resumed build): refresh synchronously
+        refresh_dictionary(spark, out_dir, n_term_buckets)
     _mark("dictionary")
 
     stats = refresh_stats(

@@ -630,6 +630,16 @@ def _parse_bool_core(body: dict, plan: dict, analyzer, top: bool = False) -> _Bo
                 "mixing match and term/terms clauses in one should list is "
                 "unsupported (scoring vs filter semantics diverge)"
             )
+        if plan["rf_boosts"] and msm >= 1:
+            # same hazard as the own_shoulds guard below: in ES a doc can
+            # satisfy the required-should group via the feature clause
+            # alone; treating features as pure boosts would silently
+            # shrink the matching set — reject
+            raise UnsupportedDSL(
+                "rank_feature/distance_feature inside a REQUIRED should "
+                "group is unsupported — move the scoring clause to must "
+                "(features then boost, exactly like ES's common shape)"
+            )
         if msm == 0:
             pass  # ES: optional keyword shoulds only add constant score — dropped
         elif msm == 1:
@@ -1958,9 +1968,14 @@ def _rf_feature_col(store: DataFrame, spec: dict):
             f"stored column"
         )
     dtype = dict(store.dtypes)[field]
-    col = F.col(field).cast("double")
-    if dtype.startswith("timestamp") or dtype == "date":
-        col = col * F.lit(1000.0)  # epoch seconds → ms, matching origins
+    if dtype == "date":
+        # Spark disallows a direct DateType→double cast — go through
+        # timestamp (midnight UTC), then epoch seconds → ms
+        col = F.col(field).cast("timestamp").cast("double") * F.lit(1000.0)
+    elif dtype.startswith("timestamp"):
+        col = F.col(field).cast("double") * F.lit(1000.0)  # epoch s → ms
+    else:
+        col = F.col(field).cast("double")
     if spec["kind"] == "distance":
         cond = F.col(field).isNotNull()
         contrib = (
@@ -2153,6 +2168,7 @@ def _knn_search(
     ``num_candidates`` is accepted and ignored by the exact scan. Runs
     distributed (one matmul-shaped scan, no driver collect before top-k)."""
     from ..operators.similarity import cosine_topk
+    from .build import load_stats
     from .query import _docstore_scan
 
     for clash in ("query", "aggs", "sort", "collapse", "rescore", "suggest"):
@@ -2175,7 +2191,9 @@ def _knn_search(
         from .query import bool_doc_ids
 
         fplan = parse_query(
-            {"bool": {"filter": _as_list(spec["filter"])}}, out_dir=out_dir
+            {"bool": {"filter": _as_list(spec["filter"])}},
+            analyzer=load_stats(out_dir).get("analyzer"),
+            out_dir=out_dir,
         )
         ids = bool_doc_ids(
             spark, out_dir, "", must_not=fplan["must_not"],

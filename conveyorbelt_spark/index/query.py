@@ -2319,16 +2319,33 @@ def sorted_over_join(
                 f"search_after needs {len(keys)} values (sort keys + doc_id), "
                 f"got {len(search_after)}"
             )
-        # lexicographic "strictly after" predicate, per-key direction-aware
+        # lexicographic "strictly after" predicate, per-key direction- AND
+        # null-aware. With ES missing=_last ordering (nulls sort after every
+        # value in both directions): a non-null cursor value is "beaten" by
+        # larger/smaller non-nulls AND by every null-field row; a null
+        # cursor value has nothing strictly after it at that key, and ties
+        # only null-field rows.  (A bare `col > lit(v)` is NULL for null
+        # rows, which silently dropped every missing-field doc from page 2
+        # onward — the r05 VERDICT repro.)
         pred = None
         for i, (field, direction) in enumerate(keys):
-            beyond = (
-                F.col(field) > F.lit(search_after[i])
-                if direction == "asc"
-                else F.col(field) < F.lit(search_after[i])
-            )
+            v = search_after[i]
+            if v is None:
+                beyond = F.lit(False)
+            else:
+                beyond = (
+                    F.col(field) > F.lit(v)
+                    if direction == "asc"
+                    else F.col(field) < F.lit(v)
+                ) | F.col(field).isNull()
             for j in range(i):
-                beyond = beyond & (F.col(keys[j][0]) == F.lit(search_after[j]))
+                vj = search_after[j]
+                eq = (
+                    F.col(keys[j][0]).isNull()
+                    if vj is None
+                    else F.col(keys[j][0]) == F.lit(vj)
+                )
+                beyond = beyond & eq
             pred = beyond if pred is None else (pred | beyond)
         joined = joined.where(pred)
     order = [
@@ -2496,9 +2513,19 @@ def _densify_hist_df(spark, base: "DataFrame", body: dict) -> "DataFrame":
     axis = _hist_bucket_range(
         float(lo), float(hi), step, float(body.get("offset", 0) or 0)
     )
-    span = spark.createDataFrame([(float(v),) for v in axis], "key double")
+    # join on the INTEGER bucket ordinal, not the float key: the driver
+    # axis (lo + i*step) and Spark's bucket key (floor((x-off)/s)*s+off)
+    # can differ by 1 ulp for non-integral interval/offset, which would
+    # silently zero a real bucket's count (r05 ADVICE)
+    a0 = float(axis[0])
+    span = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(axis)], "ord long, key double"
+    )
+    base_o = base.withColumn(
+        "ord", F.round((F.col("key") - F.lit(a0)) / F.lit(step)).cast("long")
+    ).drop("key")
     return (
-        span.join(base, "key", "left")
+        span.join(base_o, "ord", "left")
         .select("key", F.coalesce("n", F.lit(0)).alias("n"))
         .orderBy("key")
     )
@@ -4527,7 +4554,21 @@ def _aggs_pandas(
                         )
                         if lo is not None and hi is not None else []
                     )
-                rows_kn = [(k_, got.get(k_, 0)) for k_ in axis] or rows_kn
+                if axis and kind != "date_histogram":
+                    # float-key dict lookups share the Spark twin's 1-ulp
+                    # hazard — match buckets by integer ordinal instead
+                    step_ = float(body["interval"])
+                    a0_ = float(axis[0])
+                    got_o = {
+                        int(round((float(k_) - a0_) / step_)): n
+                        for k_, n in got.items()
+                    }
+                    rows_kn = [
+                        (k_, got_o.get(int(round((float(k_) - a0_) / step_)), 0))
+                        for k_ in axis
+                    ]
+                else:
+                    rows_kn = [(k_, got.get(k_, 0)) for k_ in axis] or rows_kn
             out[name] = [{"key": k_, "n": n} for k_, n in rows_kn]
         elif kind == "stats":
             v = pd.to_numeric(vals.dropna())

@@ -37,11 +37,12 @@ from ..index.build import (
     DEFAULT_BLOCK_SIZE,
     DEFAULT_N_BUCKETS,
     DEFAULT_TERM_BUCKETS,
+    _append_manifest,
     _bucket_col,
+    _delta_manifest_rows,
     _doclens_kernel,
     _dyn_overwrite,
     _make_block_builder,
-    _manifest_for_run,
     load_stats,
     refresh_stats,
     write_dictionary_delta,
@@ -198,11 +199,39 @@ def index_batch(
     if refresh_dict:
         write_dictionary_delta(delta, out_dir, cfg["n_term_buckets"], run_id)
 
-    doc_stats = doclens.groupBy(_bucket_col(cfg["n_buckets"]).alias("bucket")).agg(
-        F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl")
-    )
-    man = _manifest_for_run(delta, doc_stats, run_id, run_id)
-    man.write.mode("append").parquet(man_dir)  # ← THE commit
+    # two tiny collects (≤ n_buckets rows each) + a driver-side parquet
+    # append replace the old agg → full_outer join → write job chain.
+    # sum_dl/n_docs come from DOCLENS (not the blocks): under exact_stats
+    # the anti-joined ledger counts only NEW docs while the blocks carry
+    # every posting — the ledger side is authoritative.
+    ds_rows = {
+        int(r["bucket"]): r
+        for r in doclens.groupBy(_bucket_col(cfg["n_buckets"]).alias("bucket"))
+        .agg(F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl"))
+        .collect()
+    }
+    blk_rows = {int(r["bucket"]): r for r in _delta_manifest_rows(delta)}
+    import time as _time
+
+    now = _time.time()
+    man_rows = []
+    for bkt in sorted(set(ds_rows) | set(blk_rows)):
+        a, d = blk_rows.get(bkt), ds_rows.get(bkt)
+        man_rows.append(
+            {
+                "bucket": bkt,
+                "n_terms": int(a["n_terms"]) if a else 0,
+                "n_blocks": int(a["n_blocks"]) if a else 0,
+                "n_postings": int(a["n_postings"]) if a else 0,
+                "checksum": int(a["checksum"]) if a else 0,
+                "sum_dl": int(d["sum_dl"]) if d else 0,
+                "n_docs": int(d["n_docs"]) if d else 0,
+                "committed_at": now,
+                "run_id": run_id,
+                "run": run_id,
+            }
+        )
+    _append_manifest(man_dir, man_rows)  # ← THE commit
     doclens.unpersist()
     refresh_stats(spark, out_dir, defaults=cfg)
     if store_docs or store_cols:

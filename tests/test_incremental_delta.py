@@ -42,7 +42,7 @@ def test_build_resume_after_segment_write_crash(spark, tmp_path_factory):
     want_stats = load_stats(clean)
 
     crash = str(tmp_path_factory.mktemp("crash"))
-    orig = B._manifest_for_run
+    orig = B._append_manifest
     calls = {"n": 0}
 
     def flaky(*a, **kw):
@@ -51,12 +51,12 @@ def test_build_resume_after_segment_write_crash(spark, tmp_path_factory):
             raise Boom()  # its segments were already written
         return orig(*a, **kw)
 
-    B._manifest_for_run = flaky
+    B._append_manifest = flaky
     try:
         with pytest.raises(Boom):
             build_index(spark, docs, crash, n_buckets=8, commit_groups=4)
     finally:
-        B._manifest_for_run = orig
+        B._append_manifest = orig
 
     # the crash left orphan segment partitions with no manifest row
     committed = {r.run for r in spark.read.parquet(f"{crash}/manifest").collect()}
@@ -83,17 +83,17 @@ def test_index_batch_replay_after_mid_crash(spark, tmp_path_factory):
     want_stats = load_stats(clean)
 
     crash = str(tmp_path_factory.mktemp("b_crash"))
-    orig = I._manifest_for_run
+    orig = I._append_manifest
 
     def flaky(*a, **kw):
         raise Boom()
 
-    I._manifest_for_run = flaky
+    I._append_manifest = flaky
     try:
         with pytest.raises(Boom):
             index_batch(spark, docs, crash, 0, n_buckets=8)
     finally:
-        I._manifest_for_run = orig
+        I._append_manifest = orig
     # segments + doclens landed, no manifest → replay must redo, not double
     assert os.path.isdir(f"{crash}/segments")
     assert not os.path.isdir(f"{crash}/manifest")

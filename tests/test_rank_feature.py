@@ -360,3 +360,44 @@ def test_explain_doc_and_indices_boost(spark, rfroot, tmp_path):
     hits = resp["hits"]["hits"]
     assert all(h["_index"] == other for h in hits)
     assert all(h["_id"] >= 5000 for h in hits)
+
+
+def test_distance_feature_over_date_column(spark, tmp_path):
+    """r05 ADVICE: DateType → double is an illegal direct cast in Spark —
+    a distance_feature over a date-typed stored column must still work
+    (cast through timestamp), matching the Python twin's datetime.date
+    handling."""
+    rows = [
+        (i, "spark join doc", dt.date(2024, 1, 1) + dt.timedelta(days=i))
+        for i in range(20)
+    ]
+    out = str(tmp_path / "didx")
+    docs = spark.createDataFrame(rows, "doc_id long, text string, d date")
+    build_index(spark, docs.select("doc_id", "text"), out, url_col=None,
+                n_buckets=4, n_term_buckets=8)
+    write_docstore(spark, docs, out, url_col=None, extra_cols=("d",))
+    origin = int(dt.datetime(2024, 1, 10, tzinfo=dt.timezone.utc).timestamp() * 1000)
+    resp = search_body(spark, out, {
+        "query": {"distance_feature": {
+            "field": "d", "origin": origin, "pivot": "1d",
+        }},
+        "size": 3,
+    })
+    ids = [h["_id"] for h in resp["hits"]["hits"]]
+    # closest days to Jan 10 rank first (doc 9 = Jan 10 exactly)
+    assert ids[0] == 9
+
+
+def test_feature_in_required_keyword_should_rejected(spark, rfroot):
+    """r05 ADVICE: a should-only bool mixing a keyword clause with a
+    feature clause gets default msm=1; treating the feature as a pure
+    boost would shrink the matching set — must reject, not mis-count."""
+    out, _ = rfroot
+    with pytest.raises(UnsupportedDSL):
+        search_body(spark, out, {
+            "query": {"bool": {"should": [
+                {"term": {"lang": "en"}},
+                {"rank_feature": {"field": "pop", "log": {"scaling_factor": 1}}},
+            ]}},
+            "size": 5,
+        })
