@@ -94,7 +94,14 @@ def delete_docs(
         .partitionBy("trun")
         .parquet(_tomb_dir(out_dir))
     )
-    n = tomb.count()
+    # row count from the just-written partition's parquet FOOTERS — a
+    # tomb.count() here would recompute the whole lineage (for
+    # delete_by_query that is the entire matching-set search, twice)
+    import pyarrow.dataset as _pds
+
+    n = _pds.dataset(
+        os.path.join(_tomb_dir(out_dir), f"trun={op_id}"), format="parquet"
+    ).count_rows()
     # THE commit: list the tombstone run in stats.json (also bumps the file
     # mtime, invalidating any live Searcher snapshot)
     with open(_stats_path(out_dir)) as f:

@@ -4807,12 +4807,15 @@ def q80_sliced_scroll(spark, sf_dir):
             spark, docs.select("doc_id", "text"), out, url_col=None,
             n_buckets=8,
         )
-        for i in range(4):
+        from .index.query import Searcher
+
+        s = Searcher(spark, out)  # ONE warm handle: slices 2-4 serve from
+        for i in range(4):        # its block/term caches
             body = {
                 "query": {"match": {"text": " ".join(BM25_QUERY_TERMS)}},
                 "size": 7, "slice": {"id": i, "max": 4},
             }
-            for page in scroll_body(spark, out, body):
+            for page in scroll_body(spark, out, body, searcher=s):
                 rows.extend(
                     (i, int(h["_id"]), round(float(h["_score"]), 4))
                     for h in page["hits"]["hits"]

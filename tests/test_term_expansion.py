@@ -33,7 +33,11 @@ N_DOCS = 1000
 def eidx(spark, tmp_path_factory):
     out = str(tmp_path_factory.mktemp("exp_idx"))
     docs = corpus_spark_df(spark, N_DOCS, seed=41, n_parts=4)
-    build_index(spark, docs, out, n_buckets=8)
+    # explicit n_term_buckets=64: this module pins the RANGE-PRUNING
+    # property of the term_index sidecar, which needs the multi-file
+    # at-scale layout (the adaptive default would coalesce a 1k-doc
+    # index's term_index to one file)
+    build_index(spark, docs, out, n_buckets=8, n_term_buckets=64)
     rows = with_doc_id(docs).select("doc_id", "text").collect()
     return out, BM25Oracle([(r.doc_id, r.text) for r in rows])
 
