@@ -194,10 +194,21 @@ def index_batch(
     seg_dir = os.path.join(out_dir, "segments")
     _dyn_overwrite(blocks, seg_dir, ("tb", "run"))
 
-    # --- delta-only derived artifacts (partition-pruned read of run=<this>)
+    # --- delta-only derived artifacts (partition-pruned read of run=<this>).
+    # The dictionary delta is independent of the manifest commit below, so
+    # it runs as a concurrent driver thread (guide §2.6) overlapping the
+    # two ledger collects; it is joined BEFORE the commit so the crash
+    # ordering (segments → derived deltas → manifest append) is unchanged.
     delta = spark.read.parquet(seg_dir).where(F.col("run") == run_id)
+    dict_fut = None
     if refresh_dict:
-        write_dictionary_delta(delta, out_dir, cfg["n_term_buckets"], run_id)
+        from concurrent.futures import ThreadPoolExecutor
+
+        _pool = ThreadPoolExecutor(max_workers=1)
+        dict_fut = _pool.submit(
+            write_dictionary_delta, delta, out_dir, cfg["n_term_buckets"], run_id
+        )
+        _pool.shutdown(wait=False)
 
     # two tiny collects (≤ n_buckets rows each) + a driver-side parquet
     # append replace the old agg → full_outer join → write job chain.
@@ -231,6 +242,8 @@ def index_batch(
                 "run": run_id,
             }
         )
+    if dict_fut is not None:
+        dict_fut.result()  # derived deltas land before the commit
     _append_manifest(man_dir, man_rows)  # ← THE commit
     doclens.unpersist()
     refresh_stats(spark, out_dir, defaults=cfg)
