@@ -73,10 +73,12 @@ DEFAULT_BLOCK_SIZE = 128
 DEFAULT_TERM_BUCKETS = 64
 
 
-# below this corpus size the block-reorg exchange is skipped: the builder
-# stage's AQE-coalesced task count already bounds files-per-tb-dir to a
-# handful (env CB_REORG_MIN_DOCS overrides)
-_REORG_MIN_DOCS = int(os.environ.get("CB_REORG_MIN_DOCS", "100000"))
+# the block-reorg exchange is skipped when the corpus is small enough that
+# the builder stage's AQE-coalesced task count is ~n_term_buckets or less
+# (postings bytes ≈ docs × a few hundred B vs AQE's 1 MB min partition →
+# ~1250 docs of postings per task), so files-per-tb-dir stays a handful
+# without the extra shuffle (env CB_REORG_DOCS_PER_BUCKET overrides)
+_REORG_DOCS_PER_BUCKET = int(os.environ.get("CB_REORG_DOCS_PER_BUCKET", "1250"))
 
 
 def _adaptive_term_buckets(n_docs: int, cap: int | None = None) -> int:
@@ -710,10 +712,12 @@ def build_index(
         # tokenize shuffle; buys query-side partition pruning over few files.
         # Input-size-adaptive (guide §2.4 — remove shuffles outright): below
         # the reorg threshold AQE has already coalesced the builder stage to
-        # a handful of tasks, so the per-tb file count is tiny without the
-        # extra exchange (the builder's output is still (term,bucket,blk)-
-        # sorted within each task, keeping parquet min/max pruning intact).
-        if total_docs >= _REORG_MIN_DOCS:
+        # ~n_term_buckets tasks or fewer, so the per-tb file count is tiny
+        # without the extra exchange (the builder's output is still
+        # (term,bucket,blk)-sorted within each task, keeping parquet min/max
+        # pruning intact). Larger corpora keep the reorg: one file per tb
+        # dir is what the serving path's footer probes are sized for.
+        if total_docs > n_term_buckets * _REORG_DOCS_PER_BUCKET:
             blocks = blocks.repartition(n_term_buckets, "tb").sortWithinPartitions(
                 "term", "bucket", "blk"
             )  # term-sorted row groups → parquet min/max stats prune term lookups
